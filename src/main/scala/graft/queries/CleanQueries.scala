@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.clean.{Cleaning, Rules}
+import graft.core.Conf.RuleNames
+
+/** Correctness-gate queries for the cleaning phase (SURVEY §2.8/§2.9: F3-F7,
+  * P6, A7-A10, U5, P10) over the [[ChargesFixture]]. The Spark side runs the
+  * real library code; [[oracles]] generates the DuckDB mirror SQL from the
+  * same column lists so names can't drift.
+  */
+object CleanQueries {
+
+  def family: QueryFamily = QueryFamily("clean", queries, oracles)
+
+  import ChargesFixture.{fabricated, toCanonical}
+
+  private val priceU = Seq("negotiated_price", "negotiated_percentage", "gross_charge",
+    "discounted_cash_price", "min_price", "max_price", "estimated_amount")
+  private val textU = Seq("insurance_payer_name", "insurance_plan_name", "description",
+    "setting", "negotiated_algorithm", "negotiated_methodology")
+  private val allU = fabricated.map(_._1)
+  private val stringU = allU.filterNot(priceU.contains)
+
+  /** Cleaned + rule-tagged frame with canonical names (cached by callers as
+    * needed); the one logical plan every clean query is a projection of. */
+  private def tagged(spark: SparkSession, sfDir: String): DataFrame =
+    Rules.tagViolations(Cleaning.cleanAll(ChargesFixture.charges(spark, sfDir)))
+
+  private def renamedToUnderscore(df: DataFrame, extra: Seq[String] = Nil): DataFrame =
+    df.select(allU.map(n => col(toCanonical(n)).as(n)) ++ extra.map(col): _*)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "clean_rows" -> ((s, dir) => {
+      val (clean, _) = Rules.split(tagged(s, dir))
+      renamedToUnderscore(clean)
+    }),
+    "clean_violations" -> ((s, dir) => {
+      val (_, bad) = Rules.split(tagged(s, dir))
+      renamedToUnderscore(bad, Seq("negotiated_algorithm_invalid", "rules_violated"))
+    }),
+    "clean_summary" -> ((s, dir) => Rules.summarize(tagged(s, dir))))
+
+  // ---------------------------------------------------------------- oracle --
+
+  /** DuckDB SQL mirror of Cleaning.cleanAll + Rules, step for step. */
+  private def pipelineCte: String = {
+    val scrub = priceU.map { f =>
+      val s = s"TRY_CAST(trim(regexp_replace($f, '[$$%\",]', '', 'g')) AS DOUBLE)"
+      val v = if (f == "estimated_amount") s
+        else s"(CASE WHEN $s <= 0 OR $s = 999999999 THEN NULL ELSE $s END)"
+      s"$v AS $f"
+    }
+    val priced = (stringU ++ scrub).mkString(", ")
+    val blank = stringU.map { c =>
+      s"(CASE WHEN regexp_matches($c, '^(n/?a|not applicable)$$', 'i') THEN '' ELSE $c END) AS $c"
+    } ++ priceU
+    val text = stringU.map { c =>
+      if (textU.contains(c))
+        s"(CASE WHEN lower(trim(coalesce($c, 'nan'))) = 'nan' THEN '' " +
+          s"ELSE lower(trim(coalesce($c, 'nan'))) END) AS $c"
+      else s"$c"
+    } ++ priceU
+    val mods = allU.map {
+      case "modifiers" => "replace(replace(upper(modifiers), '|', ','), ' ', '') AS modifiers"
+      case c => c
+    }
+    val flag = "coalesce(regexp_matches(negotiated_algorithm, '^[0-9$%\\\\s]+$'), false)" +
+      " AS negotiated_algorithm_invalid"
+    val coded = allU.map {
+      case "code" => "coalesce(code, 'nan') AS code"
+      case "code_type" => "upper(coalesce(code_type, 'nan')) AS code_type"
+      case c => c
+    } :+ "negotiated_algorithm_invalid"
+    val valid =
+      """(code_type = 'CPT' AND regexp_matches(code, '^\d{5}$'))
+        | OR (code_type = 'HCPCS' AND (regexp_matches(code, '^\d{5}$') OR regexp_matches(code, '^[A-V]\d{4}$')))
+        | OR (code_type = 'NDC' AND regexp_matches(code, '^\d{10,11}$'))
+        | OR (code_type = 'DRG' AND regexp_matches(code, '^\d{3}$'))
+        | OR (code_type = 'CDT' AND regexp_matches(code, '^D\d{4}$'))
+        | OR (code_type = 'APC' AND regexp_matches(code, '^\d{4}$'))
+        | OR (code_type = 'ICD' AND length(code) BETWEEN 3 AND 7)""".stripMargin
+    s"""WITH raw AS (${ChargesFixture.sql}),
+       |priced AS (SELECT $priced FROM raw),
+       |blanked AS (SELECT ${blank.mkString(", ")} FROM priced),
+       |texted AS (SELECT ${text.mkString(", ")} FROM blanked),
+       |flagged AS (SELECT *, $flag FROM (SELECT ${mods.mkString(", ")} FROM texted)),
+       |coded AS (SELECT ${coded.mkString(", ")} FROM flagged),
+       |valid_rows AS (SELECT * FROM coded WHERE $valid),
+       |deduped AS (SELECT DISTINCT * FROM valid_rows),
+       |ruled AS (SELECT *, ${ruleSqls.map { case (n, p) => s"($p) AS ${n}_v" }.mkString(", ")} FROM deduped)""".stripMargin
+  }
+
+  /** The 10 rule predicates in DuckDB SQL (presence = IS NOT NULL), mirroring
+    * Rules.predicates over underscored names. */
+  private def ruleSqls: Seq[(String, String)] = {
+    def pres(c: String) = s"$c IS NOT NULL"
+    def abs(c: String) = s"$c IS NULL"
+    def anyP(cs: String*) = cs.map(pres).mkString("(", " OR ", ")")
+    def allP(cs: String*) = cs.map(pres).mkString("(", " AND ", ")")
+    def allA(cs: String*) = cs.map(abs).mkString("(", " AND ", ")")
+    Seq(
+      "rule_1" -> s"${anyP("negotiated_price", "negotiated_percentage", "gross_charge")} AND NOT ${allP("insurance_payer_name", "insurance_plan_name", "negotiated_methodology")}",
+      "rule_2" -> s"${anyP(priceU: _*)} AND NOT ${allP("code", "code_type")}",
+      "rule_3" -> s"((${pres("code")} AND ${abs("code_type")}) OR (${pres("code_type")} AND ${abs("code")}))",
+      "rule_4" -> s"coalesce(lower(negotiated_methodology) = 'other', false) AND ${abs("additional_notes")}",
+      "rule_5" -> s"${pres("description")} AND ${allA("gross_charge", "discounted_cash_price", "negotiated_price", "negotiated_percentage", "negotiated_algorithm")}",
+      "rule_6" -> s"${pres("negotiated_price")} AND NOT ${allP("min_price", "max_price")}",
+      "rule_7" -> s"${abs("negotiated_price")} AND ${anyP("negotiated_percentage", "negotiated_algorithm")} AND ${abs("estimated_amount")}",
+      "rule_8" -> s"coalesce(upper(code_type) = 'NDC', false) AND NOT ${allP("drug_unit", "drug_type")}",
+      "rule_9" -> s"${pres("modifiers")} AND ${abs("description")} AND ${allA("negotiated_price", "negotiated_percentage", "negotiated_algorithm", "additional_notes")}",
+      "rule_10" -> s"((${pres("drug_unit")} AND ${abs("drug_type")}) OR (${pres("drug_type")} AND ${abs("drug_unit")}))")
+  }
+
+  private def anyRule = RuleNames.map(n => s"${n}_v").mkString("(", " OR ", ")")
+
+  def oracles: Map[String, String] = {
+    val tagExpr = "NULLIF(concat_ws(','," +
+      RuleNames.map(n => s" CASE WHEN ${n}_v THEN '$n' END").mkString(",") + "), '')"
+    val sums = RuleNames.map(n => s"CAST(sum(CASE WHEN ${n}_v THEN 1 ELSE 0 END) AS BIGINT) AS $n")
+    val summaryInner = (sums ++ Seq(
+      s"CAST(sum(CASE WHEN NOT $anyRule THEN 1 ELSE 0 END) AS BIGINT) AS total_rows_cleaned",
+      s"CAST(sum(CASE WHEN NOT $anyRule AND negotiated_algorithm_invalid THEN 1 ELSE 0 END) AS BIGINT) AS total_algorithm_format_violations"))
+      .mkString(", ")
+    val droppedExpr = RuleNames.mkString(" + ")
+    Map(
+      "clean_rows" ->
+        s"$pipelineCte SELECT ${allU.mkString(", ")} FROM ruled WHERE NOT $anyRule",
+      "clean_violations" ->
+        s"""$pipelineCte SELECT ${allU.mkString(", ")}, negotiated_algorithm_invalid, $tagExpr AS rules_violated FROM ruled WHERE $anyRule""",
+      "clean_summary" ->
+        s"""$pipelineCte, s AS (SELECT $summaryInner FROM ruled)
+           |SELECT *, CAST($droppedExpr AS BIGINT) AS total_rows_dropped_due_to_rule_violations,
+           |  CASE WHEN total_rows_cleaned + ($droppedExpr) = 0 THEN 0.0
+           |       ELSE greatest(0.0, 1.0 - CAST($droppedExpr AS DOUBLE) / (CAST(total_rows_cleaned + ($droppedExpr) AS DOUBLE) * 10.0)) END
+           |    AS final_transparency_score
+           |FROM s""".stripMargin)
+  }
+}

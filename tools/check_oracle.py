@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB correctness compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <outDir>
+after running:  sbt "runMain graft.Verify <sfDir> <outDir>"
+
+For each query dumped by graft.Verify into <outDir>/<name>/ (parquet), runs
+the matching SQL from <outDir>/oracle_sql.json in DuckDB against views named
+after the testdata tables, then compares: schema (column names), row count,
+and a hash over column-name-sorted, row-sorted values.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True) \
+            if files else pd.DataFrame()
+        if name not in oracles:
+            print(f"[rows-only] {name}: rows={len(got)}")
+            continue
+        try:
+            want = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"[FAIL-sql ] {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        g, w = canon(got), canon(want)
+        ok_schema = list(g.columns) == list(w.columns)
+        ok_rows = len(g) == len(w)
+        ok_vals = False
+        if ok_schema and ok_rows:
+            try:
+                pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                              check_exact=False, rtol=0, atol=0)
+                ok_vals = True
+            except AssertionError as e:
+                ok_vals = False
+                detail = str(e).splitlines()[:6]
+        if ok_schema and ok_rows and ok_vals:
+            print(f"[PASS      ] {name}: rows={len(g)}")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"[FAIL      ] {name}: schema={ok_schema} rows={len(g)}/{len(w)} vals={ok_vals}")
+            if not ok_schema:
+                print(f"    got : {sorted(got.columns)}")
+                print(f"    want: {sorted(want.columns)}")
+            elif ok_rows and not ok_vals:
+                for ln in detail:
+                    print("   ", ln)
+                # show first differing row
+                neq = (g.fillna("\0NULL") != w.fillna("\0NULL")).any(axis=1)
+                if neq.any():
+                    i = neq.idxmax()
+                    print("    first diff row idx", i)
+                    print("    got :", g.loc[i].to_dict())
+                    print("    want:", w.loc[i].to_dict())
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
