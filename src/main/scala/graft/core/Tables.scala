@@ -1,12 +1,24 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md). */
 object Tables {
   val All: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by default;
+    // read nanos as long and convert to a micros timestamp (truncating, same
+    // instant to the microsecond).
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (df.schema("ts").dataType == LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 }

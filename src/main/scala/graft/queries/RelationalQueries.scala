@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.table
+
+/** Core relational operator families from SURVEY §2 expressed over the
+  * driver's TPC-H-ish testdata, each with a DuckDB oracle.
+  *
+  * Determinism rules for cross-engine hash parity:
+  *   - money sums go through DECIMAL (exact, order-independent) and back to
+  *     double, or through pure integer arithmetic (cents) — never raw
+  *     double accumulation (addition-order sensitive);
+  *   - `first()`-style aggregates are avoided (max/min/count only);
+  *   - top-k always carries a total tiebreak order.
+  */
+object RelationalQueries {
+
+  def family: QueryFamily = QueryFamily("relational", queries, oracles)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A2/A7-style grouped aggregation (TPC-H Q1 shape); exact decimal sums.
+    "agg_pricing_summary" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // P1/P6-style predicate + projection (pushed to the parquet scan).
+    "filter_shipdate_range" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount") > lit(0.05) && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+    }),
+
+    // J1 — broadcast hash equi-join (small dim broadcast explicitly).
+    "join_broadcast_segment" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .join(broadcast(table(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+    }),
+
+    // J1×3 — multi-join star query; revenue in exact integer cents×bp.
+    "join_multi_nation_revenue" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val discBp = round(col("l_discount") * 100).cast("long")
+      table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents * (lit(100L) - discBp)).as("revenue_cents_bp"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Semi/anti joins (P7's anti-semantics as real join strategies).
+    "join_semi_active_customers" -> ((s, dir) => {
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    // Anti join vs a filtered right side (non-empty result at every SF).
+    "join_anti_no_big_orders" -> ((s, dir) => {
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // J4/L1 — latest-row lookup merged with coalesce fallback.
+    "join_coalesce_last_order" -> ((s, dir) => {
+      val last = table(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"))
+      table(s, dir, "customer")
+        .join(last, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(date_format(col("last_order"), "yyyy-MM-dd"), lit("never")).as("last_order_day"))
+    }),
+
+    // U1 — explode of packed (code, type) pairs; narrow, no shuffle.
+    "explode_code_pairs" -> ((s, dir) => {
+      val p = table(s, dir, "part")
+      val pairs = array((1 to 4).map { i =>
+        struct(
+          lit(i).as("idx"),
+          expr(codeExpr(i)).as("code"),
+          expr(typeExpr(i)).as("raw_type"))
+      }: _*)
+      p.select(col("p_partkey"), explode(pairs).as("pair"))
+        .select(col("p_partkey"), col("pair.idx").as("idx"), col("pair.code").as("code"),
+          col("pair.raw_type").as("raw_type"))
+        .filter(col("code").isNotNull)
+        .withColumn("code_type",
+          element_at(typedLit(graft.core.Conf.CodeTypeNormalization), col("raw_type")))
+        .filter(col("code_type").isNotNull)
+    }),
+
+    // U2 — unpivot/melt of measure columns to (field, value) rows.
+    "unpivot_part_measures" -> ((s, dir) => {
+      table(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice").cast("double").as("p_retailprice"),
+          col("p_size").cast("double").as("p_size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size")), "field", "value")
+    }),
+
+    // U3 — pivot with explicit value set (closed field set, no extra pass).
+    "pivot_status_priority" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot(col("o_orderpriority"),
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    // L4 — top-1 per key via window row_number (total tiebreak order).
+    "window_top_order_per_customer" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      table(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // A8 — projection-level dedup.
+    "dedup_lineitem_flags" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+        .distinct()
+    }),
+
+    // A6 — set difference (allowed − present analog; sizes 1-50 minus the
+    // even supplier keys leaves a non-trivial set).
+    "except_sizes_vs_suppliers" -> ((s, dir) => {
+      table(s, dir, "part").select(col("p_size").cast("long").as("key")).distinct()
+        .except(table(s, dir, "supplier").filter(col("s_suppkey") % 2 === 0)
+          .select(col("s_suppkey").cast("long").as("key")))
+    }),
+
+    // §2.7 — union of per-source frames.
+    "union_region_nation_names" -> ((s, dir) => {
+      table(s, dir, "region").select(col("r_name").as("name"), lit("region").as("kind"))
+        .union(table(s, dir, "nation").select(col("n_name").as("name"), lit("nation").as("kind")))
+    }),
+
+    // A5 — normalization-witness set (collect_set rendered order-stable).
+    "collectset_nation_segments" -> ((s, dir) => {
+      table(s, dir, "customer")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(concat_ws(",", sort_array(collect_set(col("c_mktsegment")))).as("segments"))
+    }),
+
+    // L2/L3 — deterministic global sort + limit.
+    "topk_orders_by_price" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }))
+
+  // Shared fabricated (code, type) pair expressions — dialect-neutral SQL so
+  // the Spark plan and the DuckDB oracle can never drift.
+  private def codeExpr(i: Int): String =
+    s"CASE WHEN (p_partkey + $i) % 3 = 0 THEN NULL" +
+      s" ELSE lpad(cast((p_partkey * $i) % 100000 as string), 5, '0') END"
+  private def typeExpr(i: Int): String =
+    s"CASE WHEN (p_partkey + $i) % 4 = 0 THEN 'MS-DRG' ELSE 'CPT' END"
+
+
+  def oracles: Map[String, String] = {
+    val normCase = "CASE raw_type WHEN 'MS-DRG' THEN 'DRG' WHEN 'CPT' THEN 'CPT'" +
+      " WHEN 'HCPCS' THEN 'HCPCS' WHEN 'ICD' THEN 'ICD' WHEN 'DRG' THEN 'DRG'" +
+      " WHEN 'CDT' THEN 'CDT' WHEN 'NDC' THEN 'NDC' WHEN 'APC' THEN 'APC' END"
+    Map(
+      "agg_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          | avg(l_quantity) AS avg_qty, count(*) AS n_rows
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+      "filter_shipdate_range" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+          |  AND l_discount > 0.05 AND l_returnflag = 'R'""".stripMargin,
+      "join_broadcast_segment" ->
+        """SELECT c_mktsegment, count(*) AS n_orders,
+          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment""".stripMargin,
+      "join_multi_nation_revenue" ->
+        """SELECT n_name,
+          | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+          |   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cents_bp,
+          | count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name""".stripMargin,
+      "join_semi_active_customers" ->
+        ("SELECT c_custkey, c_name FROM customer WHERE EXISTS" +
+          " (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+      "join_anti_no_big_orders" ->
+        ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS" +
+          " (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)"),
+      "join_coalesce_last_order" ->
+        """SELECT c_custkey,
+          | coalesce(strftime(last_order, '%Y-%m-%d'), 'never') AS last_order_day
+          |FROM customer LEFT JOIN
+          | (SELECT o_custkey, max(o_orderdate) AS last_order FROM orders GROUP BY o_custkey) t
+          | ON c_custkey = o_custkey""".stripMargin,
+      "explode_code_pairs" -> {
+        val arms = (1 to 4).map { i =>
+          s"SELECT p_partkey, $i AS idx, ${codeExpr(i)} AS code, ${typeExpr(i)} AS raw_type FROM part"
+        }.mkString("(", ") UNION ALL (", ")")
+        s"""SELECT p_partkey, idx, code, raw_type, $normCase AS code_type
+           |FROM ($arms) WHERE code IS NOT NULL AND $normCase IS NOT NULL""".stripMargin
+      },
+      "unpivot_part_measures" ->
+        """(SELECT p_partkey, 'p_retailprice' AS field, CAST(p_retailprice AS DOUBLE) AS value FROM part)
+          |UNION ALL
+          |(SELECT p_partkey, 'p_size' AS field, CAST(p_size AS DOUBLE) AS value FROM part)""".stripMargin,
+      "pivot_status_priority" ->
+        """SELECT o_orderstatus,
+          | count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+          | count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+          | count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+          | count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+          | count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+          |FROM orders GROUP BY o_orderstatus""".stripMargin,
+      "window_top_order_per_customer" ->
+        """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          | SELECT o_custkey, o_orderkey, o_totalprice,
+          |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          | FROM orders) WHERE rn = 1""".stripMargin,
+      "dedup_lineitem_flags" ->
+        "SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem",
+      "except_sizes_vs_suppliers" ->
+        """SELECT DISTINCT CAST(p_size AS BIGINT) AS key FROM part
+          |EXCEPT SELECT CAST(s_suppkey AS BIGINT) AS key FROM supplier WHERE s_suppkey % 2 = 0""".stripMargin,
+      "union_region_nation_names" ->
+        """(SELECT r_name AS name, 'region' AS kind FROM region)
+          |UNION ALL (SELECT n_name AS name, 'nation' AS kind FROM nation)""".stripMargin,
+      "collectset_nation_segments" ->
+        """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+          | string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+          |FROM customer GROUP BY c_nationkey""".stripMargin,
+      "topk_orders_by_price" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin)
+  }
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.table
+import graft.enrich.Naming
+
+/** Scalar-function operator families (SURVEY §2.8) + modifier/presence
+  * aggregations (A1/A2) + JSON field access, over testdata with fabricated
+  * inputs shared dialect-neutrally between engine and oracle. */
+object TextFuncQueries {
+
+  def family: QueryFamily = QueryFamily("textfunc", queries, oracles)
+
+  // Fabricated inputs (dialect-neutral SQL, usable verbatim in both engines).
+  private val fabName = "concat('The ', c_name, CASE c_custkey % 4" +
+    " WHEN 0 THEN ' Medical Center' WHEN 1 THEN ' General Hospital'" +
+    " WHEN 2 THEN ' Health System' ELSE ' Clinic & Care' END)"
+  private val fabAddress = "concat(cast(c_custkey % 900 + 100 as string)," +
+    " ' Main St, Atlanta, GA ', lpad(cast(c_custkey % 100000 as string), 5, '0')," +
+    " CASE WHEN c_custkey % 3 = 0 THEN concat('-', lpad(cast(c_custkey % 10000 as string), 4, '0'))" +
+    " ELSE '' END)"
+  private val fabPayer = "CASE WHEN c_custkey % 2 = 0" +
+    " THEN concat('Payer ', cast(c_custkey % 50 as string), ' [P', cast(c_custkey % 7 as string), ']')" +
+    " ELSE concat('Payer ', cast(c_custkey % 50 as string)) END"
+  private val fabModifiers = "CASE l_suppkey % 5 WHEN 0 THEN '26, tc'" +
+    " WHEN 1 THEN '59|76' WHEN 2 THEN ' 26 |59, JW' WHEN 3 THEN 'TC'" +
+    " ELSE NULL END"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // F8/F9/F11/F15 — key derivation over fabricated hospital names/addresses.
+    "text_campus_keys" -> ((s, dir) => {
+      table(s, dir, "customer")
+        .withColumn("hname", expr(fabName))
+        .withColumn("haddress", expr(fabAddress))
+        .select(col("c_custkey"),
+          Naming.campusId(col("hname")).as("campus_id"),
+          Naming.extractZip(col("haddress")).as("zip"),
+          Naming.alnumSquash(col("hname")).as("squash"),
+          Naming.systemSlug(col("hname")).as("system_slug"))
+    }),
+
+    // F1 — payer `Name [ID]` bracket split.
+    "text_payer_split" -> ((s, dir) => {
+      table(s, dir, "customer")
+        .withColumn("payer", expr(fabPayer))
+        .select(col("c_custkey"),
+          Naming.payerName(col("payer")).as("payer_name"),
+          Naming.payerId(col("payer")).as("payer_id"))
+    }),
+
+    // F2/A1 — modifier tokenize + frequency count.
+    "text_modifier_counts" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .withColumn("modifiers", expr(fabModifiers))
+        .select(explode(Naming.tokenizeModifiers(col("modifiers"))).as("modifier"))
+        .groupBy(col("modifier")).agg(count(lit(1)).as("n"))
+    }),
+
+    // A2 — field-presence summary over the raw charges fixture (non-empty
+    // count per canonical column, extractor semantics: null ≡ "").
+    "text_presence_counts" -> ((s, dir) => {
+      val raw = ChargesFixture.charges(s, dir)
+      val aggs = ChargesFixture.fabricated.map { case (n, _) =>
+        sum(when(coalesce(col(ChargesFixture.toCanonical(n)), lit("")) =!= "", 1L)
+          .otherwise(0L)).as(n)
+      }
+      raw.agg(aggs.head, aggs.tail: _*)
+    }),
+
+    // F14 + date_trunc + JSON scalar access over the events table.
+    "events_hourly_stats" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+    }))
+
+  def oracles: Map[String, String] = {
+    val stop = graft.core.Conf.GenericWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    Map(
+      "text_campus_keys" ->
+        s"""WITH f AS (SELECT c_custkey, $fabName AS hname, $fabAddress AS haddress FROM customer)
+           |SELECT c_custkey,
+           | array_to_string(list_filter(string_split(regexp_replace(lower(hname), '[\\.,''\\-&]', '', 'g'), ' '),
+           |   t -> t <> '' AND NOT list_contains($stop, t)), '_') AS campus_id,
+           | regexp_extract(haddress, '(\\d{5})(?:-\\d{4})?$$', 1) AS zip,
+           | regexp_replace(lower(trim(hname)), '[^\\w]', '', 'g') AS squash,
+           | replace(lower(hname), ' ', '_') AS system_slug
+           |FROM f""".stripMargin,
+      "text_payer_split" ->
+        s"""WITH f AS (SELECT c_custkey, $fabPayer AS payer FROM customer)
+           |SELECT c_custkey,
+           | CASE WHEN regexp_matches(payer, '(.*)\\[(.*?)\\]')
+           |   THEN trim(regexp_extract(payer, '(.*)\\[(.*?)\\]', 1)) ELSE payer END AS payer_name,
+           | CASE WHEN regexp_matches(payer, '(.*)\\[(.*?)\\]')
+           |   THEN trim(regexp_extract(payer, '(.*)\\[(.*?)\\]', 2)) ELSE '' END AS payer_id
+           |FROM f""".stripMargin,
+      "text_modifier_counts" ->
+        s"""WITH f AS (SELECT $fabModifiers AS modifiers FROM lineitem),
+           |tok AS (SELECT trim(u) AS modifier FROM (SELECT unnest(string_split_regex(modifiers, '[,|]')) AS u FROM f))
+           |SELECT modifier, count(*) AS n FROM tok WHERE modifier <> '' GROUP BY modifier""".stripMargin,
+      "text_presence_counts" -> {
+        val sums = ChargesFixture.fabricated.map { case (n, _) =>
+          s"CAST(sum(CASE WHEN coalesce($n, '') <> '' THEN 1 ELSE 0 END) AS BIGINT) AS $n"
+        }.mkString(", ")
+        s"WITH raw AS (${ChargesFixture.sql}) SELECT $sums FROM raw"
+      },
+      "events_hourly_stats" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+          | count(*) AS n,
+          | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+          | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+          |FROM events GROUP BY 1, 2""".stripMargin)
+  }
+}
