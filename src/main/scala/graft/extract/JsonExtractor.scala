@@ -1,0 +1,119 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Schemas
+import graft.enrich.Naming
+
+/** JSON MRF → canonical 22-column charges table.
+  *
+  * The reference's json_parser.py is MISSING from the repo; this implements
+  * the inferred contract (SURVEY §0): input shape fixed by
+  * json_sampler.py:23-33 + the public CMS JSON MRF schema; output must be the
+  * same canonical table the CSV extractors produce (consumed at
+  * ETL_pipeline.py:80). Code-type normalization/allowlisting mirrors the CSV
+  * extractors for consistency.
+  *
+  * Plan shape: multiLine JSON read with an EXPLICIT schema (missing fields →
+  * null, extra fields ignored — the contract is pinned, not inferred), then
+  * three nested explodes (standard_charge_information → code_information ×
+  * standard_charges → payers_information). All narrow once the file is
+  * parsed; at scale, many MRF files in one directory parallelize per-file.
+  */
+object JsonExtractor {
+
+  /** Contract schema — only the fields the canonical table needs. */
+  val mrfSchema: StructType = StructType(Seq(
+    StructField("hospital_name", StringType),
+    StructField("hospital_location", StringType),
+    StructField("hospital_address", StringType),
+    StructField("last_updated_on", StringType),
+    StructField("version", StringType),
+    StructField("standard_charge_information", ArrayType(StructType(Seq(
+      StructField("description", StringType),
+      StructField("drug_information", StructType(Seq(
+        StructField("unit", StringType),
+        StructField("type", StringType)))),
+      StructField("code_information", ArrayType(StructType(Seq(
+        StructField("code", StringType),
+        StructField("type", StringType))))),
+      StructField("standard_charges", ArrayType(StructType(Seq(
+        StructField("gross_charge", StringType),
+        StructField("discounted_cash", StringType),
+        StructField("setting", StringType),
+        StructField("minimum", StringType),
+        StructField("maximum", StringType),
+        StructField("payers_information", ArrayType(StructType(Seq(
+          StructField("payer_name", StringType),
+          StructField("plan_name", StringType),
+          StructField("methodology", StringType),
+          StructField("standard_charge_dollar", StringType),
+          StructField("standard_charge_percentage", StringType),
+          StructField("standard_charge_algorithm", StringType),
+          StructField("estimated_amount", StringType),
+          StructField("additional_payer_notes", StringType),
+          StructField("modifiers", StringType)))))))))))))))
+
+  def readMrf(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").schema(mrfSchema).json(path)
+
+  /** Canonical extraction from a loaded MRF frame. */
+  def extract(mrf: DataFrame, hospitalName: String, zipCode: String): DataFrame = {
+    val s = (c: Column) => coalesce(c.cast(StringType), lit(""))
+    val exploded = mrf
+      .select(explode(col("standard_charge_information")).as("sci"))
+      .select(col("sci.description").as("__description"),
+        col("sci.drug_information.unit").as("__drug_unit"),
+        col("sci.drug_information.type").as("__drug_type"),
+        explode(col("sci.code_information")).as("ci"),
+        col("sci.standard_charges").as("scs"))
+      .withColumn("sc", explode(col("scs")))
+      .withColumn("__code_type",
+        element_at(CodePairs.normalizeMap, upper(coalesce(col("ci.type"), lit("")))))
+      .filter(coalesce(col("ci.code"), lit("")) =!= "" && col("__code_type").isNotNull)
+      .withColumn("pi", explode(col("sc.payers_information")))
+
+    val payer = s(col("pi.payer_name"))
+    val cols: Seq[Column] = Schemas.CanonicalColumns.map {
+      case "hospital name" => lit(hospitalName).as("hospital name")
+      case "zip code" => lit(zipCode).as("zip code")
+      case "code" => s(col("ci.code")).as("code")
+      case "code type" => col("__code_type").as("code type")
+      case "description" => s(col("__description")).as("description")
+      case "drug unit" => s(col("__drug_unit")).as("drug unit")
+      case "drug type" => s(col("__drug_type")).as("drug type")
+      case "insurance payer name" => Naming.payerName(payer).as("insurance payer name")
+      case "insurance payer id" => Naming.payerId(payer).as("insurance payer id")
+      case "insurance plan name" => s(col("pi.plan_name")).as("insurance plan name")
+      case "negotiated price" => s(col("pi.standard_charge_dollar")).as("negotiated price")
+      case "negotiated percentage" => s(col("pi.standard_charge_percentage")).as("negotiated percentage")
+      case "negotiated algorithm" => s(col("pi.standard_charge_algorithm")).as("negotiated algorithm")
+      case "negotiated methodology" => s(col("pi.methodology")).as("negotiated methodology")
+      case "gross charge" => s(col("sc.gross_charge")).as("gross charge")
+      case "discounted cash price" => s(col("sc.discounted_cash")).as("discounted cash price")
+      case "min price" => s(col("sc.minimum")).as("min price")
+      case "max price" => s(col("sc.maximum")).as("max price")
+      case "estimated amount" => s(col("pi.estimated_amount")).as("estimated amount")
+      case "setting" => s(col("sc.setting")).as("setting")
+      case "additional notes" => s(col("pi.additional_payer_notes")).as("additional notes")
+      case "modifiers" => s(col("pi.modifiers")).as("modifiers")
+    }
+    exploded.select(cols: _*)
+  }
+
+  def extractFile(spark: SparkSession, path: String,
+      hospitalName: String, zipCode: String): DataFrame =
+    extract(readMrf(spark, path), hospitalName, zipCode)
+
+  /** Devlog metadata from the MRF top level (json_sampler.py:23-33 keys). */
+  def metadata(mrf: DataFrame): Map[String, String] = {
+    val row = mrf.select(col("hospital_name"), col("hospital_location"),
+      col("hospital_address"), col("last_updated_on"), col("version")).head()
+    Seq("hospital_name", "hospital_location", "hospital_address",
+      "last_updated_on", "version").zipWithIndex.map { case (k, i) =>
+      k -> Option(row.getString(i)).getOrElse("")
+    }.toMap
+  }
+}

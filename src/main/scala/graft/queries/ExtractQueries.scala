@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.table
+import graft.extract.{TallExtractor, WideExtractor}
+
+/** Correctness-gate queries driving the REAL extractor library (U1-U3, P7,
+  * P8, P11, F1, F12, J3) over wide/tall-shaped frames fabricated from `part`
+  * with dialect-neutral expressions mirrored in the DuckDB oracles.
+  */
+object ExtractQueries {
+
+  def family: QueryFamily = QueryFamily("extract", queries, oracles)
+
+  // Fabricated cell expressions (valid in both engines, integer-derived).
+  private val codeE = "lpad(cast(p_partkey % 100000 as string), 5, '0')"
+  private val ctE = "CASE p_partkey % 3 WHEN 0 THEN 'CPT' WHEN 1 THEN 'MS-DRG' ELSE 'FOO' END"
+  private val code2E = "CASE WHEN p_partkey % 5 = 0 THEN lpad(cast((p_partkey * 7) % 100000 as string), 5, '0') ELSE '' END"
+  private val ct2E = "'HCPCS'"
+  private val payerE = "CASE WHEN p_partkey % 2 = 0 THEN concat('Aetna [A', cast(p_partkey % 9 as string), ']') ELSE 'BCBS' END"
+  private val aetnaDollarE = "CASE WHEN p_partkey % 4 = 0 THEN '' ELSE cast(p_partkey % 700 + 100 as string) END"
+  private val aetnaMethE = "CASE WHEN p_partkey % 6 = 0 THEN 'fee schedule' ELSE '' END"
+  private val aetnaNotesE = "CASE WHEN p_partkey % 8 = 0 THEN 'payer note' ELSE '' END"
+  private val bcbsDollarE = "CASE WHEN p_partkey % 3 = 0 THEN cast(p_partkey % 800 + 50 as string) ELSE '' END"
+  private val bcbsEstE = "CASE WHEN p_partkey % 7 = 0 THEN cast(p_partkey % 300 + 20 as string) ELSE '' END"
+  private val genericNotesE = "CASE WHEN p_partkey % 2 = 0 THEN 'generic' ELSE '' END"
+  private val grossE = "cast(p_partkey % 900 + 500 as string)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tall path: pair explode + normalization + payer bracket split (U1).
+    "extract_tall_canonical" -> ((s, dir) => {
+      val body = table(s, dir, "part").select(
+        col("p_name").as("description"),
+        expr(codeE).as("code|1"), expr(ctE).as("code|1|type"),
+        expr(code2E).as("code|2"), expr(ct2E).as("code|2|type"),
+        lit("outpatient").as("setting"),
+        expr(payerE).as("payer_name"),
+        lit("PPO").as("plan_name"),
+        expr(aetnaDollarE).as("standard_charge|negotiated_dollar"),
+        expr(grossE).as("standard_charge|gross"))
+      TallExtractor.extract(body, "General", "30303")
+        .select(col("code"), col("code type").as("code_type"),
+          col("description"),
+          col("insurance payer name").as("payer_name"),
+          col("insurance payer id").as("payer_id"),
+          col("negotiated price").as("negotiated_price"),
+          col("gross charge").as("gross_charge"))
+    }),
+
+    // Wide path: driver column classify + melt + re-pivot + notes merge (U2/U3).
+    "extract_wide_canonical" -> ((s, dir) => {
+      val body = table(s, dir, "part").select(
+        col("p_name").as("description"),
+        expr(codeE).as("code|1"), expr(ctE).as("code|1|type"),
+        lit("inpatient").as("setting"),
+        expr(grossE).as("standard_charge|gross"),
+        expr(genericNotesE).as("additional_generic_notes"),
+        expr(aetnaDollarE).as("standard_charge|Aetna|PPO|negotiated_dollar"),
+        expr(aetnaMethE).as("standard_charge|Aetna|PPO|methodology"),
+        expr(aetnaNotesE).as("additional_payer_notes|Aetna|PPO"),
+        expr(bcbsDollarE).as("standard_charge|BCBS|HMO|negotiated_dollar"),
+        expr(bcbsEstE).as("standard_charge|BCBS|HMO|estimated_amount"))
+      WideExtractor.extract(body, "General", "30303")
+        .select(col("code"), col("code type").as("code_type"),
+          col("insurance payer name").as("payer"),
+          col("insurance plan name").as("plan"),
+          col("negotiated price").as("negotiated_price"),
+          col("negotiated methodology").as("methodology"),
+          col("estimated amount").as("estimated_amount"),
+          col("additional notes").as("notes"),
+          col("gross charge").as("gross_charge"))
+    }))
+
+  def oracles: Map[String, String] = {
+    val norm = "CASE upper(ct) WHEN 'CPT' THEN 'CPT' WHEN 'MS-DRG' THEN 'DRG'" +
+      " WHEN 'DRG' THEN 'DRG' WHEN 'HCPCS' THEN 'HCPCS' WHEN 'ICD' THEN 'ICD'" +
+      " WHEN 'CDT' THEN 'CDT' WHEN 'NDC' THEN 'NDC' WHEN 'APC' THEN 'APC' END"
+    Map(
+      "extract_tall_canonical" -> {
+        val base = s"SELECT p_name AS description, $codeE AS code1, $ctE AS ct1," +
+          s" $code2E AS code2, $ct2E AS ct2, $payerE AS payer," +
+          s" $aetnaDollarE AS dollar, $grossE AS gross FROM part"
+        val arm = (c: String, t: String) =>
+          s"""SELECT $c AS code, ${norm.replace("upper(ct)", s"upper($t)")} AS code_type,
+             | description, payer, dollar, gross FROM f
+             | WHERE $c <> '' AND $t <> '' AND ${norm.replace("upper(ct)", s"upper($t)")} IS NOT NULL""".stripMargin
+        s"""WITH f AS ($base),
+           |pairs AS ((${arm("code1", "ct1")}) UNION ALL (${arm("code2", "ct2")}))
+           |SELECT code, code_type, description,
+           | CASE WHEN regexp_matches(payer, '(.*)\\[(.*?)\\]')
+           |   THEN trim(regexp_extract(payer, '(.*)\\[(.*?)\\]', 1)) ELSE payer END AS payer_name,
+           | CASE WHEN regexp_matches(payer, '(.*)\\[(.*?)\\]')
+           |   THEN trim(regexp_extract(payer, '(.*)\\[(.*?)\\]', 2)) ELSE '' END AS payer_id,
+           | dollar AS negotiated_price, gross AS gross_charge
+           |FROM pairs""".stripMargin
+      },
+      "extract_wide_canonical" -> {
+        val base = s"SELECT $codeE AS code1, $ctE AS ct1, $grossE AS gross," +
+          s" $genericNotesE AS gnotes, $aetnaDollarE AS a_dollar, $aetnaMethE AS a_meth," +
+          s" $aetnaNotesE AS a_notes, $bcbsDollarE AS b_dollar, $bcbsEstE AS b_est FROM part"
+        val noteMerge = "concat_ws(', ', NULLIF(gnotes, ''), NULLIF(a_notes, ''))"
+        val normed = norm.replace("upper(ct)", "upper(ct1)")
+        s"""WITH f AS ($base),
+           |valid AS (SELECT * FROM f WHERE code1 <> '' AND ct1 <> '' AND $normed IS NOT NULL),
+           |aetna AS (SELECT code1 AS code, $normed AS code_type,
+           |   'Aetna' AS payer, 'PPO' AS plan, a_dollar AS negotiated_price,
+           |   a_meth AS methodology, '' AS estimated_amount,
+           |   $noteMerge AS notes, gross AS gross_charge
+           |  FROM valid WHERE a_dollar <> '' OR a_meth <> '' OR a_notes <> ''),
+           |bcbs AS (SELECT code1 AS code, $normed AS code_type,
+           |   'BCBS' AS payer, 'HMO' AS plan, b_dollar AS negotiated_price,
+           |   '' AS methodology, b_est AS estimated_amount,
+           |   concat_ws(', ', NULLIF(gnotes, '')) AS notes, gross AS gross_charge
+           |  FROM valid WHERE b_dollar <> '' OR b_est <> '')
+           |SELECT * FROM aetna UNION ALL SELECT * FROM bcbs""".stripMargin
+      })
+  }
+}
