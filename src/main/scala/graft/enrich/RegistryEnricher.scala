@@ -1,0 +1,77 @@
+package graft.enrich
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import SequenceMatcherRatio.seqRatio
+
+/** Registry build: scraped hospitals enriched against the CMS provider table
+  * (hospital_enricher.py:117-186) — exact campus_id lookup (J1) with a fuzzy
+  * SequenceMatcher fallback at cutoff 0.9 (J2), top-1 per scraped row.
+  *
+  * Scale shape: the exact stage is a broadcast hash join (CMS ≤ 50k rows by
+  * the reference's own fetch cap). The fuzzy stage only sees exact MISSES ×
+  * broadcast CMS, pre-pruned by the sound length bound
+  * 2·min(|a|,|b|)/(|a|+|b|) ≥ cutoff before any ratio is scored, then top-1
+  * via window over (ratio desc, cms key asc). difflib's get_close_matches
+  * breaks score ties by candidate order; we use the CMS key as the
+  * deterministic stand-in (documented divergence only when two candidates
+  * tie EXACTLY at the best score).
+  */
+object RegistryEnricher {
+
+  val DefaultCutoff = 0.9
+
+  /** Columns copied from the CMS side on a match
+    * (hospital_enricher.py:160-164). */
+  val EnrichedColumns: Seq[String] =
+    Seq("cms_rating", "hospital_type", "county", "telephone_num", "cms_zip")
+
+  /** Left: scraped rows with a `campus_id` key column. Right: CMS rows with
+    * `campus_id` + EnrichedColumns. Returns left columns + EnrichedColumns
+    * (null when unmatched) + `match_kind` (exact | fuzzy | none) +
+    * `match_ratio` (1.0 exact, score for fuzzy, null none). */
+  def enrich(scraped: DataFrame, cms: DataFrame,
+      cutoff: Double = DefaultCutoff): DataFrame = {
+    val cmsCols = EnrichedColumns.filter(cms.columns.contains)
+    val cmsSel = cms.select((col("campus_id").as("__cms_key") +:
+      cmsCols.map(col)): _*)
+
+    // Stage 1 — exact broadcast hash join.
+    val exact = scraped.join(broadcast(cmsSel),
+      scraped("campus_id") === cmsSel("__cms_key"), "left")
+    val hit = exact.filter(col("__cms_key").isNotNull)
+      .withColumn("match_kind", lit("exact"))
+      .withColumn("match_ratio", lit(1.0))
+    val miss = exact.filter(col("__cms_key").isNull)
+      .drop("__cms_key" +: cmsCols: _*)
+      .withColumn("__srcid", monotonically_increasing_id())
+
+    // Stage 2 — fuzzy fallback on misses only: length-bound pruned cross
+    // join against the broadcast CMS keys, difflib-exact ratio, top-1.
+    val lenBound = (lit(2.0) * least(length(col("campus_id")), length(col("__cms_key")))
+      / (length(col("campus_id")) + length(col("__cms_key")))) >= cutoff
+    val scored = miss.join(broadcast(cmsSel), lenBound, "left")
+      .withColumn("__ratio",
+        when(col("__cms_key").isNotNull,
+          seqRatio(col("campus_id"), col("__cms_key"))))
+      .withColumn("__ok", col("__ratio") >= cutoff)
+    // Partition by a unique per-source-row id (not the key): duplicate
+    // scraped keys must each keep their own match row.
+    val w = Window.partitionBy(col("__srcid"))
+      .orderBy(col("__ok").desc, col("__ratio").desc, col("__cms_key").asc)
+    val fuzzy = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .withColumn("match_kind", when(col("__ok"), lit("fuzzy")).otherwise(lit("none")))
+      .withColumn("match_ratio", when(col("__ok"), col("__ratio")))
+    val nulled = cmsCols.foldLeft(fuzzy)((d, c) =>
+      d.withColumn(c, when(col("__ok"), col(c))))
+
+    val outCols: Seq[Column] =
+      (scraped.columns.map(col) ++ cmsCols.map(col) :+
+        col("match_kind") :+ col("match_ratio")).toSeq
+    hit.select(outCols: _*).union(nulled.select(outCols: _*))
+  }
+}

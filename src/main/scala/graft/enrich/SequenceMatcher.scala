@@ -1,0 +1,80 @@
+package graft.enrich
+
+import scala.collection.mutable
+
+/** Faithful port of CPython difflib.SequenceMatcher.ratio() —
+  * Ratcliff–Obershelp similarity: 2·M / (|a|+|b|) where M sums the sizes of
+  * recursively-found longest matching blocks.
+  *
+  * The reference's fuzzy registry join uses
+  * `difflib.get_close_matches(key, keys, n=1, cutoff=0.9)`
+  * (hospital_enricher.py:151-158); this is NOT Levenshtein — scores differ
+  * near the 0.9 cutoff, so the algorithm is ported exactly, including
+  * find_longest_match's tie-breaking (strictly-greater size, ascending i/j).
+  * The autojunk heuristic only activates for |b| ≥ 200 and is irrelevant for
+  * hospital-name keys; implemented without it (equivalent on short strings).
+  */
+object SequenceMatcher {
+
+  def ratio(a: String, b: String): Double = {
+    val total = a.length + b.length
+    if (total == 0) return 1.0
+    // b2j: char → ascending positions in b (difflib __chain_b)
+    val b2j = mutable.HashMap.empty[Char, mutable.ArrayBuffer[Int]]
+    var bi = 0
+    while (bi < b.length) {
+      b2j.getOrElseUpdate(b.charAt(bi), mutable.ArrayBuffer.empty) += bi
+      bi += 1
+    }
+    var matches = 0
+    val queue = mutable.Stack((0, a.length, 0, b.length))
+    val empty = mutable.ArrayBuffer.empty[Int]
+    while (queue.nonEmpty) {
+      val (alo, ahi, blo, bhi) = queue.pop()
+      // find_longest_match(alo, ahi, blo, bhi)
+      var besti = alo
+      var bestj = blo
+      var bestsize = 0
+      var j2len = mutable.HashMap.empty[Int, Int]
+      var i = alo
+      while (i < ahi) {
+        val newj2len = mutable.HashMap.empty[Int, Int]
+        val positions = b2j.getOrElse(a.charAt(i), empty)
+        var p = 0
+        while (p < positions.length) {
+          val j = positions(p)
+          if (j >= blo && j < bhi) {
+            val k = j2len.getOrElse(j - 1, 0) + 1
+            newj2len(j) = k
+            if (k > bestsize) { besti = i - k + 1; bestj = j - k + 1; bestsize = k }
+          }
+          p += 1
+        }
+        j2len = newj2len
+        i += 1
+      }
+      // extend to adjacent equal elements (no junk in play)
+      while (besti > alo && bestj > blo && a.charAt(besti - 1) == b.charAt(bestj - 1)) {
+        besti -= 1; bestj -= 1; bestsize += 1
+      }
+      while (besti + bestsize < ahi && bestj + bestsize < bhi &&
+        a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)) {
+        bestsize += 1
+      }
+      if (bestsize > 0) {
+        matches += bestsize
+        queue.push((alo, besti, blo, bestj))
+        queue.push((besti + bestsize, ahi, bestj + bestsize, bhi))
+      }
+    }
+    2.0 * matches / total
+  }
+
+  /** Sound upper bound used for candidate pruning: the ratio can never exceed
+    * 2·min(|a|,|b|) / (|a|+|b|), so pairs failing the bound at a given cutoff
+    * are skipped without scoring. */
+  def maxPossibleRatio(lenA: Int, lenB: Int): Double = {
+    val t = lenA + lenB
+    if (t == 0) 1.0 else 2.0 * math.min(lenA, lenB) / t
+  }
+}

@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.table
+import graft.enrich.RegistryEnricher
+
+/** J2 — the two-stage exact+fuzzy registry join through the REAL enricher,
+  * with a provable DuckDB oracle: keys are md5-prefix strings (hash-random,
+  * so cross-key SequenceMatcher ratios sit far below the 0.9 cutoff), and
+  * "typos" drop one character (ratio exactly 22/23 against the original).
+  * Every row's expected outcome is therefore a closed-form CASE.
+  */
+object EnrichQueries {
+
+  def family: QueryFamily = QueryFamily("enrich", queries, oracles)
+
+  private val keyE = "substr(md5(cast(c_custkey as string)), 1, 12)"
+  private val scrapedKeyE =
+    s"CASE WHEN c_custkey % 3 = 0 THEN concat(substr($keyE, 1, 2), substr($keyE, 4)) ELSE $keyE END"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "enrich_fuzzy_registry" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val scraped = c.select(col("c_custkey"), expr(scrapedKeyE).as("campus_id"))
+      val cms = c.filter(col("c_custkey") % 10 === 0)
+        .select(expr(keyE).as("campus_id"),
+          expr("cast(c_custkey % 5 as string)").as("cms_rating"))
+      RegistryEnricher.enrich(scraped, cms)
+        .select(col("c_custkey"), col("campus_id"), col("match_kind"),
+          col("match_ratio"), col("cms_rating"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "enrich_fuzzy_registry" ->
+      s"""SELECT c_custkey, $scrapedKeyE AS campus_id,
+         | CASE WHEN c_custkey % 10 = 0 AND c_custkey % 3 <> 0 THEN 'exact'
+         |      WHEN c_custkey % 10 = 0 AND c_custkey % 3 = 0 THEN 'fuzzy'
+         |      ELSE 'none' END AS match_kind,
+         | CASE WHEN c_custkey % 10 = 0 AND c_custkey % 3 <> 0 THEN 1.0
+         |      WHEN c_custkey % 10 = 0 AND c_custkey % 3 = 0 THEN CAST(22.0 AS DOUBLE) / 23.0
+         | END AS match_ratio,
+         | CASE WHEN c_custkey % 10 = 0 THEN cast(c_custkey % 5 as string) END AS cms_rating
+         |FROM customer""".stripMargin)
+}

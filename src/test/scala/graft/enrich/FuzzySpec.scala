@@ -1,0 +1,69 @@
+package graft.enrich
+
+import org.apache.spark.sql.functions.col
+import graft.SparkSpec
+
+/** SequenceMatcher parity against CPython difflib constants (FIXTURES §2.7)
+  * + the two-stage enricher join. */
+class FuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ratio matches difflib bit-for-bit on fixture pairs") {
+    val cases = Seq(
+      ("grady_memorial", "grady_memorial", 1.0),
+      ("grady_memorial", "grady_memoral", 0.9629629629629629),
+      ("piedmont_atlanta", "piedmont_atl", 0.8571428571428571),
+      ("emory_midtown", "emory_mdtown", 0.96),
+      ("abc", "xyz", 0.0),
+      ("northside_atlanta", "northside_atlantaa", 0.9714285714285714),
+      ("", "x", 0.0),
+      ("", "", 1.0),
+      ("st_josephs", "st_joseph", 0.9473684210526315),
+      ("kindred_atlanta", "kindred", 0.6363636363636364))
+    cases.foreach { case (a, b, want) =>
+      assert(SequenceMatcher.ratio(a, b) == want, s"scala ratio($a,$b)")
+    }
+    // and through the Catalyst expression (codegen path)
+    val got = cases.toDF("a", "b", "want")
+      .select(SequenceMatcherRatio.seqRatio(col("a"), col("b")).as("r"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("enricher: exact hit, fuzzy >=0.9 hit, <0.9 unmatched; dup keys kept") {
+    val scraped = Seq(
+      ("grady_memorial", "Grady"),        // exact
+      ("emory_mdtown", "Emory Mid"),      // fuzzy 0.96 vs emory_midtown
+      ("piedmont_atl", "Piedmont"),       // best 0.857 < 0.9 → none
+      ("emory_mdtown", "Emory Mid dup")   // duplicate key must survive
+    ).toDF("campus_id", "display_name")
+    val cms = Seq(
+      ("grady_memorial", "4", "Acute", "Fulton", "404", "30303"),
+      ("emory_midtown", "5", "Acute", "Fulton", "404", "30308"),
+      ("piedmont_atlanta", "3", "Acute", "Fulton", "404", "30309"))
+      .toDF("campus_id", "cms_rating", "hospital_type", "county", "telephone_num", "cms_zip")
+    val out = RegistryEnricher.enrich(scraped, cms).cache()
+    assert(out.count() == 4)
+    val byRow = out.collect().map(r => (r.getAs[String]("campus_id"),
+      r.getAs[String]("display_name"), r.getAs[String]("match_kind"),
+      r.getAs[String]("cms_rating"))).toSet
+    assert(byRow == Set(
+      ("grady_memorial", "Grady", "exact", "4"),
+      ("emory_mdtown", "Emory Mid", "fuzzy", "5"),
+      ("emory_mdtown", "Emory Mid dup", "fuzzy", "5"),
+      ("piedmont_atl", "Piedmont", "none", null)))
+    val ratios = out.filter(col("match_kind") === "fuzzy")
+      .select(col("match_ratio")).collect().map(_.getDouble(0)).toSeq
+    assert(ratios.forall(_ == 0.96))
+  }
+
+  test("length-bound prune is sound: bound >= true ratio") {
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val a = rnd.alphanumeric.take(rnd.nextInt(12) + 1).mkString
+      val b = rnd.alphanumeric.take(rnd.nextInt(12) + 1).mkString
+      assert(SequenceMatcher.maxPossibleRatio(a.length, b.length) >=
+        SequenceMatcher.ratio(a, b) - 1e-15)
+    }
+  }
+}
