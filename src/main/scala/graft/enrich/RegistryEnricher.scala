@@ -44,8 +44,11 @@ object RegistryEnricher {
     val hit = exact.filter(col("__cms_key").isNotNull)
       .withColumn("match_kind", lit("exact"))
       .withColumn("match_ratio", lit(1.0))
+    // Misses inherit the (often single-partition) scan layout but fan out
+    // into |misses|×|CMS| ratio evaluations — spread them first.
     val miss = exact.filter(col("__cms_key").isNull)
       .drop("__cms_key" +: cmsCols: _*)
+      .repartition(scraped.sparkSession.sparkContext.defaultParallelism)
       .withColumn("__srcid", monotonically_increasing_id())
 
     // Stage 2 — fuzzy fallback on misses only: length-bound pruned cross

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language-ID (marker-token heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), document fingerprinting. All pure per-row
+  * Column expressions — codegen'd, shuffle-free, linear scans at any scale.
+  */
+object TextOps {
+
+  /** Marker lexicons for the n-gram/token language heuristic, in priority
+    * order (ties resolve to the earlier language). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "y"),
+    "fr" -> Seq("le", "les", "des", "et"))
+
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers: _*)))
+
+  /** Language-ID: argmax of marker counts, priority order on ties, "und"
+    * when no marker hits. */
+  def languageId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ws) => lang -> markerCount(text, ws) }
+    val decided = scores.zipWithIndex.foldLeft(when(lit(false), lit("und"))) {
+      case (acc, ((lang, s), i)) =>
+        val laterBeats = scores.drop(i + 1).map(_._2 > s)
+        val isMax = (s > 0) && laterBeats.foldLeft(lit(true))((c, b) => c && !b)
+        acc.when(isMax, lit(lang))
+    }
+    decided.otherwise(lit("und"))
+  }
+
+  /** Quality score in [0,1]: length, punctuation density, stopword density,
+    * and word count, combined with fixed weights. Pure per-row double
+    * arithmetic (bit-identical across engines when mirrored exactly). */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val words = greatest(size(tokens(text)).cast("double"), lit(1.0))
+    val punct = (len - length(regexp_replace(text, "[.,;:!?]", "")).cast("double"))
+    val stop = markerCount(text, LangMarkers.flatMap(_._2)).cast("double")
+    least(lit(1.0), len / 500.0) * 0.3 +
+      (lit(1.0) - least(lit(1.0), punct / words)) * 0.3 +
+      least(lit(1.0), stop * 5.0 / words) * 0.2 +
+      least(lit(1.0), words / 100.0) * 0.2
+  }
+
+  def tokenCountWhitespace(text: Column): Column = size(tokens(text))
+
+  /** GPT2-style pre-tokenizer pattern (contractions, letter runs, digit
+    * runs, punctuation runs) — a BPE-ish proxy count. */
+  val BpePattern: String = "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Normalization + md5 content fingerprint (near-identity key for exact
+    * dedup across whitespace/case variance). */
+  def normalized(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
+}

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.table
+import graft.ops.{Ann, Dedup, Multimodal, TextOps}
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * dedup family, similarity search, text analysis, multimodal plumbing.
+  * SQL-expressible ops get DuckDB oracles; sketch-based ops (MinHash/SimHash
+  * xxhash64 signatures, SRP buckets) get rows-only gates + recall/containment
+  * specs in OpsSpec.
+  */
+object DataOpsQueries {
+
+  def family: QueryFamily = QueryFamily("dataops", queries, oracles)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "dedup_exact_docs" -> ((s, dir) =>
+      Dedup.exactGroups(table(s, dir, "documents"), "doc_id", "text")),
+
+    "dedup_ngram_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8)),
+
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(table(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 12, bands = 4, threshold = 0.8)),
+
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(table(s, dir, "documents"), "doc_id", "text",
+        maxDistance = 5)),
+
+    "dedup_embedding_pairs" -> ((s, dir) =>
+      Ann.cosineNearDupPairs(table(s, dir, "embeddings"), threshold = 0.3,
+        dim = 64, planes = 0)),
+
+    "sim_topk_brute" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ann.bruteTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
+    }),
+
+    "sim_topk_lsh" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ann.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 10, dim = 64, planes = 6)
+    }),
+
+    "text_langid" -> ((s, dir) =>
+      table(s, dir, "documents").select(col("doc_id"),
+        TextOps.languageId(col("text")).as("langid"))),
+
+    "text_quality" -> ((s, dir) =>
+      table(s, dir, "documents").select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))),
+
+    "text_tokens" -> ((s, dir) =>
+      table(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCountWhitespace(col("text")).cast("long").as("n_ws_tokens"),
+        TextOps.tokenCountBpe(col("text")).cast("long").as("n_bpe_tokens"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      table(s, dir, "documents").select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fingerprint"))),
+
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(s,
+        Multimodal.fabricateFromDocs(table(s, dir, "documents"))).toDF()))
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Ordered left fold dot product (DuckDB list_reduce starts from the first
+    * element; IEEE-equal to Spark's 0.0-seeded fold since 0.0+x ≡ x). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y)"
+
+  private val normTextSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private val toksSql = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+  private def markerSql(ws: Seq[String]) =
+    s"len(list_filter($toksSql, t -> list_contains(${ws.map(w => s"'$w'").mkString("[", ",", "]")}, t)))"
+
+  def oracles: Map[String, String] = {
+    val langScores = TextOps.LangMarkers.map { case (l, ws) => l -> markerSql(ws) }
+    val scoreSel = langScores.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")
+    val langCase = {
+      val arms = langScores.zipWithIndex.map { case ((l, _), i) =>
+        val later = langScores.drop(i + 1).map { case (l2, _) => s"s_$l2 <= s_$l" }
+        val cond = (s"s_$l > 0" +: later).mkString(" AND ")
+        s"WHEN $cond THEN '$l'"
+      }
+      s"CASE ${arms.mkString(" ")} ELSE 'und' END"
+    }
+    Map(
+      "dedup_exact_docs" ->
+        s"""SELECT md5($normTextSql) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS keep_id,
+           | count(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,
+      "dedup_ngram_pairs" ->
+        """WITH sh AS (
+          |  SELECT DISTINCT doc_id, concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT)+1], toks[CAST(i AS INT)+2]) AS s
+          |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') toks
+          |        FROM documents), range(1, 256) t(i)
+          |  WHERE i + 2 <= len(toks)),
+          |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+          |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) m
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+          |SELECT id_a, id_b, CAST(m AS DOUBLE) / (ca.n + cb.n - m) AS jaccard
+          |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+          |WHERE CAST(m AS DOUBLE) / (ca.n + cb.n - m) >= 0.8""".stripMargin,
+      "dedup_embedding_pairs" ->
+        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
+           |p AS (SELECT a.vec_id id_a, b.vec_id id_b, a.e ea, b.e eb FROM v a, v b WHERE a.vec_id < b.vec_id),
+           |s AS (SELECT id_a, id_b, round(${dotSql("ea", "eb")} /
+           |     (sqrt(${dotSql("ea", "ea")}) * sqrt(${dotSql("eb", "eb")})), 6) AS cos
+           | FROM p)
+           |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.3""".stripMargin,
+      "sim_topk_brute" ->
+        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+           |s AS (SELECT query_id, vec_id, round(${dotSql("qe", "e")} /
+           |     (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("e", "e")})), 6) AS cos
+           | FROM v, q WHERE vec_id <> query_id),
+          |r AS (SELECT query_id, vec_id, cos,
+          |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM s)
+          |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10""".stripMargin,
+      "text_langid" ->
+        s"WITH f AS (SELECT doc_id, $scoreSel FROM documents) SELECT doc_id, $langCase AS langid FROM f",
+      "text_quality" -> {
+        val len = "CAST(length(text) AS DOUBLE)"
+        val words = s"greatest(CAST(len($toksSql) AS DOUBLE), 1.0)"
+        val punct = s"($len - CAST(length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE))"
+        val stop = s"CAST(${markerSql(TextOps.LangMarkers.flatMap(_._2))} AS DOUBLE)"
+        s"""SELECT doc_id,
+           | least(1.0, $len / 500.0) * 0.3 +
+           | (1.0 - least(1.0, $punct / $words)) * 0.3 +
+           | least(1.0, $stop * 5.0 / $words) * 0.2 +
+           | least(1.0, $words / 100.0) * 0.2 AS quality
+           |FROM documents""".stripMargin
+      },
+      "text_tokens" ->
+        s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
+           | CAST(len(regexp_extract_all(text, '${TextOps.BpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
+           |FROM documents""".stripMargin,
+      "text_fingerprint" ->
+        s"SELECT doc_id, md5($normTextSql) AS fingerprint FROM documents",
+      "multimodal_decode" ->
+        """SELECT doc_id, 'image/fake' AS mime, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          | CAST(octet_length(encode(text)) // 100 + 1 AS INT) AS n_frames,
+          | CAST(octet_length(encode(text)) % 97 AS DOUBLE) / 97.0 AS feature0
+          |FROM documents""".stripMargin)
+  }
+}

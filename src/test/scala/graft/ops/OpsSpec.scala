@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.Tables.table
+
+/** Sketch-op properties that the DuckDB gate can't check: MinHash recall,
+  * SimHash blocking, LSH-vs-brute overlap, dedup representatives. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = table(spark, sf("sf0.001"), "documents")
+  private def embs = table(spark, sf("sf0.001"), "embeddings")
+
+  test("minhash LSH pairs = exact ngram pairs on the planted near-dups (full recall here)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 3, 12, 4, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(exact)) // verified-exactly ⇒ never a false positive
+    assert(exact.nonEmpty && mh == exact) // planted dups are caught in full
+  }
+
+  test("simhash recalls the planted near-dup pairs (false positives allowed by design)") {
+    val planted = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = planted.intersect(sh).size.toDouble / planted.size
+    info(s"simhash recall of planted pairs = $recall (pairs=${sh.size})")
+    assert(sh.nonEmpty)
+    assert(recall >= 0.8, s"recall = $recall")
+  }
+
+  test("LSH top-k results are a subset of each query's bucket-scored space with sane recall") {
+    val brute = Ann.bruteTopK(embs.filter(col("vec_id") < 5), embs, 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(embs.filter(col("vec_id") < 5), embs, 10, 64, 6, 4)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    info(s"lsh recall@10 = $recall")
+    assert(lsh.nonEmpty)
+    assert(recall >= 0.2, s"recall@10 = $recall") // 6 planes × 4 tables on weakly-clustered data
+  }
+
+  test("exact dedup keeps one representative per duplicated fingerprint") {
+    val dup = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.keepRepresentatives(dup, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L)) // whitespace/case-normalized match, min id kept
+  }
+
+  test("multimodal decode stub: byte_len equals text length, plumbing schema intact") {
+    val out = Multimodal.decodeFeatures(spark,
+      Multimodal.fabricateFromDocs(docs)).toDF()
+    val joined = out.join(docs, Seq("doc_id"))
+      .filter(col("byte_len") =!= col("n_chars"))
+    assert(joined.isEmpty) // ascii corpus: utf-8 bytes == chars
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "mime", "byte_len", "n_frames", "feature0"))
+  }
+}
