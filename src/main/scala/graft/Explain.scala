@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints formatted physical plans for selected queries so
+  * pushdown / broadcast / whole-stage-codegen shape is reviewable.
+  * Usage: runMain graft.Explain <sfDir> [queryName ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.tail.toSeq else Seq(
+      "filter_shipdate_range", "agg_pricing_summary", "join_broadcast_segment",
+      "join_multi_nation_revenue", "clean_rows", "dedup_ngram_pairs",
+      "sim_topk_brute")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Streaming variants driven synchronously over the driver testdata. */
+class StreamingSpec extends SparkSpec {
+
+  test("watermarked hourly stats over an events file stream match the batch plan") {
+    // Stream the events table (written as parquet through the ns-safe loader).
+    val dir = Files.createTempDirectory("graft-events").toString
+    val batchEvents = Tables.table(spark, sf("sf0.001"), "events")
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(dir)
+    val q = CleanStream.hourlyStats(stream).writeStream
+      .outputMode("complete").format("memory").queryName("hourly").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("hourly")
+    val want = CleanStream.hourlyStats(batchEvents) // same code path, batch
+    assert(got.count() == want.count() && got.count() > 0)
+    val g = got.agg(sum("n")).head().getLong(0)
+    assert(g == batchEvents.count())
+  }
+
+  test("foreachBatch clean stream applies the full clean+rules pass per micro-batch") {
+    val dir = Files.createTempDirectory("graft-cleanstream").toString
+    // Write a small canonical CSV into the watched directory.
+    graft.queries.ChargesFixture.charges(spark, sf("sf0.001")).limit(200)
+      .write.option("header", "true").mode("overwrite").csv(dir)
+    var cleanRows = 0L
+    var badRows = 0L
+    val q = CleanStream.cleanStream(CleanStream.canonicalCsvStream(spark, dir)) {
+      (clean, bad, _) => cleanRows += clean.count(); badRows += bad.count()
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(cleanRows > 0 && badRows > 0)
+  }
+}
