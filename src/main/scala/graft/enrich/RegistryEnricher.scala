@@ -77,4 +77,27 @@ object RegistryEnricher {
         col("match_kind") :+ col("match_ratio")).toSeq
     hit.select(outCols: _*).union(nulled.select(outCols: _*))
   }
+
+  /** The registry's full 30-column projection with ""-fill for anything the
+    * enrichment didn't produce (hospital_enricher.py:174-185) — the sink
+    * shape of the §3.2 registry-build trace. */
+  val RegistryColumns: Seq[String] = Seq(
+    "hospital_name", "campus_id", "healthcare_system", "hospital_type",
+    "city", "county", "metro_area", "state", "hospital_address", "zip_code",
+    "telephone_num", "latitude", "longitude", "cms_rating", "leapfrog_grade",
+    "leapfrog_grade_term", "leapfrog_grade_url", "last_updated_on", "version",
+    "etl_status", "processed_by", "last_processed_on", "issues_encountered",
+    "transparency_score", "raw_filename", "file_format", "structure",
+    "download_url", "contact_num", "email_id")
+
+  def toRegistryProjection(enriched: DataFrame): DataFrame = {
+    val cols = RegistryColumns.map {
+      case "zip_code" if enriched.columns.contains("cms_zip") =>
+        coalesce(Seq("zip_code").filter(enriched.columns.contains).map(col) :+
+          col("cms_zip") :+ lit(""): _*).as("zip_code")
+      case c if enriched.columns.contains(c) => coalesce(col(c), lit("")).as(c)
+      case c => lit("").as(c)
+    }
+    enriched.select(cols: _*)
+  }
 }
