@@ -36,7 +36,12 @@ object Dedup {
 
   // -------------------------------------------------------------- shingles
 
-  /** Word n-gram shingles (distinct set semantics for Jaccard). */
+  /** Word n-gram shingles as a Column (distinct set semantics for Jaccard).
+    * PERF CAVEAT: expressions referenced inside higher-order-function
+    * lambdas are re-evaluated PER ELEMENT (no common-subexpression
+    * elimination inside lambdas) — fine on a literal column, ~100× slow when
+    * `text` is a computed expression. The distributed pipelines below use
+    * the relational [[shingleRows]] instead. */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextOps.tokens(text)
     val grams = when(size(toks) >= n,
@@ -45,6 +50,27 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
     array_distinct(grams)
   }
+
+  /** Distinct (id, shingle) rows built relationally: one posexplode of the
+    * token array (tokenization runs once per document) + window leads for
+    * the n-gram. Documents with fewer than n tokens produce no shingles. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).as("id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val parts = col("t") +: (1 until n).map(i => lead(col("t"), i).over(w))
+    tok.withColumn("last", lead(col("t"), n - 1).over(w))
+      .withColumn("s", concat_ws(" ", parts: _*))
+      .filter(col("last").isNotNull)
+      .select(col("id"), col("s"))
+      .distinct()
+  }
+
+  /** One row per doc with its distinct shingle set (for exact verifies). */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleRows(docs, idCol, textCol, n).groupBy(col("id"))
+      .agg(collect_set(col("s")).as("sh"))
 
   /** Exact set Jaccard between two shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -69,22 +95,32 @@ object Dedup {
     }: _*)
 
   /** Candidate pairs from banded MinHash, exactly verified at `threshold`.
-    * Shuffles: one explode+groupBy-free self-join on (band, bucket), then a
-    * distinct — bucket sizes (not corpus²) bound the work. */
+    * The band self-join ships only (band, id) rows — candidate ids — and the
+    * (big) shingle arrays are joined back for the surviving distinct pairs
+    * only, so shuffle volume is bands×|docs| ints + |candidates| arrays, not
+    * bands×|docs| arrays. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 12, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = k / bands
-    val withSig = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .select(col("id"), col("sh"),
+    val shRows = shingleRows(docs, idCol, textCol, n)
+    val withSh = shRows.groupBy(col("id")).agg(collect_set(col("s")).as("sh"))
+    // Signature as k grouped mins over the exploded rows — each xxhash runs
+    // once per (shingle, i), never re-inlined per lambda element.
+    val sigAggs = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val banded = shRows.groupBy(col("id")).agg(sigAggs.head, sigAggs.tail: _*)
+      .withColumn("sig", array((0 until k).map(i => col(s"h$i")): _*))
+      .select(col("id"),
         posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("pos", "band")))
-    val a = withSig.select(col("pos"), col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = withSig.select(col("pos"), col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("pos", "band"))
+    val candidates = banded.select(col("pos"), col("band"), col("id").as("id_a"))
+      .join(banded.select(col("pos"), col("band"), col("id").as("id_b")),
+        Seq("pos", "band"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    candidates
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -130,27 +166,44 @@ object Dedup {
 
   // -------------------------------------------------------- n-gram Jaccard
 
-  /** Exact n-gram Jaccard pairs via an INVERTED-INDEX join: explode distinct
-    * shingles, self-join on the shingle, count intersections, derive Jaccard
-    * from set sizes (|A∩B| / (|A|+|B|−|A∩B|)). Only pairs sharing ≥1 shingle
-    * are ever materialized (identical result for any threshold > 0) and the
-    * work shuffles by shingle — no quadratic single-task stage, AQE handles
-    * hot-shingle skew. This is the exact-verify counterpart of MinHash. */
+  /** Exact n-gram Jaccard pairs at `threshold` via PREFIX FILTERING over an
+    * inverted index (Chaudhuri/Xiao-style):
+    *
+    *  1. order each doc's shingle set by a global canonical order (xxhash64
+    *     — deterministic, no frequency statistics needed);
+    *  2. index only each doc's prefix of length |set| − ⌈τ·|set|⌉ + 1: any
+    *     pair with J ≥ τ must share a shingle inside both prefixes, so
+    *     joining prefixes loses no qualifying pair;
+    *  3. exactly verify the (few) candidate pairs with full set Jaccard.
+    *
+    * Work shuffles by shingle, hot shingles only hurt when hashed into a
+    * prefix (~(1−τ) of the time), and the exact verify makes the output
+    * IDENTICAL to a naive all-pairs scan at any τ > 0. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("s"))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.select(col("s"), col("id").as("id_a"))
-      .join(sh.select(col("s"), col("id").as("id_b")), Seq("s"))
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val withSh = sh.groupBy(col("id")).agg(collect_set(col("s")).as("sh"))
+    // Canonical order = ascending document frequency (rare shingles first) —
+    // prefixes then hold each doc's rarest shingles, so hot shingles almost
+    // never generate candidates. Any consistent total order is correct; df
+    // order is the one that performs on skewed corpora.
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
+    val prefix = sh.join(dfreq, Seq("s"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .filter(col("rn") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("s"), col("id"))
+    val candidates = prefix.select(col("s"), col("id").as("id_a"))
+      .join(prefix.select(col("s"), col("id").as("id_b")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("m"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (col("m").cast("double") / (col("na") + col("nb") - col("m")).cast("double"))
-          .as("jaccard"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

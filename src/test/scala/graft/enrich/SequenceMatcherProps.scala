@@ -35,4 +35,10 @@ object SequenceMatcherProps extends Properties("SequenceMatcher") {
     val b = ("z" * j) + "q"
     SequenceMatcher.ratio(a, b) == 2.0 / (a.length + b.length)
   }
+
+  property("Latin-1 fast path equals the general path bit-for-bit") =
+    forAll(Gen.choose(0, 14).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar)),
+      Gen.choose(0, 14).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))) { (a, b) =>
+      SequenceMatcher.ratio(a, b) == SequenceMatcher.ratioGeneral(a, b)
+    }
 }
