@@ -97,6 +97,75 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** Deterministic k-means-lite centroids for IVF: seeded from the first C
+    * vectors by id, refined with `iters` Lloyd iterations (assign → mean).
+    * Centroids live on the driver (C × dim doubles) and broadcast into the
+    * assignment expression — no ML-lib dependency, no stored model. */
+  def kmeansCentroids(corpus: DataFrame, dim: Int, c: Int,
+      iters: Int): Array[Array[Double]] = {
+    val vecs = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    var centroids: Array[Array[Double]] = vecs.orderBy(col("vec_id")).limit(c)
+      .collect().map(_.getSeq[Double](1).toArray)
+    (1 to iters).foreach { _ =>
+      val assigned = vecs.withColumn("cluster", nearestCentroid(col("v"), centroids))
+      val sums = assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until dim).map(i => sum(element_at(col("v"), i + 1))): _*).as("s"))
+        .collect()
+      val next = centroids.clone()
+      sums.foreach { r =>
+        val cl = r.getInt(0)
+        val n = r.getLong(1).toDouble
+        next(cl) = r.getSeq[Double](2).map(_ / n).toArray
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Index of the nearest centroid by squared L2 (argmin via array_min over
+    * (dist, idx) structs — deterministic tiebreak on idx). */
+  def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (cen, i) =>
+      val lit_ = typedLit(cen.toSeq)
+      val d = aggregate(zip_with(v, lit_, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(d.as("d"), lit(i).as("i"))
+    }
+    array_min(array(scored: _*)).getField("i")
+  }
+
+  /** IVF top-k: corpus partitioned by nearest centroid; each query probes
+    * its `nprobe` nearest centroid cells and ranks exactly within them.
+    * The trained-clustering alternative to SRP-LSH (better cell balance on
+    * clustered data; needs the small training pass). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      c: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val centroids = kmeansCentroids(corpus, dim, c, iters)
+    val cIdx = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+      .withColumn("cell", nearestCentroid(col("cv"), centroids))
+    // query → nprobe nearest cells (driver-free: explode a scored struct
+    // array, rank with a window).
+    val probeScored = centroids.zipWithIndex.map { case (cen, i) =>
+      val lit_ = typedLit(cen.toSeq)
+      val d = aggregate(zip_with(col("qv"), lit_, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(d.as("d"), lit(i).as("i"))
+    }
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"))
+      .withColumn("probe", explode(slice(array_sort(array(probeScored: _*)), 1, nprobe)))
+      .select(col("query_id"), col("qv"), col("probe.i").as("cell"))
+    val scored = cIdx.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold. planes=0 → exact
     * all-pairs as a PARALLEL crossJoin (left side repartitioned across the
     * cluster, right side broadcast — never a single-task constant-key join);

@@ -47,6 +47,11 @@ object DataOpsQueries {
       Ann.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 10, dim = 64, planes = 6)
     }),
 
+    "sim_topk_ivf" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ann.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 10, dim = 64)
+    }),
+
     "text_langid" -> ((s, dir) =>
       table(s, dir, "documents").select(col("doc_id"),
         TextOps.languageId(col("text")).as("langid"))),
@@ -80,6 +85,19 @@ object DataOpsQueries {
   private def markerSql(ws: Seq[String]) =
     s"len(list_filter($toksSql, t -> list_contains(${ws.map(w => s"'$w'").mkString("[", ",", "]")}, t)))"
 
+  private val oraclesNgramSql: String =
+    """WITH sh AS (
+          |  SELECT DISTINCT doc_id, concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT)+1], toks[CAST(i AS INT)+2]) AS s
+          |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') toks
+          |        FROM documents), range(1, 256) t(i)
+          |  WHERE i + 2 <= len(toks)),
+          |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+          |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) m
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+          |SELECT id_a, id_b, CAST(m AS DOUBLE) / (ca.n + cb.n - m) AS jaccard
+          |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+          |WHERE CAST(m AS DOUBLE) / (ca.n + cb.n - m) >= 0.8""".stripMargin
+
   def oracles: Map[String, String] = {
     val langScores = TextOps.LangMarkers.map { case (l, ws) => l -> markerSql(ws) }
     val scoreSel = langScores.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")
@@ -92,21 +110,15 @@ object DataOpsQueries {
       s"CASE ${arms.mkString(" ")} ELSE 'und' END"
     }
     Map(
+      // MinHash emits exactly-verified pairs, so its output is always a
+      // subset of the true >=tau pairs; on the gate corpus the banded LSH
+      // recall is 100% (asserted in OpsSpec), so the exact-pair oracle
+      // applies verbatim.
+      "dedup_minhash_pairs" -> oraclesNgramSql,
       "dedup_exact_docs" ->
         s"""SELECT md5($normTextSql) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS keep_id,
            | count(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,
-      "dedup_ngram_pairs" ->
-        """WITH sh AS (
-          |  SELECT DISTINCT doc_id, concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT)+1], toks[CAST(i AS INT)+2]) AS s
-          |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') toks
-          |        FROM documents), range(1, 256) t(i)
-          |  WHERE i + 2 <= len(toks)),
-          |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-          |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) m
-          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-          |SELECT id_a, id_b, CAST(m AS DOUBLE) / (ca.n + cb.n - m) AS jaccard
-          |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
-          |WHERE CAST(m AS DOUBLE) / (ca.n + cb.n - m) >= 0.8""".stripMargin,
+      "dedup_ngram_pairs" -> oraclesNgramSql,
       "dedup_embedding_pairs" ->
         s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
            |p AS (SELECT a.vec_id id_a, b.vec_id id_b, a.e ea, b.e eb FROM v a, v b WHERE a.vec_id < b.vec_id),

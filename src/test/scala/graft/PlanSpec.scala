@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the "would this survive 100×" checks:
+  * filters/columns reach the parquet scan, small sides broadcast, bucketed
+  * layouts join without an exchange. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+
+  test("filter+projection are pushed into the parquet scan") {
+    val p = plan("filter_shipdate_range")
+    // (plan strings truncate long fields at ~100 chars — assert on prefixes)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int"))
+  }
+
+  test("dimension joins broadcast; the fact side never shuffles pre-aggregation") {
+    val p = plan("join_multi_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    // exactly one shuffle: the final partial→final aggregation exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("tall extract is a pure narrow plan — zero exchanges") {
+    val body = graft.extract.MrfCsv
+    val df = graft.queries.ExtractQueries.queries("extract_tall_canonical")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("bucketed co-located layout joins without any shuffle exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-buckets").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = graft.core.Tables.table(spark, sf("sf0.001"), "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val o = graft.core.Tables.table(spark, sf("sf0.001"), "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/li").saveAsTable("li_bucketed")
+      o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/o").saveAsTable("o_bucketed")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"))
+      assert(!p.contains("Exchange hashpartitioning"), p)
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+
+  test("seq_ratio is SQL-callable after extension registration") {
+    GraftExtensions.registerOn(spark)
+    val r = spark.sql("SELECT seq_ratio('grady_memorial', 'grady_memoral') AS r")
+      .head().getDouble(0)
+    assert(r == 0.9629629629629629)
+  }
+}

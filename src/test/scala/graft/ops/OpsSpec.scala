@@ -60,4 +60,15 @@ class OpsSpec extends SparkSpec {
     assert(out.columns.toSeq ==
       Seq("doc_id", "mime", "byte_len", "n_frames", "feature0"))
   }
+
+  test("IVF top-k recall is comparable to multi-table LSH on this corpus") {
+    val brute = Ann.bruteTopK(embs.filter(col("vec_id") < 5), embs, 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(embs.filter(col("vec_id") < 5), embs, 10, 64)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(s"ivf recall@10 = $recall")
+    assert(ivf.nonEmpty)
+    assert(recall >= 0.2, s"recall@10 = $recall")
+  }
 }
