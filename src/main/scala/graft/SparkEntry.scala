@@ -16,11 +16,11 @@ object SparkEntry {
     queries("clean_rows")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     families.map(_.queries).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     families.map(_.oracles).reduce(_ ++ _)
 }

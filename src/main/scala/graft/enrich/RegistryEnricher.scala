@@ -35,8 +35,15 @@ object RegistryEnricher {
   def enrich(scraped: DataFrame, cms: DataFrame,
       cutoff: Double = DefaultCutoff): DataFrame = {
     val cmsCols = EnrichedColumns.filter(cms.columns.contains)
+    // Deterministic one-row-per-key CMS side: duplicate campus_id keys (real
+    // after the lossy key normalization) must not fan scraped rows out. The
+    // reference's dict-style index keeps one row; we keep the struct-min row
+    // (deterministic under any partitioning, unlike dropDuplicates).
     val cmsSel = cms.select((col("campus_id").as("__cms_key") +:
       cmsCols.map(col)): _*)
+      .groupBy(col("__cms_key"))
+      .agg(min(struct(cmsCols.map(col): _*)).as("__r"))
+      .select((col("__cms_key") +: cmsCols.map(c => col(s"__r.$c").as(c))): _*)
 
     // Stage 1 — exact broadcast hash join.
     val exact = scraped.join(broadcast(cmsSel),

@@ -112,7 +112,7 @@ object EtlPipeline {
       mrfMeta.getOrElse("version", ""),
       mrfMeta.getOrElse("last_updated_on", ""),
       meta.final_transparency_score,
-      System.currentTimeMillis(), meta))
+      devlogSeq(), meta))
 
     // S12/J4 — registry refresh (collect-then-rewrite: the registry is a
     // small dimension and the source path is being overwritten).
@@ -131,6 +131,13 @@ object EtlPipeline {
     RunResult(campusId, system, structure, extractedRows, cleanRows,
       violationRows, dupsDropped, score, extractedPath, cleanedPath,
       quarantinePath, outputMb)
+  }
+
+  /** Devlog ordering value: nanoseconds since epoch (millis would tie for
+    * two runs in the same ms, making Devlog.latest nondeterministic). */
+  private def devlogSeq(): Long = {
+    val now = java.time.Instant.now()
+    now.getEpochSecond * 1000000000L + now.getNano
   }
 
   /** P9 — registry rows of one healthcare system (batch_json_explorer.py:30). */

@@ -73,7 +73,11 @@ object JsonExtractor {
       .withColumn("__code_type",
         element_at(CodePairs.normalizeMap, upper(coalesce(col("ci.type"), lit("")))))
       .filter(coalesce(col("ci.code"), lit("")) =!= "" && col("__code_type").isNotNull)
-      .withColumn("pi", explode(col("sc.payers_information")))
+      // explode_OUTER: a standard_charges entry with gross/cash prices but
+      // no payers_information still yields one canonical row with empty
+      // payer fields — matching the tall-CSV path, where payerless rows
+      // survive with "" payer columns.
+      .withColumn("pi", explode_outer(col("sc.payers_information")))
 
     val payer = s(col("pi.payer_name"))
     val cols: Seq[Column] = Schemas.CanonicalColumns.map {

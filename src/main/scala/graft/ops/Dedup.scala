@@ -44,10 +44,12 @@ object Dedup {
     * the relational [[shingleRows]] instead. */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextOps.tokens(text)
+    // <n-token docs yield the EMPTY set — consistent with shingleRows and
+    // the DuckDB oracles (such docs can never be near-dups).
     val grams = when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-      .otherwise(array(concat_ws(" ", toks)))
+      .otherwise(array().cast("array<string>"))
     array_distinct(grams)
   }
 

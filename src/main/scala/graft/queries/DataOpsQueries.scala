@@ -89,7 +89,7 @@ object DataOpsQueries {
     """WITH sh AS (
           |  SELECT DISTINCT doc_id, concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT)+1], toks[CAST(i AS INT)+2]) AS s
           |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') toks
-          |        FROM documents), range(1, 256) t(i)
+          |        FROM documents), range(1, 4096) t(i)
           |  WHERE i + 2 <= len(toks)),
           |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
           |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) m

@@ -27,7 +27,6 @@ class PlanSpec extends SparkSpec {
   }
 
   test("tall extract is a pure narrow plan — zero exchanges") {
-    val body = graft.extract.MrfCsv
     val df = graft.queries.ExtractQueries.queries("extract_tall_canonical")(spark, sf("sf0.001"))
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), p)

@@ -2,6 +2,7 @@ package graft.extract
 
 import java.nio.file.{Files, Paths}
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** File-fixture tests for the three extractors (FIXTURES.md §2.2-2.4). */
 class ExtractorSpec extends SparkSpec {
@@ -105,19 +106,25 @@ class ExtractorSpec extends SparkSpec {
       |              "methodology": "fee schedule", "standard_charge_dollar": 150.0,
       |              "additional_payer_notes": "pn" },
       |            { "payer_name": "BCBS", "plan_name": "HMO",
-      |              "methodology": "per diem", "estimated_amount": 90.5 } ] } ] } ] }
+      |              "methodology": "per diem", "estimated_amount": 90.5 } ] },
+      |        { "gross_charge": 260.0, "discounted_cash": 210.0, "setting": "inpatient" } ] } ] }
       |""".stripMargin
 
   test("json extract: 3-level explode, type normalization, payer split, numeric→string") {
     val p = write("mrf.json", jsonMrf)
     val out = JsonExtractor.extractFile(spark, p, "General", "30303").cache()
     assert(out.columns.toSeq == graft.core.Schemas.CanonicalColumns)
-    // 2 valid codes × 1 charge × 2 payers = 4 rows (FOO rejected).
-    assert(out.count() == 4)
+    // 2 valid codes × (1 charge × 2 payers + 1 payerless charge) = 6 rows
+    // (FOO rejected; payerless charges keep their gross/cash with "" payer).
+    assert(out.count() == 6)
     val rows = out.collect().map(r => (r.getString(2), r.getString(3),
       r.getString(7), r.getString(8), r.getString(10), r.getString(18))).toSet
     assert(rows.contains(("73721", "CPT", "Aetna", "AET01", "150.0", "")))
     assert(rows.contains(("470", "DRG", "BCBS", "", "", "90.5")))
+    assert(rows.contains(("73721", "CPT", "", "", "", "")))
+    val payerless = out.filter(col("insurance payer name") === "" &&
+      col("code") === "470").head()
+    assert(payerless.getAs[String]("gross charge") == "260.0")
     val meta = JsonExtractor.metadata(JsonExtractor.readMrf(spark, p))
     assert(meta("version") == "2.0.0" && meta("hospital_name") == "General")
   }

@@ -31,6 +31,13 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    # An oracle whose query dump is missing means the query CRASHED in
+    # Verify — that must fail the gate, not vanish from it.
+    dumped = {d for d in os.listdir(out_dir)
+              if os.path.isdir(os.path.join(out_dir, d))}
+    for name in sorted(set(oracles) - dumped):
+        print(f"[FAIL-miss] {name}: oracle present but no query dump (query crashed?)")
+        n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
