@@ -140,6 +140,18 @@ object EtlPipeline {
     now.getEpochSecond * 1000000000L + now.getNano
   }
 
+  /** Batch run over every registry row of one healthcare system — the
+    * 1000-hospital seam: each campus is an independent pipeline over its own
+    * files, so a fleet deployment parallelizes by submitting these as
+    * separate jobs (or one job per executor-group); within a campus the
+    * plans themselves are distributed. Sequential here (local mode). */
+  def runSystem(spark: SparkSession, registryPath: String, system: String,
+      baseDir: String, processedBy: String): Seq[RunResult] = {
+    val ids = systemRegistry(spark.read.parquet(registryPath), system)
+      .select(col("campus_id")).collect().map(_.getString(0)).toSeq
+    ids.map(id => run(spark, registryPath, id, baseDir, processedBy))
+  }
+
   /** P9 — registry rows of one healthcare system (batch_json_explorer.py:30). */
   def systemRegistry(registry: DataFrame, system: String): DataFrame =
     registry.filter(lower(col("healthcare_system")) === system.toLowerCase)

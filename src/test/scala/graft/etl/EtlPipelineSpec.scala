@@ -76,4 +76,54 @@ class EtlPipelineSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not found in hospital registry"))
   }
+
+  private val wideCsv =
+    """hospital_name,last_updated_on,version,hospital_location,hospital_address
+      |General,2024-07-01,2.0.0,Atlanta,1 Main St
+      |description,code|1,code|1|type,setting,drug_unit_of_measurement,drug_type_of_measurement,modifiers,standard_charge|gross,standard_charge|discounted_cash,standard_charge|min,standard_charge|max,additional_generic_notes,standard_charge|Aetna|PPO|negotiated_dollar,standard_charge|Aetna|PPO|methodology
+      |Knee MRI,73721,CPT,outpatient,,,,250.00,200.00,100.00,300.00,,150.00,fee schedule
+      |""".stripMargin
+
+  private val jsonMrf =
+    """{ "hospital_name": "General", "hospital_address": "2 Oak St",
+      |  "last_updated_on": "2024-08-01", "version": "3.0.0",
+      |  "standard_charge_information": [
+      |    { "description": "MRI",
+      |      "code_information": [ {"code": "73721", "type": "CPT"} ],
+      |      "standard_charges": [
+      |        { "gross_charge": 100.0, "discounted_cash": 80.0, "setting": "outpatient",
+      |          "minimum": 50.0, "maximum": 150.0,
+      |          "payers_information": [
+      |            { "payer_name": "Aetna", "plan_name": "PPO",
+      |              "methodology": "fee schedule", "standard_charge_dollar": 90.0 } ] } ] } ] }
+      |""".stripMargin
+
+  test("wide-csv and json structures dispatch end-to-end; runSystem batches a system") {
+    val base = Files.createTempDirectory("graft-etl3").toString
+    val system = "multi_sys"
+    Files.createDirectories(Paths.get(s"$base/data/raw data/$system"))
+    Files.writeString(Paths.get(s"$base/data/raw data/$system/w1.csv"), wideCsv)
+    Files.writeString(Paths.get(s"$base/data/raw data/$system/j1.json"), jsonMrf)
+    val registryPath = s"$base/registry"
+    Seq(
+      ("w1", "Multi Sys", "Wide Hosp", "30301", "w1.csv", "wide csv",
+        "", "", 0.0, "new", "", "", "1 Main St"),
+      ("j1", "Multi Sys", "Json Hosp", "30302", "j1.json", "json",
+        "", "", 0.0, "new", "", "", "2 Oak St"))
+      .toDF("campus_id", "healthcare_system", "hospital_name", "zip_code",
+        "raw_filename", "structure", "last_updated_on", "version",
+        "transparency_score", "etl_status", "processed_by",
+        "last_processed_on", "hospital_address")
+      .write.parquet(registryPath)
+
+    val results = EtlPipeline.runSystem(spark, registryPath, "multi sys", base, "t")
+    assert(results.map(_.structure).toSet == Set("wide csv", "json"))
+    assert(results.forall(r => r.extractedRows > 0 && r.cleanRows > 0))
+    val reg = spark.read.parquet(registryPath)
+    assert(reg.filter(col("etl_status") === "cleaned").count() == 2)
+    // json devlog metadata came from the MRF top level
+    val j1 = reg.filter(col("campus_id") === "j1").head()
+    assert(j1.getAs[String]("version") == "3.0.0")
+    assert(j1.getAs[String]("last_updated_on") == "2024-08-01")
+  }
 }
