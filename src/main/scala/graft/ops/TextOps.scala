@@ -66,4 +66,20 @@ object TextOps {
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
   def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
+
+  /** TF-IDF over a corpus: (id, term, tf, df, tfidf) with
+    * tfidf = tf · ln(N/df), rounded to 6dp (libm last-ulp differences across
+    * engines). Two hash aggregates (term counts, then document frequency) —
+    * shuffles by (id, term) then term, linear in corpus token count. */
+  def tfIdf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, corpusSize: Long): org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(lit(corpusSize.toDouble) / col("df")), 6).as("tfidf"))
+  }
 }

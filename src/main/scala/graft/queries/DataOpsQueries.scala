@@ -69,6 +69,11 @@ object DataOpsQueries {
       table(s, dir, "documents").select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fingerprint"))),
 
+    "text_tfidf" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextOps.tfIdf(docs, "doc_id", "text", docs.count())
+    }),
+
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(s,
         Multimodal.fabricateFromDocs(table(s, dir, "documents"))).toDF()))
@@ -155,6 +160,14 @@ object DataOpsQueries {
            |FROM documents""".stripMargin,
       "text_fingerprint" ->
         s"SELECT doc_id, md5($normTextSql) AS fingerprint FROM documents",
+      "text_tfidf" ->
+        s"""WITH tok AS (SELECT doc_id AS id, unnest($toksSql) AS term FROM documents),
+           |tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM documents)
+           |SELECT id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           | round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+           |FROM tf JOIN dfq USING (term), n""".stripMargin,
       "multimodal_decode" ->
         """SELECT doc_id, 'image/fake' AS mime, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
           | CAST(octet_length(encode(text)) // 100 + 1 AS INT) AS n_frames,
