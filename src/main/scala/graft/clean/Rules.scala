@@ -86,13 +86,15 @@ object Rules {
     */
   def summarize(tagged: DataFrame): DataFrame = {
     val isClean = col("rules_violated").isNull
+    // coalesce(…, 0): sum over an EMPTY frame is NULL, which would unbox to
+    // garbage zeros downstream while skipping the examined==0 score guard.
     val ruleCounts = predicates.map { case (name, p) =>
-      sum(when(coalesce(p, lit(false)), 1L).otherwise(0L)).as(name)
+      coalesce(sum(when(coalesce(p, lit(false)), 1L).otherwise(0L)), lit(0L)).as(name)
     }
     val aggs = ruleCounts ++ Seq(
-      sum(when(isClean, 1L).otherwise(0L)).as("total_rows_cleaned"),
-      sum(when(isClean && col("negotiated_algorithm_invalid") === true, 1L).otherwise(0L))
-        .as("total_algorithm_format_violations"))
+      coalesce(sum(when(isClean, 1L).otherwise(0L)), lit(0L)).as("total_rows_cleaned"),
+      coalesce(sum(when(isClean && col("negotiated_algorithm_invalid") === true, 1L)
+        .otherwise(0L)), lit(0L)).as("total_algorithm_format_violations"))
     val g = tagged.agg(aggs.head, aggs.tail: _*)
     val dropped = RuleNames.map(col).reduce(_ + _)
     val examined = col("total_rows_cleaned") + col("total_rows_dropped_due_to_rule_violations")

@@ -14,7 +14,10 @@ object Naming {
     * The stoplist's "INC" is uppercase and tokens are lowercased first, so it
     * never matches — preserved (the derived keys are the join contract). */
   def campusId(name: Column): Column = {
-    val tokens = split(regexp_replace(lower(name), "[\\.,'\\-&]", ""), " ")
+    // \s+ split: Python's no-arg str.split() tokenizes on ANY whitespace
+    // run (tabs/NBSP included) — a single-space split would derive different
+    // keys than the reference, and the keys are the join contract.
+    val tokens = split(regexp_replace(lower(name), "[\\.,'\\-&]", ""), "\\s+")
     val kept = filter(tokens, t => t =!= "" && !t.isin(Conf.GenericWords: _*))
     array_join(kept, "_")
   }

@@ -31,7 +31,11 @@ object RegistryEnricher {
   /** Left: scraped rows with a `campus_id` key column. Right: CMS rows with
     * `campus_id` + EnrichedColumns. Returns left columns + EnrichedColumns
     * (null when unmatched) + `match_kind` (exact | fuzzy | none) +
-    * `match_ratio` (1.0 exact, score for fuzzy, null none). */
+    * `match_ratio` (1.0 exact, score for fuzzy, null none).
+    *
+    * NOTE: the hit/miss branches both descend from the exact join, so one
+    * action scans the scraped side twice (the broadcast relation is reused).
+    * For a very large scraped side, `.cache()` it before calling. */
   def enrich(scraped: DataFrame, cms: DataFrame,
       cutoff: Double = DefaultCutoff): DataFrame = {
     val cmsCols = EnrichedColumns.filter(cms.columns.contains)

@@ -77,6 +77,11 @@ object EtlPipeline {
     val extracted = spark.read.option("header", "true")
       .schema(Schemas.canonicalIngest).csv(extractedPath)
     val extractedRows = extracted.count()
+    // Fail loud on an empty extract (corrupt MRF, all code types rejected):
+    // the reference would crash in its parser; a silent 'cleaned' registry
+    // flip on garbage input is worse than an error.
+    require(extractedRows > 0,
+      s"Extraction produced 0 canonical rows for campus '$campusId' from $rawPath")
     val preDedup = Seq[DataFrame => DataFrame](
       Cleaning.canonHeaders, Cleaning.ensureModifiers, Cleaning.cleanPriceFields,
       Cleaning.removeInvalidTokens, Cleaning.normalizeTextFields,

@@ -113,8 +113,10 @@ object JsonExtractor {
 
   /** Devlog metadata from the MRF top level (json_sampler.py:23-33 keys). */
   def metadata(mrf: DataFrame): Map[String, String] = {
-    val row = mrf.select(col("hospital_name"), col("hospital_location"),
-      col("hospital_address"), col("last_updated_on"), col("version")).head()
+    val rows = mrf.select(col("hospital_name"), col("hospital_location"),
+      col("hospital_address"), col("last_updated_on"), col("version")).take(1)
+    require(rows.nonEmpty, "JSON MRF parsed to zero rows (empty or malformed file)")
+    val row = rows.head
     Seq("hospital_name", "hospital_location", "hospital_address",
       "last_updated_on", "version").zipWithIndex.map { case (k, i) =>
       k -> Option(row.getString(i)).getOrElse("")

@@ -56,14 +56,33 @@ object MrfCsv {
     * by the line-based pre-pass — documented, body rows are single-line in
     * the reference corpus. */
   def readBody(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
     import spark.implicits._
-    val lines: Dataset[String] = spark.sparkContext
-      .textFile(path)
-      .mapPartitionsWithIndex { (idx, it) => if (idx == 0) it.drop(2) else it }
-      .toDS()
+    // Resolve the glob driver-side and drop the 2 metadata lines PER FILE
+    // (a global partition-0 drop would keep later files' metadata lines as
+    // body rows when a directory/glob of MRFs is read).
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(hPath)) match {
+      case Some(sts) if sts.nonEmpty =>
+        sts.toSeq.flatMap { st =>
+          if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+          else Seq(st)
+        }.map(_.getPath.toString)
+      case _ => Seq(path) // let the reader raise its own missing-file error
+    }
+    val rdds = files.map { f =>
+      spark.sparkContext.textFile(f)
+        .mapPartitionsWithIndex { (idx, it) => if (idx == 0) it.drop(2) else it }
+    }
+    val lines: Dataset[String] =
+      rdds.reduce(_ union _).toDS()
     spark.read
       .option("header", "true")
       .option("inferSchema", "false") // dtype=str
       .csv(lines)
+    // Known csv(Dataset) caveat: body lines byte-identical to the header
+    // line are treated as repeated headers and dropped; MRF data rows never
+    // equal the header row in practice.
   }
 }

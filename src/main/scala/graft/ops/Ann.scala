@@ -104,23 +104,31 @@ object Ann {
   def kmeansCentroids(corpus: DataFrame, dim: Int, c: Int,
       iters: Int): Array[Array[Double]] = {
     val vecs = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    var centroids: Array[Array[Double]] = vecs.orderBy(col("vec_id")).limit(c)
-      .collect().map(_.getSeq[Double](1).toArray)
-    (1 to iters).foreach { _ =>
-      val assigned = vecs.withColumn("cluster", nearestCentroid(col("v"), centroids))
-      val sums = assigned.groupBy(col("cluster"))
-        .agg(count(lit(1)).as("n"),
-          array((0 until dim).map(i => sum(element_at(col("v"), i + 1))): _*).as("s"))
-        .collect()
-      val next = centroids.clone()
-      sums.foreach { r =>
-        val cl = r.getInt(0)
-        val n = r.getLong(1).toDouble
-        next(cl) = r.getSeq[Double](2).map(_ / n).toArray
+      .persist() // scanned 1 + iters times during training
+    try {
+      var centroids: Array[Array[Double]] = vecs.orderBy(col("vec_id")).limit(c)
+        .collect().map(_.getSeq[Double](1).toArray)
+      (1 to iters).foreach { _ =>
+        val assigned = vecs.withColumn("cluster", nearestCentroid(col("v"), centroids))
+        // Component sums go through DECIMAL so centroid means are identical
+        // under any partitioning (double sums are addition-order sensitive,
+        // and a last-ulp centroid shift can flip boundary cell assignments).
+        val sums = assigned.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n"),
+            array((0 until dim).map(i =>
+              sum(element_at(col("v"), i + 1).cast("decimal(28,12)"))
+                .cast("double")): _*).as("s"))
+          .collect()
+        val next = centroids.clone()
+        sums.foreach { r =>
+          val cl = r.getInt(0)
+          val n = r.getLong(1).toDouble
+          next(cl) = r.getSeq[Double](2).map(_ / n).toArray
+        }
+        centroids = next
       }
-      centroids = next
-    }
-    centroids
+      centroids
+    } finally vecs.unpersist()
   }
 
   /** Index of the nearest centroid by squared L2 (argmin via array_min over

@@ -17,6 +17,8 @@ class NamingSpec extends SparkSpec {
     assert(one(Naming.campusId(col("x")), "Acme Hospital Inc") == "acme_inc")
     // '&' and '-' are stripped inside tokens.
     assert(one(Naming.campusId(col("x")), "Health & Care-Co") == "careco")
+    // Python str.split() splits on any whitespace run — tabs included.
+    assert(one(Naming.campusId(col("x")), "Grady\tMemorial  Hospital") == "grady_memorial")
   }
 
   test("F9 zip extraction anchored at end, +4 dropped") {

@@ -137,4 +137,23 @@ class ExtractorSpec extends SparkSpec {
     assert(paths("standard_charge_information") == "array")
     assert(paths.contains("standard_charge_information.item.code_information.item.code"))
   }
+
+  test("readBody over a directory drops metadata lines per file, not just globally") {
+    val dir = Files.createTempDirectory("graft-multi").toString
+    Files.writeString(Paths.get(s"$dir/a.csv"), tallCsv)
+    Files.writeString(Paths.get(s"$dir/b.csv"), tallCsv)
+    val body = MrfCsv.readBody(spark, dir)
+    // 3 data rows per file; metadata lines of BOTH files must be gone.
+    assert(body.count() == 6)
+    assert(body.filter(col("description") === "hospital_name").count() == 0)
+    assert(body.filter(col("description") === "General").count() == 0)
+  }
+
+  test("empty/malformed JSON MRF fails loudly instead of extracting nothing") {
+    val p = write("empty.json", "   ")
+    val e = intercept[IllegalArgumentException] {
+      JsonExtractor.metadata(JsonExtractor.readMrf(spark, p))
+    }
+    assert(e.getMessage.contains("zero rows"))
+  }
 }
