@@ -66,10 +66,15 @@ object RegistryEnricher {
     // join against the broadcast CMS keys, difflib-exact ratio, top-1.
     val lenBound = (lit(2.0) * least(length(col("campus_id")), length(col("__cms_key")))
       / (length(col("campus_id")) + length(col("__cms_key")))) >= cutoff
+    // Cheap character-bag bound first (difflib quick_ratio idea): pairs the
+    // bound already places below the cutoff score -1 without running the
+    // quadratic exact ratio. Ordering among sub-cutoff pairs is irrelevant
+    // (they can never be the fuzzy match).
     val scored = miss.join(broadcast(cmsSel), lenBound, "left")
       .withColumn("__ratio",
         when(col("__cms_key").isNotNull,
-          seqRatio(col("campus_id"), col("__cms_key"))))
+          SequenceMatcherRatio.seqRatioAtLeast(
+            col("campus_id"), col("__cms_key"), cutoff)))
       .withColumn("__ok", col("__ratio") >= cutoff)
     // Partition by a unique per-source-row id (not the key): duplicate
     // scraped keys must each keep their own match row.

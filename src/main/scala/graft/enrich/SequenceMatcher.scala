@@ -159,4 +159,36 @@ object SequenceMatcher {
     val t = lenA + lenB
     if (t == 0) 1.0 else 2.0 * math.min(lenA, lenB) / t
   }
+
+  /** Character-bag upper bound: matched blocks are a common subsequence, so
+    * M ≤ Σ_c min(count_a(c), count_b(c)) and
+    * ratio ≤ 2·bagIntersect/(|a|+|b|). O(|a|+|b|) vs the O(|a|·|b|)-ish
+    * exact ratio — difflib exposes the same idea as quick_ratio(). */
+  private val bagCounts = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](1 << 16)
+  }
+
+  def quickRatioBound(a: String, b: String): Double = {
+    val total = a.length + b.length
+    if (total == 0) return 1.0
+    val counts = bagCounts.get()
+    var i = 0
+    while (i < b.length) { counts(b.charAt(i)) += 1; i += 1 }
+    var m = 0
+    i = 0
+    while (i < a.length) {
+      val ch = a.charAt(i)
+      if (counts(ch) > 0) { m += 1; counts(ch) -= 1 }
+      i += 1
+    }
+    // zero the touched slots so the next call's array (thread-local) is clean
+    i = 0
+    while (i < b.length) { counts(b.charAt(i)) = 0; i += 1 }
+    2.0 * m / total
+  }
+
+  /** Exact ratio when the quick bound can reach `cutoff`, else -1 (the true
+    * ratio is provably below cutoff; -1 keeps it below any cutoff ≥ 0). */
+  def ratioIfAtLeast(a: String, b: String, cutoff: Double): Double =
+    if (quickRatioBound(a, b) >= cutoff) ratio(a, b) else -1.0
 }

@@ -37,4 +37,30 @@ object SequenceMatcherRatio {
   def seqRatio(a: Column, b: Column): Column =
     ColumnBridge.column(SequenceMatcherRatio(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Bounded variant: exact ratio, or -1 when the O(n) char-bag bound
+    * already proves it is below `cutoff` (skips the quadratic kernel). */
+  def seqRatioAtLeast(a: Column, b: Column, cutoff: Double): Column =
+    ColumnBridge.column(SequenceMatcherRatioAtLeast(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), cutoff))
+}
+
+/** seq_ratio with a quick-bound short-circuit (see SequenceMatcher.ratioIfAtLeast). */
+case class SequenceMatcherRatioAtLeast(left: Expression, right: Expression,
+    cutoff: Double) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SequenceMatcher.ratioIfAtLeast(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString, cutoff)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.enrich.SequenceMatcher.ratioIfAtLeast($a.toString(), $b.toString(), $cutoff)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SequenceMatcherRatioAtLeast =
+    copy(left = newLeft, right = newRight)
 }

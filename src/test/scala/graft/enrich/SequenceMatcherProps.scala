@@ -41,4 +41,16 @@ object SequenceMatcherProps extends Properties("SequenceMatcher") {
       Gen.choose(0, 14).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))) { (a, b) =>
       SequenceMatcher.ratio(a, b) == SequenceMatcher.ratioGeneral(a, b)
     }
+
+  property("quick bound is sound: bound >= exact ratio") =
+    forAll(shortStr, shortStr) { (a, b) =>
+      SequenceMatcher.quickRatioBound(a, b) >= SequenceMatcher.ratio(a, b) - 1e-15
+    }
+
+  property("ratioIfAtLeast returns the exact ratio whenever it crosses the cutoff") =
+    forAll(shortStr, shortStr, Gen.choose(0.0, 1.0)) { (a, b, cut) =>
+      val exact = SequenceMatcher.ratio(a, b)
+      val bounded = SequenceMatcher.ratioIfAtLeast(a, b, cut)
+      if (exact >= cut) bounded == exact else bounded < cut
+    }
 }
