@@ -76,7 +76,13 @@ object DataOpsQueries {
 
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(s,
-        Multimodal.fabricateFromDocs(table(s, dir, "documents"))).toDF()))
+        Multimodal.fabricateFromDocs(table(s, dir, "documents"))).toDF()),
+
+    // The composed curation pass: language filter → quality floor → exact
+    // dedup → near-dup removal (every stage individually oracle-checked
+    // above; this checks their composition).
+    "curate_corpus" -> ((s, dir) =>
+      graft.ops.Curation.curate(table(s, dir, "documents"), "doc_id", "text")))
 
   // ---------------------------------------------------------------- oracles
 
@@ -160,6 +166,32 @@ object DataOpsQueries {
            |FROM documents""".stripMargin,
       "text_fingerprint" ->
         s"SELECT doc_id, md5($normTextSql) AS fingerprint FROM documents",
+      "curate_corpus" -> {
+        val qualityExpr = {
+          val len = "CAST(length(text) AS DOUBLE)"
+          val words = s"greatest(CAST(len($toksSql) AS DOUBLE), 1.0)"
+          val punct = s"($len - CAST(length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE))"
+          val stop = s"CAST(${markerSql(TextOps.LangMarkers.flatMap(_._2))} AS DOUBLE)"
+          s"round(least(1.0, $len / 500.0) * 0.3 + (1.0 - least(1.0, $punct / $words)) * 0.3 +" +
+            s" least(1.0, $stop * 5.0 / $words) * 0.2 + least(1.0, $words / 100.0) * 0.2, 6)"
+        }
+        s"""WITH f0 AS (SELECT doc_id AS id, text, $scoreSel FROM documents),
+           |f AS (SELECT id, text, $langCase AS langid, $qualityExpr AS quality FROM f0),
+           |flt AS (SELECT * FROM f WHERE langid = 'en' AND quality >= 0.6),
+           |keep AS (SELECT min(id) AS id FROM flt GROUP BY md5($normTextSql)),
+           |ae AS (SELECT flt.* FROM flt JOIN keep USING (id)),
+           |sh AS (
+           |  SELECT DISTINCT id, concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT)+1], toks[CAST(i AS INT)+2]) AS s
+           |  FROM (SELECT id, $toksSql toks FROM ae), range(1, 4096) t(i)
+           |  WHERE i + 2 <= len(toks)),
+           |cnt AS (SELECT id, count(*) n FROM sh GROUP BY 1),
+           |inter AS (SELECT a.id id_a, b.id id_b, count(*) m
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+           |dup AS (SELECT DISTINCT id_b AS id FROM inter
+           |  JOIN cnt ca ON ca.id = inter.id_a JOIN cnt cb ON cb.id = inter.id_b
+           |  WHERE CAST(m AS DOUBLE) / (ca.n + cb.n - m) >= 0.8)
+           |SELECT id, langid, quality FROM ae WHERE id NOT IN (SELECT id FROM dup)""".stripMargin
+      },
       "text_tfidf" ->
         s"""WITH tok AS (SELECT doc_id AS id, unnest($toksSql) AS term FROM documents),
            |tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
