@@ -38,7 +38,8 @@ object EtlPipeline {
 
   def run(spark: SparkSession, registryPath: String, campusId: String,
       baseDir: String, processedBy: String,
-      formatOverride: Option[String] = None): RunResult = {
+      formatOverride: Option[String] = None,
+      lakePath: Option[String] = None): RunResult = {
 
     // S1/P1 — registry scan + key lookup; error when absent.
     val registry = spark.read.parquet(registryPath)
@@ -94,6 +95,14 @@ object EtlPipeline {
     val cleanedPath = s"$baseDir/data/cleaned data/$system/${campusId}_cleaned"
     val quarantinePath = s"$baseDir/data/logs/rules violations/$system/${campusId}_rules_violated"
     clean.write.mode(SaveMode.Overwrite).option("header", "true").csv(cleanedPath)
+    // Optionally land the cleaned rows in the partitioned lake (the
+    // cross-hospital analytical sink; per-campus CSVs remain the reference-
+    // layout artifacts).
+    lakePath.foreach(lp =>
+      graft.meta.Lake.writeCharges(
+        spark.read.option("header", "true").schema(Schemas.canonicalIngest)
+          .csv(cleanedPath),
+        lp, system, campusId))
     violations.write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(quarantinePath) // S10
 

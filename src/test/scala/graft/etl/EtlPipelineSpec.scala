@@ -36,7 +36,9 @@ class EtlPipelineSpec extends SparkSpec {
       .withColumn("hospital_address", lit("1 Main St"))
       .write.parquet(registryPath)
 
-    val res = EtlPipeline.run(spark, registryPath, "c1", base, "tester")
+    val lake = s"$base/lake"
+    val res = EtlPipeline.run(spark, registryPath, "c1", base, "tester",
+      lakePath = Some(lake))
 
     // Tall explode: rows 1+2 (identical, deduped later) give 2 pairs each,
     // row 3 gives 1 pair → 5 extracted; dedup drops 2; "other" methodology
@@ -63,6 +65,10 @@ class EtlPipelineSpec extends SparkSpec {
 
     // P9 — system filter.
     assert(EtlPipeline.systemRegistry(reg, "ACME HEALTH").count() == 1)
+
+    // Lake landing: cleaned rows visible via the partition-pruned read.
+    assert(graft.meta.Lake.readCampus(spark, lake, "acme_health", "c1")
+      .count() == res.cleanRows)
   }
 
   test("unknown campus id raises the reference's lookup error") {
