@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.table
+
+/** Batch sessionization over the events table — the batch twin of
+  * streaming/Sessionize, and the gate coverage for lag + running-sum window
+  * functions (beyond the reference's lone top-1 window): a new session
+  * starts when the gap to the previous event exceeds the threshold; session
+  * ids are running sums of the start flags.
+  */
+object SessionQueries {
+
+  def family: QueryFamily = QueryFamily("session", queries, oracles)
+
+  private val GapMinutes = 30
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sessionize_events" -> ((s, dir) => {
+      val order = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(order))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > GapMinutes * 60L,
+            1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("new_session")).over(running))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "sessionize_events" ->
+      s"""WITH o AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |f AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |      OR date_diff('second', prev_ts, ts) > ${GapMinutes * 60} THEN 1 ELSE 0 END AS new_session
+         |  FROM o),
+         |s AS (
+         |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         |  FROM f)
+         |SELECT user_id, session_idx, count(*) AS n_events,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         |FROM s GROUP BY 1, 2""".stripMargin)
+}
