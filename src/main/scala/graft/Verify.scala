@@ -26,9 +26,15 @@ object Verify {
     }
     out.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Defensive total order (all columns, nulls first) so the dumped
+        // artifact is byte-stable across runs regardless of plan/partition
+        // nondeterminism.
+        val sorted = df.orderBy(df.columns.map(c =>
+          org.apache.spark.sql.functions.col(s"`$c`").asc_nulls_first): _*)
+        sorted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
