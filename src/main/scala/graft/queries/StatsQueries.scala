@@ -30,7 +30,16 @@ object StatsQueries {
           round(sqrt((sxx - sx * sx / n) / (n - 1.0)), 6).as("stddev_qty"),
           min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"))
-    }))
+    }),
+
+    // Rollup hierarchy + distinct aggregation (subtotal rows carry nulls).
+    "agg_rollup_distinct" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          sum(col("l_quantity")).as("sum_qty"))))
 
   def oracles: Map[String, String] = Map(
     "agg_quantity_stats" ->
@@ -42,5 +51,10 @@ object StatsQueries {
         | round(sqrt((sum(l_quantity*l_quantity) - sum(l_quantity)*sum(l_quantity)/CAST(count(*) AS DOUBLE))
         |   / (CAST(count(*) AS DOUBLE) - 1.0)), 6) AS stddev_qty,
         | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
-        |FROM lineitem GROUP BY 1""".stripMargin)
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "agg_rollup_distinct" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        | sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
 }
