@@ -58,9 +58,12 @@ object CodePairs {
     kept(exploded).groupBy(upper(col("__raw_type")).as("raw_type"))
       .agg(sort_array(collect_set(col("__code_type"))).as("normalized"))
 
-  /** A6 — allowed types never seen (driver-side diff of A4 keys). */
-  def missingCodeTypes(exploded: DataFrame): Seq[String] = {
-    val present = codeTypePresence(exploded).collect().map(_.getString(0)).toSet
-    Conf.AllowedCodeTypes.filterNot(present)
+  /** A6 — allowed types never seen, as a plan: allowlist EXCEPT present
+    * types (a broadcastable anti-join — no driver collect in the path). */
+  def missingCodeTypes(exploded: DataFrame): DataFrame = {
+    val spark = exploded.sparkSession
+    import spark.implicits._
+    Conf.AllowedCodeTypes.toDF("code_type")
+      .except(kept(exploded).select(col("__code_type").as("code_type")))
   }
 }

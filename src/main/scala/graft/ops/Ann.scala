@@ -48,30 +48,43 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
-  /** SRP bucket id from P pseudo-random hyperplanes. Plane p's component i
-    * is ±1 by xxhash64(p, i) parity — deterministic, model-free. */
-  def srpBucket(v: Column, dim: Int, planes: Int): Column = {
+  /** splitmix64 (Vigna, public domain) — drives the deterministic ±1 plane
+    * matrix below. Driver-side so planes become LITERALS in the plan: each
+    * per-row bucket costs `planes` literal-array dot products instead of
+    * planes×dim per-row hash calls. */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Component i of hyperplane p in table t: ±1 by splitmix64 parity —
+    * deterministic, model-free, identical on every executor. */
+  private def planeVec(t: Int, p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(i =>
+      if ((splitmix64((t.toLong * 4096L + p) * 4096L + i) & 1L) == 0L) 1.0 else -1.0)
+
+  /** SRP bucket id of `v` under table t's P hyperplanes (bit p = sign of the
+    * dot with plane p). */
+  private def tableBucket(v: Column, t: Int, dim: Int, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
-      val plane = transform(sequence(lit(0), lit(dim - 1)),
-        i => when(pmod(xxhash64(lit(p), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0)))
-      when(dot(v, plane) >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+      when(dot(v, typedLit(planeVec(t, p, dim))) >= 0, shiftleft(lit(1L), p))
+        .otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** Multi-table SRP bucket ids: `tables` independent plane sets (plane
-    * hashes salted by table id); a pair collides if it shares ANY table's
-    * bucket — the standard recall amplifier (recall ≈ 1-(1-p^P)^L). */
+  /** Single-table SRP bucket id from P pseudo-random hyperplanes. */
+  def srpBucket(v: Column, dim: Int, planes: Int): Column =
+    tableBucket(v, 0, dim, planes)
+
+  /** Multi-table SRP bucket ids: `tables` independent plane sets; a pair
+    * collides if it shares ANY table's bucket — the standard recall
+    * amplifier (recall ≈ 1-(1-p^P)^L). */
   def srpBuckets(v: Column, dim: Int, planes: Int, tables: Int): Column =
     array((0 until tables).map { t =>
-      val bits = (0 until planes).map { p =>
-        val plane = transform(sequence(lit(0), lit(dim - 1)),
-          i => when(pmod(xxhash64(lit(t * 1000 + p), i), lit(2)) === 0, lit(1.0))
-            .otherwise(lit(-1.0)))
-        when(dot(v, plane) >= 0, shiftleft(lit(1L), p)).otherwise(0L)
-      }
-      struct(lit(t).as("t"),
-        bits.reduce(_.bitwiseOR(_)).as("b"))
+      struct(lit(t).as("t"), tableBucket(v, t, dim, planes).as("b"))
     }: _*)
 
   /** Bucketed ANN top-k: candidates restricted to rows sharing any of the
@@ -97,38 +110,54 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
-  /** Deterministic k-means-lite centroids for IVF: seeded from the first C
-    * vectors by id, refined with `iters` Lloyd iterations (assign → mean).
-    * Centroids live on the driver (C × dim doubles) and broadcast into the
-    * assignment expression — no ML-lib dependency, no stored model. */
+  /** Deterministic k-means-lite centroids for IVF, trained on a BOUNDED
+    * sample: ONE corpus scan takes the `maxTrain` rows with the smallest
+    * (xxhash64(vec_id), vec_id) — a distributed top-k (per-partition heads
+    * merged on the driver), i.e. a uniform-ish deterministic sample whose
+    * size is fixed no matter the corpus size — then Lloyd iterations run
+    * driver-local over that sample (≤ maxTrain × dim doubles). No per-
+    * iteration cluster scans or collects; the corpus is touched exactly
+    * once for training. Summation runs in ascending-vec_id order, so
+    * centroids are identical under any partitioning. */
   def kmeansCentroids(corpus: DataFrame, dim: Int, c: Int,
-      iters: Int): Array[Array[Double]] = {
-    val vecs = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .persist() // scanned 1 + iters times during training
-    try {
-      var centroids: Array[Array[Double]] = vecs.orderBy(col("vec_id")).limit(c)
-        .collect().map(_.getSeq[Double](1).toArray)
-      (1 to iters).foreach { _ =>
-        val assigned = vecs.withColumn("cluster", nearestCentroid(col("v"), centroids))
-        // Component sums go through DECIMAL so centroid means are identical
-        // under any partitioning (double sums are addition-order sensitive,
-        // and a last-ulp centroid shift can flip boundary cell assignments).
-        val sums = assigned.groupBy(col("cluster"))
-          .agg(count(lit(1)).as("n"),
-            array((0 until dim).map(i =>
-              sum(element_at(col("v"), i + 1).cast("decimal(28,12)"))
-                .cast("double")): _*).as("s"))
-          .collect()
-        val next = centroids.clone()
-        sums.foreach { r =>
-          val cl = r.getInt(0)
-          val n = r.getLong(1).toDouble
-          next(cl) = r.getSeq[Double](2).map(_ / n).toArray
-        }
-        centroids = next
+      iters: Int, maxTrain: Int = 2048): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(maxTrain)
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.length >= c, s"need at least $c training vectors")
+
+    def nearest(v: Array[Double], cents: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < cents.length) {
+        var d = 0.0; var j = 0
+        val cen = cents(i)
+        while (j < dim) { val t = v(j) - cen(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = i } // strict < : ties keep lowest idx
+        i += 1
       }
-      centroids
-    } finally vecs.unpersist()
+      best
+    }
+
+    var centroids = sample.take(c).map(_.clone())
+    (1 to iters).foreach { _ =>
+      val sums = Array.fill(c)(new Array[Double](dim))
+      val counts = new Array[Long](c)
+      sample.foreach { v => // fixed ascending-vec_id order
+        val cl = nearest(v, centroids)
+        counts(cl) += 1
+        var j = 0
+        while (j < dim) { sums(cl)(j) += v(j); j += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        if (counts(i) == 0) old // empty cell keeps its centroid
+        else sums(i).map(_ / counts(i))
+      }
+    }
+    centroids
   }
 
   /** Index of the nearest centroid by squared L2 (argmin via array_min over
@@ -174,27 +203,48 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
-  /** Embedding near-dup pairs: cosine ≥ threshold. planes=0 → exact
-    * all-pairs as a PARALLEL crossJoin (left side repartitioned across the
-    * cluster, right side broadcast — never a single-task constant-key join);
-    * planes>0 → SRP-bucketed candidates for corpora too big to square. */
+  /** Embedding near-dup pairs: cosine ≥ threshold, EXACT output either way.
+    *
+    * planes>0 (the scale path): banded multi-table SRP generates candidate
+    * pairs — only ids ride the band self-join (vectors are joined back for
+    * the surviving distinct pairs only, the same ids-only discipline as
+    * minhash) — and every candidate is exactly verified, so the output is a
+    * provable subset of the true ≥threshold pairs; recall is 1-(1-p^P)^L
+    * per pair, ≈1 for genuine near-dups (OpsSpec asserts set-equality with
+    * the exact path on the gate corpus). Banding only separates at HIGH
+    * thresholds: a cos-0.3 pair agrees with a plane with prob 0.6, so
+    * recall-1 banding at τ=0.3 degenerates to all-pairs — for τ ≲ 0.7 use
+    * planes=0.
+    *
+    * planes=0: exact all-pairs as a PARALLEL crossJoin (left side
+    * repartitioned across the cluster, right side broadcast — never a
+    * single-task constant-key join). O(N²): correct, and only for corpora
+    * small enough to square. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
-      dim: Int, planes: Int = 0): DataFrame = {
+      dim: Int, planes: Int = 0, tables: Int = 1): DataFrame = {
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val pairs =
-      if (planes > 0) {
-        val keyed = c.withColumn("bucket", srpBucket(col("v"), dim, planes))
-        keyed.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("va"))
-          .join(keyed.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("vb")),
-            Seq("bucket"))
-      } else {
-        val par = corpus.sparkSession.sparkContext.defaultParallelism
-        c.select(col("vec_id").as("id_a"), col("v").as("va")).repartition(par)
-          .crossJoin(broadcast(c.select(col("vec_id").as("id_b"), col("v").as("vb"))))
-      }
-    pairs.filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
-      .filter(col("cos") >= threshold)
+    if (planes > 0) {
+      val keyed = c.select(col("vec_id"),
+        explode(srpBuckets(col("v"), dim, planes, tables)).as("bucket"))
+      val candidates = keyed.select(col("bucket"), col("vec_id").as("id_a"))
+        .join(keyed.select(col("bucket"), col("vec_id").as("id_b")), Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct() // a pair may collide in several tables
+      candidates
+        .join(c.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+        .join(c.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(cosine(col("va"), col("vb")), 6).as("cos"))
+        .filter(col("cos") >= threshold)
+    } else {
+      val par = corpus.sparkSession.sparkContext.defaultParallelism
+      c.select(col("vec_id").as("id_a"), col("v").as("va")).repartition(par)
+        .crossJoin(broadcast(c.select(col("vec_id").as("id_b"), col("v").as("vb"))))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(cosine(col("va"), col("vb")), 6).as("cos"))
+        .filter(col("cos") >= threshold)
+    }
   }
 }

@@ -69,17 +69,21 @@ object TextOps {
 
   /** TF-IDF over a corpus: (id, term, tf, df, tfidf) with
     * tfidf = tf · ln(N/df), rounded to 6dp (libm last-ulp differences across
-    * engines). Two hash aggregates (term counts, then document frequency) —
-    * shuffles by (id, term) then term, linear in corpus token count. */
+    * engines). Two hash aggregates (term counts, then document frequency),
+    * plus the corpus size N computed INSIDE the plan as a broadcast 1-row
+    * cross join — one job, no driver-side count() action. Shuffles by
+    * (id, term) then term, linear in corpus token count. */
   def tfIdf(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, corpusSize: Long): org.apache.spark.sql.DataFrame = {
+      textCol: String): org.apache.spark.sql.DataFrame = {
     val tf = docs
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
       .select(col("id"), col("term"), col("tf"), col("df"),
-        round(col("tf") * log(lit(corpusSize.toDouble) / col("df")), 6).as("tfidf"))
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
   }
 }

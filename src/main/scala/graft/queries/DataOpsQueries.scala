@@ -33,9 +33,21 @@ object DataOpsQueries {
       Dedup.simhashNearDupPairs(table(s, dir, "documents"), "doc_id", "text",
         maxDistance = 5)),
 
+    // Near-dup detection on a corpus with PLANTED near-duplicates (the
+    // fixture's organic pairs max out at cos≈0.6 — no real near-dups), gated
+    // on the banded-SRP scale path with exact verify. τ=0.9 is the regime
+    // where banding works (see Ann.cosineNearDupPairs scaladoc); planted
+    // pairs sit at cos≈0.99998, so per-pair recall is 1-(1-0.9975^12)^6 ≈
+    // 1-2e-10 — OpsSpec asserts set-equality with the exact path.
+    // Output is the id pair set only: the planted cosines cluster within
+    // ~3e-6 of each other, so a 6dp-rounded score is one last-ulp tie away
+    // from a cross-engine mismatch (Spark rounds the decimal expansion,
+    // DuckDB rounds x*1e6 binary) — while the τ=0.9 filter boundary is 0.39
+    // from the nearest value, unconditionally float-safe.
     "dedup_embedding_pairs" -> ((s, dir) =>
-      Ann.cosineNearDupPairs(table(s, dir, "embeddings"), threshold = 0.3,
-        dim = 64, planes = 0)),
+      Ann.cosineNearDupPairs(plantedEmbeddings(table(s, dir, "embeddings")),
+        threshold = 0.9, dim = 64, planes = 12, tables = 6)
+        .select(col("id_a"), col("id_b"))),
 
     "sim_topk_brute" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -69,10 +81,8 @@ object DataOpsQueries {
       table(s, dir, "documents").select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fingerprint"))),
 
-    "text_tfidf" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-      TextOps.tfIdf(docs, "doc_id", "text", docs.count())
-    }),
+    "text_tfidf" -> ((s, dir) =>
+      TextOps.tfIdf(table(s, dir, "documents"), "doc_id", "text")),
 
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(s,
@@ -83,6 +93,33 @@ object DataOpsQueries {
     // above; this checks their composition).
     "curate_corpus" -> ((s, dir) =>
       graft.ops.Curation.curate(table(s, dir, "documents"), "doc_id", "text")))
+
+  /** Embeddings corpus with planted near-duplicates: every 10th vector gets
+    * a copy (id + 1e6) perturbed by ±0.001 per component — cos(orig, copy)
+    * ≈ 0.99998 on this unit-norm corpus, far above every organic pair
+    * (≤ 0.61). The perturbation is written in the dialect-neutral arithmetic
+    * subset (float→double cast, %, integer-scaled double product) shared
+    * verbatim with the DuckDB oracle CTE, so both engines fabricate
+    * bit-identical vectors. */
+  def plantedEmbeddings(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"), Ann.asDouble(col("embedding")).as("embedding"))
+    val planted = emb.filter(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x.cast("double") +
+          lit(0.001) * ((col("vec_id") + i + 1) % 3 - 1).cast("double")).as("embedding"))
+    base.unionAll(planted)
+  }
+
+  /** The planted corpus as a DuckDB CTE body (1-based list index i ≡ Spark's
+    * 0-based lambda index + 1). */
+  private val plantedSql: String =
+    """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_transform(range(1, 65), i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+      |      + CAST(0.001 AS DOUBLE) * ((vec_id + i) % 3 - 1))
+      |  FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
 
   // ---------------------------------------------------------------- oracles
 
@@ -96,12 +133,21 @@ object DataOpsQueries {
   private def markerSql(ws: Seq[String]) =
     s"len(list_filter($toksSql, t -> list_contains(${ws.map(w => s"'$w'").mkString("[", ",", "]")}, t)))"
 
+  /** DuckDB 1.0 can't correlate `range(len(toks))` laterally, so shingle
+    * extraction cross-joins a constant range(1, 4096). The guard CTE poisons
+    * the oracle (error()) if any doc could outrun the cap (valid shingle
+    * starts reach len-2, range covers i ≤ 4095 ⇒ safe through len 4097) —
+    * a silent wrong-oracle on a longer future fixture becomes a loud fail. */
+  private val shingleCapGuard: String =
+    s"guard AS (SELECT CASE WHEN max(len($toksSql)) > 4097 THEN error('shingle range(1,4096) cap exceeded') ELSE 1 END AS g FROM documents)"
+
   private val oraclesNgramSql: String =
-    """WITH sh AS (
+    s"""WITH $shingleCapGuard,
+          |sh AS (
           |  SELECT DISTINCT doc_id, concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT)+1], toks[CAST(i AS INT)+2]) AS s
-          |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') toks
+          |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') toks
           |        FROM documents), range(1, 4096) t(i)
-          |  WHERE i + 2 <= len(toks)),
+          |  WHERE i + 2 <= len(toks) AND (SELECT g FROM guard) = 1),
           |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
           |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) m
           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -131,12 +177,12 @@ object DataOpsQueries {
            | count(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,
       "dedup_ngram_pairs" -> oraclesNgramSql,
       "dedup_embedding_pairs" ->
-        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
+        s"""WITH v AS ($plantedSql),
            |p AS (SELECT a.vec_id id_a, b.vec_id id_b, a.e ea, b.e eb FROM v a, v b WHERE a.vec_id < b.vec_id),
-           |s AS (SELECT id_a, id_b, round(${dotSql("ea", "eb")} /
-           |     (sqrt(${dotSql("ea", "ea")}) * sqrt(${dotSql("eb", "eb")})), 6) AS cos
+           |s AS (SELECT id_a, id_b, ${dotSql("ea", "eb")} /
+           |     (sqrt(${dotSql("ea", "ea")}) * sqrt(${dotSql("eb", "eb")})) AS cos
            | FROM p)
-           |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.3""".stripMargin,
+           |SELECT id_a, id_b FROM s WHERE cos >= 0.9""".stripMargin,
       "sim_topk_brute" ->
         s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
            |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
@@ -175,7 +221,8 @@ object DataOpsQueries {
           s"round(least(1.0, $len / 500.0) * 0.3 + (1.0 - least(1.0, $punct / $words)) * 0.3 +" +
             s" least(1.0, $stop * 5.0 / $words) * 0.2 + least(1.0, $words / 100.0) * 0.2, 6)"
         }
-        s"""WITH f0 AS (SELECT doc_id AS id, text, $scoreSel FROM documents),
+        s"""WITH $shingleCapGuard,
+           |f0 AS (SELECT doc_id AS id, text, $scoreSel FROM documents),
            |f AS (SELECT id, text, $langCase AS langid, $qualityExpr AS quality FROM f0),
            |flt AS (SELECT * FROM f WHERE langid = 'en' AND quality >= 0.6),
            |keep AS (SELECT min(id) AS id FROM flt GROUP BY md5($normTextSql)),
@@ -183,7 +230,7 @@ object DataOpsQueries {
            |sh AS (
            |  SELECT DISTINCT id, concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT)+1], toks[CAST(i AS INT)+2]) AS s
            |  FROM (SELECT id, $toksSql toks FROM ae), range(1, 4096) t(i)
-           |  WHERE i + 2 <= len(toks)),
+           |  WHERE i + 2 <= len(toks) AND (SELECT g FROM guard) = 1),
            |cnt AS (SELECT id, count(*) n FROM sh GROUP BY 1),
            |inter AS (SELECT a.id id_a, b.id id_b, count(*) m
            |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),

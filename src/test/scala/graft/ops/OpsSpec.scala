@@ -43,6 +43,17 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall@10 = $recall") // 6 planes × 4 tables on weakly-clustered data
   }
 
+  test("banded-SRP embedding near-dup pairs equal the exact all-pairs result on the planted corpus") {
+    val corpus = graft.queries.DataOpsQueries.plantedEmbeddings(embs)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairs(Ann.cosineNearDupPairs(corpus, 0.9, 64, planes = 0))
+    val srp = pairs(Ann.cosineNearDupPairs(corpus, 0.9, 64, planes = 12, tables = 6))
+    assert(exact.nonEmpty)
+    assert(srp == exact) // exact verify ⇒ subset; banding recalls every planted pair
+  }
+
   test("exact dedup keeps one representative per duplicated fingerprint") {
     val dup = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other text"))
       .toDF("doc_id", "text")
