@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`Array[Float]`).
@@ -32,6 +31,19 @@ object Ann {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Rank a (query_id, vec_id, cos) candidate set down to each query's
+    * top-k via the bounded [[TopKAgg]] aggregate — partial-combining, so a
+    * query's candidates never need to share one window partition (the
+    * ranking-window formulation puts each query's WHOLE corpus in a single
+    * task at large Q×N). Output rows and ranks are identical to
+    * `row_number() over (partition by query_id order by cos desc, vec_id)`. */
+  private def topKRanked(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(TopKAgg.topK(col("cos"), col("vec_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "r")))
+      .select(col("query_id"), col("r.id").as("vec_id"), col("r.score").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
+
   /** Exact brute-force top-k: for each query row, the k nearest corpus rows
     * by cosine (rounded to 6dp for cross-engine rank stability, id tiebreak). */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
@@ -41,11 +53,7 @@ object Ann {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+    topKRanked(scored, k)
   }
 
   /** splitmix64 (Vigna, public domain) — drives the deterministic ±1 plane
@@ -103,11 +111,7 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("qv"), col("cv"))
       .distinct() // a pair may collide in several tables
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+    topKRanked(scored, k)
   }
 
   /** Deterministic k-means-lite centroids for IVF, trained on a BOUNDED
@@ -196,11 +200,7 @@ object Ann {
     val scored = cIdx.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+    topKRanked(scored, k)
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold, EXACT output either way.

@@ -92,7 +92,35 @@ object DataOpsQueries {
     // dedup → near-dup removal (every stage individually oracle-checked
     // above; this checks their composition).
     "curate_corpus" -> ((s, dir) =>
-      graft.ops.Curation.curate(table(s, dir, "documents"), "doc_id", "text")))
+      graft.ops.Curation.curate(table(s, dir, "documents"), "doc_id", "text")),
+
+    // Gate for the custom TypedImperativeAggregate: per-nation MinHash
+    // sketch of the clerk set (one shuffle of k longs per nation — the
+    // group's element set is never materialized for the sketch), pairwise
+    // signature agreement vs the exact set Jaccard computed alongside.
+    // Rows-only (the sketch hashes with Spark's Murmur3 — not SQL-
+    // expressible); MinHashAggSpec bounds |est−exact|.
+    "minhash_nation_clerks" -> ((s, dir) => {
+      val clerks = table(s, dir, "orders").select(col("o_custkey"), col("o_clerk"))
+        .join(table(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("o_clerk").as("clerk"))
+      val k = 128
+      val sigs = clerks.groupBy(col("nation")).agg(
+        graft.ops.MinHashAgg.minhashAgg(col("clerk"), k).as("sig"),
+        collect_set(col("clerk")).as("cset"))
+      sigs.select(col("nation").as("nation_a"), col("sig").as("sig_a"), col("cset").as("set_a"))
+        .crossJoin(sigs.select(col("nation").as("nation_b"), col("sig").as("sig_b"), col("cset").as("set_b")))
+        .filter(col("nation_a") < col("nation_b"))
+        .select(col("nation_a"), col("nation_b"),
+          (aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+            .cast("double") / k).as("est_jaccard"),
+          (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+            size(array_union(col("set_a"), col("set_b"))).cast("double")).as("exact_jaccard"))
+    }))
 
   /** Embeddings corpus with planted near-duplicates: every 10th vector gets
     * a copy (id + 1e6) perturbed by ±0.001 per component — cos(orig, copy)

@@ -57,6 +57,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ANN top-k ranks through a partial-combining aggregate, not a ranking window") {
+    val p = plan("sim_topk_brute")
+    assert(p.contains("ObjectHashAggregate"), p) // TypedImperativeAggregate surface
+    assert("(?i)topkagg".r.findFirstIn(p).nonEmpty, p)
+    assert(!p.contains("Window"), p) // no per-query global window partition
+  }
+
   test("seq_ratio is SQL-callable after extension registration") {
     GraftExtensions.registerOn(spark)
     val r = spark.sql("SELECT seq_ratio('grady_memorial', 'grady_memoral') AS r")

@@ -29,6 +29,15 @@ class MinHashAggSpec extends SparkSpec {
     }
   }
 
+  test("gate query minhash_nation_clerks: estimate within sketch error of exact Jaccard") {
+    val out = graft.queries.DataOpsQueries.queries("minhash_nation_clerks")(spark, sf("sf0.001"))
+      .select("est_jaccard", "exact_jaccard").collect()
+    assert(out.length > 0)
+    val maxErr = out.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).max
+    info(s"pairs=${out.length} max |est-exact| = $maxErr")
+    assert(maxErr < 0.2, s"max err $maxErr") // k=128 ⇒ stderr ≈ 0.045, 4σ bound
+  }
+
   test("partial-merge equivalence: signature is partition-count invariant") {
     val words = (1 to 500).map(i => s"w$i")
     val one = words.toDF("t").coalesce(1)
