@@ -231,20 +231,25 @@ object Ann {
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))
         .distinct() // a pair may collide in several tables
+      // Filter on the UNROUNDED cosine — the DuckDB oracle applies the raw
+      // `cos >= t` predicate, so rounding before the filter would admit
+      // values in [t - 5e-7, t). Round only the emitted score column.
       candidates
         .join(c.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
         .join(c.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(cosine(col("va"), col("vb")), 6).as("cos"))
-        .filter(col("cos") >= threshold)
+          cosine(col("va"), col("vb")).as("raw_cos"))
+        .filter(col("raw_cos") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("raw_cos"), 6).as("cos"))
     } else {
       val par = corpus.sparkSession.sparkContext.defaultParallelism
       c.select(col("vec_id").as("id_a"), col("v").as("va")).repartition(par)
         .crossJoin(broadcast(c.select(col("vec_id").as("id_b"), col("v").as("vb"))))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(cosine(col("va"), col("vb")), 6).as("cos"))
-        .filter(col("cos") >= threshold)
+          cosine(col("va"), col("vb")).as("raw_cos"))
+        .filter(col("raw_cos") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("raw_cos"), 6).as("cos"))
     }
   }
 }

@@ -95,22 +95,26 @@ object DataOpsQueries {
       graft.ops.Curation.curate(table(s, dir, "documents"), "doc_id", "text")),
 
     // Gate for the custom TypedImperativeAggregate: per-nation MinHash
-    // sketch of the clerk set (one shuffle of k longs per nation — the
-    // group's element set is never materialized for the sketch), pairwise
-    // signature agreement vs the exact set Jaccard computed alongside.
+    // sketch of the distinct order-date set (one shuffle of k longs per
+    // nation — the group's element set is never materialized for the
+    // sketch), pairwise signature agreement vs the exact set Jaccard
+    // computed alongside. Order dates give each nation a few-hundred-element
+    // set with moderate cross-nation overlap, so the estimate is genuinely
+    // exercised (unlike a 5-value enum column where every Jaccard ≈ 1).
     // Rows-only (the sketch hashes with Spark's Murmur3 — not SQL-
     // expressible); MinHashAggSpec bounds |est−exact|.
-    "minhash_nation_clerks" -> ((s, dir) => {
-      val clerks = table(s, dir, "orders").select(col("o_custkey"), col("o_clerk"))
+    "minhash_nation_orderdates" -> ((s, dir) => {
+      val dates = table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate").cast("string").as("odate"))
         .join(table(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(table(s, dir, "nation")),
           col("c_nationkey") === col("n_nationkey"))
-        .select(col("n_name").as("nation"), col("o_clerk").as("clerk"))
+        .select(col("n_name").as("nation"), col("odate"))
       val k = 128
-      val sigs = clerks.groupBy(col("nation")).agg(
-        graft.ops.MinHashAgg.minhashAgg(col("clerk"), k).as("sig"),
-        collect_set(col("clerk")).as("cset"))
+      val sigs = dates.groupBy(col("nation")).agg(
+        graft.ops.MinHashAgg.minhashAgg(col("odate"), k).as("sig"),
+        collect_set(col("odate")).as("cset"))
       sigs.select(col("nation").as("nation_a"), col("sig").as("sig_a"), col("cset").as("set_a"))
         .crossJoin(sigs.select(col("nation").as("nation_b"), col("sig").as("sig_b"), col("cset").as("set_b")))
         .filter(col("nation_a") < col("nation_b"))

@@ -28,19 +28,23 @@ object ExtractQueries {
   private val genericNotesE = "CASE WHEN p_partkey % 2 = 0 THEN 'generic' ELSE '' END"
   private val grossE = "cast(p_partkey % 900 + 500 as string)"
 
+  /** The tall-shaped fabricated body shared by the tall-path gates. */
+  private def tallBody(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "part").select(
+      col("p_name").as("description"),
+      expr(codeE).as("code|1"), expr(ctE).as("code|1|type"),
+      expr(code2E).as("code|2"), expr(ct2E).as("code|2|type"),
+      lit("outpatient").as("setting"),
+      expr(payerE).as("payer_name"),
+      lit("PPO").as("plan_name"),
+      expr(aetnaDollarE).as("standard_charge|negotiated_dollar"),
+      expr(grossE).as("standard_charge|gross"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Tall path: pair explode + normalization + payer bracket split (U1).
     "extract_tall_canonical" -> ((s, dir) => {
-      val body = table(s, dir, "part").select(
-        col("p_name").as("description"),
-        expr(codeE).as("code|1"), expr(ctE).as("code|1|type"),
-        expr(code2E).as("code|2"), expr(ct2E).as("code|2|type"),
-        lit("outpatient").as("setting"),
-        expr(payerE).as("payer_name"),
-        lit("PPO").as("plan_name"),
-        expr(aetnaDollarE).as("standard_charge|negotiated_dollar"),
-        expr(grossE).as("standard_charge|gross"))
+      val body = tallBody(s, dir)
       TallExtractor.extract(body, "General", "30303")
         .select(col("code"), col("code type").as("code_type"),
           col("description"),
@@ -72,7 +76,20 @@ object ExtractQueries {
           col("estimated amount").as("estimated_amount"),
           col("additional notes").as("notes"),
           col("gross charge").as("gross_charge"))
-    }))
+    }),
+
+    // A3 — rejected-type counts: the fixture fabricates 'FOO' (not in the
+    // normalization map) on every third row, so the reference's
+    // unknown-code-type counter path is exercised with a real reject.
+    "extract_unknown_types" -> ((s, dir) =>
+      graft.extract.CodePairs.unknownTypeCounts(
+        graft.extract.CodePairs.explodePairs(tallBody(s, dir)))),
+
+    // A6 — allowed types never seen, as an EXCEPT plan (no driver collect):
+    // fixture presents {CPT, DRG, HCPCS} ⇒ missing {ICD, CDT, NDC, APC}.
+    "extract_missing_code_types" -> ((s, dir) =>
+      graft.extract.CodePairs.missingCodeTypes(
+        graft.extract.CodePairs.explodePairs(tallBody(s, dir)))))
 
   def oracles: Map[String, String] = {
     val norm = "CASE upper(ct) WHEN 'CPT' THEN 'CPT' WHEN 'MS-DRG' THEN 'DRG'" +
@@ -116,6 +133,26 @@ object ExtractQueries {
            |   concat_ws(', ', NULLIF(gnotes, '')) AS notes, gross AS gross_charge
            |  FROM valid WHERE b_dollar <> '' OR b_est <> '')
            |SELECT * FROM aetna UNION ALL SELECT * FROM bcbs""".stripMargin
+      },
+      "extract_unknown_types" -> {
+        s"""WITH f AS (SELECT $codeE AS code1, $ctE AS ct1, $code2E AS code2, $ct2E AS ct2 FROM part),
+           |pairs AS (
+           |  SELECT code1 AS code, ct1 AS rt FROM f WHERE code1 <> '' AND ct1 <> ''
+           |  UNION ALL
+           |  SELECT code2, ct2 FROM f WHERE code2 <> '' AND ct2 <> '')
+           |SELECT rt AS raw_type, CAST(count(*) AS BIGINT) AS n FROM pairs
+           |WHERE ${norm.replace("upper(ct)", "upper(rt)")} IS NULL GROUP BY rt""".stripMargin
+      },
+      "extract_missing_code_types" -> {
+        val normed = norm.replace("upper(ct)", "upper(rt)")
+        s"""WITH f AS (SELECT $codeE AS code1, $ctE AS ct1, $code2E AS code2, $ct2E AS ct2 FROM part),
+           |pairs AS (
+           |  SELECT code1 AS code, ct1 AS rt FROM f WHERE code1 <> '' AND ct1 <> ''
+           |  UNION ALL
+           |  SELECT code2, ct2 FROM f WHERE code2 <> '' AND ct2 <> ''),
+           |present AS (SELECT DISTINCT $normed AS code_type FROM pairs WHERE $normed IS NOT NULL)
+           |SELECT code_type FROM (VALUES ('CPT'),('HCPCS'),('ICD'),('DRG'),('CDT'),('NDC'),('APC')) t(code_type)
+           |EXCEPT SELECT code_type FROM present""".stripMargin
       })
   }
 }

@@ -29,8 +29,8 @@ class MinHashAggSpec extends SparkSpec {
     }
   }
 
-  test("gate query minhash_nation_clerks: estimate within sketch error of exact Jaccard") {
-    val out = graft.queries.DataOpsQueries.queries("minhash_nation_clerks")(spark, sf("sf0.001"))
+  test("gate query minhash_nation_orderdates: estimate within sketch error of exact Jaccard") {
+    val out = graft.queries.DataOpsQueries.queries("minhash_nation_orderdates")(spark, sf("sf0.001"))
       .select("est_jaccard", "exact_jaccard").collect()
     assert(out.length > 0)
     val maxErr = out.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).max
