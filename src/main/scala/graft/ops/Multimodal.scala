@@ -1,58 +1,81 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, decoded/feature-extracted per partition.
   *
-  * The Spark-side plumbing (schema, partition-wise batch processing, typed
-  * records) is REAL; the media decode itself is a clearly-marked
-  * DETERMINISTIC STUB (`stubDecode`) because no image/audio codec libraries
-  * ship in this container — swap `stubDecode` for an actual decoder (e.g.
-  * javax.imageio / ffmpeg bindings) without touching the plan shape. The
-  * stub's outputs are pure functions of the payload bytes, so the pipeline
-  * stays correctness-checkable end-to-end.
+  * The payloads are REAL PNG streams (encoded with `javax.imageio`, which
+  * ships in the JRE) and the decode path is a REAL `ImageIO.read` — the
+  * correctness gate only passes if the decoder recovers the dimensions and
+  * pixel values that went into the encoder. The same partition-wise seam
+  * (`mapPartitions`, one codec context per partition, not per row) is where
+  * an ffmpeg/audio binding would slot for non-image media; for video,
+  * `n_frames` > 1 and frame-sampling would happen inside the same batch
+  * loop.
   */
 object Multimodal {
 
-  /** One media asset: opaque payload + typed metadata. */
+  /** One media asset: opaque payload + typed metadata (the metadata mirrors
+    * what a real manifest would declare; decode does NOT read it). */
   final case class MediaRecord(doc_id: Long, mime: String, width: Int,
       height: Int, payload: Array[Byte])
 
-  /** Decoded features per asset (frame count + a feature vector head). */
+  /** Decoded features per asset: dimensions and pixel channels come from
+    * the DECODED image, never from the manifest metadata. */
   final case class DecodedRecord(doc_id: Long, mime: String, byte_len: Long,
-      n_frames: Int, feature0: Double)
+      width: Int, height: Int, n_frames: Int, r: Int, g: Int, b: Int,
+      feature0: Double)
 
-  /** Fabricate a media table from the documents corpus: payload = UTF-8
-    * bytes of the text, metadata derived from doc fields. Stands in for a
-    * real binary source (parquet/tar shards of images). */
-  def fabricateFromDocs(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      lit("image/fake").as("mime"),
-      (col("n_chars") % 640).cast("int").as("width"),
-      (col("n_chars") % 480).cast("int").as("height"),
-      encode(col("text"), "UTF-8").as("payload"))
-
-  /** ======== STUB ========
-    * Deterministic fake decode: a real implementation would parse the codec
-    * stream here. Kept byte-driven so results are reproducible and
-    * oracle-checkable. */
-  def stubDecode(payload: Array[Byte]): (Int, Double) = {
-    val len = payload.length
-    (len / 100 + 1, (len % 97) / 97.0)
+  /** Fabricate a real PNG per document: dimensions and fill color are pure
+    * integer formulas of (doc_id, n_chars), so a DuckDB oracle can predict
+    * exactly what a correct decode must recover. Encoding runs distributed
+    * (one ImageIO writer per partition) — stands in for a binary source
+    * (parquet/tar shards of images). */
+  def fabricateFromDocs(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val w = (nChars % 64 + 1).toInt
+          val h = (nChars % 48 + 1).toInt
+          val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val out = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", out)
+          MediaRecord(id, "image/png", w, h, out.toByteArray)
+        }
+      }
   }
 
-  /** Partition-wise decode/feature-extract — the batch boundary a real
-    * decoder needs (one codec context per partition, not per row). */
-  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[DecodedRecord] = {
+  /** Partition-wise decode/feature-extract — a REAL `ImageIO.read` of the
+    * PNG stream. Dimensions, channel values, and feature0 are read from the
+    * decoded raster (PNG is lossless, so they must equal the fabrication
+    * formulas exactly — that equality IS the gate). */
+  def decodeFeatures(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[DecodedRecord] = {
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions { it =>
-      // real decoder init would happen once per partition here
+    media.mapPartitions { it =>
+      // a stateful codec context would be initialized once per partition here
       it.map { m =>
-        val (frames, f0) = stubDecode(m.payload)
-        DecodedRecord(m.doc_id, m.mime, m.payload.length.toLong, frames, f0)
+        val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+        val argb = img.getRGB(0, 0)
+        val r = (argb >> 16) & 0xff
+        DecodedRecord(m.doc_id, m.mime, m.payload.length.toLong,
+          img.getWidth, img.getHeight, n_frames = 1,
+          r = r, g = (argb >> 8) & 0xff, b = argb & 0xff,
+          feature0 = r / 255.0)
       }
     }
   }

@@ -84,9 +84,16 @@ object DataOpsQueries {
     "text_tfidf" -> ((s, dir) =>
       TextOps.tfIdf(table(s, dir, "documents"), "doc_id", "text")),
 
+    // Real encode→decode round trip: fabricate actual PNG streams from
+    // integer formulas of (doc_id, n_chars), decode them with ImageIO, and
+    // emit the DECODED dimensions/pixels. The oracle predicts them from the
+    // same formulas — it only matches if the codec round trip is faithful.
+    // byte_len (compressed size) is codec-dependent, hence not emitted.
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(s,
-        Multimodal.fabricateFromDocs(table(s, dir, "documents"))).toDF()),
+        Multimodal.fabricateFromDocs(table(s, dir, "documents"))).toDF()
+        .select(col("doc_id"), col("mime"), col("width"), col("height"),
+          col("n_frames"), col("r"), col("g"), col("b"), col("feature0"))),
 
     // The composed curation pass: language filter → quality floor → exact
     // dedup → near-dup removal (every stage individually oracle-checked
@@ -280,9 +287,14 @@ object DataOpsQueries {
            | round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
            |FROM tf JOIN dfq USING (term), n""".stripMargin,
       "multimodal_decode" ->
-        """SELECT doc_id, 'image/fake' AS mime, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-          | CAST(octet_length(encode(text)) // 100 + 1 AS INT) AS n_frames,
-          | CAST(octet_length(encode(text)) % 97 AS DOUBLE) / 97.0 AS feature0
+        """SELECT doc_id, 'image/png' AS mime,
+          | CAST(n_chars % 64 + 1 AS INT) AS width,
+          | CAST(n_chars % 48 + 1 AS INT) AS height,
+          | CAST(1 AS INT) AS n_frames,
+          | CAST(doc_id % 256 AS INT) AS r,
+          | CAST((doc_id * 7) % 256 AS INT) AS g,
+          | CAST((doc_id * 13) % 256 AS INT) AS b,
+          | CAST(doc_id % 256 AS DOUBLE) / 255.0 AS feature0
           |FROM documents""".stripMargin)
   }
 }

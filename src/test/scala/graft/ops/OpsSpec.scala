@@ -62,14 +62,20 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L)) // whitespace/case-normalized match, min id kept
   }
 
-  test("multimodal decode stub: byte_len equals text length, plumbing schema intact") {
+  test("multimodal: ImageIO decode recovers the encoded dimensions and pixels") {
     val out = Multimodal.decodeFeatures(spark,
       Multimodal.fabricateFromDocs(docs)).toDF()
-    val joined = out.join(docs, Seq("doc_id"))
-      .filter(col("byte_len") =!= col("n_chars"))
-    assert(joined.isEmpty) // ascii corpus: utf-8 bytes == chars
-    assert(out.columns.toSeq ==
-      Seq("doc_id", "mime", "byte_len", "n_frames", "feature0"))
+    val bad = out.join(docs, Seq("doc_id")).filter(
+      col("width") =!= (col("n_chars") % 64 + 1).cast("int") ||
+        col("height") =!= (col("n_chars") % 48 + 1).cast("int") ||
+        col("r") =!= (col("doc_id") % 256).cast("int") ||
+        col("g") =!= (col("doc_id") * 7 % 256).cast("int") ||
+        col("b") =!= (col("doc_id") * 13 % 256).cast("int"))
+    assert(bad.isEmpty) // PNG is lossless: decode must round-trip exactly
+    assert(out.columns.toSeq == Seq("doc_id", "mime", "byte_len", "width",
+      "height", "n_frames", "r", "g", "b", "feature0"))
+    // the payload really is a PNG stream (signature + IHDR + IDAT + IEND)
+    assert(out.agg(min(col("byte_len"))).head().getLong(0) > 50L)
   }
 
   test("IVF top-k recall is comparable to multi-table LSH on this corpus") {
