@@ -63,4 +63,43 @@ class StreamingSpec extends SparkSpec {
     // deterministic part we assert.
     assert(got.contains((1L, 2L, 3.0)))
   }
+
+  test("streaming sessionization equals the oracle-checked batch gate on the events fixture") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // The batch gate compares second-truncated gaps (unix_timestamp); feed
+    // the stream second-truncated ts so the ms-based gap rule is identical
+    // (floor is monotone, so membership and min/max formatting agree too).
+    val ev = Tables.table(spark, sf("sf0.001"), "events")
+      .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+        col("event_type"), col("value"))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    // One far-future sentinel per user closes every real session inline —
+    // the sentinels' own sessions stay in state and are never emitted.
+    val flush = ev.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        lit(new Timestamp(maxTs.getTime + 31 * 60000L)).as("ts"),
+        lit("flush").as("event_type"), lit(0.0).as("value"))
+    val dir = Files.createTempDirectory("graft-sess-eq").toString
+    ev.unionByName(flush).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+      .as[Sessionize.Event]
+    val q = Sessionize.sessionize(spark, stream, gapMs = 30 * 60000L)
+      .writeStream.outputMode("append").format("memory").queryName("sess_eq").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def keyed(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)) -> r.getDouble(4))
+    val got = keyed(spark.table("sess_eq").select(col("user_id"), col("n_events"),
+      date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss"),
+      date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss"), col("total_value")))
+    val want = keyed(graft.queries.SessionQueries.queries("sessionize_events")(spark, sf("sf0.001"))
+      .select(col("user_id"), col("n_events"), col("session_start"),
+        col("session_end"), col("total_value")))
+    assert(got.map(_._1).toSet == want.map(_._1).toSet, "session key sets differ")
+    assert(got.length == want.length, "duplicate session keys")
+    val wantMap = want.toMap
+    val maxErr = got.map { case (k, v) => math.abs(v - wantMap(k)) }.max
+    assert(maxErr < 1e-6, s"total_value max |stream-batch| = $maxErr")
+  }
 }
