@@ -120,13 +120,18 @@ object Cleaning {
     * disappears. */
   def dedup(df: DataFrame): DataFrame = df.dropDuplicates()
 
-  /** The full pre-rules cleaning pass, in reference order
-    * (cleaning_utils.py:163-179). */
-  def cleanAll(raw: DataFrame): DataFrame = {
+  /** Everything before dedup, in reference order — callers that need the
+    * duplicates-dropped delta (A11/devlog) count this frame vs the deduped
+    * one. */
+  def cleanAllPreDedup(raw: DataFrame): DataFrame = {
     val steps: Seq[DataFrame => DataFrame] = Seq(
       canonHeaders, ensureModifiers, cleanPriceFields, removeInvalidTokens,
       normalizeTextFields, normalizeModifiers, flagAlgorithmFormat,
-      validateCodeFormat, dedup)
+      validateCodeFormat)
     steps.foldLeft(raw)((d, f) => f(d))
   }
+
+  /** The full pre-rules cleaning pass, in reference order
+    * (cleaning_utils.py:163-179). */
+  def cleanAll(raw: DataFrame): DataFrame = dedup(cleanAllPreDedup(raw))
 }

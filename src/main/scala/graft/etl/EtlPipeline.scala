@@ -83,11 +83,7 @@ object EtlPipeline {
     // flip on garbage input is worse than an error.
     require(extractedRows > 0,
       s"Extraction produced 0 canonical rows for campus '$campusId' from $rawPath")
-    val preDedup = Seq[DataFrame => DataFrame](
-      Cleaning.canonHeaders, Cleaning.ensureModifiers, Cleaning.cleanPriceFields,
-      Cleaning.removeInvalidTokens, Cleaning.normalizeTextFields,
-      Cleaning.normalizeModifiers, Cleaning.flagAlgorithmFormat,
-      Cleaning.validateCodeFormat).foldLeft(extracted)((d, f) => f(d)).cache()
+    val preDedup = Cleaning.cleanAllPreDedup(extracted).cache()
     val preDedupRows = preDedup.count()
     val tagged = Rules.tagViolations(Cleaning.dedup(preDedup)).cache()
     val (clean, violations) = Rules.split(tagged)

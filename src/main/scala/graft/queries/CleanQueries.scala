@@ -43,7 +43,36 @@ object CleanQueries {
       val (_, bad) = Rules.split(tagged(s, dir))
       renamedToUnderscore(bad, Seq("negotiated_algorithm_invalid", "rules_violated"))
     }),
-    "clean_summary" -> ((s, dir) => Rules.summarize(tagged(s, dir))))
+    "clean_summary" -> ((s, dir) => Rules.summarize(tagged(s, dir))),
+
+    // S11/S13/L1/A11 as data: build the real cleaning metadata (including
+    // the duplicates-dropped delta), append TWO devlog entries (a stale
+    // seed, then the real run), read the log back through Devlog.latest —
+    // the emitted row proves the JSON sink/scan round trip, the seq
+    // ordering pick, and every counter the reference's devlog records.
+    "devlog_roundtrip" -> ((s, dir) => {
+      import graft.meta.Devlog
+      val pre = Cleaning.cleanAllPreDedup(ChargesFixture.charges(s, dir))
+      val t = Rules.tagViolations(Cleaning.dedup(pre))
+      val meta = Devlog.metadataFromSummary(Rules.summarize(t),
+        duplicatesDropped = pre.count() - t.count())
+      val path = java.nio.file.Files.createTempDirectory("graft-devlog-gate").toString
+      Devlog.append(s, path, Devlog.DevlogEntry("GATE", "1 Gate St", "v0",
+        "2024-01-01", 0.0, seq = 1L, meta.copy(total_rows_cleaned = -1L)))
+      Devlog.append(s, path, Devlog.DevlogEntry("GATE", "1 Gate St", "v1",
+        "2024-01-02", meta.final_transparency_score, seq = 2L, meta))
+      Devlog.latest(s, path).select(
+        Seq(col("campus_id"), col("version"), col("seq"),
+          col("transparency_score"),
+          col("cleaning_metadata.final_transparency_score").as("final_transparency_score"),
+          col("cleaning_metadata.total_rows_cleaned").as("total_rows_cleaned"),
+          col("cleaning_metadata.total_duplicates_dropped").as("total_duplicates_dropped"),
+          col("cleaning_metadata.total_rows_dropped_due_to_rule_violations")
+            .as("total_rows_dropped_due_to_rule_violations"),
+          col("cleaning_metadata.total_algorithm_format_violations")
+            .as("total_algorithm_format_violations")) ++
+          RuleNames.map(n => col(s"cleaning_metadata.rule_violations_summary.$n").as(n)): _*)
+    }))
 
   // ---------------------------------------------------------------- oracle --
 
@@ -138,6 +167,22 @@ object CleanQueries {
            |  CASE WHEN total_rows_cleaned + ($droppedExpr) = 0 THEN 0.0
            |       ELSE greatest(0.0, 1.0 - CAST($droppedExpr AS DOUBLE) / (CAST(total_rows_cleaned + ($droppedExpr) AS DOUBLE) * 10.0)) END
            |    AS final_transparency_score
-           |FROM s""".stripMargin)
+           |FROM s""".stripMargin,
+      "devlog_roundtrip" -> {
+        val score =
+          s"""CASE WHEN total_rows_cleaned + ($droppedExpr) = 0 THEN 0.0
+             |  ELSE greatest(0.0, 1.0 - CAST($droppedExpr AS DOUBLE) / (CAST(total_rows_cleaned + ($droppedExpr) AS DOUBLE) * 10.0)) END""".stripMargin
+        s"""$pipelineCte,
+           |s AS (SELECT $summaryInner FROM ruled),
+           |pre AS (SELECT CAST(count(*) AS BIGINT) AS pre_n FROM valid_rows),
+           |ded AS (SELECT CAST(count(*) AS BIGINT) AS ded_n FROM deduped)
+           |SELECT 'GATE' AS campus_id, 'v1' AS version, CAST(2 AS BIGINT) AS seq,
+           |  round($score, 4) AS transparency_score,
+           |  round($score, 4) AS final_transparency_score,
+           |  total_rows_cleaned, pre_n - ded_n AS total_duplicates_dropped,
+           |  CAST($droppedExpr AS BIGINT) AS total_rows_dropped_due_to_rule_violations,
+           |  total_algorithm_format_violations, ${RuleNames.mkString(", ")}
+           |FROM s, pre, ded""".stripMargin
+      })
   }
 }
