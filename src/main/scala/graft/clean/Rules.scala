@@ -84,7 +84,12 @@ object Rules {
     * row once PER VIOLATED RULE in both terms (cleaning_utils.py:214-216);
     * replicated literally. Returns a 1-row DataFrame.
     */
-  def summarize(tagged: DataFrame): DataFrame = {
+  def summarize(tagged: DataFrame): DataFrame = summarize(tagged, Nil)
+
+  /** [[summarize]] with caller-supplied extra aggregates computed in the
+    * SAME pass (e.g. the devlog's pre-/post-dedup row counts) — one job
+    * instead of one per statistic. */
+  def summarize(tagged: DataFrame, extraAggs: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val isClean = col("rules_violated").isNull
     // coalesce(…, 0): sum over an EMPTY frame is NULL, which would unbox to
     // garbage zeros downstream while skipping the examined==0 score guard.
@@ -94,7 +99,7 @@ object Rules {
     val aggs = ruleCounts ++ Seq(
       coalesce(sum(when(isClean, 1L).otherwise(0L)), lit(0L)).as("total_rows_cleaned"),
       coalesce(sum(when(isClean && col("negotiated_algorithm_invalid") === true, 1L)
-        .otherwise(0L)), lit(0L)).as("total_algorithm_format_violations"))
+        .otherwise(0L)), lit(0L)).as("total_algorithm_format_violations")) ++ extraAggs
     val g = tagged.agg(aggs.head, aggs.tail: _*)
     val dropped = RuleNames.map(col).reduce(_ + _)
     val examined = col("total_rows_cleaned") + col("total_rows_dropped_due_to_rule_violations")

@@ -31,8 +31,12 @@ object Devlog {
 
   /** Build the cleaning metadata block from a Rules.summarize 1-row frame
     * (rounding matches `round(final_score, 4)`, cleaning_utils.py:231). */
-  def metadataFromSummary(summary: DataFrame, duplicatesDropped: Long): CleaningMetadata = {
-    val r = summary.head()
+  def metadataFromSummary(summary: DataFrame, duplicatesDropped: Long): CleaningMetadata =
+    metadataFromSummary(summary.head(), duplicatesDropped)
+
+  /** Row overload for callers that already collected the summary (avoids
+    * re-executing the aggregation). */
+  def metadataFromSummary(r: org.apache.spark.sql.Row, duplicatesDropped: Long): CleaningMetadata = {
     CleaningMetadata(
       final_transparency_score =
         math.rint(r.getAs[Double]("final_transparency_score") * 1e4) / 1e4,

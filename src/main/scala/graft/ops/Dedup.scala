@@ -183,28 +183,37 @@ object Dedup {
     * IDENTICAL to a naive all-pairs scan at any τ > 0. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = shingleRows(docs, idCol, textCol, n)
-    val withSh = sh.groupBy(col("id")).agg(collect_set(col("s")).as("sh"))
+    // Shingle sets are built with the NARROW array expression (one
+    // projection, no shuffle), so re-evaluating the base in the two
+    // aggregate subtrees below costs a scan, not a window sort — the plan's
+    // only shuffles are the keyed aggregates/joins themselves.
+    val sh = docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("s"))
     // Canonical order = ascending document frequency (rare shingles first) —
     // prefixes then hold each doc's rarest shingles, so hot shingles almost
     // never generate candidates. Any consistent total order is correct; df
     // order is the one that performs on skewed corpora.
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
-    val prefix = sh.join(dfreq, Seq("s"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("id"))))
-      .filter(col("rn") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
-      .select(col("s"), col("id"))
+    // One aggregate yields the df-ordered shingle array; the prefix of
+    // length |set| − ⌈τ·|set|⌉ + 1 is a slice of it (any pair with J ≥ τ
+    // must share a shingle inside both prefixes).
+    val ordered = sh.join(dfreq, Seq("s"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"))
+      .select(col("id"), transform(col("arr"), x => x("s")).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .withColumn("prefix", slice(col("sh"), lit(1),
+        (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
+    val prefix = ordered.select(explode(col("prefix")).as("s"), col("id"))
     val candidates = prefix.select(col("s"), col("id").as("id_a"))
       .join(prefix.select(col("s"), col("id").as("id_b")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    val sets = ordered.select(col("id"), col("sh"))
     candidates
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

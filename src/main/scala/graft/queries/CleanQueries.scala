@@ -53,9 +53,18 @@ object CleanQueries {
     "devlog_roundtrip" -> ((s, dir) => {
       import graft.meta.Devlog
       val pre = Cleaning.cleanAllPreDedup(ChargesFixture.charges(s, dir))
-      val t = Rules.tagViolations(Cleaning.dedup(pre))
-      val meta = Devlog.metadataFromSummary(Rules.summarize(t),
-        duplicatesDropped = pre.count() - t.count())
+      // Dedup as a group-by-all-columns carrying the duplicate multiplicity,
+      // so the summary, the pre-dedup row count, and the deduped row count
+      // all come out of ONE aggregation pass (not three pipeline scans).
+      val grouped = pre.groupBy(pre.columns.map(col): _*)
+        .agg(count(lit(1)).as("__mult"))
+      val t = Rules.tagViolations(grouped)
+      val summary = Rules.summarize(t, Seq(
+        coalesce(sum(col("__mult")), lit(0L)).as("__pre_n"),
+        count(lit(1)).as("__ded_n")))
+      val row = summary.head()
+      val meta = Devlog.metadataFromSummary(row,
+        duplicatesDropped = row.getAs[Long]("__pre_n") - row.getAs[Long]("__ded_n"))
       val path = java.nio.file.Files.createTempDirectory("graft-devlog-gate").toString
       Devlog.append(s, path, Devlog.DevlogEntry("GATE", "1 Gate St", "v0",
         "2024-01-01", 0.0, seq = 1L, meta.copy(total_rows_cleaned = -1L)))
