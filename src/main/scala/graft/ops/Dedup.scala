@@ -37,37 +37,21 @@ object Dedup {
   // -------------------------------------------------------------- shingles
 
   /** Word n-gram shingles as a Column (distinct set semantics for Jaccard).
-    * PERF CAVEAT: expressions referenced inside higher-order-function
-    * lambdas are re-evaluated PER ELEMENT (no common-subexpression
-    * elimination inside lambdas) — fine on a literal column, ~100× slow when
-    * `text` is a computed expression. The distributed pipelines below use
-    * the relational [[shingleRows]] instead. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextOps.tokens(text)
-    // <n-token docs yield the EMPTY set — consistent with shingleRows and
-    // the DuckDB oracles (such docs can never be near-dups).
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    array_distinct(grams)
-  }
+    * One custom-expression eval per document ([[graft.functions.TextShingles]])
+    * — the composable transform/slice/concat_ws chain runs interpreted per
+    * GRAM and was the measured hot spot of every shingle-based dedup. */
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.TextShingles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), n))
 
-  /** Distinct (id, shingle) rows built relationally: one posexplode of the
-    * token array (tokenization runs once per document) + window leads for
-    * the n-gram. Documents with fewer than n tokens produce no shingles. */
-  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tok = docs.select(col(idCol).as("id"),
-      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "t")))
-    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val parts = col("t") +: (1 until n).map(i => lead(col("t"), i).over(w))
-    tok.withColumn("last", lead(col("t"), n - 1).over(w))
-      .withColumn("s", concat_ws(" ", parts: _*))
-      .filter(col("last").isNotNull)
-      .select(col("id"), col("s"))
-      .distinct()
-  }
+  /** Distinct (id, shingle) rows: a NARROW projection (per-doc shingle
+    * array + explode) — no window, no shuffle, safe to re-evaluate in
+    * several plan subtrees. Documents with fewer than n tokens produce no
+    * shingles. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("s"))
 
   /** One row per doc with its distinct shingle set (for exact verifies). */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
