@@ -99,17 +99,15 @@ object Cleaning {
     val coded = df
       .withColumn("code", coalesce(col("code"), lit("nan")))
       .withColumn("code type", upper(coalesce(col("code type"), lit("nan"))))
-    val code = col("code")
-    val ct = col("code type")
-    val valid =
-      (ct === "CPT") && code.rlike("^\\d{5}$") ||
-      (ct === "HCPCS") && (code.rlike("^\\d{5}$") || code.rlike("^[A-V]\\d{4}$")) ||
-      (ct === "NDC") && code.rlike("^\\d{10,11}$") ||
-      (ct === "DRG") && code.rlike("^\\d{3}$") ||
-      (ct === "CDT") && code.rlike("^D\\d{4}$") ||
-      (ct === "APC") && code.rlike("^\\d{4}$") ||
-      (ct === "ICD") && length(code).between(3, 7)
-    coded.filter(valid)
+    // One boolean expression, not an OR-chain: when the optimizer pushes
+    // this filter through the cleaning projects it substitutes the aliased
+    // code/type chains once per REFERENCE — the chain version re-evaluated
+    // the per-column pipeline 14x per row (graft.functions.CodeFormatValid
+    // scaladoc has the measurements).
+    import org.apache.spark.sql.graft.ColumnBridge
+    coded.filter(ColumnBridge.column(graft.functions.CodeFormatValid(
+      ColumnBridge.expression(col("code")),
+      ColumnBridge.expression(col("code type")))))
   }
 
   /** A8 — duplicate removal. The reference dedups within each 100k-row chunk
