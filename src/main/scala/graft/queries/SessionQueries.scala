@@ -36,6 +36,24 @@ object SessionQueries {
           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+    }),
+
+    // As-of join of each event to its user's latest rate snapshot
+    // (ops/AsOfJoin: union + one keyed window — no range-join explosion).
+    // Snapshots are fabricated weekly-per-user from integer formulas; the
+    // DuckDB oracle runs its NATIVE ASOF JOIN, so two independent
+    // implementations must agree row-for-row. Inner semantics: events
+    // before their user's first snapshot drop (both engines).
+    "asof_join_rates" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_sec"))
+      val snaps = ev.select(col("user_id")).distinct()
+        .select(col("user_id"), explode(sequence(lit(0L), lit(3L))).as("k"))
+        .select(col("user_id"),
+          (lit(1704067200L) + col("k") * 604800L + (col("user_id") % 997L) * 7L)
+            .as("snap_sec"),
+          (col("user_id") * 4 + col("k")).cast("double").as("rate"))
+      graft.ops.AsOfJoin.asof(ev, snaps, "user_id", "ts_sec", "snap_sec", Seq("rate"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -56,5 +74,15 @@ object SessionQueries {
          |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
          |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-         |FROM s GROUP BY 1, 2""".stripMargin)
+         |FROM s GROUP BY 1, 2""".stripMargin,
+    "asof_join_rates" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |s AS (
+        |  SELECT user_id, 1704067200 + k * 604800 + (user_id % 997) * 7 AS snap_sec,
+        |    CAST(user_id * 4 + k AS DOUBLE) AS rate
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks)
+        |SELECT e.event_id, e.user_id, e.ts_sec, s.rate
+        |FROM e ASOF JOIN s ON e.user_id = s.user_id AND e.ts_sec >= s.snap_sec""".stripMargin)
 }
