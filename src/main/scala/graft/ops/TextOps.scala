@@ -60,6 +60,30 @@ object TextOps {
   def tokenCountBpe(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 
+  // ------------------------------------------------------------- PII scrub
+
+  /** (name, pattern, replacement) for the redaction pass — the pre-training
+    * scrub for emails / SSN-shaped / US-phone-shaped / IPv4-shaped spans.
+    * Patterns stay in the regex subset where Java (Spark) and RE2 (DuckDB
+    * oracle) agree: ASCII classes, \b, \d, bounded repetition. Replacement
+    * order: emails first, so their digit runs are never half-eaten by the
+    * numeric patterns. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** All PII patterns replaced, in [[PiiPatterns]] order — a chain of
+    * codegen'd regexp_replace, pure narrow per-row work. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, p, r)) => regexp_replace(c, p, r) }
+
+  /** Occurrences of one PII pattern in the INPUT text (counted pre-redaction,
+    * independently per pattern). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
   /** Normalization + md5 content fingerprint (near-identity key for exact
     * dedup across whitespace/case variance). */
   def normalized(text: Column): Column =

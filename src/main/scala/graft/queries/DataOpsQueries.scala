@@ -84,6 +84,18 @@ object DataOpsQueries {
     "text_tfidf" -> ((s, dir) =>
       TextOps.tfIdf(table(s, dir, "documents"), "doc_id", "text")),
 
+    // PII scrub over a corpus with PLANTED pii spans (email/phone/ssn/ip
+    // fabricated from doc_id formulas on every third doc — the organic
+    // corpus has none, so redaction must change exactly those docs).
+    // Emits the redacted text plus per-pattern match counts.
+    "text_pii_redact" -> ((s, dir) => {
+      val p = plantedPii(table(s, dir, "documents"))
+      p.select(Seq(col("doc_id"), TextOps.redactPii(col("ptext")).as("redacted")) ++
+        TextOps.PiiPatterns.map { case (name, pat, _) =>
+          TextOps.piiCount(col("ptext"), pat).cast("long").as(s"n_$name")
+        }: _*)
+    }),
+
     // Real encode→decode round trip: fabricate actual PNG streams from
     // integer formulas of (doc_id, n_chars), decode them with ImageIO, and
     // emit the DECODED dimensions/pixels. The oracle predicts them from the
@@ -149,6 +161,41 @@ object DataOpsQueries {
           lit(0.001) * ((col("vec_id") + i + 1) % 3 - 1).cast("double")).as("embedding"))
     base.unionAll(planted)
   }
+
+  /** Documents with PII spans planted from doc_id formulas on every third
+    * doc (dialect-neutral concat/cast/lpad/% — mirrored verbatim in the
+    * DuckDB CTE). */
+  def plantedPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), when(col("doc_id") % 3 === 0,
+      concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".com"),
+        lit(" call "), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad(((col("doc_id") * 7) % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad(((col("doc_id") * 13) % 10000).cast("string"), 4, "0"),
+        lit(" ssn "), lpad((col("doc_id") % 900).cast("string"), 3, "0"),
+        lit("-"), lpad((col("doc_id") % 90).cast("string"), 2, "0"),
+        lit("-"), lpad(((col("doc_id") * 31) % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 3) % 256).cast("string"),
+        lit("."), (col("doc_id") % 100).cast("string")))
+      .otherwise(col("text")).as("ptext"))
+
+  /** [[plantedPii]] as a DuckDB CTE body. */
+  private val plantedPiiSql: String =
+    """SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN concat(text,
+      |  ' contact u', cast(doc_id as string),
+      |  '@mail', cast(doc_id % 7 as string), '.com',
+      |  ' call ', lpad(cast(doc_id % 1000 as string), 3, '0'),
+      |  '-', lpad(cast((doc_id * 7) % 1000 as string), 3, '0'),
+      |  '-', lpad(cast((doc_id * 13) % 10000 as string), 4, '0'),
+      |  ' ssn ', lpad(cast(doc_id % 900 as string), 3, '0'),
+      |  '-', lpad(cast(doc_id % 90 as string), 2, '0'),
+      |  '-', lpad(cast((doc_id * 31) % 10000 as string), 4, '0'),
+      |  ' from 10.', cast(doc_id % 256 as string),
+      |  '.', cast((doc_id * 3) % 256 as string),
+      |  '.', cast(doc_id % 100 as string))
+      |ELSE text END AS ptext FROM documents""".stripMargin
 
   /** The planted corpus as a DuckDB CTE body (1-based list index i ≡ Spark's
     * 0-based lambda index + 1). */
@@ -286,6 +333,17 @@ object DataOpsQueries {
            |SELECT id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
            | round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
            |FROM tf JOIN dfq USING (term), n""".stripMargin,
+      "text_pii_redact" -> {
+        val pats = TextOps.PiiPatterns
+        val redacted = pats.foldLeft("ptext") { case (e, (_, p, r)) =>
+          s"regexp_replace($e, '$p', '$r', 'g')"
+        }
+        val counts = pats.map { case (nm, p, _) =>
+          s"CAST(len(regexp_extract_all(ptext, '$p')) AS BIGINT) AS n_$nm"
+        }
+        s"""WITH p AS ($plantedPiiSql)
+           |SELECT doc_id, $redacted AS redacted, ${counts.mkString(", ")} FROM p""".stripMargin
+      },
       "multimodal_decode" ->
         """SELECT doc_id, 'image/png' AS mime,
           | CAST(n_chars % 64 + 1 AS INT) AS width,
