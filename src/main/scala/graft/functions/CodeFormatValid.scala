@@ -40,11 +40,14 @@ case class CodeFormatValid(code: Expression, codeType: Expression)
   override def dataType: DataType = BooleanType
 
   override protected def nullSafeEval(codeV: Any, ctV: Any): Any = {
-    val c = codeV.asInstanceOf[UTF8String].toString
+    val code8 = codeV.asInstanceOf[UTF8String]
     CodeFormatValid.patternFor(ctV.asInstanceOf[UTF8String].toString) match {
-      case null => ctV.asInstanceOf[UTF8String].toString == "ICD" &&
-        c.length >= 3 && c.length <= 7
-      case p => p.matcher(c).find()
+      case null =>
+        // numChars counts code points, matching Spark length() — the
+        // OR-chain this replaced used length(), not UTF-16 units.
+        val n = code8.numChars
+        ctV.asInstanceOf[UTF8String].toString == "ICD" && n >= 3 && n <= 7
+      case p => p.matcher(code8.toString).find()
     }
   }
 

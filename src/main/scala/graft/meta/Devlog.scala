@@ -38,8 +38,13 @@ object Devlog {
     * re-executing the aggregation). */
   def metadataFromSummary(r: org.apache.spark.sql.Row, duplicatesDropped: Long): CleaningMetadata = {
     CleaningMetadata(
+      // HALF_UP like DuckDB round(x, 4) (and Python round() only differs on
+      // exact .00005 boundaries, which scores of the form 1 - k/(10n) never
+      // produce exactly anyway) — keeps the devlog_roundtrip hash gate off
+      // the half-even/half-up boundary entirely.
       final_transparency_score =
-        math.rint(r.getAs[Double]("final_transparency_score") * 1e4) / 1e4,
+        BigDecimal(r.getAs[Double]("final_transparency_score"))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
       total_rows_cleaned = r.getAs[Long]("total_rows_cleaned"),
       total_duplicates_dropped = duplicatesDropped,
       total_rows_dropped_due_to_rule_violations =

@@ -36,6 +36,15 @@ object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame, key: String, leftTs: String,
       rightTs: String, payloads: Seq[String], inner: Boolean = true): DataFrame = {
     val lCols = left.columns.toSeq
+    val clash = payloads.filter(lCols.contains)
+    require(clash.isEmpty,
+      s"asof: payload columns ${clash.mkString(", ")} also exist on the left " +
+        "side; rename them on one side first (the union would duplicate them)")
+    val reserved = Seq("__ts", "__snap", "__s")
+    val taken = (lCols ++ right.columns).filter(reserved.contains).distinct
+    require(taken.isEmpty,
+      s"asof: column names ${taken.mkString(", ")} collide with the " +
+        "operator's internal columns (__ts, __snap, __s); rename them first")
     val l2 = left.select(
       lCols.map(col) ++
         Seq(col(leftTs).as("__ts"), lit(0).as("__snap")) ++

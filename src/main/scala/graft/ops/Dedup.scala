@@ -181,6 +181,13 @@ object Dedup {
     // One aggregate yields the df-ordered shingle array; the prefix of
     // length |set| − ⌈τ·|set|⌉ + 1 is a slice of it (any pair with J ≥ τ
     // must share a shingle inside both prefixes).
+    // PERSISTED: this subtree is referenced 4 times below (both sides of the
+    // prefix self-join, both verify joins). Unpersisted, each reference
+    // re-runs tokenize+shingle+df-join+sort-agg — and when the input is
+    // itself an expensive pipeline (Curation: langid+quality+semi-join), the
+    // whole upstream re-runs 4x too. One row per doc (id + shingle array),
+    // so the cache is ~corpus-sized; MEMORY_AND_DISK spills rather than
+    // recomputes at scale.
     val ordered = sh.join(dfreq, Seq("s"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"))
@@ -188,6 +195,7 @@ object Dedup {
       .withColumn("n_sh", size(col("sh")))
       .withColumn("prefix", slice(col("sh"), lit(1),
         (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefix = ordered.select(explode(col("prefix")).as("s"), col("id"))
     val candidates = prefix.select(col("s"), col("id").as("id_a"))
       .join(prefix.select(col("s"), col("id").as("id_b")), Seq("s"))

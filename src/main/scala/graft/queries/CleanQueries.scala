@@ -65,12 +65,13 @@ object CleanQueries {
       val row = summary.head()
       val meta = Devlog.metadataFromSummary(row,
         duplicatesDropped = row.getAs[Long]("__pre_n") - row.getAs[Long]("__ded_n"))
-      val path = java.nio.file.Files.createTempDirectory("graft-devlog-gate").toString
+      val scratch = java.nio.file.Files.createTempDirectory("graft-devlog-gate")
+      val path = scratch.toString
       Devlog.append(s, path, Devlog.DevlogEntry("GATE", "1 Gate St", "v0",
         "2024-01-01", 0.0, seq = 1L, meta.copy(total_rows_cleaned = -1L)))
       Devlog.append(s, path, Devlog.DevlogEntry("GATE", "1 Gate St", "v1",
         "2024-01-02", meta.final_transparency_score, seq = 2L, meta))
-      Devlog.latest(s, path).select(
+      val out = Devlog.latest(s, path).select(
         Seq(col("campus_id"), col("version"), col("seq"),
           col("transparency_score"),
           col("cleaning_metadata.final_transparency_score").as("final_transparency_score"),
@@ -81,6 +82,17 @@ object CleanQueries {
           col("cleaning_metadata.total_algorithm_format_violations")
             .as("total_algorithm_format_violations")) ++
           RuleNames.map(n => col(s"cleaning_metadata.rule_violations_summary.$n").as(n)): _*)
+      // The round trip is proven once the row is read back; collect the
+      // 1-row result and delete the scratch dir so repeated verify/bench
+      // runs don't accumulate JSON garbage in /tmp.
+      val rows = out.collect().toSeq
+      val schema = out.schema
+      import scala.jdk.CollectionConverters._
+      val walked = java.nio.file.Files.walk(scratch)
+      try walked.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walked.close()
+      s.createDataFrame(rows.asJava, schema)
     }))
 
   // ---------------------------------------------------------------- oracle --
