@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified sampling — the source-weighted mixing step of a
+  * training-data pipeline (e.g. "keep 5% of crawl, 20% of books, 100% of
+  * reference"), expressed so the SAME rows come out on every run, every
+  * engine, and every partitioning:
+  *
+  * a row is kept iff `knuthHash(id) % 1000 < permille(stratum)`.
+  *
+  * The hash is Knuth's multiplicative constant over the row's integer id —
+  * plain 64-bit arithmetic, reproducible anywhere (unlike rand(seed), whose
+  * stream depends on partition layout, or xxhash64, which other engines
+  * lack). Pure narrow filter: no shuffle, composes with any scan, and the
+  * sampling decision for a row never changes as the corpus grows — the
+  * property that makes downstream dedup/eval splits stable across snapshots.
+  */
+object Sampling {
+
+  /** `(id * 2654435761) mod 2^32 mod 1000` — uniform-ish permille bucket,
+    * exact in Long arithmetic for ids < 2^32 (no overflow past 2^63). */
+  def permilleBucket(id: Column): Column =
+    pmod(pmod(id * lit(2654435761L), lit(4294967296L)), lit(1000L))
+
+  /** Keep each stratum at its permille rate (unlisted strata use
+    * `defaultPermille`). Pure filter: output columns = input columns. */
+  def stratified(df: DataFrame, stratumCol: String, idCol: String,
+      permille: Map[String, Int], defaultPermille: Int): DataFrame = {
+    val rate = permille.foldLeft(lit(defaultPermille).cast("long")) {
+      case (acc, (stratum, p)) =>
+        when(col(stratumCol) === lit(stratum), lit(p.toLong)).otherwise(acc)
+    }
+    df.filter(permilleBucket(col(idCol)) < rate)
+  }
+}

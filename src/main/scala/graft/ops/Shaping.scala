@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Shaping a document corpus into model-ready training sequences:
+  *
+  *  - [[chunkDocuments]]: split each document into overlapping token
+  *    windows (the retrieval / long-context chunking pass) — pure narrow
+  *    per-row work: tokenize once, one generator, no shuffle;
+  *  - [[packSequences]]: concatenate documents (in id order, within hash
+  *    shards) and assign each document its token-offset range in the packed
+  *    stream — the GPT-style concat-then-chunk packing layout. One window
+  *    per shard; shard count bounds the sequentialness, so at 100 TB the
+  *    prefix-sum parallelism equals the shard count, not 1.
+  */
+object Shaping {
+
+  /** Overlapping token windows per document. Chunks start every
+    * `chunkTokens - overlap` tokens; each takes `chunkTokens` tokens (the
+    * final windows are shorter where the document runs out). Documents with
+    * zero tokens produce no chunks.
+    *
+    * Output: (id, chunk_id, chunk_tokens, chunk_text).
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunkTokens=$chunkTokens")
+    val step = chunkTokens - overlap
+    docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .filter(col("n_toks") > 0)
+      // One generator row per chunk start (1-based); the token array is
+      // evaluated once per document by the Generate node, not per chunk.
+      .select(col("id"), col("toks"),
+        posexplode(sequence(lit(1), col("n_toks"), lit(step)))
+          .as(Seq("chunk_id", "start")))
+      .select(col("id"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("toks"), col("start"), lit(chunkTokens)).as("ctoks"))
+      .select(col("id"), col("chunk_id"),
+        size(col("ctoks")).cast("long").as("chunk_tokens"),
+        concat_ws(" ", col("ctoks")).as("chunk_text"))
+  }
+
+  /** Sequence-packing layout: documents are laid head-to-tail in id order
+    * within `shards` hash shards, and each document is assigned its token
+    * offset range and the fixed-length training sequences it lands in
+    * (`seq_first`..`seq_last`, length `seqLen`). Documents straddle sequence
+    * boundaries — exactly the concat-then-chunk layout LLM pretraining uses.
+    *
+    * The running sum is windowed PER SHARD: the packing is embarrassingly
+    * parallel across shards, and one shard's stream is the sequential unit a
+    * single trainer rank would consume. Zero-token documents are excluded
+    * (they occupy no tokens).
+    *
+    * Output: (shard, id, n_tokens, start_off, seq_first, seq_last).
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, shards: Int): DataFrame = {
+    require(seqLen > 0 && shards > 0, "seqLen and shards must be positive")
+    val counted = docs
+      .select(col(idCol).as("id"),
+        TextOps.tokenCountWhitespace(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("shard", pmod(col("id"), lit(shards.toLong)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counted
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("shard"), col("id"), col("n_tokens"), col("start_off"),
+        (col("start_off") - pmod(col("start_off"), lit(seqLen.toLong)))
+          .divide(lit(seqLen.toLong)).cast("long").as("seq_first"),
+        {
+          val endOff = col("start_off") + col("n_tokens") - 1
+          (endOff - pmod(endOff, lit(seqLen.toLong)))
+            .divide(lit(seqLen.toLong)).cast("long").as("seq_last")
+        })
+  }
+}

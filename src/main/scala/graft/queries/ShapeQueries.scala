@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.table
+import graft.ops.{Sampling, Shaping, SkewJoin}
+
+/** Correctness gates for the corpus-shaping / mixing operators: document
+  * chunking, sequence packing, deterministic stratified sampling, and the
+  * salted skew join (gated as provably-equal to the plain join).
+  */
+object ShapeQueries {
+
+  def family: QueryFamily = QueryFamily("shape", queries, oracles)
+
+  private val ChunkTokens = 64
+  private val ChunkOverlap = 16
+  private val ChunkStep = ChunkTokens - ChunkOverlap
+  private val SeqLen = 256L
+  private val PackShards = 8
+  private val SampleRates = Map("AUTOMOBILE" -> 50, "BUILDING" -> 200, "MACHINERY" -> 500)
+  private val SampleDefault = 100
+  private val Salts = 16
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "chunk_documents" -> ((s, dir) =>
+      Shaping.chunkDocuments(table(s, dir, "documents"), "doc_id", "text",
+        ChunkTokens, ChunkOverlap)),
+
+    "pack_sequences" -> ((s, dir) =>
+      Shaping.packSequences(table(s, dir, "documents"), "doc_id", "text",
+        SeqLen.toInt, PackShards)),
+
+    "sample_stratified_customers" -> ((s, dir) =>
+      Sampling.stratified(table(s, dir, "customer"), "c_mktsegment", "c_custkey",
+        SampleRates, SampleDefault)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+
+    // Salted 16-way orders⋈customer, aggregated per market segment. The
+    // oracle is the UNSALTED join — the gate proves the salt spread is
+    // result-invariant (each fact row meets its dimension row exactly once).
+    "join_salted_revenue" -> ((s, dir) =>
+      SkewJoin.saltedJoin(
+        table(s, dir, "orders"),
+        table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+        factKey = "o_custkey", dimKey = "c_custkey",
+        spreadCol = "o_orderkey", salts = Salts)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))))
+
+  // ---------------------------------------------------------------- oracles
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+  /** DuckDB 1.0 can't correlate a lateral range on len(toks), so chunk
+    * starts come from a constant range(1, 4096, step) — the guard poisons
+    * the oracle if any document could need a start beyond the cap. */
+  private val chunkCapGuard: String =
+    s"guard AS (SELECT CASE WHEN max(len($toksSql)) > 4096 THEN error('chunk range(1,4096) cap exceeded') ELSE 1 END AS g FROM documents)"
+
+  def oracles: Map[String, String] = Map(
+
+    "chunk_documents" ->
+      s"""WITH $chunkCapGuard,
+         |t AS (SELECT doc_id AS id, $toksSql AS toks FROM documents),
+         |c AS (SELECT id, toks, CAST(i AS INT) AS start,
+         |        CAST((i - 1) // $ChunkStep AS BIGINT) AS chunk_id
+         |      FROM t, range(1, 4096, $ChunkStep) r(i)
+         |      WHERE i <= len(toks) AND (SELECT g FROM guard) = 1)
+         |SELECT id, chunk_id,
+         |  CAST(len(list_slice(toks, start, start + ${ChunkTokens - 1})) AS BIGINT) AS chunk_tokens,
+         |  array_to_string(list_slice(toks, start, start + ${ChunkTokens - 1}), ' ') AS chunk_text
+         |FROM c""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT CAST(doc_id % $PackShards AS BIGINT) AS shard, doc_id AS id,
+         |         CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE len($toksSql) > 0),
+         |p AS (SELECT shard, id, n_tokens,
+         |        COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+         |      FROM t)
+         |SELECT shard, id, n_tokens, start_off,
+         |  CAST((start_off - start_off % $SeqLen) / $SeqLen AS BIGINT) AS seq_first,
+         |  CAST(((start_off + n_tokens - 1) - (start_off + n_tokens - 1) % $SeqLen) / $SeqLen AS BIGINT) AS seq_last
+         |FROM p""".stripMargin,
+
+    "sample_stratified_customers" -> {
+      val rateCase = SampleRates.foldLeft(s"$SampleDefault") {
+        case (acc, (stratum, p)) =>
+          s"CASE WHEN c_mktsegment = '$stratum' THEN $p ELSE $acc END"
+      }
+      s"""SELECT c_custkey, c_mktsegment FROM customer
+         |WHERE ((c_custkey * 2654435761) % 4294967296) % 1000 < $rateCase""".stripMargin
+    },
+
+    "join_salted_revenue" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin)
+}

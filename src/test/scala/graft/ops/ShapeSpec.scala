@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Specs for the corpus-shaping operators: chunking boundary semantics,
+  * packing layout invariants, deterministic sampling, and salt-invariance
+  * of the skew join. */
+class ShapeSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("chunkDocuments: overlapping windows, short tail, empty doc dropped") {
+    val d = docs(
+      1L -> (1 to 10).map(i => s"t$i").mkString(" "), // 10 tokens
+      2L -> "only three tokens",
+      3L -> "   ")
+    val out = Shaping.chunkDocuments(d, "doc_id", "text", chunkTokens = 4, overlap = 2)
+      .orderBy("id", "chunk_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // step 2: doc 1 starts 1,3,5,7,9 -> windows of 4 (tail shorter)
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq == Seq(4L, 4L, 4L, 4L, 2L))
+    assert(out.filter(_._1 == 1L).head._4 == "t1 t2 t3 t4")
+    assert(out.filter(_._1 == 1L).last._4 == "t9 t10")
+    // doc 2: starts 1, 3 -> "only three tokens", "tokens"
+    assert(out.filter(_._1 == 2L).map(_._4).toSeq ==
+      Seq("only three tokens", "tokens"))
+    // doc 3 (whitespace only) contributes nothing
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("chunkDocuments rejects overlap >= chunkTokens") {
+    intercept[IllegalArgumentException] {
+      Shaping.chunkDocuments(docs(1L -> "a"), "doc_id", "text", 4, 4)
+    }
+  }
+
+  test("packSequences: offsets are contiguous per shard and seq ranges cover") {
+    val d = docs((1L to 40L).map(i => i -> ("w " * (i % 7 + 1).toInt).trim): _*)
+    val out = Shaping.packSequences(d, "doc_id", "text", seqLen = 5, shards = 3)
+      .orderBy("shard", "id").collect()
+    val byShard = out.groupBy(_.getAs[Long]("shard"))
+    byShard.foreach { case (_, rows) =>
+      // head-to-tail: each start_off equals the previous end
+      rows.foldLeft(0L) { (expect, r) =>
+        assert(r.getAs[Long]("start_off") == expect)
+        expect + r.getAs[Long]("n_tokens")
+      }
+    }
+    out.foreach { r =>
+      val first = r.getAs[Long]("seq_first"); val last = r.getAs[Long]("seq_last")
+      val s = r.getAs[Long]("start_off"); val n = r.getAs[Long]("n_tokens")
+      assert(first == s / 5 && last == (s + n - 1) / 5 && first <= last)
+    }
+  }
+
+  test("stratified sampling is a deterministic subset at the stratum rate") {
+    import spark.implicits._
+    val base = (1L to 4000L).map(i => (i, if (i % 2 == 0) "A" else "B")).toDF("id", "seg")
+    val kept = Sampling.stratified(base, "seg", "id", Map("A" -> 500), 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.nonEmpty && kept.forall(_._2 == "A")) // rate 0 drops all B
+    // re-run yields the identical set (no rand() dependence on partitioning)
+    val again = Sampling.stratified(base.repartition(7), "seg", "id", Map("A" -> 500), 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet == again.toSet)
+    // rate is approximately honored (hash uniformity, wide tolerance)
+    assert(math.abs(kept.length / 2000.0 - 0.5) < 0.1)
+  }
+
+  test("saltedJoin equals the plain join, any salt count") {
+    import spark.implicits._
+    // skewed facts: key 1 holds half the rows
+    val facts = (1L to 1000L).map(i => (i, if (i % 2 == 0) 1L else i % 50)).toDF("fid", "k")
+    val dim = (0L until 50L).map(i => (i, s"d$i")).toDF("dk", "payload")
+    val plain = facts.join(dim, col("k") === col("dk")).select("fid", "k", "dk", "payload")
+    Seq(1, 4, 16).foreach { salts =>
+      val salted = SkewJoin.saltedJoin(facts, dim, "k", "dk", "fid", salts)
+        .select("fid", "k", "dk", "payload")
+      assert(salted.collect().toSet == plain.collect().toSet, s"salts=$salts")
+    }
+  }
+}
