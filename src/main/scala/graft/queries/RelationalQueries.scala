@@ -170,6 +170,28 @@ object RelationalQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(20)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // Point-in-interval range join, bucketized (graft.ops.RangeJoin): every
+    // ~97th order opens a 7-17 day promo window; shipments are matched by
+    // ship-day ∈ [lo, hi] and aggregated per promo. The oracle runs the
+    // naive BETWEEN join — the gate proves the bucketed rewrite is exact.
+    "range_join_promos" -> ((s, dir) => {
+      val oday = datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+      val lo = (oday + pmod(col("o_orderkey"), lit(5))).cast("long")
+      val promos = table(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select(col("o_orderkey").as("promo_id"), lo.as("lo_day"),
+          (lo + lit(7) + pmod(col("o_orderkey"), lit(11))).cast("long").as("hi_day"))
+      val pts = table(s, dir, "lineitem").select(
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+          .cast("long").as("sday"),
+        col("l_quantity"))
+      graft.ops.RangeJoin.bucketed(pts, promos, "sday", "lo_day", "hi_day",
+          bucketWidth = 16L)
+        .groupBy(col("promo_id"))
+        .agg(count(lit(1)).as("n_ship"),
+          sum(col("l_quantity").cast("long")).as("total_qty"))
     }))
 
   // Shared fabricated (code, type) pair expressions — dialect-neutral SQL so
@@ -195,6 +217,19 @@ object RelationalQueries {
         """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
           |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
           |  AND l_discount > 0.05 AND l_returnflag = 'R'""".stripMargin,
+      "range_join_promos" ->
+        """WITH promos AS (
+          |  SELECT o_orderkey AS promo_id,
+          |    CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') + (o_orderkey % 5) AS BIGINT) AS lo_day
+          |  FROM orders WHERE o_orderkey % 97 = 0),
+          |p2 AS (SELECT promo_id, lo_day,
+          |         CAST(lo_day + 7 + (promo_id % 11) AS BIGINT) AS hi_day FROM promos),
+          |pts AS (SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS sday,
+          |          l_quantity FROM lineitem)
+          |SELECT promo_id, count(*) AS n_ship,
+          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+          |FROM p2 JOIN pts ON sday BETWEEN lo_day AND hi_day
+          |GROUP BY promo_id""".stripMargin,
       "join_broadcast_segment" ->
         """SELECT c_mktsegment, count(*) AS n_orders,
           | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
