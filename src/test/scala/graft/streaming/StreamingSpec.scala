@@ -64,6 +64,47 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((1L, 2L, 3.0)))
   }
 
+  test("streaming exact dedup equals the batch dedup gate on the documents fixture") {
+    import spark.implicits._
+    // The fixture has no exact duplicates; plant one copy (new id, same
+    // text) of every 10th doc so the dedup actually drops rows.
+    val base = Tables.table(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val docs = base.unionByName(base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val dir = Files.createTempDirectory("graft-streamdedup").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+      .as[StreamDedup.Doc]
+    val q = StreamDedup.keepFirst(spark, stream).writeStream
+      .outputMode("append").format("memory").queryName("sdedup").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sdedup").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // batch twin: exactGroups keeps the min doc_id per fingerprint
+    val want = graft.ops.Dedup.exactGroups(docs, "doc_id", "text")
+      .select(col("keep_id"), col("fingerprint")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+    assert(got.size < docs.count()) // the fixture does contain duplicates
+  }
+
+  test("watermark-bounded streaming dedup keeps one row per fingerprint in-window") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("graft-wmdedup").toString
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    Seq((1L, t(0), "same text"), (2L, t(1), "same text"), (3L, t(2), "other"))
+      .toDF("doc_id", "ts", "text").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamDedup.keepFirstWithinWatermark(stream, "ts", "text", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("wmdedup").start()
+    try q.processAllAvailable() finally q.stop()
+    val fps = spark.table("wmdedup").select("fingerprint").collect().map(_.getString(0))
+    assert(fps.length == 2 && fps.distinct.length == 2)
+  }
+
   test("streaming sessionization equals the oracle-checked batch gate on the events fixture") {
     import spark.implicits._
     import java.sql.Timestamp
