@@ -39,7 +39,23 @@ object StatsQueries {
         .agg(
           count(lit(1)).as("n_rows"),
           countDistinct(col("l_orderkey")).as("n_orders"),
-          sum(col("l_quantity")).as("sum_qty"))))
+          sum(col("l_quantity")).as("sum_qty"))),
+
+    // Sketch aggregates next to their exact twins: HyperLogLog++ distinct
+    // (one fixed-size sketch per group merged map-side — the 100 TB distinct
+    // count; exact countDistinct needs a second shuffle of the full key set)
+    // and approximate percentile. Rows-only gate (HLL/KLL register states
+    // are not SQL-expressible); StatsSpec bounds the error vs the exact
+    // columns emitted alongside.
+    "agg_sketch_accuracy" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_distinct"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("hll_distinct"),
+          percentile(col("l_quantity"), lit(0.5)).as("exact_p50"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
+            .as("approx_p50"))))
 
   def oracles: Map[String, String] = Map(
     "agg_quantity_stats" ->
