@@ -64,6 +64,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p) // no per-query global window partition
   }
 
+  test("range join plans as a bucket equi-join, never a nested loop") {
+    val p = plan("range_join_promos")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("salted join stays an equi-join on (key, salt)") {
+    val p = plan("join_salted_revenue")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("chunking is a pure narrow generator plan — zero shuffles") {
+    val p = plan("chunk_documents")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("sequence packing shuffles once, by shard") {
+    val p = plan("pack_sequences")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("stratified sampling is a shuffle-free filter over the scan") {
+    val p = plan("sample_stratified_customers")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
   test("seq_ratio is SQL-callable after extension registration") {
     GraftExtensions.registerOn(spark)
     val r = spark.sql("SELECT seq_ratio('grady_memorial', 'grady_memoral') AS r")
