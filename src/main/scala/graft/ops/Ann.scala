@@ -252,4 +252,31 @@ object Ann {
         .select(col("id_a"), col("id_b"), round(col("raw_cos"), 6).as("cos"))
     }
   }
+
+  // ------------------------------------------------------------ quantization
+
+  /** Symmetric int8 quantization, per-vector max-abs scale: 4× smaller
+    * embeddings for ANN candidate generation (exact re-rank stays on the
+    * float originals). Pure per-row work. Rounding is written as
+    * `floor(x·127/scale + 0.5)` — an explicit formula with identical IEEE
+    * semantics on every engine, instead of round(), whose half-way rule
+    * (even vs away-from-zero) differs across engines. Zero vectors get
+    * scale 1 (all components quantize to 0). */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val maxAbs = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs)
+    emb.select(col(idCol).as("id"), v.as("v"), scale.as("scale"))
+      .select(col("id"), col("scale"),
+        transform(col("v"), x =>
+          floor(x * lit(127.0) / col("scale") + lit(0.5)).cast("int")).as("qvec"))
+  }
+
+  /** [[quantizeInt8]] with the int8 vector rendered as a comma-joined string
+    * — the hash-compare-friendly shape for the oracle gate (array columns
+    * don't row-sort). */
+  def quantizeInt8Rendered(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    quantizeInt8(emb, idCol, vecCol)
+      .select(col("id"), col("scale"),
+        concat_ws(",", transform(col("qvec"), _.cast("string"))).as("qvec"))
 }

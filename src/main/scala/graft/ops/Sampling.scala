@@ -34,4 +34,21 @@ object Sampling {
     }
     df.filter(permilleBucket(col(idCol)) < rate)
   }
+
+  /** Cap each group at `k` rows — "at most k documents per domain", the
+    * anti-domination rule of corpus mixing. The kept subset is a
+    * deterministic pseudo-random sample: rows rank by (hash-bucket, id)
+    * within their group, so the winners are stable across runs and
+    * partitionings, and adding new rows can only displace, never reshuffle,
+    * the order. One shuffle by group; groups far above k are the skew case
+    * (rank early-exits nothing), so cap AFTER any cheap per-row filters. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(permilleBucket(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
 }

@@ -49,6 +49,11 @@ object DataOpsQueries {
         threshold = 0.9, dim = 64, planes = 12, tables = 6)
         .select(col("id_a"), col("id_b"))),
 
+    // Per-vector max-abs int8 quantization. Rounding is floor(x+0.5) on
+    // both sides — explicit IEEE formula, no engine round() half-way rule.
+    "quantize_embeddings" -> ((s, dir) =>
+      Ann.quantizeInt8Rendered(table(s, dir, "embeddings"), "vec_id", "embedding")),
+
     "sim_topk_brute" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       Ann.bruteTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
@@ -269,6 +274,18 @@ object DataOpsQueries {
            |     (sqrt(${dotSql("ea", "ea")}) * sqrt(${dotSql("eb", "eb")})) AS cos
            | FROM p)
            |SELECT id_a, id_b FROM s WHERE cos >= 0.9""".stripMargin,
+      "quantize_embeddings" ->
+        """WITH v AS (SELECT vec_id AS id,
+          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+          |s AS (SELECT id, e,
+          |  CASE WHEN list_aggregate(list_transform(e, x -> abs(x)), 'max') = 0
+          |       THEN 1.0
+          |       ELSE list_aggregate(list_transform(e, x -> abs(x)), 'max') END AS scale
+          |  FROM v)
+          |SELECT id, scale,
+          |  array_to_string(list_transform(e,
+          |    x -> CAST(CAST(floor(x * 127.0 / scale + 0.5) AS INT) AS STRING)), ',') AS qvec
+          |FROM s""".stripMargin,
       "sim_topk_brute" ->
         s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
            |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),

@@ -21,6 +21,7 @@ object ShapeQueries {
   private val PackShards = 8
   private val SampleRates = Map("AUTOMOBILE" -> 50, "BUILDING" -> 200, "MACHINERY" -> 500)
   private val SampleDefault = 100
+  private val CapK = 120
   private val Salts = 16
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -37,6 +38,14 @@ object ShapeQueries {
       Sampling.stratified(table(s, dir, "customer"), "c_mktsegment", "c_custkey",
         SampleRates, SampleDefault)
         .select(col("c_custkey"), col("c_mktsegment"))),
+
+    // Domain capping: at most k customers per market segment, winners
+    // picked by the deterministic hash order (stable across runs and
+    // partitionings) — the anti-domination rule of corpus mixing.
+    "sample_cap_per_group" -> ((s, dir) =>
+      Sampling.capPerGroup(table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+        "c_mktsegment", "c_custkey", k = CapK)),
 
     // Salted 16-way orders⋈customer, aggregated per market segment. The
     // oracle is the UNSALTED join — the gate proves the salt spread is
@@ -99,6 +108,15 @@ object ShapeQueries {
       s"""SELECT c_custkey, c_mktsegment FROM customer
          |WHERE ((c_custkey * 2654435761) % 4294967296) % 1000 < $rateCase""".stripMargin
     },
+
+    "sample_cap_per_group" ->
+      s"""WITH r AS (
+         |  SELECT c_custkey, c_mktsegment,
+         |    row_number() OVER (PARTITION BY c_mktsegment
+         |      ORDER BY ((c_custkey * 2654435761) % 4294967296) % 1000 ASC,
+         |               c_custkey ASC) AS rk
+         |  FROM customer)
+         |SELECT c_custkey, c_mktsegment FROM r WHERE rk <= $CapK""".stripMargin,
 
     "join_salted_revenue" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

@@ -73,6 +73,41 @@ class ShapeSpec extends SparkSpec {
     assert(math.abs(kept.length / 2000.0 - 0.5) < 0.1)
   }
 
+  test("capPerGroup keeps at most k rows per group, deterministically") {
+    import spark.implicits._
+    val base = (1L to 3000L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val kept = Sampling.capPerGroup(base, "grp", "id", 100)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val sizes = kept.groupBy(_._2).map(_._2.length)
+    assert(sizes.forall(_ == 100)) // every group has >= 100 candidates here
+    val again = Sampling.capPerGroup(base.repartition(11), "grp", "id", 100)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet == again.toSet) // winners stable under partitioning
+    // a small group survives whole
+    val tiny = base.filter(col("id") < 20)
+    assert(Sampling.capPerGroup(tiny, "grp", "id", 100).count() == 19)
+  }
+
+  test("int8 quantization: values in range, dequantized cosine close to original") {
+    val emb = graft.core.Tables.table(spark, sf("sf0.001"), "embeddings")
+    val q = Ann.quantizeInt8(emb, "vec_id", "embedding")
+    val rows = q.collect()
+    assert(rows.length == emb.count())
+    rows.foreach { r =>
+      val qv = r.getSeq[Int](r.fieldIndex("qvec"))
+      assert(qv.forall(x => x >= -127 && x <= 127))
+      assert(qv.exists(_ != 0) || r.getDouble(r.fieldIndex("scale")) == 1.0)
+    }
+    // reconstruction: cos(original, dequantized) > 0.999 on the fixture
+    val orig = emb.select(col("vec_id").as("id"), Ann.asDouble(col("embedding")).as("v"))
+    val deq = q.select(col("id"), col("scale"),
+      transform(col("qvec"), x => x.cast("double") * col("scale") / lit(127.0)).as("dv"))
+    val minCos = orig.join(deq, Seq("id"))
+      .select(Ann.cosine(col("v"), col("dv")).as("c"))
+      .agg(min(col("c"))).head().getDouble(0)
+    assert(minCos > 0.999, s"worst reconstruction cosine $minCos")
+  }
+
   test("saltedJoin equals the plain join, any salt count") {
     import spark.implicits._
     // skewed facts: key 1 holds half the rows
