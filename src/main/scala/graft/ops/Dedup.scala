@@ -113,21 +113,18 @@ object Dedup {
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token multiset (xxhash64 per token; per-bit
-    * majority vote). One explode + one aggregate. */
-  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-      explode(TextOps.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$i")
-    }
-    val sums = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val hash = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    sums.select(col("id"), hash.as("simhash"))
-  }
+    * majority vote). ONE per-row expression eval
+    * ([[graft.functions.SimHash64]]) — the relational form (explode +
+    * 64-column ±1-vote aggregate) shuffled every token; this is a pure
+    * narrow scan with bit-identical output. Tokenless docs are dropped
+    * (the explode formulation produced no row for them). */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(size(TextOps.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.SimHash64(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col(textCol))))
+          .as("simhash"))
 
   /** Near-dup pairs with hamming(simhash) <= maxDistance. Blocking: 8
     * chunks of 8 bits — by pigeonhole any pair within distance 7 shares an

@@ -21,6 +21,26 @@ class OpsSpec extends SparkSpec {
     assert(exact.nonEmpty && mh == exact) // planted dups are caught in full
   }
 
+  test("per-row SimHash64 expression equals the explode + 64-vote-sum formulation") {
+    // the relational form the expression replaced, verbatim
+    val tok = docs.select(col("doc_id").as("id"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val sums = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    val old = sums.select(col("id"), hash.as("simhash")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val now = Dedup.simhash64(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(now == old)
+  }
+
   test("simhash recalls the planted near-dup pairs (false positives allowed by design)") {
     val planted = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
