@@ -147,6 +147,54 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
+  // -------------------------------------------------- cluster resolution
+
+  /** Connected components over an undirected pair graph — the cluster
+    * resolution step after any near-dup pass: pairwise matches (A,B),(B,C)
+    * must collapse to ONE surviving document even when (A,C) was never
+    * scored. Returns (id, component) with component = min id reachable.
+    *
+    * Min-label propagation: every node starts labeled with itself; each
+    * round, a node's label becomes the min of its own and its neighbors'
+    * labels; stop when a round changes nothing. Rounds needed = graph
+    * diameter — near-dup graphs are unions of small cliques/chains, so a
+    * handful of rounds; each round is one join + one aggregate, all keyed
+    * shuffles (the GraphFrames/Pregel shape without the dependency). The
+    * per-round driver action is a 1-long convergence count; frames are
+    * persisted per round and released as soon as the next is materialized,
+    * so lineage never grows unboundedly. Fails loudly past `maxIters`
+    * rather than returning an unconverged labeling. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
+      .unionAll(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("s").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .persist(MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "s"), Seq("s"))
+        .groupBy(col("d").as("id")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .persist(MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge within $maxIters rounds")
+    edges.unpersist()
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+
   // -------------------------------------------------------- n-gram Jaccard
 
   /** Exact n-gram Jaccard pairs at `threshold` via PREFIX FILTERING over an

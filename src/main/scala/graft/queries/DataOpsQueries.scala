@@ -29,6 +29,15 @@ object DataOpsQueries {
       Dedup.minhashNearDupPairs(table(s, dir, "documents"), "doc_id", "text",
         n = 3, k = 12, bands = 4, threshold = 0.8)),
 
+    // Cluster resolution over the near-dup pair graph: min-label
+    // propagation (iterative joins) vs a recursive-CTE oracle — pairwise
+    // matches must collapse transitively even for pairs never scored.
+    "dedup_components" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.8),
+        "id_a", "id_b")),
+
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(table(s, dir, "documents"), "doc_id", "text",
         maxDistance = 5)),
@@ -267,6 +276,16 @@ object DataOpsQueries {
         s"""SELECT md5($normTextSql) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS keep_id,
            | count(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,
       "dedup_ngram_pairs" -> oraclesNgramSql,
+      "dedup_components" ->
+        s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($oraclesNgramSql) q),
+           |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+           |          UNION ALL SELECT id_b, id_a FROM pairs),
+           |nodes AS (SELECT DISTINCT s AS id FROM edges),
+           |walk(id, lbl) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.id)
+           |SELECT id, min(lbl) AS component FROM walk GROUP BY id""".stripMargin,
       "dedup_embedding_pairs" ->
         s"""WITH v AS ($plantedSql),
            |p AS (SELECT a.vec_id id_a, b.vec_id id_b, a.e ea, b.e eb FROM v a, v b WHERE a.vec_id < b.vec_id),

@@ -21,6 +21,28 @@ class OpsSpec extends SparkSpec {
     assert(exact.nonEmpty && mh == exact) // planted dups are caught in full
   }
 
+  test("connected components collapse chains, stars and cliques to min-id labels") {
+    // chain 1-2-3-4, star 10-{11,12,13}, clique {20,21,22}, isolated pair 30-31
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (10L, 13L), (20L, 21L), (20L, 22L), (21L, 22L), (30L, 31L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
+    assert(Seq(30L, 31L).forall(cc(_) == 30L))
+    assert(cc.size == 13)
+  }
+
+  test("connected components fail loudly when the iteration cap is too low") {
+    val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIters = 3)
+    }
+  }
+
   test("per-row SimHash64 expression equals the explode + 64-vote-sum formulation") {
     // the relational form the expression replaced, verbatim
     val tok = docs.select(col("doc_id").as("id"),
