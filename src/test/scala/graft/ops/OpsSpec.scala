@@ -33,13 +33,19 @@ class OpsSpec extends SparkSpec {
     assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
     assert(Seq(30L, 31L).forall(cc(_) == 30L))
     assert(cc.size == 13)
+    // the distributed min-label path (threshold 0) produces the same labeling
+    val dist = Dedup.connectedComponents(pairs, "id_a", "id_b",
+      localEdgeThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == cc)
   }
 
   test("connected components fail loudly when the iteration cap is too low") {
     val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("id_a", "id_b")
     intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(chain, "id_a", "id_b", maxIters = 3)
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIters = 3,
+        localEdgeThreshold = 0L)
     }
   }
 
