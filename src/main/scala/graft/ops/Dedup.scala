@@ -148,6 +148,70 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
+  // ---------------------------------------------------- incremental dedup
+
+  /** Cross-set n-gram Jaccard pairs: (id_l, id_r, jaccard) with J ≥ τ,
+    * left × right only (no within-set pairs). Same prefix-filtering
+    * machinery as [[ngramJaccardPairs]] — document frequencies are computed
+    * over the UNION so both sides share one canonical order (the prefix
+    * theorem needs a single global order to be lossless). */
+  def ngramJaccardPairsAcross(left: DataFrame, right: DataFrame,
+      idCol: String, textCol: String, n: Int, threshold: Double): DataFrame = {
+    def shRows(df: DataFrame, side: Int) =
+      df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+        .withColumn("side", lit(side))
+    val sh = shRows(left, 0).unionAll(shRows(right, 1))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ordered = sh.join(dfreq, Seq("s"))
+      .groupBy(col("side"), col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"))
+      .select(col("side"), col("id"), transform(col("arr"), x => x("s")).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .withColumn("prefix", slice(col("sh"), lit(1),
+        (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def prefixOf(side: Int, as: String) = ordered.filter(col("side") === side)
+      .select(explode(col("prefix")).as("s"), col("id").as(as))
+    val candidates = prefixOf(0, "id_l").join(prefixOf(1, "id_r"), Seq("s"))
+      .select(col("id_l"), col("id_r")).distinct()
+    def setsOf(side: Int, as: String, shAs: String) =
+      ordered.filter(col("side") === side)
+        .select(col("id").as(as), col("sh").as(shAs))
+    candidates
+      .join(setsOf(0, "id_l", "sh_l"), Seq("id_l"))
+      .join(setsOf(1, "id_r", "sh_r"), Seq("id_r"))
+      .select(col("id_l"), col("id_r"),
+        jaccard(col("sh_l"), col("sh_r")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental (delta) dedup: flag each NEW document against an EXISTING
+    * corpus — `dup_exact` (its fingerprint already exists), `dup_near`
+    * (some corpus doc has n-gram Jaccard ≥ τ), `kept` (neither). The
+    * continuous-ingestion shape: the corpus is only ever read, never
+    * re-deduped; within-batch duplicates are the batch operators' job.
+    * Flags are independent (an exact copy is also a near-dup at J = 1). */
+  def incrementalFlags(newDocs: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): DataFrame = {
+    val corpusFps = corpus
+      .select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
+    val exactIds = newDocs
+      .select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
+      .join(corpusFps, Seq("fp"), "left_semi")
+      .select(col("id")).withColumn("de", lit(true))
+    val nearIds = ngramJaccardPairsAcross(newDocs, corpus, idCol, textCol,
+      n, threshold)
+      .select(col("id_l").as("id")).distinct().withColumn("dn", lit(true))
+    newDocs.select(col(idCol).as("id"))
+      .join(exactIds, Seq("id"), "left")
+      .join(nearIds, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("de"), lit(false)).as("dup_exact"),
+        coalesce(col("dn"), lit(false)).as("dup_near"),
+        (!coalesce(col("de"), lit(false)) && !coalesce(col("dn"), lit(false)))
+          .as("kept"))
+  }
+
   // -------------------------------------------------- cluster resolution
 
   /** Connected components over an undirected pair graph — the cluster

@@ -29,6 +29,21 @@ object DataOpsQueries {
       Dedup.minhashNearDupPairs(table(s, dir, "documents"), "doc_id", "text",
         n = 3, k = 12, bands = 4, threshold = 0.8)),
 
+    // Incremental (delta) dedup: the doc_id % 5 == 0 slice plays the NEW
+    // batch, the rest the existing corpus — plus planted exact twins
+    // (id + 1e6, same text) of every 15th doc so dup_exact actually fires.
+    // Flags each new doc: fingerprint already in corpus / near-dup of a
+    // corpus doc (cross-set prefix-filtered Jaccard) / kept.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newB = docs.filter(col("doc_id") % 5 === 0)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        .unionAll(docs.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      Dedup.incrementalFlags(newB, corpus, "doc_id", "text",
+        n = 3, threshold = 0.8)
+    }),
+
     // Cluster resolution over the near-dup pair graph: min-label
     // propagation (iterative joins) vs a recursive-CTE oracle — pairwise
     // matches must collapse transitively even for pairs never scored.
@@ -276,6 +291,32 @@ object DataOpsQueries {
         s"""SELECT md5($normTextSql) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS keep_id,
            | count(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,
       "dedup_ngram_pairs" -> oraclesNgramSql,
+      "dedup_incremental" -> {
+        def shingleCte(src: String) =
+          s"""SELECT DISTINCT id, concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT)+1], toks[CAST(i AS INT)+2]) AS s
+             |  FROM (SELECT id, $toksSql toks FROM $src), range(1, 4096) t(i)
+             |  WHERE i + 2 <= len(toks) AND (SELECT g FROM guard) = 1""".stripMargin
+        s"""WITH $shingleCapGuard,
+           |newb AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 = 0),
+           |corpus AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 <> 0
+           |           UNION ALL SELECT doc_id + 1000000 AS id, text FROM documents WHERE doc_id % 15 = 0),
+           |cfp AS (SELECT DISTINCT md5($normTextSql) AS fp FROM corpus),
+           |nfp AS (SELECT id, md5($normTextSql) AS fp FROM newb),
+           |shn AS (${shingleCte("newb")}),
+           |shc AS (${shingleCte("corpus")}),
+           |cn AS (SELECT id, count(*) AS n FROM shn GROUP BY 1),
+           |cc AS (SELECT id, count(*) AS n FROM shc GROUP BY 1),
+           |inter AS (SELECT a.id AS id_l, b.id AS id_r, count(*) AS m
+           |          FROM shn a JOIN shc b ON a.s = b.s GROUP BY 1, 2),
+           |near AS (SELECT DISTINCT id_l AS id FROM inter
+           |         JOIN cn ON cn.id = id_l JOIN cc ON cc.id = id_r
+           |         WHERE CAST(m AS DOUBLE) / (cn.n + cc.n - m) >= 0.8)
+           |SELECT nfp.id,
+           |  (nfp.fp IN (SELECT fp FROM cfp)) AS dup_exact,
+           |  (nfp.id IN (SELECT id FROM near)) AS dup_near,
+           |  NOT((nfp.fp IN (SELECT fp FROM cfp)) OR (nfp.id IN (SELECT id FROM near))) AS kept
+           |FROM nfp""".stripMargin
+      },
       "dedup_components" ->
         s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($oraclesNgramSql) q),
            |edges AS (SELECT id_a AS s, id_b AS d FROM pairs

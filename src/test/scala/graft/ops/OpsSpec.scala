@@ -21,6 +21,32 @@ class OpsSpec extends SparkSpec {
     assert(exact.nonEmpty && mh == exact) // planted dups are caught in full
   }
 
+  test("incremental dedup: exact twins flagged, cross-set pairs = full graph restricted") {
+    val newB = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    val twins = docs.filter(col("doc_id") % 15 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val flags = Dedup.incrementalFlags(newB, corpus.unionByName(twins),
+      "doc_id", "text", 3, 0.8).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(flags.size == newB.count())
+    // every doc with a planted twin is an exact dup (and thus a near-dup too)
+    flags.filter(_._1 % 15 == 0).values.foreach { case (de, dn, kept) =>
+      assert(de && dn && !kept)
+    }
+    assert(flags.values.exists(_._3)) // most docs survive
+    // cross-set near pairs equal the full pair graph restricted to the split
+    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantAcross = full.flatMap { case (a, b) =>
+      val (n, c) = if (a % 5 == 0) (a, b) else (b, a)
+      if (n % 5 == 0 && c % 5 != 0) Some((n, c)) else None
+    }
+    val across = Dedup.ngramJaccardPairsAcross(newB, corpus, "doc_id", "text", 3, 0.8)
+      .select("id_l", "id_r").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(across == wantAcross)
+  }
+
   test("connected components collapse chains, stars and cliques to min-id labels") {
     // chain 1-2-3-4, star 10-{11,12,13}, clique {20,21,22}, isolated pair 30-31
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
