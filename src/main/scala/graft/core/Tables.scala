@@ -39,9 +39,15 @@ object Tables {
     * plan is untouched; this exists exactly for the many-cores/few-row-groups
     * corner. Tiny dimension files (< 256 KB: region/nation/supplier/part)
     * stay narrow: their per-row work is negligible and the extra exchange
-    * would only clutter broadcast-join plans. Filters and column pruning
-    * still reach the parquet scan (Catalyst pushes both through a
-    * Repartition node — PlanSpec asserts PushedFilters survive). */
+    * would only clutter broadcast-join plans.
+    *
+    * In the WIDENED regime, column pruning still reaches the parquet scan,
+    * but predicate pushdown into the scan is deliberately traded away (the
+    * guard below): a sub-parallel single-row-group scan has nothing to
+    * prune anyway, and evaluating predicates on 32 cores beats evaluating
+    * them on 1. In the untouched (production) regime both pushdowns behave
+    * normally — PlanSpec asserts PushedFilters there and the
+    * guard-above-exchange shape in the widened regime. */
   private def maybeWiden(df: DataFrame, path: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val bytes =

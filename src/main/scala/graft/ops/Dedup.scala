@@ -120,7 +120,9 @@ object Dedup {
     * narrow scan with bit-identical output. Tokenless docs are dropped
     * (the explode formulation produced no row for them). */
   def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.filter(size(TextOps.tokens(col(textCol))) > 0)
+    // trim(text) != "" ⟺ at least one whitespace-split token — same drop
+    // set as the explode formulation, without re-tokenizing per row.
+    docs.filter(trim(col(textCol)) =!= "")
       .select(col(idCol).as("id"),
         org.apache.spark.sql.graft.ColumnBridge.column(
           graft.functions.SimHash64(
@@ -242,11 +244,19 @@ object Dedup {
     // graphs (measured ~0.5 s/round for a 477-node graph). Above it, the
     // distributed min-label loop below handles graphs of any size. Both
     // paths produce the identical min-id labeling (asserted in OpsSpec).
+    // The local regime requires LONG ids (its output schema is long);
+    // other id types always take the distributed path, which preserves
+    // the input type.
+    val idsAreLong = pairs.schema(aCol).dataType ==
+      org.apache.spark.sql.types.LongType &&
+      pairs.schema(bCol).dataType == org.apache.spark.sql.types.LongType
     val nEdges = edges.count()
-    if (nEdges <= localEdgeThreshold) {
+    if (idsAreLong && nEdges <= localEdgeThreshold) {
       val spark = pairs.sparkSession
-      val es = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // collect from the ALREADY-MATERIALIZED edge cache (collecting from
+      // `pairs` would re-run the whole upstream pair pipeline); duplicate
+      // and reversed edges are harmless to union-find.
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
       edges.unpersist()
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
@@ -295,9 +305,10 @@ object Dedup {
       prevSum = nextSum
       iter += 1
     }
+    edges.unpersist()
+    if (!converged) labels.unpersist()
     require(converged,
       s"connectedComponents did not converge within $maxIters rounds")
-    edges.unpersist()
     labels.select(col("id"), col("lbl").as("component"))
   }
 
@@ -338,7 +349,10 @@ object Dedup {
     // itself an expensive pipeline (Curation: langid+quality+semi-join), the
     // whole upstream re-runs 4x too. One row per doc (id + shingle array),
     // so the cache is ~corpus-sized; MEMORY_AND_DISK spills rather than
-    // recomputes at scale.
+    // recomputes at scale. The cache is intentionally left registered after
+    // return (the result frame still references it); Spark's LRU evicts it
+    // under memory pressure, and callers needing deterministic release can
+    // spark.catalog.clearCache() between pipelines.
     val ordered = sh.join(dfreq, Seq("s"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"))

@@ -19,10 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** `(id * 2654435761) mod 2^32 mod 1000` — uniform-ish permille bucket,
-    * exact in Long arithmetic for ids < 2^32 (no overflow past 2^63). */
+  /** `((id mod 1000000007) * 2654435761) mod 2^32 mod 1000` — uniform-ish
+    * permille bucket. The leading prime modulus keeps the multiply under
+    * 2.66e18 < 2^63 for ANY non-negative 64-bit id (the old direct multiply
+    * overflowed — an ANSI-mode crash — from id ≈ 3.5e9 up). Ids must be
+    * non-negative: both engines' `%` is dividend-signed, so the expression
+    * is only dialect-identical on non-negatives. */
   def permilleBucket(id: Column): Column =
-    pmod(pmod(id * lit(2654435761L), lit(4294967296L)), lit(1000L))
+    pmod(pmod(pmod(id, lit(1000000007L)) * lit(2654435761L),
+      lit(4294967296L)), lit(1000L))
 
   /** Keep each stratum at its permille rate (unlisted strata use
     * `defaultPermille`). Pure filter: output columns = input columns. */
@@ -44,6 +49,8 @@ object Sampling {
     * (rank early-exits nothing), so cap AFTER any cheap per-row filters. */
   def capPerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    require(!df.columns.contains("__rank"),
+      "capPerGroup uses an internal __rank column; rename the existing one")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(permilleBucket(col(idCol)).asc, col(idCol).asc)

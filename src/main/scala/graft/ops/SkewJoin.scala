@@ -32,6 +32,10 @@ object SkewJoin {
     require(salts > 0, "salts must be positive")
     require(!facts.columns.contains("__salt") && !dim.columns.contains("__salt"),
       "saltedJoin uses an internal __salt column; rename the existing one")
+    val overlap = facts.columns.toSet.intersect(dim.columns.toSet)
+    require(overlap.isEmpty,
+      s"saltedJoin column collision: ${overlap.mkString(", ")}; rename first " +
+        "(the joined output would carry ambiguous duplicate columns)")
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     val saltedFacts = facts.withColumn("__salt",

@@ -106,14 +106,14 @@ object ShapeQueries {
           s"CASE WHEN c_mktsegment = '$stratum' THEN $p ELSE $acc END"
       }
       s"""SELECT c_custkey, c_mktsegment FROM customer
-         |WHERE ((c_custkey * 2654435761) % 4294967296) % 1000 < $rateCase""".stripMargin
+         |WHERE (((c_custkey % 1000000007) * 2654435761) % 4294967296) % 1000 < $rateCase""".stripMargin
     },
 
     "sample_cap_per_group" ->
       s"""WITH r AS (
          |  SELECT c_custkey, c_mktsegment,
          |    row_number() OVER (PARTITION BY c_mktsegment
-         |      ORDER BY ((c_custkey * 2654435761) % 4294967296) % 1000 ASC,
+         |      ORDER BY (((c_custkey % 1000000007) * 2654435761) % 4294967296) % 1000 ASC,
          |               c_custkey ASC) AS rk
          |  FROM customer)
          |SELECT c_custkey, c_mktsegment FROM r WHERE rk <= $CapK""".stripMargin,

@@ -64,6 +64,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p) // no per-query global window partition
   }
 
+  test("widened regime: sub-parallel scans get the round-robin exchange + pushdown guard") {
+    // sf0.01 lineitem (~1 MB, one row group) is over the widen threshold;
+    // a derived-column predicate must evaluate ABOVE the exchange, behind
+    // the nondeterministic guard — not in the single-task scan stage.
+    val df = graft.core.Tables.table(spark, sf("sf0.01"), "lineitem")
+      .filter(length(concat(col("l_returnflag"), col("l_linestatus"))) === 2)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("RoundRobinPartitioning"), p)
+    assert(p.contains("monotonically_increasing_id"), p)
+    val scanIdx = p.indexOf("Scan parquet")
+    val exchangeIdx = p.indexOf("RoundRobinPartitioning")
+    val predIdx = p.indexOf("concat(l_returnflag")
+    assert(scanIdx >= 0 && exchangeIdx >= 0 && predIdx >= 0, p)
+    // executedPlan prints top-down: filter above exchange above scan
+    assert(predIdx < exchangeIdx, p)
+  }
+
   test("range join plans as a bucket equi-join, never a nested loop") {
     val p = plan("range_join_promos")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
