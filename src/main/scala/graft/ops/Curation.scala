@@ -29,6 +29,32 @@ object Curation {
   /** Surviving documents with their curation features. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       params: Params = Params()): DataFrame = {
+    val (afterExact, pairs) = upToPairs(docs, idCol, textCol, params)
+    // near-dup removal: drop the higher id of every qualifying pair
+    val dupIds = pairs.select(col("id_b").as("id")).distinct()
+    afterExact.join(dupIds, Seq("id"), "left_anti")
+      .select(col("id"), col("langid"), col("quality"))
+  }
+
+  /** [[curate]] with TRANSITIVE near-dup removal: qualifying pairs are
+    * resolved into connected components and only each component's min id
+    * survives. Strictly more aggressive than the greedy rule on connected
+    * clusters — with pairs (B,C),(A,C) and A<B<C, greedy keeps A AND B
+    * (B is never a pair's higher id), transitive collapses the whole
+    * cluster to A. The principled mode when near-dups chain. */
+  def curateTransitive(docs: DataFrame, idCol: String, textCol: String,
+      params: Params = Params()): DataFrame = {
+    val (afterExact, pairs) = upToPairs(docs, idCol, textCol, params)
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val dupIds = comp.filter(col("component") =!= col("id")).select(col("id"))
+    afterExact.join(dupIds, Seq("id"), "left_anti")
+      .select(col("id"), col("langid"), col("quality"))
+  }
+
+  /** Shared stages 1-4a: features → filters → exact dedup → qualifying
+    * near-dup pairs. */
+  private def upToPairs(docs: DataFrame, idCol: String, textCol: String,
+      params: Params): (DataFrame, DataFrame) = {
     val featured = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("langid", TextOps.languageId(col("text")))
       .withColumn("quality", round(TextOps.qualityScore(col("text")), 6))
@@ -41,11 +67,7 @@ object Curation {
       .agg(min(col("id")).as("id"))
       .select(col("id"))
     val afterExact = filtered.join(exactKept, Seq("id"), "left_semi")
-    // near-dup removal: drop the higher id of every qualifying pair
-    val dupIds = Dedup.ngramJaccardPairs(afterExact, "id", "text",
-      params.shingleN, params.nearDupThreshold)
-      .select(col("id_b").as("id")).distinct()
-    afterExact.join(dupIds, Seq("id"), "left_anti")
-      .select(col("id"), col("langid"), col("quality"))
+    (afterExact, Dedup.ngramJaccardPairs(afterExact, "id", "text",
+      params.shingleN, params.nearDupThreshold))
   }
 }

@@ -142,6 +142,13 @@ object DataOpsQueries {
     "curate_corpus" -> ((s, dir) =>
       graft.ops.Curation.curate(table(s, dir, "documents"), "doc_id", "text")),
 
+    // Same pipeline with TRANSITIVE near-dup removal: qualifying pairs are
+    // collapsed via connected components, only each cluster's min id
+    // survives (differs from greedy exactly on connected clusters).
+    "curate_corpus_cc" -> ((s, dir) =>
+      graft.ops.Curation.curateTransitive(table(s, dir, "documents"),
+        "doc_id", "text")),
+
     // Gate for the custom TypedImperativeAggregate: per-nation MinHash
     // sketch of the distinct order-date set (one shuffle of k longs per
     // nation — the group's element set is never materialized for the
@@ -255,6 +262,32 @@ object DataOpsQueries {
     * a silent wrong-oracle on a longer future fixture becomes a loud fail. */
   private val shingleCapGuard: String =
     s"guard AS (SELECT CASE WHEN max(len($toksSql)) > 4097 THEN error('shingle range(1,4096) cap exceeded') ELSE 1 END AS g FROM documents)"
+
+  /** The curate pipeline as DuckDB SQL up to qualifying pairs (`qp`), then
+    * a caller-supplied dup-resolution CTE (greedy id_b drop, or recursive
+    * connected components). */
+  private def curateSql(qualityExpr: String, scoreSel: String,
+      langCase: String, recursive: Boolean, dupCte: String): String = {
+    val withKw = if (recursive) "WITH RECURSIVE" else "WITH"
+    s"""$withKw $shingleCapGuard,
+       |f0 AS (SELECT doc_id AS id, text, $scoreSel FROM documents),
+       |f AS (SELECT id, text, $langCase AS langid, $qualityExpr AS quality FROM f0),
+       |flt AS (SELECT * FROM f WHERE langid = 'en' AND quality >= 0.6),
+       |keep AS (SELECT min(id) AS id FROM flt GROUP BY md5($normTextSql)),
+       |ae AS (SELECT flt.* FROM flt JOIN keep USING (id)),
+       |sh AS (
+       |  SELECT DISTINCT id, concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT)+1], toks[CAST(i AS INT)+2]) AS s
+       |  FROM (SELECT id, $toksSql toks FROM ae), range(1, 4096) t(i)
+       |  WHERE i + 2 <= len(toks) AND (SELECT g FROM guard) = 1),
+       |cnt AS (SELECT id, count(*) n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.id id_a, b.id id_b, count(*) m
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+       |qp AS (SELECT id_a, id_b FROM inter
+       |  JOIN cnt ca ON ca.id = inter.id_a JOIN cnt cb ON cb.id = inter.id_b
+       |  WHERE CAST(m AS DOUBLE) / (ca.n + cb.n - m) >= 0.8),
+       |$dupCte
+       |SELECT id, langid, quality FROM ae WHERE id NOT IN (SELECT id FROM dup)""".stripMargin
+  }
 
   private val oraclesNgramSql: String =
     s"""WITH $shingleCapGuard,
@@ -384,23 +417,27 @@ object DataOpsQueries {
           s"round(least(1.0, $len / 500.0) * 0.3 + (1.0 - least(1.0, $punct / $words)) * 0.3 +" +
             s" least(1.0, $stop * 5.0 / $words) * 0.2 + least(1.0, $words / 100.0) * 0.2, 6)"
         }
-        s"""WITH $shingleCapGuard,
-           |f0 AS (SELECT doc_id AS id, text, $scoreSel FROM documents),
-           |f AS (SELECT id, text, $langCase AS langid, $qualityExpr AS quality FROM f0),
-           |flt AS (SELECT * FROM f WHERE langid = 'en' AND quality >= 0.6),
-           |keep AS (SELECT min(id) AS id FROM flt GROUP BY md5($normTextSql)),
-           |ae AS (SELECT flt.* FROM flt JOIN keep USING (id)),
-           |sh AS (
-           |  SELECT DISTINCT id, concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT)+1], toks[CAST(i AS INT)+2]) AS s
-           |  FROM (SELECT id, $toksSql toks FROM ae), range(1, 4096) t(i)
-           |  WHERE i + 2 <= len(toks) AND (SELECT g FROM guard) = 1),
-           |cnt AS (SELECT id, count(*) n FROM sh GROUP BY 1),
-           |inter AS (SELECT a.id id_a, b.id id_b, count(*) m
-           |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
-           |dup AS (SELECT DISTINCT id_b AS id FROM inter
-           |  JOIN cnt ca ON ca.id = inter.id_a JOIN cnt cb ON cb.id = inter.id_b
-           |  WHERE CAST(m AS DOUBLE) / (ca.n + cb.n - m) >= 0.8)
-           |SELECT id, langid, quality FROM ae WHERE id NOT IN (SELECT id FROM dup)""".stripMargin
+        curateSql(qualityExpr, scoreSel, langCase, recursive = false,
+          dupCte = """dup AS (SELECT DISTINCT id_b AS id FROM qp)""")
+      },
+      "curate_corpus_cc" -> {
+        val qualityExpr = {
+          val len = "CAST(length(text) AS DOUBLE)"
+          val words = s"greatest(CAST(len($toksSql) AS DOUBLE), 1.0)"
+          val punct = s"($len - CAST(length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE))"
+          val stop = s"CAST(${markerSql(TextOps.LangMarkers.flatMap(_._2))} AS DOUBLE)"
+          s"round(least(1.0, $len / 500.0) * 0.3 + (1.0 - least(1.0, $punct / $words)) * 0.3 +" +
+            s" least(1.0, $stop * 5.0 / $words) * 0.2 + least(1.0, $words / 100.0) * 0.2, 6)"
+        }
+        curateSql(qualityExpr, scoreSel, langCase, recursive = true,
+          dupCte = """edges AS (SELECT id_a AS s, id_b AS d FROM qp
+            |  UNION ALL SELECT id_b, id_a FROM qp),
+            |cnodes AS (SELECT DISTINCT s AS id FROM edges),
+            |walk(id, lbl) AS (
+            |  SELECT id, id FROM cnodes
+            |  UNION
+            |  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.id),
+            |dup AS (SELECT id FROM walk GROUP BY id HAVING min(lbl) <> id)""".stripMargin)
       },
       "text_tfidf" ->
         s"""WITH tok AS (SELECT doc_id AS id, unnest($toksSql) AS term FROM documents),

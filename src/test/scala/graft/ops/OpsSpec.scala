@@ -21,6 +21,20 @@ class OpsSpec extends SparkSpec {
     assert(exact.nonEmpty && mh == exact) // planted dups are caught in full
   }
 
+  test("transitive curation collapses a chained cluster; greedy keeps the middle doc") {
+    // C is the hub: A~C and B~C qualify (J≈0.85), A~B does not (J≈0.73).
+    val base = (1 to 40).map(i => s"w$i")
+    val aT = base.updated(37, "x38").updated(38, "x39").updated(39, "x40")
+    val bT = base.updated(0, "y1").updated(1, "y2").updated(2, "y3")
+    val d = Seq((1L, aT), (2L, bT), (3L, base))
+      .map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+    val p = Curation.Params(language = "und", minQuality = 0.0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(Curation.curate(d, "doc_id", "text", p)) == Set(1L, 2L))
+    assert(ids(Curation.curateTransitive(d, "doc_id", "text", p)) == Set(1L))
+  }
+
   test("incremental dedup: exact twins flagged, cross-set pairs = full graph restricted") {
     val newB = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
