@@ -89,6 +89,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.size < docs.count()) // the fixture does contain duplicates
   }
 
+  test("per-row batch operators run unchanged on a stream (quality, langid, stratified sample)") {
+    val docs = Tables.table(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("graft-streamops").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    // the exact batch library calls, applied to an unbounded frame
+    val shaped = graft.ops.Sampling.stratified(
+      stream.withColumn("langid", graft.ops.TextOps.languageId(col("text")))
+        .withColumn("quality", round(graft.ops.TextOps.qualityScore(col("text")), 6)),
+      "langid", "doc_id", Map("en" -> 500), defaultPermille = 100)
+      .select("doc_id", "langid", "quality")
+    val q = shaped.writeStream.outputMode("append").format("memory")
+      .queryName("streamops").start()
+    try q.processAllAvailable() finally q.stop()
+    def keyed(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val want = keyed(graft.ops.Sampling.stratified(
+      docs.withColumn("langid", graft.ops.TextOps.languageId(col("text")))
+        .withColumn("quality", round(graft.ops.TextOps.qualityScore(col("text")), 6)),
+      "langid", "doc_id", Map("en" -> 500), defaultPermille = 100)
+      .select("doc_id", "langid", "quality"))
+    assert(keyed(spark.table("streamops")) == want && want.nonEmpty)
+  }
+
   test("watermark-bounded streaming dedup keeps one row per fingerprint in-window") {
     import spark.implicits._
     import java.sql.Timestamp
