@@ -62,15 +62,30 @@ object RegistryEnricher {
       .repartition(scraped.sparkSession.sparkContext.defaultParallelism)
       .withColumn("__srcid", monotonically_increasing_id())
 
-    // Stage 2 — fuzzy fallback on misses only: length-bound pruned cross
-    // join against the broadcast CMS keys, difflib-exact ratio, top-1.
+    // Stage 2 — fuzzy fallback on misses only: LENGTH-BANDED equi-join
+    // against the broadcast CMS keys, difflib-exact ratio, top-1.
+    //
+    // ratio ≥ c bounds the length ratio (2·min/(la+lb) ≥ c), so a CMS key
+    // of length lb can only match miss keys with la ∈ [lb·c/(2-c),
+    // lb·(2-c)/c]. Exploding each CMS row into that (slightly widened)
+    // integer length band turns the pairing into a BroadcastHashJoin on
+    // exact length — the raw theta join planned as a nested loop that
+    // evaluated the bound |misses|×|CMS| times. The exact bound stays as
+    // the join's extra condition, so the widened band can't admit a pair
+    // the theta join would have rejected: identical output, hash-join cost.
     val lenBound = (lit(2.0) * least(length(col("campus_id")), length(col("__cms_key")))
       / (length(col("campus_id")) + length(col("__cms_key")))) >= cutoff
+    val bandLo = floor(length(col("__cms_key")) * lit(cutoff) / (lit(2.0) - cutoff)).cast("int") - 1
+    val bandHi = ceil(length(col("__cms_key")) * (lit(2.0) - cutoff) / lit(cutoff)).cast("int") + 1
+    val cmsBanded = cmsSel.withColumn("__len", explode(sequence(bandLo, bandHi)))
+    val missLen = miss.withColumn("__len", length(col("campus_id")))
     // Cheap character-bag bound first (difflib quick_ratio idea): pairs the
     // bound already places below the cutoff score -1 without running the
     // quadratic exact ratio. Ordering among sub-cutoff pairs is irrelevant
     // (they can never be the fuzzy match).
-    val scored = miss.join(broadcast(cmsSel), lenBound, "left")
+    val scored = missLen.join(broadcast(cmsBanded),
+        missLen("__len") === cmsBanded("__len") && lenBound, "left")
+      .drop("__len")
       .withColumn("__ratio",
         when(col("__cms_key").isNotNull,
           SequenceMatcherRatio.seqRatioAtLeast(
