@@ -40,6 +40,24 @@ object Sampling {
     df.filter(permilleBucket(col(idCol)) < rate)
   }
 
+  /** Dataset repetition with a FRACTIONAL factor — "2.3 epochs of this
+    * source" in a training mixture: every row appears ⌊f⌋ times (epoch
+    * 0..⌊f⌋-1), and the fractional remainder epoch keeps the deterministic
+    * [[permilleBucket]] subset of rows, so expected multiplicity is f and
+    * the chosen subset is the same on every run/engine/partitioning.
+    * Output = input columns + `epoch`. One generator, no shuffle. */
+  def repeatEpochs(df: DataFrame, idCol: String, factor: Double): DataFrame = {
+    require(factor > 0.0, "factor must be positive")
+    require(!df.columns.contains("epoch"),
+      "repeatEpochs emits an `epoch` column; rename the existing one")
+    val whole = math.floor(factor).toLong
+    val fracPermille = math.round((factor - whole) * 1000).toLong
+    df.select(col("*"),
+        explode(sequence(lit(0L), lit(whole))).as("epoch"))
+      .filter(col("epoch") < whole ||
+        (lit(fracPermille) > 0 && permilleBucket(col(idCol)) < fracPermille))
+  }
+
   /** Cap each group at `k` rows — "at most k documents per domain", the
     * anti-domination rule of corpus mixing. The kept subset is a
     * deterministic pseudo-random sample: rows rank by (hash-bucket, id)

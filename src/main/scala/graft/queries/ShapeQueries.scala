@@ -47,6 +47,12 @@ object ShapeQueries {
           .select(col("c_custkey"), col("c_mktsegment")),
         "c_mktsegment", "c_custkey", k = CapK)),
 
+    // 2.3 epochs of the documents source: two full copies + the
+    // deterministic 30% hash subset as the fractional epoch.
+    "sample_repeat_epochs" -> ((s, dir) =>
+      Sampling.repeatEpochs(table(s, dir, "documents").select(col("doc_id")),
+        "doc_id", factor = 2.3)),
+
     // Salted 16-way orders⋈customer, aggregated per market segment. The
     // oracle is the UNSALTED join — the gate proves the salt spread is
     // result-invariant (each fact row meets its dimension row exactly once).
@@ -117,6 +123,11 @@ object ShapeQueries {
          |               c_custkey ASC) AS rk
          |  FROM customer)
          |SELECT c_custkey, c_mktsegment FROM r WHERE rk <= $CapK""".stripMargin,
+
+    "sample_repeat_epochs" ->
+      """SELECT doc_id, CAST(e.i AS BIGINT) AS epoch
+        |FROM documents, range(0, 3) e(i)
+        |WHERE i < 2 OR (((doc_id % 1000000007) * 2654435761) % 4294967296) % 1000 < 300""".stripMargin,
 
     "join_salted_revenue" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

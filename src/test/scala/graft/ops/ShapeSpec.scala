@@ -73,6 +73,24 @@ class ShapeSpec extends SparkSpec {
     assert(math.abs(kept.length / 2000.0 - 0.5) < 0.1)
   }
 
+  test("repeatEpochs: floor copies for all, fractional epoch is the stable hash subset") {
+    import spark.implicits._
+    val base = (1L to 2000L).toDF("id")
+    val out = Sampling.repeatEpochs(base, "id", 2.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byEpoch = out.groupBy(_._2).map { case (e, rs) => e -> rs.length }
+    assert(byEpoch(0L) == 2000 && byEpoch(1L) == 2000)
+    assert(math.abs(byEpoch(2L) / 2000.0 - 0.3) < 0.1) // ~30% fractional epoch
+    // fractional subset == the permille-bucket subset (stable, not random)
+    val frac = out.filter(_._2 == 2L).map(_._1).toSet
+    val expect = base.filter(Sampling.permilleBucket(col("id")) < 300)
+      .collect().map(_.getLong(0)).toSet
+    assert(frac == expect)
+    // integral factor: exactly f copies, no fractional epoch
+    val two = Sampling.repeatEpochs(base, "id", 2.0).collect()
+    assert(two.length == 4000)
+  }
+
   test("capPerGroup keeps at most k rows per group, deterministically") {
     import spark.implicits._
     val base = (1L to 3000L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
