@@ -45,6 +45,40 @@ object Shaping {
         concat_ws(" ", col("ctoks")).as("chunk_text"))
   }
 
+  /** Deterministic weighted interleave of N sources into one training
+    * stream — the mixing schedule: a source with weight w contributes one
+    * row every 1/w "virtual seconds", so long-run proportions follow the
+    * weights while every prefix of the stream is already mixed (no
+    * source-sized runs, unlike concat). Per shard (id hash), each source's
+    * rows rank by id and take virtual time rank/w; the shard's stream is
+    * the (vtime, source, id) sort order, emitted as `seq`. Shards make the
+    * schedule embarrassingly parallel — one shard per trainer rank, same
+    * as [[packSequences]].
+    *
+    * Output: (shard, source, id, seq). Weights must be positive; sources
+    * are indexed by their position in the input list. */
+  def interleave(sources: Seq[(org.apache.spark.sql.DataFrame, Double)],
+      idCol: String, shards: Int): org.apache.spark.sql.DataFrame = {
+    require(sources.nonEmpty && sources.forall(_._2 > 0.0),
+      "need at least one source, all weights positive")
+    require(shards > 0, "shards must be positive")
+    val tagged = sources.zipWithIndex.map { case ((df, w), i) =>
+      df.select(col(idCol).cast("long").as("id"))
+        .withColumn("source", lit(i))
+        .withColumn("shard", pmod(col("id"), lit(shards.toLong)))
+        .withColumn("__w", lit(w))
+    }.reduce(_ unionAll _)
+    val perSource = Window.partitionBy(col("shard"), col("source"))
+      .orderBy(col("id"))
+    val stream = Window.partitionBy(col("shard"))
+      .orderBy(col("__vt").asc, col("source").asc, col("id").asc)
+    tagged
+      .withColumn("__vt",
+        row_number().over(perSource).cast("double") / col("__w"))
+      .withColumn("seq", row_number().over(stream).cast("long"))
+      .select(col("shard"), col("source"), col("id"), col("seq"))
+  }
+
   /** Sequence-packing layout: documents are laid head-to-tail in id order
     * within `shards` hash shards, and each document is assigned its token
     * offset range and the fixed-length training sequences it lands in

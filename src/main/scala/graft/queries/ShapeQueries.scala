@@ -47,6 +47,14 @@ object ShapeQueries {
           .select(col("c_custkey"), col("c_mktsegment")),
         "c_mktsegment", "c_custkey", k = CapK)),
 
+    // Weighted 3:1 interleave of two id sources into per-shard training
+    // streams — the deterministic mixing schedule.
+    "interleave_sources" -> ((s, dir) =>
+      graft.ops.Shaping.interleave(Seq(
+        table(s, dir, "documents").select(col("doc_id")) -> 3.0,
+        table(s, dir, "embeddings").select(col("vec_id").as("doc_id")) -> 1.0),
+        "doc_id", shards = 4)),
+
     // 2.3 epochs of the documents source: two full copies + the
     // deterministic 30% hash subset as the fractional epoch.
     "sample_repeat_epochs" -> ((s, dir) =>
@@ -123,6 +131,18 @@ object ShapeQueries {
          |               c_custkey ASC) AS rk
          |  FROM customer)
          |SELECT c_custkey, c_mktsegment FROM r WHERE rk <= $CapK""".stripMargin,
+
+    "interleave_sources" ->
+      """WITH src AS (
+        |  SELECT doc_id AS id, 0 AS source, CAST(doc_id % 4 AS BIGINT) AS shard, 3.0 AS w FROM documents
+        |  UNION ALL
+        |  SELECT vec_id, 1, CAST(vec_id % 4 AS BIGINT), 1.0 FROM embeddings),
+        |v AS (SELECT shard, source, id,
+        |        CAST(row_number() OVER (PARTITION BY shard, source ORDER BY id) AS DOUBLE) / w AS vt
+        |      FROM src)
+        |SELECT shard, source, id,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY vt ASC, source ASC, id ASC) AS BIGINT) AS seq
+        |FROM v""".stripMargin,
 
     "sample_repeat_epochs" ->
       """SELECT doc_id, CAST(e.i AS BIGINT) AS epoch

@@ -73,6 +73,26 @@ class ShapeSpec extends SparkSpec {
     assert(math.abs(kept.length / 2000.0 - 0.5) < 0.1)
   }
 
+  test("interleave: prefix proportions track weights, no source-sized runs") {
+    import spark.implicits._
+    val a = (1L to 900L).toDF("id")   // weight 3
+    val b = (1001L to 1300L).toDF("id") // weight 1
+    val out = Shaping.interleave(Seq(a -> 3.0, b -> 1.0), "id", shards = 1)
+      .orderBy("seq").collect().map(r => (r.getInt(1), r.getLong(3)))
+    assert(out.length == 1200)
+    // in every aligned prefix, source 0 holds ~3/4 of the rows
+    Seq(200, 600, 1200).foreach { n =>
+      val frac = out.take(n).count(_._1 == 0).toDouble / n
+      assert(math.abs(frac - 0.75) < 0.05, s"prefix $n: $frac")
+    }
+    // the longest single-source run is bounded (3 for weight ratio 3:1)
+    val runs = out.map(_._1).foldLeft(List.empty[(Int, Int)]) {
+      case ((s, n) :: t, x) if s == x => (s, n + 1) :: t
+      case (acc, x) => (x, 1) :: acc
+    }
+    assert(runs.map(_._2).max <= 3 + 1)
+  }
+
   test("repeatEpochs: floor copies for all, fractional epoch is the stable hash subset") {
     import spark.implicits._
     val base = (1L to 2000L).toDF("id")
