@@ -58,6 +58,29 @@ object Sampling {
         (lit(fracPermille) > 0 && permilleBucket(col(idCol)) < fracPermille))
   }
 
+  /** Deterministic train/val/test assignment: consecutive permille ranges
+    * of the id hash map to named splits, so a document's split never
+    * changes as the corpus grows (a test doc can never silently migrate
+    * into train between snapshots — the leakage-prevention property).
+    * `splits` are (name, permille) with permilles summing to ≤ 1000; any
+    * remainder falls into `defaultSplit`. Adds a `split` column, pure
+    * per-row, no shuffle. */
+  def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)], defaultSplit: String = "train"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "positive permilles")
+    require(splits.map(_._2).sum <= 1000, "split permilles must sum to <= 1000")
+    require(!df.columns.contains("split"),
+      "assignSplits emits a `split` column; rename the existing one")
+    val bucket = permilleBucket(col(idCol))
+    val bounds = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }
+    val ranges = splits.zip(bounds.zip(bounds.tail))
+    val expr = ranges.foldRight(lit(defaultSplit): Column) {
+      case (((name, _), (lo, hi)), acc) =>
+        when(bucket >= lo && bucket < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Cap each group at `k` rows — "at most k documents per domain", the
     * anti-domination rule of corpus mixing. The kept subset is a
     * deterministic pseudo-random sample: rows rank by (hash-bucket, id)

@@ -47,6 +47,12 @@ object ShapeQueries {
           .select(col("c_custkey"), col("c_mktsegment")),
         "c_mktsegment", "c_custkey", k = CapK)),
 
+    // Stable val/test holdout: permille ranges [0,50) val, [50,150) test,
+    // rest train — a doc's split never changes as the corpus grows.
+    "sample_assign_splits" -> ((s, dir) =>
+      Sampling.assignSplits(table(s, dir, "documents").select(col("doc_id")),
+        "doc_id", Seq("val" -> 50, "test" -> 100))),
+
     // Weighted 3:1 interleave of two id sources into per-shard training
     // streams — the deterministic mixing schedule.
     "interleave_sources" -> ((s, dir) =>
@@ -131,6 +137,13 @@ object ShapeQueries {
          |               c_custkey ASC) AS rk
          |  FROM customer)
          |SELECT c_custkey, c_mktsegment FROM r WHERE rk <= $CapK""".stripMargin,
+
+    "sample_assign_splits" ->
+      """SELECT doc_id,
+        |  CASE WHEN (((doc_id % 1000000007) * 2654435761) % 4294967296) % 1000 < 50 THEN 'val'
+        |       WHEN (((doc_id % 1000000007) * 2654435761) % 4294967296) % 1000 < 150 THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
 
     "interleave_sources" ->
       """WITH src AS (

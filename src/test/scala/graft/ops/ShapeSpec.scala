@@ -73,6 +73,23 @@ class ShapeSpec extends SparkSpec {
     assert(math.abs(kept.length / 2000.0 - 0.5) < 0.1)
   }
 
+  test("assignSplits: stable ranges, growth never migrates a doc's split") {
+    import spark.implicits._
+    val small = (1L to 1000L).toDF("id")
+    val big = (1L to 5000L).toDF("id")
+    val splits = Seq("val" -> 50, "test" -> 100)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Sampling.assignSplits(df, "id", splits).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = m(small); val b = m(big)
+    // every id keeps its split when the corpus grows
+    assert(a.forall { case (id, s) => b(id) == s })
+    // rough proportions on the big corpus
+    val frac = b.values.groupBy(identity).map { case (k, v) => k -> v.size / 5000.0 }
+    assert(math.abs(frac("val") - 0.05) < 0.02 &&
+      math.abs(frac("test") - 0.10) < 0.03 && frac("train") > 0.8)
+  }
+
   test("interleave: prefix proportions track weights, no source-sized runs") {
     import spark.implicits._
     val a = (1L to 900L).toDF("id")   // weight 3
