@@ -31,4 +31,40 @@ object Lake {
   /** System read — prunes to one system subtree. */
   def readSystem(spark: SparkSession, lakePath: String, system: String): DataFrame =
     spark.read.parquet(lakePath).filter(col("healthcare_system") === system)
+
+  /** Small-files compaction for one partition directory — the maintenance
+    * job an append-per-batch lake needs: each `writeCharges` append adds
+    * task-count files, and a year of daily appends turns a campus partition
+    * into thousands of tiny parquet files whose open/footer cost dominates
+    * scans. Rewrites the partition to `ceil(bytes / targetBytes)` files
+    * (coalesce — no shuffle, this is an IO re-bin, not a repartition of
+    * work) via an adjacent temp directory and an atomic-ish swap; content
+    * is byte-for-byte the same rows. Returns (filesBefore, filesAfter). */
+  def compactCampus(spark: SparkSession, lakePath: String, system: String,
+      campusId: String, targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val dir = new org.apache.hadoop.fs.Path(
+      s"$lakePath/healthcare_system=$system/campus_id=$campusId")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir), s"no such partition: $dir")
+    def dataFiles = fs.listStatus(dir).filter { st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet")
+    }
+    val before = dataFiles
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (before.length <= nOut) return (before.length, before.length)
+    val tmp = new org.apache.hadoop.fs.Path(dir.getParent,
+      s".compact-${dir.getName}")
+    fs.delete(tmp, true)
+    spark.read.parquet(dir.toString).coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // swap: remove old data files, move compacted ones in
+    before.foreach(st => fs.delete(st.getPath, false))
+    fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(st => fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(dir, st.getPath.getName)))
+    fs.delete(tmp, true)
+    (before.length, dataFiles.length)
+  }
 }

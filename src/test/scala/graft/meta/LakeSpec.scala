@@ -25,4 +25,21 @@ class LakeSpec extends SparkSpec {
     assert(Lake.readSystem(spark, lake, "beta")
       .select("campus_id").distinct().count() == 1)
   }
+
+  test("compaction re-bins a many-file partition without changing its rows") {
+    val lake = Files.createTempDirectory("graft-lake-compact").toString
+    val canonical = ChargesFixture.charges(spark, sf("sf0.001")).limit(200)
+    // 8 appends -> at least 8 small files in the partition
+    (1 to 8).foreach(_ => Lake.writeCharges(canonical.limit(25), lake, "acme", "c1"))
+    val rowsBefore = Lake.readCampus(spark, lake, "acme", "c1").collect()
+      .map(_.toString).sorted.toSeq
+    val (nBefore, nAfter) = Lake.compactCampus(spark, lake, "acme", "c1",
+      targetBytes = 512L * 1024 * 1024)
+    assert(nBefore >= 8 && nAfter == 1, s"$nBefore -> $nAfter")
+    val rowsAfter = Lake.readCampus(spark, lake, "acme", "c1").collect()
+      .map(_.toString).sorted.toSeq
+    assert(rowsAfter == rowsBefore)
+    // idempotent: already-compact partitions are left untouched
+    assert(Lake.compactCampus(spark, lake, "acme", "c1") == (1, 1))
+  }
 }
