@@ -38,15 +38,32 @@ object Lake {
     * into thousands of tiny parquet files whose open/footer cost dominates
     * scans. Rewrites the partition to `ceil(bytes / targetBytes)` files
     * (coalesce — no shuffle, this is an IO re-bin, not a repartition of
-    * work) via an adjacent temp directory and an atomic-ish swap; content
-    * is byte-for-byte the same rows. Returns (filesBefore, filesAfter). */
+    * work); content is the same rows. Returns (filesBefore, filesAfter).
+    *
+    * NOT transactional: the caller must ensure no concurrent append to
+    * THIS partition while it runs (an append racing the swap window can be
+    * double-counted) — the standard limitation of compacting a raw parquet
+    * layout; concurrent access needs a table format on top. The swap is
+    * crash-recoverable: originals move to a `.trash-` sibling before the
+    * compacted files move in, every filesystem mutation's result is
+    * checked (a false return aborts loudly with both directories intact),
+    * and leftover `.compact-`/`.trash-` dirs from an interrupted run make
+    * the next invocation fail with recovery instructions instead of
+    * silently deleting the only remaining copy. */
   def compactCampus(spark: SparkSession, lakePath: String, system: String,
       campusId: String, targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     require(targetBytes > 0, "targetBytes must be positive")
     val dir = new org.apache.hadoop.fs.Path(
-      s"$lakePath/healthcare_system=$system/campus_id=$campusId")
+      s"$lakePath/healthcare_system=${escapePathName(system)}" +
+        s"/campus_id=${escapePathName(campusId)}")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(dir), s"no such partition: $dir")
+    val tmp = new org.apache.hadoop.fs.Path(dir.getParent, s".compact-${dir.getName}")
+    val trash = new org.apache.hadoop.fs.Path(dir.getParent, s".trash-${dir.getName}")
+    require(!fs.exists(tmp) && !fs.exists(trash),
+      s"leftover $tmp / $trash from an interrupted compaction — recover its " +
+        "files into the partition (or remove them if the partition is complete) first")
     def dataFiles = fs.listStatus(dir).filter { st =>
       st.isFile && st.getPath.getName.endsWith(".parquet")
     }
@@ -54,17 +71,19 @@ object Lake {
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     if (before.length <= nOut) return (before.length, before.length)
-    val tmp = new org.apache.hadoop.fs.Path(dir.getParent,
-      s".compact-${dir.getName}")
-    fs.delete(tmp, true)
     spark.read.parquet(dir.toString).coalesce(nOut)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // swap: remove old data files, move compacted ones in
-    before.foreach(st => fs.delete(st.getPath, false))
+    def mustRename(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(from, to), s"rename failed: $from -> $to (no data deleted)")
+    // swap: originals to trash (recoverable), compacted files in, trash out
+    require(fs.mkdirs(trash), s"cannot create $trash")
+    before.foreach(st => mustRename(st.getPath,
+      new org.apache.hadoop.fs.Path(trash, st.getPath.getName)))
     fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
-      .foreach(st => fs.rename(st.getPath,
+      .foreach(st => mustRename(st.getPath,
         new org.apache.hadoop.fs.Path(dir, st.getPath.getName)))
-    fs.delete(tmp, true)
+    require(fs.delete(tmp, true), s"cannot remove $tmp")
+    require(fs.delete(trash, true), s"cannot remove $trash")
     (before.length, dataFiles.length)
   }
 }

@@ -51,7 +51,15 @@ object Sampling {
     require(!df.columns.contains("epoch"),
       "repeatEpochs emits an `epoch` column; rename the existing one")
     val whole = math.floor(factor).toLong
+    // the fraction is realized at permille granularity (the hash bucket's
+    // resolution); a factor whose fraction rounds to 0/1000 is rejected
+    // rather than silently quantized to the integer part
     val fracPermille = math.round((factor - whole) * 1000).toLong
+    require(whole > 0 || fracPermille > 0,
+      s"factor $factor is below the 1/1000 sampling granularity")
+    require(math.abs((factor - whole) - fracPermille / 1000.0) < 1e-9,
+      s"factor $factor: the fractional part is realized in permille steps; " +
+        "use a multiple of 0.001")
     df.select(col("*"),
         explode(sequence(lit(0L), lit(whole))).as("epoch"))
       .filter(col("epoch") < whole ||

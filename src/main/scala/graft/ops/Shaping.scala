@@ -47,13 +47,18 @@ object Shaping {
 
   /** Deterministic weighted interleave of N sources into one training
     * stream — the mixing schedule: a source with weight w contributes one
-    * row every 1/w "virtual seconds", so long-run proportions follow the
-    * weights while every prefix of the stream is already mixed (no
-    * source-sized runs, unlike concat). Per shard (id hash), each source's
-    * rows rank by id and take virtual time rank/w; the shard's stream is
-    * the (vtime, source, id) sort order, emitted as `seq`. Shards make the
-    * schedule embarrassingly parallel — one shard per trainer rank, same
-    * as [[packSequences]].
+    * row every 1/w "virtual seconds", so proportions follow the weights
+    * and prefixes are mixed (no source-sized runs) FOR AS LONG AS EVERY
+    * SOURCE STILL HAS ROWS. Once a source exhausts, the remaining stream
+    * is whatever survives — a source much longer than its weight share
+    * ends the stream as an unmixed tail. Callers wanting weight-true
+    * proportions end to end should equalize effective lengths first
+    * (e.g. [[Sampling.repeatEpochs]] on the short sources, or truncate
+    * the long ones). Per shard (id hash), each source's rows rank by id
+    * and take virtual time rank/w; the shard's stream is the (vtime,
+    * source, id) sort order, emitted as `seq`. Shards make the schedule
+    * embarrassingly parallel — one shard per trainer rank, same as
+    * [[packSequences]].
     *
     * Output: (shard, source, id, seq). Weights must be positive; sources
     * are indexed by their position in the input list. */

@@ -263,6 +263,17 @@ object DataOpsQueries {
   private val shingleCapGuard: String =
     s"guard AS (SELECT CASE WHEN max(len($toksSql)) > 4097 THEN error('shingle range(1,4096) cap exceeded') ELSE 1 END AS g FROM documents)"
 
+  /** The 6dp-rounded quality score as DuckDB SQL — shared by BOTH curate
+    * oracles so a formula tweak can never desynchronize them. */
+  private val roundedQualitySql: String = {
+    val len = "CAST(length(text) AS DOUBLE)"
+    val words = s"greatest(CAST(len($toksSql) AS DOUBLE), 1.0)"
+    val punct = s"($len - CAST(length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE))"
+    val stop = s"CAST(${markerSql(TextOps.LangMarkers.flatMap(_._2))} AS DOUBLE)"
+    s"round(least(1.0, $len / 500.0) * 0.3 + (1.0 - least(1.0, $punct / $words)) * 0.3 +" +
+      s" least(1.0, $stop * 5.0 / $words) * 0.2 + least(1.0, $words / 100.0) * 0.2, 6)"
+  }
+
   /** The curate pipeline as DuckDB SQL up to qualifying pairs (`qp`), then
     * a caller-supplied dup-resolution CTE (greedy id_b drop, or recursive
     * connected components). */
@@ -408,28 +419,11 @@ object DataOpsQueries {
            |FROM documents""".stripMargin,
       "text_fingerprint" ->
         s"SELECT doc_id, md5($normTextSql) AS fingerprint FROM documents",
-      "curate_corpus" -> {
-        val qualityExpr = {
-          val len = "CAST(length(text) AS DOUBLE)"
-          val words = s"greatest(CAST(len($toksSql) AS DOUBLE), 1.0)"
-          val punct = s"($len - CAST(length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE))"
-          val stop = s"CAST(${markerSql(TextOps.LangMarkers.flatMap(_._2))} AS DOUBLE)"
-          s"round(least(1.0, $len / 500.0) * 0.3 + (1.0 - least(1.0, $punct / $words)) * 0.3 +" +
-            s" least(1.0, $stop * 5.0 / $words) * 0.2 + least(1.0, $words / 100.0) * 0.2, 6)"
-        }
-        curateSql(qualityExpr, scoreSel, langCase, recursive = false,
-          dupCte = """dup AS (SELECT DISTINCT id_b AS id FROM qp)""")
-      },
+      "curate_corpus" ->
+        curateSql(roundedQualitySql, scoreSel, langCase, recursive = false,
+          dupCte = """dup AS (SELECT DISTINCT id_b AS id FROM qp)"""),
       "curate_corpus_cc" -> {
-        val qualityExpr = {
-          val len = "CAST(length(text) AS DOUBLE)"
-          val words = s"greatest(CAST(len($toksSql) AS DOUBLE), 1.0)"
-          val punct = s"($len - CAST(length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE))"
-          val stop = s"CAST(${markerSql(TextOps.LangMarkers.flatMap(_._2))} AS DOUBLE)"
-          s"round(least(1.0, $len / 500.0) * 0.3 + (1.0 - least(1.0, $punct / $words)) * 0.3 +" +
-            s" least(1.0, $stop * 5.0 / $words) * 0.2 + least(1.0, $words / 100.0) * 0.2, 6)"
-        }
-        curateSql(qualityExpr, scoreSel, langCase, recursive = true,
+        curateSql(roundedQualitySql, scoreSel, langCase, recursive = true,
           dupCte = """edges AS (SELECT id_a AS s, id_b AS d FROM qp
             |  UNION ALL SELECT id_b, id_a FROM qp),
             |cnodes AS (SELECT DISTINCT s AS id FROM edges),
