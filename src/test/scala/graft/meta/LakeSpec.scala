@@ -42,4 +42,20 @@ class LakeSpec extends SparkSpec {
     // idempotent: already-compact partitions are left untouched
     assert(Lake.compactCampus(spark, lake, "acme", "c1") == (1, 1))
   }
+
+  test("compaction refuses to run over leftovers from an interrupted swap") {
+    val lake = Files.createTempDirectory("graft-lake-leftover").toString
+    val canonical = ChargesFixture.charges(spark, sf("sf0.001")).limit(50)
+    (1 to 3).foreach(_ => Lake.writeCharges(canonical, lake, "acme", "c9"))
+    // simulate a crashed prior run: a stranded .trash- sibling
+    val trash = new java.io.File(
+      s"$lake/healthcare_system=acme/.trash-campus_id=c9")
+    assert(trash.mkdirs())
+    val e = intercept[IllegalArgumentException] {
+      Lake.compactCampus(spark, lake, "acme", "c9", targetBytes = 1L << 30)
+    }
+    assert(e.getMessage.contains("interrupted compaction"))
+    // partition untouched by the refusal
+    assert(Lake.readCampus(spark, lake, "acme", "c9").count() == 150)
+  }
 }
