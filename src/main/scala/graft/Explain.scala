@@ -12,7 +12,8 @@ object Explain {
     val names = if (args.length > 1) args.tail.toSeq else Seq(
       "filter_shipdate_range", "agg_pricing_summary", "join_broadcast_segment",
       "join_multi_nation_revenue", "clean_rows", "dedup_ngram_pairs",
-      "sim_topk_brute")
+      "sim_topk_brute", "range_join_promos", "join_salted_revenue",
+      "pack_sequences", "interleave_sources", "enrich_fuzzy_registry")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -22,6 +22,20 @@ object Lake {
       .partitionBy("healthcare_system", "campus_id")
       .parquet(lakePath)
 
+  /** Idempotent re-process: replace ONE campus partition with a fresh
+    * frame, leaving every other partition untouched — dynamic partition
+    * overwrite, the write mode a backfill/repair job needs (static
+    * overwrite mode would truncate the whole lake). */
+  def overwriteCharges(canonical: DataFrame, lakePath: String,
+      system: String, campusId: String): Unit =
+    canonical
+      .withColumn("healthcare_system", lit(system))
+      .withColumn("campus_id", lit(campusId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("healthcare_system", "campus_id")
+      .parquet(lakePath)
+
   /** Campus read — prunes to one partition directory. */
   def readCampus(spark: SparkSession, lakePath: String,
       system: String, campusId: String): DataFrame =

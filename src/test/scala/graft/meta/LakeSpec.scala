@@ -43,6 +43,17 @@ class LakeSpec extends SparkSpec {
     assert(Lake.compactCampus(spark, lake, "acme", "c1") == (1, 1))
   }
 
+  test("dynamic overwrite replaces one campus and leaves the others intact") {
+    val lake = Files.createTempDirectory("graft-lake-ow").toString
+    val canonical = ChargesFixture.charges(spark, sf("sf0.001")).limit(100)
+    Lake.writeCharges(canonical, lake, "acme", "c1")
+    Lake.writeCharges(canonical.limit(40), lake, "acme", "c2")
+    // re-process c1 with a smaller corrected frame
+    Lake.overwriteCharges(canonical.limit(10), lake, "acme", "c1")
+    assert(Lake.readCampus(spark, lake, "acme", "c1").count() == 10)
+    assert(Lake.readCampus(spark, lake, "acme", "c2").count() == 40)
+  }
+
   test("compaction refuses to run over leftovers from an interrupted swap") {
     val lake = Files.createTempDirectory("graft-lake-leftover").toString
     val canonical = ChargesFixture.charges(spark, sf("sf0.001")).limit(50)
