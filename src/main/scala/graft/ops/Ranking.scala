@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Scalable global ranking — a dense total order over the whole dataset.
+  *
+  * The naive encoding, `row_number().over(Window.orderBy(...))`, is the
+  * classic scale trap: an empty window partition spec pulls EVERY row into
+  * one task. The distributed shape is the two-pass sort-and-offset:
+  * range-repartition by the sort key (sampled range bounds — Spark's
+  * distributed sort exchange), sort within partitions, then add each
+  * partition's start offset to its local index. `zipWithIndex` does the
+  * offset pass natively (one small count job over partition sizes, then a
+  * narrow map) — this is the one deliberate RDD drop-down in the library,
+  * used exactly where the Dataset API has no partition-offset primitive.
+  *
+  * Ties: callers must make `orderCols` a total order (append a unique id
+  * column) or ranks within a tie group are partition-placement dependent.
+  */
+object Ranking {
+
+  /** Input columns + `rank` (1-based, dense total order by `orderCols`). */
+  def globalRank(df: DataFrame, orderCols: Seq[Column]): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField("rank", LongType, nullable = false))
+    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(ranked, schema)
+  }
+}

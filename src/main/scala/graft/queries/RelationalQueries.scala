@@ -172,6 +172,16 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     }),
 
+    // Dense global rank of all orders by price (desc, key tiebreak) via the
+    // distributed sort-and-offset shape — NOT an empty-partition window
+    // (which would serialize every row into one task). Oracle: the naive
+    // row_number() the operator must exactly reproduce.
+    "rank_orders_global" -> ((s, dir) =>
+      graft.ops.Ranking.globalRank(
+        table(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+        .select(col("o_orderkey"), col("rank"))),
+
     // Point-in-interval range join, bucketized (graft.ops.RangeJoin): every
     // ~97th order opens a 7-17 day promo window; shipments are matched by
     // ship-day ∈ [lo, hi] and aggregated per promo. The oracle runs the
@@ -217,6 +227,10 @@ object RelationalQueries {
         """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
           |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
           |  AND l_discount > 0.05 AND l_returnflag = 'R'""".stripMargin,
+      "rank_orders_global" ->
+        """SELECT o_orderkey,
+          |  CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rank
+          |FROM orders""".stripMargin,
       "range_join_promos" ->
         """WITH promos AS (
           |  SELECT o_orderkey AS promo_id,

@@ -73,6 +73,23 @@ class ShapeSpec extends SparkSpec {
     assert(math.abs(kept.length / 2000.0 - 0.5) < 0.1)
   }
 
+  test("globalRank: dense 1..N total order, stable under input partitioning") {
+    import spark.implicits._
+    val base = (1L to 5000L).map(i => (i, (i * 7919) % 1000)).toDF("id", "key")
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      Ranking.globalRank(df, Seq(col("key").asc, col("id").asc))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = ranks(base)
+    assert(got.values.toSeq.sorted == (1L to 5000L))
+    // matches the naive single-partition window rank
+    val want = base.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("key").asc, col("id").asc)).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == want)
+    assert(ranks(base.repartition(13)) == want)
+  }
+
   test("assignSplits: stable ranges, growth never migrates a doc's split") {
     import spark.implicits._
     val small = (1L to 1000L).toDF("id")
