@@ -112,8 +112,8 @@ object ShapeQueries {
          |         CAST(len($toksSql) AS BIGINT) AS n_tokens
          |  FROM documents WHERE len($toksSql) > 0),
          |p AS (SELECT shard, id, n_tokens,
-         |        COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+         |        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
          |      FROM t)
          |SELECT shard, id, n_tokens, start_off,
          |  CAST((start_off - start_off % $SeqLen) / $SeqLen AS BIGINT) AS seq_first,

@@ -57,6 +57,19 @@ def main(sf_dir, out_dir):
         g, w = canon(got), canon(want)
         ok_schema = list(g.columns) == list(w.columns)
         ok_rows = len(g) == len(w)
+        # The driver hashes rendered values, so an int column on one side
+        # and float on the other (e.g. DuckDB HUGEINT sums -> float64 in
+        # pandas) fails there even though values compare equal here. Treat
+        # a numeric-kind mismatch as a hard fail to mirror the driver.
+        if ok_schema:
+            kinds_differ = [c for c in g.columns
+                            if (g[c].dtype.kind in "iu") != (w[c].dtype.kind in "iu")
+                            and {g[c].dtype.kind, w[c].dtype.kind} <= set("iuf")]
+            if kinds_differ:
+                print(f"[FAIL-type ] {name}: int/float kind mismatch on "
+                      f"{[(c, str(g[c].dtype), str(w[c].dtype)) for c in kinds_differ]}")
+                n_fail += 1
+                continue
         ok_vals = False
         if ok_schema and ok_rows:
             try:
