@@ -2,16 +2,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0); val sfDir = args(1); val reps = args(2).toInt
+    val names = args(0).split(','); val sfDir = args(1); val reps = args(2).toInt
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.Tables.table(spark, sfDir, "documents").count()
-    (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"RUN$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+    names.foreach { name =>
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"$name RUN$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
     spark.stop()
   }

@@ -78,6 +78,11 @@ object Shaping {
     val stream = Window.partitionBy(col("shard"))
       .orderBy(col("__vt").asc, col("source").asc, col("id").asc)
     tagged
+      // One exchange for both windows: hash-partitioning by shard alone
+      // satisfies the (shard, source) window too (shard ⊆ its keys), so
+      // the per-source rank and the stream rank run as two sorts over the
+      // same exchange instead of shuffling twice.
+      .repartition(col("shard"))
       .withColumn("__vt",
         row_number().over(perSource).cast("double") / col("__w"))
       .withColumn("seq", row_number().over(stream).cast("long"))

@@ -84,6 +84,14 @@ object TextOps {
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  /** Word n-gram multiplicity stats `struct(total, n_distinct, max_count)`
+    * in one pass per document — the raw counts behind repetition-based
+    * quality rules (duplicate n-gram fraction, top n-gram fraction). */
+  def repetitionStats(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.RepetitionStats(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), n))
+
   /** Normalization + md5 content fingerprint (near-identity key for exact
     * dedup across whitespace/case variance). */
   def normalized(text: Column): Column =

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.table
+import graft.ops.{Decontaminate, TextOps}
+
+/** Corpus-hygiene gates: benchmark decontamination (n-gram overlap between
+  * a train corpus and an eval set) and repetition-based quality metrics
+  * (duplicate / top n-gram fractions — the published repetition filter
+  * family for pretraining data).
+  */
+object CorpusQueries {
+
+  def family: QueryFamily = QueryFamily("corpus", queries, oracles)
+
+  /** Shingle size for the contamination check. The planted 8-token snippet
+    * contains exactly 3 six-grams, all present in its eval source doc. */
+  private val ContamN = 6
+  private val SnippetTokens = 8
+
+  /** Eval set = doc_id % 17 == 0; planted contamination appends the first 8
+    * tokens of eval doc 17·(doc_id % 29) to every train doc with
+    * doc_id % 23 == 0. Organic 6-gram collisions exist too (the fixture
+    * reuses phrases) — the gate sees both. Fabrication is dialect-neutral
+    * (%, *, slice/limit-8 token prefix) and mirrored verbatim in the
+    * oracle CTE. */
+  private def contaminatedTrain(docs: DataFrame): DataFrame = {
+    val ev8 = docs.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("eid"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, SnippetTokens)).as("snip"))
+    docs.filter(col("doc_id") % 17 =!= 0)
+      .join(broadcast(ev8), col("eid") === lit(17L) * (col("doc_id") % 29), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 23 === 0, concat(col("text"), lit(" "), col("snip")))
+          .otherwise(col("text")).as("text"))
+  }
+
+  /** total/n_distinct/max_count of word n-grams as three named columns. */
+  private def rep(nm: String, n: Int): Column =
+    TextOps.repetitionStats(col("text"), n).as(nm)
+
+  private def frac(num: Column, den: Column): Column =
+    when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+
+  /** 1 − n_distinct/total, 0.0 when there are no grams at all. */
+  private def dupFrac(nd: Column, total: Column): Column =
+    when(total > 0, lit(1.0) - nd.cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "decontaminate_report" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), col("text"))
+      Decontaminate.report(contaminatedTrain(docs), evalSet,
+        "doc_id", "text", ContamN)
+    }),
+
+    // Per-doc repetition metrics + the combined keep flag. All ratios are
+    // exact IEEE divisions of small ints — bit-identical across engines —
+    // so the threshold comparisons in `keep` are float-safe.
+    "text_repetition" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("s1", rep("s1", 1))
+        .withColumn("s2", rep("s2", 2))
+        .withColumn("s3", rep("s3", 3))
+        .select(col("doc_id"),
+          col("s1.total").as("n_tokens"),
+          frac(col("s1.n_distinct"), col("s1.total")).as("unique_token_ratio"),
+          dupFrac(col("s2.n_distinct"), col("s2.total")).as("dup_bigram_frac"),
+          frac(col("s2.max_count"), col("s2.total")).as("top_bigram_frac"),
+          dupFrac(col("s3.n_distinct"), col("s3.total")).as("dup_trigram_frac"))
+        .withColumn("keep",
+          col("unique_token_ratio") >= 0.4 &&
+            col("dup_bigram_frac") <= 0.03 &&
+            col("top_bigram_frac") <= 0.04)))
+
+  // ---------------------------------------------------------------- oracles
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+  /** Same loud-failure cap guard as the dedup oracles: range(1, 4096) gram
+    * starts are only valid while no document can outrun them. */
+  private val capGuard: String =
+    s"guard AS (SELECT CASE WHEN max(len($toksSql)) > 4095 THEN error('gram range(1,4096) cap exceeded') ELSE 1 END AS g FROM documents)"
+
+  /** Per-doc n-gram stats CTE chain: grams → per-gram counts → per-doc
+    * (total, nd, mx). Gram text mirrors the Spark expression's space-joined
+    * token windows. */
+  private def statsCtes(tag: String, gramExpr: String, lastTokOff: Int): String =
+    s"""g$tag AS (SELECT doc_id, $gramExpr AS gm
+       |  FROM tk, range(1, 4096) r$tag(i)
+       |  WHERE i + $lastTokOff <= len(toks) AND (SELECT g FROM guard) = 1),
+       |c$tag AS (SELECT doc_id, gm, count(*) AS c FROM g$tag GROUP BY 1, 2),
+       |s$tag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+       |    CAST(count(*) AS BIGINT) AS nd, CAST(max(c) AS BIGINT) AS mx
+       |  FROM c$tag GROUP BY 1)""".stripMargin
+
+  private def tok(off: Int): String =
+    if (off == 0) "toks[CAST(i AS INT)]" else s"toks[CAST(i AS INT) + $off]"
+
+  def oracles: Map[String, String] = Map(
+
+    "decontaminate_report" ->
+      s"""WITH $capGuard,
+         |ev8 AS (SELECT doc_id AS eid,
+         |    array_to_string(($toksSql)[1:$SnippetTokens], ' ') AS snip
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |tr AS (SELECT d.doc_id AS id,
+         |    CASE WHEN d.doc_id % 23 = 0 THEN concat(d.text, ' ', e.snip)
+         |         ELSE d.text END AS text
+         |  FROM documents d LEFT JOIN ev8 e ON e.eid = 17 * (d.doc_id % 29)
+         |  WHERE d.doc_id % 17 <> 0),
+         |shn AS (SELECT DISTINCT id, concat_ws(' ', ${(0 until ContamN).map(tok).mkString(", ")}) AS s
+         |  FROM (SELECT id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM tr),
+         |       range(1, 4096) t(i)
+         |  WHERE i + ${ContamN - 1} <= len(toks) AND (SELECT g FROM guard) = 1),
+         |she AS (SELECT DISTINCT doc_id AS eval_id, concat_ws(' ', ${(0 until ContamN).map(tok).mkString(", ")}) AS s
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 17 = 0),
+         |       range(1, 4096) t(i)
+         |  WHERE i + ${ContamN - 1} <= len(toks) AND (SELECT g FROM guard) = 1)
+         |SELECT id, count(DISTINCT s) AS n_hits,
+         |  count(DISTINCT eval_id) AS n_eval_docs,
+         |  string_agg(DISTINCT CAST(eval_id AS STRING), ','
+         |    ORDER BY CAST(eval_id AS STRING)) AS eval_ids
+         |FROM (SELECT shn.id, shn.s, she.eval_id FROM shn JOIN she ON shn.s = she.s) h
+         |GROUP BY id""".stripMargin,
+
+    "text_repetition" -> {
+      // Shared metric snippets so the keep flag can never drift from the
+      // emitted columns.
+      def fracSql(num: String, den: String) =
+        s"CASE WHEN coalesce($den, 0) > 0 THEN CAST($num AS DOUBLE) / CAST($den AS DOUBLE) ELSE 0.0 END"
+      def dupSql(nd: String, total: String) =
+        s"CASE WHEN coalesce($total, 0) > 0 THEN 1.0 - CAST($nd AS DOUBLE) / CAST($total AS DOUBLE) ELSE 0.0 END"
+      val utr = fracSql("s1.nd", "s1.total")
+      val dupBi = dupSql("s2.nd", "s2.total")
+      val topBi = fracSql("s2.mx", "s2.total")
+      val dupTri = dupSql("s3.nd", "s3.total")
+      s"""WITH $capGuard,
+         |tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |${statsCtes("1", tok(0), 0)},
+         |${statsCtes("2", s"concat_ws(' ', ${tok(0)}, ${tok(1)})", 1)},
+         |${statsCtes("3", s"concat_ws(' ', ${tok(0)}, ${tok(1)}, ${tok(2)})", 2)}
+         |SELECT d.doc_id,
+         |  coalesce(s1.total, 0) AS n_tokens,
+         |  $utr AS unique_token_ratio,
+         |  $dupBi AS dup_bigram_frac,
+         |  $topBi AS top_bigram_frac,
+         |  $dupTri AS dup_trigram_frac,
+         |  ($utr >= 0.4 AND $dupBi <= 0.03 AND $topBi <= 0.04) AS keep
+         |FROM documents d
+         |LEFT JOIN s1 ON s1.doc_id = d.doc_id
+         |LEFT JOIN s2 ON s2.doc_id = d.doc_id
+         |LEFT JOIN s3 ON s3.doc_id = d.doc_id""".stripMargin
+    })
+}
