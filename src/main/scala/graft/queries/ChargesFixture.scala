@@ -97,6 +97,21 @@ object ChargesFixture {
     li.select(fabricated.map { case (n, e) => expr(e).as(toCanonical(n)) }: _*)
   }
 
+  /** Deterministic 1/`mod` slice of the fixture: the filter is on raw
+    * lineitem keys so it pushes into the parquet scan, BEFORE fabrication.
+    * For gates that exercise machinery downstream of the clean pipeline
+    * (the devlog roundtrip) where the full-size pipeline is already gated
+    * elsewhere. Mirror with [[sliceSql]]. */
+  def sliceFilter(mod: Int): String = s"(l_orderkey + l_linenumber) % $mod = 0"
+
+  def chargesSlice(spark: SparkSession, sfDir: String, mod: Int): DataFrame = {
+    val li = Tables.table(spark, sfDir, "lineitem").filter(expr(sliceFilter(mod)))
+    li.select(fabricated.map { case (n, e) => expr(e).as(toCanonical(n)) }: _*)
+  }
+
+  /** Oracle side of [[chargesSlice]]. */
+  def sliceSql(mod: Int): String = s"$sql WHERE ${sliceFilter(mod)}"
+
   /** Oracle side: the identical fixture as a DuckDB CTE body (underscored
     * aliases; reads the `lineitem` view the driver registers). */
   def sql: String =

@@ -13,6 +13,9 @@ import graft.core.Conf.RuleNames
   */
 object CleanQueries {
 
+  /** Devlog gate runs the pipeline on 1/4 of lineitem (see the gate). */
+  private val DevlogSliceMod = 4
+
   def family: QueryFamily = QueryFamily("clean", queries, oracles)
 
   import ChargesFixture.{fabricated, toCanonical}
@@ -52,7 +55,10 @@ object CleanQueries {
     // ordering pick, and every counter the reference's devlog records.
     "devlog_roundtrip" -> ((s, dir) => {
       import graft.meta.Devlog
-      val pre = Cleaning.cleanAllPreDedup(ChargesFixture.charges(s, dir))
+      // Quarter-slice of the fixture: this gate proves the devlog JSON
+      // roundtrip; the full-size clean pipeline is already gated by
+      // clean_rows/clean_summary/clean_violations.
+      val pre = Cleaning.cleanAllPreDedup(ChargesFixture.chargesSlice(s, dir, DevlogSliceMod))
       // Dedup as a group-by-all-columns carrying the duplicate multiplicity,
       // so the summary, the pre-dedup row count, and the deduped row count
       // all come out of ONE aggregation pass (not three pipeline scans).
@@ -98,7 +104,9 @@ object CleanQueries {
   // ---------------------------------------------------------------- oracle --
 
   /** DuckDB SQL mirror of Cleaning.cleanAll + Rules, step for step. */
-  private def pipelineCte: String = {
+  private def pipelineCte: String = pipelineCteFrom(ChargesFixture.sql)
+
+  private def pipelineCteFrom(rawSql: String): String = {
     val scrub = priceU.map { f =>
       val s = s"TRY_CAST(trim(regexp_replace($f, '[$$%\",]', '', 'g')) AS DOUBLE)"
       val v = if (f == "estimated_amount") s
@@ -134,7 +142,7 @@ object CleanQueries {
         | OR (code_type = 'CDT' AND regexp_matches(code, '^D\d{4}$'))
         | OR (code_type = 'APC' AND regexp_matches(code, '^\d{4}$'))
         | OR (code_type = 'ICD' AND length(code) BETWEEN 3 AND 7)""".stripMargin
-    s"""WITH raw AS (${ChargesFixture.sql}),
+    s"""WITH raw AS ($rawSql),
        |priced AS (SELECT $priced FROM raw),
        |blanked AS (SELECT ${blank.mkString(", ")} FROM priced),
        |texted AS (SELECT ${text.mkString(", ")} FROM blanked),
@@ -193,7 +201,7 @@ object CleanQueries {
         val score =
           s"""CASE WHEN total_rows_cleaned + ($droppedExpr) = 0 THEN 0.0
              |  ELSE greatest(0.0, 1.0 - CAST($droppedExpr AS DOUBLE) / (CAST(total_rows_cleaned + ($droppedExpr) AS DOUBLE) * 10.0)) END""".stripMargin
-        s"""$pipelineCte,
+        s"""${pipelineCteFrom(ChargesFixture.sliceSql(DevlogSliceMod))},
            |s AS (SELECT $summaryInner FROM ruled),
            |pre AS (SELECT CAST(count(*) AS BIGINT) AS pre_n FROM valid_rows),
            |ded AS (SELECT CAST(count(*) AS BIGINT) AS ded_n FROM deduped)
