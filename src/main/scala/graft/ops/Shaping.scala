@@ -89,6 +89,32 @@ object Shaping {
       .select(col("shard"), col("source"), col("id"), col("seq"))
   }
 
+  /** Deterministic global shuffle — the training-order randomization pass:
+    * rows are dealt into `shards` pseudo-random shards and given a
+    * pseudo-random position within their shard, by the same engine-neutral
+    * Knuth multiplicative hash the sampling family uses (full 32-bit value
+    * here, not the permille bucket — a total order needs resolution).
+    * Same rows → same order, on every run, engine, and partitioning;
+    * adjacent input ids land far apart (the anti-curriculum property).
+    *
+    * One exchange (hash by shard) + a per-shard sort: no global total sort
+    * is needed because a trainer consumes one shard per rank — the same
+    * fleet seam as [[packSequences]] and [[interleave]]. Ties in the
+    * 32-bit hash break by id, so the order is total and reproducible.
+    *
+    * Output: (shard, id, pos) with pos 1-based within shard. */
+  def shuffleDeterministic(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val h = pmod(pmod(col("id"), lit(1000000007L)) * lit(2654435761L),
+      lit(4294967296L))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h").asc, col("id").asc)
+    df.select(col(idCol).cast("long").as("id"))
+      .withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("id"), col("pos"))
+  }
+
   /** Sequence-packing layout: documents are laid head-to-tail in id order
     * within `shards` hash shards, and each document is assigned its token
     * offset range and the fixed-length training sequences it lands in

@@ -67,6 +67,23 @@ object ShapeQueries {
       Sampling.repeatEpochs(table(s, dir, "documents").select(col("doc_id")),
         "doc_id", factor = 2.3)),
 
+    // Deterministic global shuffle: pseudo-random shard + in-shard position
+    // from the engine-neutral Knuth hash — training-order randomization
+    // that is identical on every run/engine/partitioning.
+    "shuffle_global" -> ((s, dir) =>
+      graft.ops.Shaping.shuffleDeterministic(
+        table(s, dir, "documents").select(col("doc_id")), "doc_id", shards = 4)),
+
+    // Morton (Z-order) key — the multi-dimensional layout-clustering key,
+    // gated as exact 64-bit arithmetic on both engines. The clustering
+    // pass itself (range partition + local sort by this key) is asserted
+    // in LayoutSpec via the per-partition bounding-box locality property.
+    "zorder_keys" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.ops.Layout.zkeyBounded(col("l_partkey"), col("l_suppkey"), 16)
+            .as("zkey"))),
+
     // Salted 16-way orders⋈customer, aggregated per market segment. The
     // oracle is the UNSALTED join — the gate proves the salt spread is
     // result-invariant (each fact row meets its dimension row exactly once).
@@ -119,6 +136,26 @@ object ShapeQueries {
          |  CAST((start_off - start_off % $SeqLen) / $SeqLen AS BIGINT) AS seq_first,
          |  CAST(((start_off + n_tokens - 1) - (start_off + n_tokens - 1) % $SeqLen) / $SeqLen AS BIGINT) AS seq_last
          |FROM p""".stripMargin,
+
+    "shuffle_global" ->
+      """WITH h AS (SELECT doc_id AS id,
+        |  ((doc_id % 1000000007) * 2654435761) % 4294967296 AS h FROM documents)
+        |SELECT CAST(h % 4 AS BIGINT) AS shard, id,
+        |  CAST(row_number() OVER (PARTITION BY h % 4 ORDER BY h, id) AS BIGINT) AS pos
+        |FROM h""".stripMargin,
+
+    "zorder_keys" -> {
+      val terms = (0 until 16).flatMap { i =>
+        Seq(s"(((px >> $i) & 1) * ${1L << (2 * i)})",
+          s"(((py >> $i) & 1) * ${1L << (2 * i + 1)})")
+      }
+      s"""WITH b AS (SELECT l_orderkey, l_linenumber,
+         |  CAST(l_partkey AS BIGINT) % 65536 AS px,
+         |  CAST(l_suppkey AS BIGINT) % 65536 AS py FROM lineitem)
+         |SELECT l_orderkey, l_linenumber,
+         |  CAST(${terms.mkString(" + ")} AS BIGINT) AS zkey
+         |FROM b""".stripMargin
+    },
 
     "sample_stratified_customers" -> {
       val rateCase = SampleRates.foldLeft(s"$SampleDefault") {
