@@ -31,6 +31,38 @@ object Ann {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** L2-normalize a vector column (unit length; zero vectors pass through
+    * unscaled). Pure per-row arithmetic over the ordered-fold norm, so the
+    * result is bit-identical wherever the fold is mirrored. */
+  def l2Normalize(v: Column): Column = {
+    val n = norm(v)
+    transform(v, x => when(n > 0.0, x / n).otherwise(x))
+  }
+
+  /** Mean-pool vectors per group, in LONG layout (group, dim, mean): the
+    * elementwise average of each group's vectors. The per-dimension sum is
+    * an ordered fold over the VALUE-SORTED collected values — double
+    * addition is not associative, so a plain sum() depends on partition
+    * merge order; sorting first fixes one canonical order that any engine
+    * reproduces bit-for-bit (decimal accumulation was rejected: the
+    * double→decimal cast rounds ties HALF_UP in Spark but HALF_EVEN in
+    * DuckDB, and float32 inputs are dyadic rationals that genuinely hit
+    * ties). One narrow explode + one hash aggregate keyed (group, dim);
+    * the collected list is one double per group MEMBER, so this form is
+    * for bounded group sizes (domains, sources, clusters — the pooling
+    * use case). Unbounded groups would use a decimal sum and accept
+    * last-ulp divergence instead. */
+  def meanPool(vectors: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    vectors
+      .select(col(groupCol).as("grp"),
+        posexplode(asDouble(col(vecCol))).as(Seq("dim", "x")))
+      .groupBy(col("grp"), col("dim"))
+      .agg(sort_array(collect_list(col("x"))).as("__xs"),
+        count(lit(1)).as("__n"))
+      .select(col("grp"), col("dim"),
+        (aggregate(col("__xs"), lit(0.0), (acc, x) => acc + x) /
+          col("__n").cast("double")).as("mean"))
+
   /** Rank a (query_id, vec_id, cos) candidate set down to each query's
     * top-k via the bounded [[TopKAgg]] aggregate — partial-combining, so a
     * query's candidates never need to share one window partition (the

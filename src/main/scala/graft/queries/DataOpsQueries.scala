@@ -93,6 +93,20 @@ object DataOpsQueries {
       Ann.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 10, dim = 64)
     }),
 
+    // Embedding ops in LONG layout (id/group, dim, value) — double columns
+    // compare numerically in the gate, where a rendered vector string
+    // would be at the mercy of engine float formatting.
+    "embed_normalize" -> ((s, dir) =>
+      table(s, dir, "embeddings").select(col("vec_id"),
+        posexplode(Ann.l2Normalize(Ann.asDouble(col("embedding"))))
+          .as(Seq("dim", "nval")))),
+
+    "embed_mean_pool" -> ((s, dir) =>
+      Ann.meanPool(
+        table(s, dir, "embeddings")
+          .select(pmod(col("vec_id"), lit(10L)).as("grp"), col("embedding")),
+        "grp", "embedding")),
+
     "text_langid" -> ((s, dir) =>
       table(s, dir, "documents").select(col("doc_id"),
         TextOps.languageId(col("text")).as("langid"))),
@@ -399,6 +413,26 @@ object DataOpsQueries {
           |r AS (SELECT query_id, vec_id, cos,
           |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM s)
           |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10""".stripMargin,
+      // Normalize: elementwise x/norm with the ordered-fold norm (0.0-seeded
+      // Spark fold ≡ DuckDB list_reduce from first element). Zero vectors
+      // pass through unscaled on both sides.
+      "embed_normalize" ->
+        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
+           |n AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm FROM v)
+           |SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+           |  CASE WHEN nrm > 0.0 THEN e[CAST(i AS INT)] / nrm ELSE e[CAST(i AS INT)] END AS nval
+           |FROM n, range(1, 65) r(i)""".stripMargin,
+      // Mean pool: fold the VALUE-SORTED per-(group, dim) list — the one
+      // summation order both engines reproduce exactly (see Ann.meanPool).
+      "embed_mean_pool" ->
+        """WITH v AS (SELECT vec_id % 10 AS grp, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
+          |ex AS (SELECT grp, CAST(i - 1 AS INT) AS dim, e[CAST(i AS INT)] AS x
+          |       FROM v, range(1, 65) r(i)),
+          |g AS (SELECT grp, dim, list_sort(list(x)) AS xs, count(*) AS n
+          |      FROM ex GROUP BY 1, 2)
+          |SELECT CAST(grp AS BIGINT) AS grp, dim,
+          |  list_reduce(xs, (a, b) -> a + b) / CAST(n AS DOUBLE) AS mean
+          |FROM g""".stripMargin,
       "text_langid" ->
         s"WITH f AS (SELECT doc_id, $scoreSel FROM documents) SELECT doc_id, $langCase AS langid FROM f",
       "text_quality" -> {

@@ -142,6 +142,30 @@ class OpsSpec extends SparkSpec {
     assert(srp == exact) // exact verify ⇒ subset; banding recalls every planted pair
   }
 
+  test("l2Normalize yields unit vectors; meanPool is partitioning-invariant") {
+    // Unit length after normalization (organic corpus has no zero vectors).
+    val normed = embs.select(Ann.norm(Ann.l2Normalize(Ann.asDouble($"embedding"))).as("n"))
+      .collect().map(_.getDouble(0))
+    normed.foreach(n => assert(math.abs(n - 1.0) < 1e-12, s"norm $n"))
+    // Zero vector passes through unscaled.
+    val z = Seq(Array(0.0, 0.0, 0.0)).toDF("v")
+      .select(Ann.l2Normalize($"v")).head().getSeq[Double](0)
+    assert(z == Seq(0.0, 0.0, 0.0))
+    // Mean pool: exact same doubles under a different input partitioning
+    // (the sorted-fold determinism property).
+    val g = embs.select((($"vec_id") % 7).as("grp"), $"embedding")
+    val a = Ann.meanPool(g, "grp", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val b = Ann.meanPool(g.repartition(13), "grp", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(a == b)
+    // And it is the true elementwise mean on a hand-made group.
+    val hand = Seq((0L, Array(1.0, 3.0)), (0L, Array(2.0, 5.0))).toDF("grp", "v")
+    val m = Ann.meanPool(hand, "grp", "v").orderBy("dim")
+      .collect().map(_.getDouble(2)).toSeq
+    assert(m == Seq(1.5, 4.0))
+  }
+
   test("exact dedup keeps one representative per duplicated fingerprint") {
     val dup = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other text"))
       .toDF("doc_id", "text")
