@@ -33,10 +33,32 @@ object Ann {
 
   /** L2-normalize a vector column (unit length; zero vectors pass through
     * unscaled). Pure per-row arithmetic over the ordered-fold norm, so the
-    * result is bit-identical wherever the fold is mirrored. */
+    * result is bit-identical wherever the fold is mirrored.
+    *
+    * NOTE: the norm subtree is embedded in the per-element lambda — there
+    * is no cross-lambda subexpression sharing, so this Column form costs
+    * O(dim²) per row. Fine for composition in small expressions; use
+    * [[l2NormalizeDf]] on corpus-scale paths. */
   def l2Normalize(v: Column): Column = {
     val n = norm(v)
     transform(v, x => when(n > 0.0, x / n).otherwise(x))
+  }
+
+  /** [[l2Normalize]] with the norm evaluated ONCE per row: the norm is
+    * materialized as a projected attribute, so the per-element lambda
+    * divides by a bound value instead of re-folding the vector — O(dim)
+    * per row. Replaces `vecCol` with its normalized (double) form. */
+  def l2NormalizeDf(vectors: DataFrame, vecCol: String): DataFrame = {
+    require(!vectors.columns.contains("__nrm"),
+      "l2NormalizeDf uses an internal __nrm column; rename the existing one")
+    val others = vectors.columns.filterNot(_ == vecCol).map(col)
+    vectors
+      .withColumn("__v", asDouble(col(vecCol)))
+      .withColumn("__nrm", norm(col("__v")))
+      .select(others :+
+        transform(col("__v"),
+          x => when(col("__nrm") > 0.0, x / col("__nrm")).otherwise(x))
+          .as(vecCol): _*)
   }
 
   /** Mean-pool vectors per group, in LONG layout (group, dim, mean): the

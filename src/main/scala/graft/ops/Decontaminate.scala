@@ -43,10 +43,15 @@ object Decontaminate {
 
   /** The train corpus minus contaminated docs — a broadcast LEFT ANTI join
     * on the contaminated id set (same broadcast-sized logic: the flagged
-    * set is small, the corpus is not). */
+    * set is small, the corpus is not). The id set is a plain distinct over
+    * the hit join, not the full [[report]] — dropping docs doesn't need
+    * the per-doc hit counts and sorted eval-id renders. */
   def clean(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    val bad = report(train, eval, idCol, textCol, n).select(col("id"))
+    val evalSh = Dedup.shingleRows(eval, idCol, textCol, n).select(col("s"))
+    val bad = Dedup.shingleRows(train, idCol, textCol, n)
+      .join(broadcast(evalSh), Seq("s"))
+      .select(col("id")).distinct()
     train.join(broadcast(bad), train(idCol) === bad("id"), "left_anti")
   }
 }

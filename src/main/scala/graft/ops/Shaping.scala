@@ -110,7 +110,12 @@ object Shaping {
     val w = Window.partitionBy(col("shard")).orderBy(col("__h").asc, col("id").asc)
     df.select(col(idCol).cast("long").as("id"))
       .withColumn("__h", h)
-      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+      // Shard from the HIGH bits: floor(h·shards / 2^32). The low bits of a
+      // multiplicative hash are NOT mixed (the Knuth constant is 1 mod 8,
+      // so h mod 2^k == id mod 2^k — `pmod(h, shards)` would deal
+      // round-robin by raw id for power-of-two shard counts, segregating
+      // any structure the id's low bits carry).
+      .withColumn("shard", shiftright(col("__h") * lit(shards.toLong), 32))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col("shard"), col("id"), col("pos"))
   }

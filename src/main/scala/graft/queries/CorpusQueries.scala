@@ -32,8 +32,14 @@ object CorpusQueries {
         concat_ws(" ", slice(TextOps.tokens(col("text")), 1, SnippetTokens)).as("snip"))
     docs.filter(col("doc_id") % 17 =!= 0)
       .join(broadcast(ev8), col("eid") === lit(17L) * (col("doc_id") % 29), "left")
+      // coalesce: on the shipped fixtures the join always matches (doc 0
+      // exists and 17·(d%29) ≤ 476 < max id), but a missed match must
+      // degrade to "no snippet", not null out the document — Spark concat
+      // propagates NULL where DuckDB's skips it, so without the coalesce a
+      // miss would silently desynchronize the two sides.
       .select(col("doc_id"),
-        when(col("doc_id") % 23 === 0, concat(col("text"), lit(" "), col("snip")))
+        when(col("doc_id") % 23 === 0,
+          concat(col("text"), lit(" "), coalesce(col("snip"), lit(""))))
           .otherwise(col("text")).as("text"))
   }
 
@@ -85,9 +91,19 @@ object CorpusQueries {
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
 
   /** Same loud-failure cap guard as the dedup oracles: range(1, 4096) gram
-    * starts are only valid while no document can outrun them. */
+    * starts are only valid while no document can outrun them (unigram
+    * starts run to len, so len ≤ 4095). */
   private val capGuard: String =
     s"guard AS (SELECT CASE WHEN max(len($toksSql)) > 4095 THEN error('gram range(1,4096) cap exceeded') ELSE 1 END AS g FROM documents)"
+
+  /** Decontamination guard: the train side tokenizes text with up to
+    * [[SnippetTokens]] planted tokens appended, and 6-gram starts run to
+    * len − 5 — so raw documents must stay ≤ 4095 + 5 − 8 = 4092 tokens for
+    * the range cap to cover every contaminated-doc gram. */
+  private val contamGuard: String = {
+    val cap = 4095 + (ContamN - 1) - SnippetTokens
+    s"guard AS (SELECT CASE WHEN max(len($toksSql)) > $cap THEN error('gram range(1,4096) cap exceeded for contaminated docs') ELSE 1 END AS g FROM documents)"
+  }
 
   /** Per-doc n-gram stats CTE chain: grams → per-gram counts → per-doc
     * (total, nd, mx). Gram text mirrors the Spark expression's space-joined
@@ -107,7 +123,7 @@ object CorpusQueries {
   def oracles: Map[String, String] = Map(
 
     "decontaminate_report" ->
-      s"""WITH $capGuard,
+      s"""WITH $contamGuard,
          |ev8 AS (SELECT doc_id AS eid,
          |    array_to_string(($toksSql)[1:$SnippetTokens], ' ') AS snip
          |  FROM documents WHERE doc_id % 17 = 0),

@@ -97,9 +97,11 @@ object DataOpsQueries {
     // compare numerically in the gate, where a rendered vector string
     // would be at the mercy of engine float formatting.
     "embed_normalize" -> ((s, dir) =>
-      table(s, dir, "embeddings").select(col("vec_id"),
-        posexplode(Ann.l2Normalize(Ann.asDouble(col("embedding"))))
-          .as(Seq("dim", "nval")))),
+      Ann.l2NormalizeDf(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "embedding")
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "nval")))),
 
     "embed_mean_pool" -> ((s, dir) =>
       Ann.meanPool(
@@ -424,6 +426,9 @@ object DataOpsQueries {
            |FROM n, range(1, 65) r(i)""".stripMargin,
       // Mean pool: fold the VALUE-SORTED per-(group, dim) list — the one
       // summation order both engines reproduce exactly (see Ann.meanPool).
+      // The 0.0 prepend seeds the fold like Spark's aggregate(.., 0.0, ..):
+      // without it an all-(-0.0) group would fold to -0.0 here but +0.0 in
+      // Spark (0.0 + -0.0 = +0.0).
       "embed_mean_pool" ->
         """WITH v AS (SELECT vec_id % 10 AS grp, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
           |ex AS (SELECT grp, CAST(i - 1 AS INT) AS dim, e[CAST(i AS INT)] AS x
@@ -431,7 +436,7 @@ object DataOpsQueries {
           |g AS (SELECT grp, dim, list_sort(list(x)) AS xs, count(*) AS n
           |      FROM ex GROUP BY 1, 2)
           |SELECT CAST(grp AS BIGINT) AS grp, dim,
-          |  list_reduce(xs, (a, b) -> a + b) / CAST(n AS DOUBLE) AS mean
+          |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs), (a, b) -> a + b) / CAST(n AS DOUBLE) AS mean
           |FROM g""".stripMargin,
       "text_langid" ->
         s"WITH f AS (SELECT doc_id, $scoreSel FROM documents) SELECT doc_id, $langCase AS langid FROM f",

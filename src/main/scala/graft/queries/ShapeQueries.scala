@@ -140,8 +140,8 @@ object ShapeQueries {
     "shuffle_global" ->
       """WITH h AS (SELECT doc_id AS id,
         |  ((doc_id % 1000000007) * 2654435761) % 4294967296 AS h FROM documents)
-        |SELECT CAST(h % 4 AS BIGINT) AS shard, id,
-        |  CAST(row_number() OVER (PARTITION BY h % 4 ORDER BY h, id) AS BIGINT) AS pos
+        |SELECT CAST((h * 4) >> 32 AS BIGINT) AS shard, id,
+        |  CAST(row_number() OVER (PARTITION BY (h * 4) >> 32 ORDER BY h, id) AS BIGINT) AS pos
         |FROM h""".stripMargin,
 
     "zorder_keys" -> {
