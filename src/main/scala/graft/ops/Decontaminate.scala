@@ -41,17 +41,29 @@ object Decontaminate {
           sort_array(collect_set(col("eval_id").cast("string")))).as("eval_ids"))
   }
 
-  /** The train corpus minus contaminated docs — a broadcast LEFT ANTI join
-    * on the contaminated id set (same broadcast-sized logic: the flagged
-    * set is small, the corpus is not). The id set is a plain distinct over
-    * the hit join, not the full [[report]] — dropping docs doesn't need
-    * the per-doc hit counts and sorted eval-id renders. */
-  def clean(train: DataFrame, eval: DataFrame, idCol: String,
+  /** Ids of contaminated train docs — a LEFT SEMI join of the train
+    * shingle rows against the broadcast eval shingle set, deduplicated per
+    * doc. This shape runs UNCHANGED on a streaming train side (stream-
+    * static semi join + stateful dropDuplicates are both supported;
+    * derived-anti and aggregation shapes are not), so streaming
+    * contamination detection is this exact plan over `readStream`. */
+  def flaggedIds(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
     val evalSh = Dedup.shingleRows(eval, idCol, textCol, n).select(col("s"))
-    val bad = Dedup.shingleRows(train, idCol, textCol, n)
-      .join(broadcast(evalSh), Seq("s"))
-      .select(col("id")).distinct()
+    Dedup.shingleRows(train, idCol, textCol, n)
+      .join(broadcast(evalSh), Seq("s"), "left_semi")
+      .select(col("id"))
+      .dropDuplicates("id")
+  }
+
+  /** The train corpus minus contaminated docs — a broadcast LEFT ANTI join
+    * on the [[flaggedIds]] set (same broadcast-sized logic: the flagged
+    * set is small, the corpus is not). Batch-only: the anti side derives
+    * from the corpus itself, so a streaming pipeline runs [[flaggedIds]]
+    * and routes/filters on the flag set in a second phase instead. */
+  def clean(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val bad = flaggedIds(train, eval, idCol, textCol, n)
     train.join(broadcast(bad), train(idCol) === bad("id"), "left_anti")
   }
 }

@@ -114,6 +114,34 @@ class StreamingSpec extends SparkSpec {
     assert(keyed(spark.table("streamops")) == want && want.nonEmpty)
   }
 
+  test("streaming decontamination: stream-static semi join equals the batch report ids") {
+    // The eval/benchmark set is a STATIC frame; the corpus streams. Spark's
+    // stream-static SEMI join + stateful dropDuplicates make flaggedIds run
+    // unchanged on an unbounded train side — the broadcast eval shingles
+    // are the static build side of every micro-batch. (A streaming ANTI
+    // against the derived flag set is unsupported by design; the drop is a
+    // second phase.)
+    val docs = Tables.table(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val evalSet = docs.filter(col("doc_id") % 17 === 0)
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+    val dir = Files.createTempDirectory("graft-streamdecon").toString
+    train.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(train.schema).parquet(dir)
+    val q = graft.ops.Decontaminate.flaggedIds(stream, evalSet, "doc_id", "text", n = 6)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("streamdecon").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("streamdecon").collect().map(_.getLong(0)).toSet
+    val want = graft.ops.Decontaminate.report(train, evalSet, "doc_id", "text", n = 6)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty && got.size < train.count())
+    // and batch clean = train minus exactly this flag set
+    val kept = graft.ops.Decontaminate.clean(train, evalSet, "doc_id", "text", n = 6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == train.collect().map(_.getLong(0)).toSet -- got)
+  }
+
   test("watermark-bounded streaming dedup keeps one row per fingerprint in-window") {
     import spark.implicits._
     import java.sql.Timestamp
