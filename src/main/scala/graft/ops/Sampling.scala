@@ -107,4 +107,25 @@ object Sampling {
       .filter(col("__rank") <= k)
       .drop("__rank")
   }
+
+  /** Keep the top `frac` of rows by score — the ADAPTIVE quality floor
+    * ("best 30% of the corpus", however the score distribution shifts),
+    * versus [[graft.ops.Curation]]'s fixed threshold. Exact and
+    * deterministic: rows rank by (score desc, id asc) via the distributed
+    * [[Ranking.globalRank]] (range exchange + partition offsets — never
+    * the one-task empty-partition window), and the cutoff count is
+    * computed in-plan (1-row broadcast cross join, no driver action).
+    * Output: input columns + `rank`. */
+  def topFraction(df: DataFrame, scoreCol: String, idCol: String,
+      frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    require(!df.columns.contains("__n"),
+      "topFraction uses an internal __n column; rename the existing one")
+    val ranked = Ranking.globalRank(df,
+      Seq(col(scoreCol).desc, col(idCol).asc))
+    val n = df.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(org.apache.spark.sql.functions.broadcast(n))
+      .filter(col("rank") <= ceil(lit(frac) * col("__n")))
+      .drop("__n")
+  }
 }

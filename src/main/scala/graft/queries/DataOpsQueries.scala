@@ -117,6 +117,16 @@ object DataOpsQueries {
       table(s, dir, "documents").select(col("doc_id"),
         TextOps.qualityScore(col("text")).as("quality"))),
 
+    // Adaptive quality floor: top 30% by score, rank assigned by the
+    // distributed global-rank (range exchange + partition offsets), the
+    // cutoff count computed in-plan. 6dp-rounded score (the established
+    // cross-engine-safe form) keeps the ORDER identical on both sides.
+    "sample_top_fraction" -> ((s, dir) =>
+      graft.ops.Sampling.topFraction(
+        table(s, dir, "documents").select(col("doc_id"),
+          round(TextOps.qualityScore(col("text")), 6).as("quality")),
+        "quality", "doc_id", frac = 0.3)),
+
     "text_tokens" -> ((s, dir) =>
       table(s, dir, "documents").select(col("doc_id"),
         TextOps.tokenCountWhitespace(col("text")).cast("long").as("n_ws_tokens"),
@@ -458,6 +468,12 @@ object DataOpsQueries {
            |FROM documents""".stripMargin,
       "text_fingerprint" ->
         s"SELECT doc_id, md5($normTextSql) AS fingerprint FROM documents",
+      "sample_top_fraction" ->
+        s"""WITH f AS (SELECT doc_id, $roundedQualitySql AS quality FROM documents),
+           |r AS (SELECT doc_id, quality,
+           |  CAST(row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rank,
+           |  count(*) OVER () AS n FROM f)
+           |SELECT doc_id, quality, rank FROM r WHERE rank <= ceil(0.3 * n)""".stripMargin,
       "curate_corpus" ->
         curateSql(roundedQualitySql, scoreSel, langCase, recursive = false,
           dupCte = """dup AS (SELECT DISTINCT id_b AS id FROM qp)"""),

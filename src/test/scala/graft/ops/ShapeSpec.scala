@@ -192,4 +192,22 @@ class ShapeSpec extends SparkSpec {
       assert(salted.collect().toSet == plain.collect().toSet, s"salts=$salts")
     }
   }
+
+  test("topFraction keeps exactly ceil(frac*n) best-scored rows, stable under partitioning") {
+    import spark.implicits._
+    val d = (1L to 100L).map(i => (i, (i % 37).toDouble)).toDF("id", "score")
+    val top = Sampling.topFraction(d, "score", "id", frac = 0.25)
+    val rows = top.collect()
+    assert(rows.length == 25) // ceil(0.25 * 100)
+    // the kept set is the lexicographic top by (score desc, id asc)
+    val want = (1L to 100L).map(i => (i, (i % 37).toDouble))
+      .sortBy { case (id, sc) => (-sc, id) }.take(25).map(_._1).toSet
+    assert(rows.map(_.getAs[Long]("id")).toSet == want)
+    // ranks are 1..25 and consistent with the order
+    assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 25L))
+    // invariant under input partitioning
+    val again = Sampling.topFraction(d.repartition(13), "score", "id", 0.25)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("rank"))).toSet
+    assert(again == rows.map(r => (r.getAs[Long]("id"), r.getAs[Long]("rank"))).toSet)
+  }
 }
