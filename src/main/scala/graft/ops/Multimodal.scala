@@ -60,6 +60,88 @@ object Multimodal {
       }
   }
 
+  /** Resized features: dimensions and the (0,0) pixel of the REAL
+    * half-scale render. */
+  final case class ResizedRecord(doc_id: Long, width: Int, height: Int,
+      r: Int, g: Int, b: Int)
+
+  /** One "video": an ordered run of per-frame PNG payloads. */
+  final case class VideoRecord(doc_id: Long, n_frames: Int,
+      frames: Seq[Array[Byte]])
+
+  /** One sampled, decoded frame. */
+  final case class FrameRecord(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, r: Int, g: Int, b: Int)
+
+  /** Partition-wise decode + REAL half-scale resize (Graphics2D render into
+    * a (⌈w/2⌉∨1, ⌈h/2⌉∨1) raster — the JRE's actual scaler, not metadata
+    * arithmetic). The fills are uniform, so the oracle can predict the
+    * resized pixel exactly regardless of interpolation kernel. */
+  def resizeHalf(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[ResizedRecord] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+        val rw = math.max(1, img.getWidth / 2)
+        val rh = math.max(1, img.getHeight / 2)
+        val dst = new BufferedImage(rw, rh, BufferedImage.TYPE_INT_RGB)
+        val gfx = dst.createGraphics()
+        gfx.drawImage(img, 0, 0, rw, rh, null)
+        gfx.dispose()
+        val argb = dst.getRGB(0, 0)
+        ResizedRecord(m.doc_id, rw, rh,
+          (argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+      }
+    }
+  }
+
+  /** Fabricate a per-doc "video": `doc_id % 5 + 1` uniform-fill PNG frames
+    * whose colors are integer formulas of (doc_id, frame index) — the
+    * DuckDB-predictable stand-in for a real container format. */
+  def fabricateVideos(docs: DataFrame): Dataset[VideoRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (id % 5 + 1).toInt
+        val w = (id % 16 + 1).toInt
+        val h = (id % 12 + 1).toInt
+        val frames = (0 until n).map { k =>
+          val rgb = ((((id + 11 * k) % 256) << 16) |
+            (((id * 7 + 11 * k) % 256) << 8) | ((id * 13 + 11 * k) % 256)).toInt
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val out = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", out)
+          out.toByteArray
+        }
+        VideoRecord(id, n, frames)
+      }
+    }
+  }
+
+  /** Frame sampling: decode every `step`-th frame of each video (the rest
+    * are never decoded — the point of sampling). Same per-partition codec
+    * seam; a real container would be demuxed here instead of unpacked. */
+  def sampleFrames(spark: SparkSession, videos: Dataset[VideoRecord],
+      step: Int): Dataset[FrameRecord] = {
+    require(step > 0, "step must be positive")
+    import spark.implicits._
+    videos.flatMap { v =>
+      (0 until v.n_frames by step).map { k =>
+        val img = ImageIO.read(new ByteArrayInputStream(v.frames(k)))
+        val argb = img.getRGB(0, 0)
+        FrameRecord(v.doc_id, k, img.getWidth, img.getHeight,
+          (argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+      }
+    }
+  }
+
   /** Partition-wise decode/feature-extract — a REAL `ImageIO.read` of the
     * PNG stream. Dimensions, channel values, and feature0 are read from the
     * decoded raster (PNG is lossless, so they must equal the fabrication

@@ -162,6 +162,23 @@ object DataOpsQueries {
         .select(col("doc_id"), col("mime"), col("width"), col("height"),
           col("n_frames"), col("r"), col("g"), col("b"), col("feature0"))),
 
+    // Real decode → REAL half-scale render → emit the resized dims/pixel;
+    // uniform fills make the resized pixel oracle-predictable under any
+    // interpolation kernel.
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizeHalf(s,
+        Multimodal.fabricateFromDocs(table(s, dir, "documents"))).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("r"), col("g"), col("b"))),
+
+    // Fabricated multi-frame "videos" (doc_id % 5 + 1 frames), every 2nd
+    // frame decoded; un-sampled frames are never decoded.
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(s,
+        Multimodal.fabricateVideos(table(s, dir, "documents")), step = 2).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("r"), col("g"), col("b"))),
+
     // The composed curation pass: language filter → quality floor → exact
     // dedup → near-dup removal (every stage individually oracle-checked
     // above; this checks their composition).
@@ -507,6 +524,23 @@ object DataOpsQueries {
         s"""WITH p AS ($plantedPiiSql)
            |SELECT doc_id, $redacted AS redacted, ${counts.mkString(", ")} FROM p""".stripMargin
       },
+      "multimodal_resize" ->
+        """SELECT doc_id,
+          | greatest(1, CAST((n_chars % 64 + 1) // 2 AS INT)) AS width,
+          | greatest(1, CAST((n_chars % 48 + 1) // 2 AS INT)) AS height,
+          | CAST(doc_id % 256 AS INT) AS r,
+          | CAST((doc_id * 7) % 256 AS INT) AS g,
+          | CAST((doc_id * 13) % 256 AS INT) AS b
+          |FROM documents""".stripMargin,
+      "multimodal_frames" ->
+        """SELECT doc_id, CAST(k AS INT) AS frame_idx,
+          | CAST(doc_id % 16 + 1 AS INT) AS width,
+          | CAST(doc_id % 12 + 1 AS INT) AS height,
+          | CAST((doc_id + 11 * k) % 256 AS INT) AS r,
+          | CAST((doc_id * 7 + 11 * k) % 256 AS INT) AS g,
+          | CAST((doc_id * 13 + 11 * k) % 256 AS INT) AS b
+          |FROM documents, range(0, 5) t(k)
+          |WHERE k % 2 = 0 AND k < doc_id % 5 + 1""".stripMargin,
       "multimodal_decode" ->
         """SELECT doc_id, 'image/png' AS mime,
           | CAST(n_chars % 64 + 1 AS INT) AS width,
