@@ -49,8 +49,8 @@ object Ann {
     * divides by a bound value instead of re-folding the vector — O(dim)
     * per row. Replaces `vecCol` with its normalized (double) form. */
   def l2NormalizeDf(vectors: DataFrame, vecCol: String): DataFrame = {
-    require(!vectors.columns.contains("__nrm"),
-      "l2NormalizeDf uses an internal __nrm column; rename the existing one")
+    require(!vectors.columns.exists(c => c == "__nrm" || c == "__v"),
+      "l2NormalizeDf uses internal __v/__nrm columns; rename the existing one")
     val others = vectors.columns.filterNot(_ == vecCol).map(col)
     vectors
       .withColumn("__v", asDouble(col(vecCol)))

@@ -74,7 +74,7 @@ object Multimodal {
       height: Int, r: Int, g: Int, b: Int)
 
   /** Partition-wise decode + REAL half-scale resize (Graphics2D render into
-    * a (⌈w/2⌉∨1, ⌈h/2⌉∨1) raster — the JRE's actual scaler, not metadata
+    * a (⌊w/2⌋∨1, ⌊h/2⌋∨1) raster — the JRE's actual scaler, not metadata
     * arithmetic). The fills are uniform, so the oracle can predict the
     * resized pixel exactly regardless of interpolation kernel. */
   def resizeHalf(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[ResizedRecord] = {

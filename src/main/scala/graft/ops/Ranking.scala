@@ -23,6 +23,8 @@ object Ranking {
   /** Input columns + `rank` (1-based, dense total order by `orderCols`). */
   def globalRank(df: DataFrame, orderCols: Seq[Column]): DataFrame = {
     require(orderCols.nonEmpty, "need at least one order column")
+    require(!df.columns.contains("rank"),
+      "globalRank appends a `rank` column; rename the existing one")
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)

@@ -138,8 +138,10 @@ object ShapeQueries {
          |FROM p""".stripMargin,
 
     "shuffle_global" ->
+      // Non-negative mod form (((x % m) + m) % m) to mirror Spark's pmod
+      // exactly — DuckDB % is signed and would diverge on negative ids.
       """WITH h AS (SELECT doc_id AS id,
-        |  ((doc_id % 1000000007) * 2654435761) % 4294967296 AS h FROM documents)
+        |  ((((doc_id % 1000000007) + 1000000007) % 1000000007) * 2654435761) % 4294967296 AS h FROM documents)
         |SELECT CAST((h * 4) >> 32 AS BIGINT) AS shard, id,
         |  CAST(row_number() OVER (PARTITION BY (h * 4) >> 32 ORDER BY h, id) AS BIGINT) AS pos
         |FROM h""".stripMargin,
@@ -149,9 +151,11 @@ object ShapeQueries {
         Seq(s"(((px >> $i) & 1) * ${1L << (2 * i)})",
           s"(((py >> $i) & 1) * ${1L << (2 * i + 1)})")
       }
+      // pmod mirror: wrap the signed % so the oracle stays correct if this
+      // gate is ever repointed at signed keys.
       s"""WITH b AS (SELECT l_orderkey, l_linenumber,
-         |  CAST(l_partkey AS BIGINT) % 65536 AS px,
-         |  CAST(l_suppkey AS BIGINT) % 65536 AS py FROM lineitem)
+         |  ((CAST(l_partkey AS BIGINT) % 65536) + 65536) % 65536 AS px,
+         |  ((CAST(l_suppkey AS BIGINT) % 65536) + 65536) % 65536 AS py FROM lineitem)
          |SELECT l_orderkey, l_linenumber,
          |  CAST(${terms.mkString(" + ")} AS BIGINT) AS zkey
          |FROM b""".stripMargin
