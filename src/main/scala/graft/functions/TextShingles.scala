@@ -9,7 +9,9 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct word n-gram shingles of a text column in ONE expression eval.
+/** Word n-gram shingles of a text column in ONE expression eval —
+  * distinct (set semantics, the default, for Jaccard/MinHash) or the raw
+  * gram multiset (`distinct = false`, for frequency counting).
   *
   * Semantically identical to the composable form
   * `array_distinct(transform(sequence(...), i -> concat_ws(" ", slice(toks,
@@ -27,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * the EMPTY array (such docs can never be near-dups) — same as the
   * composable form and the DuckDB oracles.
   */
-case class TextShingles(child: Expression, n: Int)
+case class TextShingles(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
   require(n >= 1, s"shingle size must be >= 1, got $n")
 
@@ -48,7 +50,11 @@ case class TextShingles(child: Expression, n: Int)
       i += 1
     }
     if (m < n) return TextShingles.Empty
-    val seen = new java.util.LinkedHashSet[String](math.max(8, (m - n + 1) * 2))
+    // LinkedHashSet for set semantics (first-occurrence order, like
+    // array_distinct); ArrayList keeps every gram in stream order.
+    val seen: java.util.Collection[String] =
+      if (distinct) new java.util.LinkedHashSet[String](math.max(8, (m - n + 1) * 2))
+      else new java.util.ArrayList[String](m - n + 1)
     val sb = new java.lang.StringBuilder(64)
     i = 0
     while (i + n <= m) {

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -103,19 +103,26 @@ object Shaping {
     * 32-bit hash break by id, so the order is total and reproducible.
     *
     * Output: (shard, id, pos) with pos 1-based within shard. */
+  /** The 32-bit multiplicative id hash shared by the shuffle/curriculum/
+    * manifest family: prime-modulus reduction (keeps the ANSI product in
+    * long range) then the Knuth constant, folded to 32 bits. */
+  private[ops] def knuth32(id: Column): Column =
+    pmod(pmod(id, lit(1000000007L)) * lit(2654435761L), lit(4294967296L))
+
+  /** Shard from the HIGH bits of a 32-bit hash: floor(h·shards / 2^32).
+    * The low bits of a multiplicative hash are NOT mixed (the Knuth
+    * constant is 1 mod 8), so `pmod(h, shards)` would deal round-robin by
+    * raw id for power-of-two shard counts. */
+  private[ops] def shardOf(h: Column, shards: Int): Column =
+    shiftright(h * lit(shards.toLong), 32)
+
   def shuffleDeterministic(df: DataFrame, idCol: String, shards: Int): DataFrame = {
     require(shards > 0, "shards must be positive")
-    val h = pmod(pmod(col("id"), lit(1000000007L)) * lit(2654435761L),
-      lit(4294967296L))
+    val h = knuth32(col("id"))
     val w = Window.partitionBy(col("shard")).orderBy(col("__h").asc, col("id").asc)
     df.select(col(idCol).cast("long").as("id"))
       .withColumn("__h", h)
-      // Shard from the HIGH bits: floor(h·shards / 2^32). The low bits of a
-      // multiplicative hash are NOT mixed (the Knuth constant is 1 mod 8,
-      // so h mod 2^k == id mod 2^k — `pmod(h, shards)` would deal
-      // round-robin by raw id for power-of-two shard counts, segregating
-      // any structure the id's low bits carry).
-      .withColumn("shard", shiftright(col("__h") * lit(shards.toLong), 32))
+      .withColumn("shard", shardOf(col("__h"), shards))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col("shard"), col("id"), col("pos"))
   }
@@ -153,5 +160,67 @@ object Shaping {
           (endOff - pmod(endOff, lit(seqLen.toLong)))
             .divide(lit(seqLen.toLong)).cast("long").as("seq_last")
         })
+  }
+
+  /** Length-bucketed curriculum batching: documents bucket by token count
+    * (bucket = ⌊n_tokens / bucketTokens⌋ — similar-length docs train
+    * together, minimizing padding), order pseudo-randomly WITHIN a bucket
+    * (hash, then id — curriculum fixes the bucket order, not the document
+    * order), and cut into fixed-size batches.
+    *
+    * Batches form per (bucket, shard): the window partitions are bounded
+    * by shard count × bucket count, never one giant per-bucket partition —
+    * the same trainer-rank seam as [[packSequences]]. The final batch of
+    * each (bucket, shard) may be short; trainers drop or pad it.
+    *
+    * Output: (id, n_tokens, bucket, shard, batch, pos_in_batch). */
+  def curriculumBatches(docs: DataFrame, idCol: String, textCol: String,
+      bucketTokens: Int, batchSize: Int, shards: Int): DataFrame = {
+    require(bucketTokens >= 1, s"bucketTokens must be >= 1, got $bucketTokens")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(shards > 0, "shards must be positive")
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("__h").asc, col("id").asc)
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        (col("n_tokens") - pmod(col("n_tokens"), lit(bucketTokens.toLong)))
+          .divide(lit(bucketTokens.toLong)).cast("long"))
+      .withColumn("__h", knuth32(col("id")))
+      .withColumn("shard", shardOf(col("__h"), shards))
+      .withColumn("__pos", row_number().over(w).cast("long"))
+      .select(col("id"), col("n_tokens"), col("bucket"), col("shard"),
+        ((col("__pos") - 1) - pmod(col("__pos") - 1, lit(batchSize.toLong)))
+          .divide(lit(batchSize.toLong)).cast("long").as("batch"),
+        (pmod(col("__pos") - 1, lit(batchSize.toLong)) + 1).as("pos_in_batch"))
+  }
+
+  /** Training-export manifest: per-shard row/token totals, id range, and an
+    * order-free id checksum — the sidecar a consumer uses to validate a
+    * delivered shard set without re-reading payloads. One hash aggregate;
+    * every statistic is commutative (sum/min/max/count), so it partial-
+    * aggregates map-side and never collects rows.
+    *
+    * The checksum sums 32-bit id hashes into a long: overflow would need
+    * ~2^31 rows in ONE shard, and ANSI mode fails loudly rather than
+    * wrapping if a shard ever gets there.
+    *
+    * Output: (shard, n_rows, n_tokens, min_id, max_id, id_checksum). */
+  def exportManifest(docs: DataFrame, idCol: String, textCol: String,
+      shards: Int): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_toks"))
+      .withColumn("__h", knuth32(col("id")))
+      .withColumn("shard", shardOf(col("__h"), shards))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("n_toks")).as("n_tokens"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"),
+        sum(col("__h")).as("id_checksum"))
   }
 }

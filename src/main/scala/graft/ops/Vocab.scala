@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus vocabulary statistics for tokenizer construction: raw n-gram
+  * frequency tables and the first BPE merge step (adjacent symbol-pair
+  * counts weighted by word frequency).
+  *
+  * Both are two-level hash aggregates with map-side partial combine — the
+  * canonical "count words on 100 TB" shape. The BPE pass aggregates the
+  * corpus down to the DISTINCT-WORD table first (Zipf: orders of magnitude
+  * smaller than the token stream) before exploding character pairs, so the
+  * expensive per-pair work runs on unique words, not occurrences.
+  */
+object Vocab {
+
+  /** Raw (non-distinct) word n-grams in one expression eval per document —
+    * [[graft.functions.TextShingles]] with multiset semantics. */
+  def rawGrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.TextShingles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), n,
+        distinct = false))
+
+  /** Corpus-wide n-gram occurrence counts. Output: (gram, cnt). */
+  def ngramCounts(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    docs.select(explode(rawGrams(col(textCol), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+
+  /** Top `k` n-grams by (count desc, gram asc) — the deterministic
+    * tiebreak makes the cut set unique. orderBy+limit plans as
+    * TakeOrderedAndProject: per-partition top-k, then a single-partition
+    * merge of k-row heads — no global sort. */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    ngramCounts(docs, textCol, n)
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(k)
+  }
+
+  /** Word-frequency table: (w, wcnt) over whitespace tokens. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+
+  /** First-iteration BPE pair statistics: for every adjacent character
+    * pair inside a word, the total corpus occurrences (word frequency
+    * summed over each position the pair appears at). This is exactly the
+    * count a BPE trainer maximizes when choosing its first merge.
+    *
+    * Output: (pair, cnt) — `pair` is the two-character substring. */
+  def bpePairCounts(docs: DataFrame, textCol: String): DataFrame =
+    wordCounts(docs, textCol)
+      .filter(length(col("w")) >= 2)
+      // One generator row per in-word position; runs on DISTINCT words.
+      .select(col("w"), col("wcnt"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"), col("wcnt"))
+      .groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
+
+  /** Top `k` BPE pairs by (count desc, pair asc). */
+  def topBpePairs(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    bpePairCounts(docs, textCol)
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.table
+import graft.ops.{Boilerplate, Dedup, Profile, Shaping, Vocab}
+
+/** Training-data preparation gates, round 6: C4-style boilerplate removal,
+  * bloom-prefiltered delta dedup, tokenizer vocabulary statistics (n-gram
+  * and first-merge BPE pair counts), length-bucketed curriculum batching,
+  * export shard manifests, and heavy-hitter key profiling.
+  */
+object TrainPrepQueries {
+
+  def family: QueryFamily = QueryFamily("trainprep", queries, oracles)
+
+  private val SegWidth = 8
+  private val SegMaxDocFreq = 1
+  private val BigramK = 50
+  private val BpeK = 40
+  private val BucketTokens = 32
+  private val BatchSize = 16
+  private val CurriculumShards = 4
+  private val ManifestShards = 8
+  private val HeavyK = 25
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C4-style boilerplate removal: 8-token segments, drop any appearing
+    // in 2+ distinct documents, reassemble survivors in order.
+    "clean_boilerplate" -> ((s, dir) =>
+      Boilerplate.removeBoilerplate(table(s, dir, "documents"),
+        "doc_id", "text", SegWidth, SegMaxDocFreq)),
+
+    // Bloom-prefiltered exact membership of a delta against a corpus —
+    // same delta/corpus fabrication as dedup_incremental (doc_id % 5 is
+    // the new batch; planted twins of every 15th doc guarantee hits). The
+    // bloom prunes the verify join; output provably equals the exact
+    // semi-join answer (no false negatives + exact verify).
+    "dedup_bloom" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newB = docs.filter(col("doc_id") % 5 === 0)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        .unionAll(docs.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      Dedup.bloomMemberFlags(newB, corpus, "doc_id", "text",
+        expectedItems = 2000L, fpp = 0.03)
+    }),
+
+    // Corpus bigram frequency table, top 50 by (count desc, gram asc).
+    "vocab_top_bigrams" -> ((s, dir) =>
+      Vocab.topNgrams(table(s, dir, "documents"), "text", n = 2, k = BigramK)),
+
+    // First-iteration BPE statistics: adjacent char-pair counts weighted
+    // by word frequency, top 40.
+    "bpe_pair_counts" -> ((s, dir) =>
+      Vocab.topBpePairs(table(s, dir, "documents"), "text", k = BpeK)),
+
+    // Length-bucketed curriculum batching (32-token buckets, batch 16,
+    // 4 trainer shards).
+    "curriculum_batches" -> ((s, dir) =>
+      Shaping.curriculumBatches(table(s, dir, "documents"), "doc_id", "text",
+        BucketTokens, BatchSize, CurriculumShards)),
+
+    // Export shard manifest: per-shard rows/tokens/id-range/checksum.
+    "export_manifest" -> ((s, dir) =>
+      Shaping.exportManifest(table(s, dir, "documents"), "doc_id", "text",
+        ManifestShards)),
+
+    // Skew diagnostic: top-25 part keys in lineitem with corpus share.
+    "profile_heavy_keys" -> ((s, dir) =>
+      Profile.heavyHitters(table(s, dir, "lineitem"), "l_partkey", HeavyK)))
+
+  // ---------------------------------------------------------------- oracles
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+  private val normTextSql =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** Loud-failure guard for the boilerplate segment range: range(1, 4096)
+    * covers 4095 segments of [[SegWidth]] tokens each. */
+  private val segGuard: String =
+    s"guard AS (SELECT CASE WHEN max(len($toksSql)) > ${4095 * SegWidth} THEN error('segment range(1,4096) cap exceeded') ELSE 1 END AS g FROM documents)"
+
+  /** Bigram-start guard (starts run to len − 1, so len ≤ 4096 is safe —
+    * keep the shared 4095 bound for consistency). */
+  private val gramGuard: String =
+    s"guard AS (SELECT CASE WHEN max(len($toksSql)) > 4095 THEN error('gram range(1,4096) cap exceeded') ELSE 1 END AS g FROM documents)"
+
+  /** pmod-mirror of [[graft.ops.Shaping.knuth32]] in the dialect-neutral
+    * non-negative form. */
+  private def hashSql(idExpr: String): String =
+    s"(((($idExpr % 1000000007) + 1000000007) % 1000000007) * 2654435761) % 4294967296"
+
+  def oracles: Map[String, String] = Map(
+
+    "clean_boilerplate" ->
+      s"""WITH $segGuard,
+         |tk AS (SELECT doc_id AS id, $toksSql AS toks FROM documents
+         |       WHERE len($toksSql) > 0),
+         |sg AS (SELECT id, i - 1 AS seg_idx,
+         |    array_to_string(list_slice(toks, (CAST(i AS INT) - 1) * $SegWidth + 1,
+         |      (CAST(i AS INT) - 1) * $SegWidth + $SegWidth), ' ') AS seg
+         |  FROM tk, range(1, 4096) r(i)
+         |  WHERE (i - 1) * $SegWidth + 1 <= len(toks) AND (SELECT g FROM guard) = 1),
+         |bp AS (SELECT seg FROM sg GROUP BY seg
+         |       HAVING count(DISTINCT id) > $SegMaxDocFreq)
+         |SELECT sg.id, CAST(count(*) AS BIGINT) AS n_segments,
+         |  CAST(count(CASE WHEN bp.seg IS NULL THEN 1 END) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN bp.seg IS NULL THEN sg.seg END, ' '
+         |    ORDER BY sg.seg_idx), '') AS text_clean
+         |FROM sg LEFT JOIN bp ON sg.seg = bp.seg
+         |GROUP BY sg.id""".stripMargin,
+
+    "dedup_bloom" ->
+      s"""WITH newb AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 = 0),
+         |corpus AS (SELECT text FROM documents WHERE doc_id % 5 <> 0
+         |           UNION ALL SELECT text FROM documents WHERE doc_id % 15 = 0),
+         |cfp AS (SELECT DISTINCT md5($normTextSql) AS fp FROM corpus),
+         |nfp AS (SELECT id, md5($normTextSql) AS fp FROM newb)
+         |SELECT n.id, (c.fp IS NOT NULL) AS is_dup
+         |FROM nfp n LEFT JOIN cfp c ON n.fp = c.fp""".stripMargin,
+
+    "vocab_top_bigrams" ->
+      s"""WITH $gramGuard,
+         |tk AS (SELECT $toksSql AS toks FROM documents),
+         |g AS (SELECT concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT) + 1]) AS gram
+         |  FROM tk, range(1, 4096) r(i)
+         |  WHERE i + 1 <= len(toks) AND (SELECT g FROM guard) = 1)
+         |SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1
+         |ORDER BY cnt DESC, gram ASC LIMIT $BigramK""".stripMargin,
+
+    "bpe_pair_counts" ->
+      s"""WITH tk AS (SELECT $toksSql AS toks FROM documents),
+         |wf AS (SELECT w, count(*) AS wcnt
+         |       FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY 1),
+         |wg AS (SELECT CASE WHEN max(len(w)) > 63 THEN error('word range(1,64) cap exceeded') ELSE 1 END AS g FROM wf),
+         |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, wcnt
+         |  FROM wf, range(1, 64) r(i)
+         |  WHERE len(w) >= 2 AND i + 1 <= len(w) AND (SELECT g FROM wg) = 1)
+         |SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt FROM p GROUP BY 1
+         |ORDER BY cnt DESC, pair ASC LIMIT $BpeK""".stripMargin,
+
+    "curriculum_batches" -> {
+      val bucket = s"(n_tokens - n_tokens % $BucketTokens) / $BucketTokens"
+      s"""WITH t AS (SELECT doc_id AS id,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |h AS (SELECT id, n_tokens, ${hashSql("id")} AS h FROM t),
+         |r AS (SELECT id, n_tokens, h,
+         |    row_number() OVER (PARTITION BY $bucket, (h * $CurriculumShards) >> 32
+         |      ORDER BY h, id) AS rn
+         |  FROM h)
+         |SELECT id, n_tokens, CAST($bucket AS BIGINT) AS bucket,
+         |  CAST((h * $CurriculumShards) >> 32 AS BIGINT) AS shard,
+         |  CAST((rn - 1 - (rn - 1) % $BatchSize) / $BatchSize AS BIGINT) AS batch,
+         |  CAST((rn - 1) % $BatchSize + 1 AS BIGINT) AS pos_in_batch
+         |FROM r""".stripMargin
+    },
+
+    "export_manifest" ->
+      s"""WITH t AS (SELECT doc_id AS id,
+         |    CAST(len($toksSql) AS BIGINT) AS n_toks FROM documents),
+         |h AS (SELECT id, n_toks, ${hashSql("id")} AS h FROM t)
+         |SELECT CAST((h * $ManifestShards) >> 32 AS BIGINT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(min(id) AS BIGINT) AS min_id,
+         |  CAST(max(id) AS BIGINT) AS max_id,
+         |  CAST(sum(h) AS BIGINT) AS id_checksum
+         |FROM h GROUP BY 1""".stripMargin,
+
+    "profile_heavy_keys" ->
+      s"""WITH c AS (SELECT CAST(l_partkey AS STRING) AS key, count(*) AS cnt
+         |           FROM lineitem GROUP BY 1)
+         |SELECT key, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(cnt AS DOUBLE) / CAST((SELECT sum(cnt) FROM c) AS DOUBLE) AS share
+         |FROM c ORDER BY cnt DESC, key ASC LIMIT $HeavyK""".stripMargin)
+}

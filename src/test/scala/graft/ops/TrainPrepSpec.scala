@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Round-6 training-prep operators: segment boilerplate removal, bloom
+  * membership, vocab/BPE counts, curriculum batching, export manifests,
+  * heavy hitters. */
+class TrainPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ boilerplate
+
+  private def bpDocs = Seq(
+    (1L, "alpha beta gamma delta COMMON FOOTER TEXT HERE"),
+    (2L, "epsilon zeta eta theta COMMON FOOTER TEXT HERE"),
+    (3L, "iota kappa lambda mu"),
+    (4L, "COMMON FOOTER TEXT HERE")
+  ).toDF("doc_id", "text")
+
+  test("segments: non-overlapping width blocks, trailing partial kept") {
+    val seg = Boilerplate.segments(bpDocs, "doc_id", "text", width = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // doc 3 has 4 tokens -> blocks of 3: [iota kappa lambda], [mu]
+    val d3 = seg.filter(_._1 == 3L).sortBy(_._2)
+    assert(d3.map(_._3).toSeq == Seq("iota kappa lambda", "mu"))
+    // zero-token docs produce no rows
+    val empty = Seq((9L, "   ")).toDF("doc_id", "text")
+    assert(Boilerplate.segments(empty, "doc_id", "text", 3).count() == 0)
+  }
+
+  test("removeBoilerplate drops cross-doc segments, keeps uniques in order") {
+    val out = Boilerplate.removeBoilerplate(bpDocs, "doc_id", "text",
+      width = 4, maxDocFreq = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // "common footer text here" (lowered) is one 4-token segment in docs
+    // 1, 2, 4 -> doc_freq 3 > 1 -> removed everywhere.
+    assert(out(0) == ((1L, 2L, 1L, "alpha beta gamma delta")))
+    assert(out(1) == ((2L, 2L, 1L, "epsilon zeta eta theta")))
+    assert(out(2) == ((3L, 1L, 1L, "iota kappa lambda mu")))
+    // doc 4 is ALL boilerplate: stays, with empty text_clean
+    assert(out(3) == ((4L, 1L, 0L, "")))
+  }
+
+  test("removeBoilerplate reassembly survives multi-partition input") {
+    val docs = spark.range(0, 40)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ",
+          concat(lit("u"), col("id")), concat(lit("v"), col("id")),
+          lit("shared tail phrase")).as("text"))
+      .repartition(7)
+    val out = Boilerplate.removeBoilerplate(docs, "doc_id", "text",
+      width = 2, maxDocFreq = 1)
+    // every doc: segments [u_i v_i][shared tail][phrase]; "shared tail"
+    // and "phrase" are in 40 docs -> dropped; u_i v_i unique -> kept.
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.length == 40)
+    assert(rows.forall { case (id, nseg, nkept, txt) =>
+      nseg == 3 && nkept == 1 && txt == s"u$id v$id" })
+  }
+
+  // ------------------------------------------------------------------ bloom
+
+  test("bloomMemberFlags equals the exact semi-join answer") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val newB = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      .unionAll(docs.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val got = Dedup.bloomMemberFlags(newB, corpus, "doc_id", "text", 2000L, 0.03)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val exactDups = newB
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .join(corpus.select(TextOps.fingerprint(col("text")).as("fp")).distinct(),
+        Seq("fp"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.size == newB.count())
+    got.foreach { case (id, dup) => assert(dup == exactDups.contains(id), s"id $id") }
+    // planted twins guarantee real hits exist
+    assert(got.values.count(identity) >= exactDups.size && exactDups.nonEmpty)
+  }
+
+  // ------------------------------------------------------------------ vocab
+
+  private def vocabDocs = Seq(
+    (1L, "a b a b c"),
+    (2L, "a b x")
+  ).toDF("doc_id", "text")
+
+  test("topNgrams counts the raw multiset with deterministic tiebreak") {
+    val got = Vocab.topNgrams(vocabDocs, "text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // bigrams: doc1 = a b, b a, a b, b c ; doc2 = a b, b x
+    // counts: "a b"->3, then ties at 1 break by gram asc: "b a", "b c"
+    assert(got == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("rawGrams multiset vs distinct shingles") {
+    val perDoc = vocabDocs
+      .select(col("doc_id"), Vocab.rawGrams(col("text"), 2).as("g"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    assert(perDoc(1L) == Seq("a b", "b a", "a b", "b c"))
+    val distinctDoc = vocabDocs
+      .select(col("doc_id"), Dedup.shingles(col("text"), 2).as("g"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    assert(distinctDoc(1L) == Seq("a b", "b a", "b c"))
+  }
+
+  test("bpePairCounts weights pairs by word frequency") {
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val got = Vocab.bpePairCounts(docs, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // "low" x2: lo, ow ; "lower" x1: lo, ow, we, er
+    assert(got == Map("lo" -> 3L, "ow" -> 3L, "we" -> 1L, "er" -> 1L))
+  }
+
+  // ------------------------------------------------------------- curriculum
+
+  test("curriculumBatches: bucket arithmetic, batch bounds, determinism") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val out = Shaping.curriculumBatches(docs, "doc_id", "text",
+      bucketTokens = 32, batchSize = 16, shards = 4).cache()
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length == docs.count())
+    rows.foreach { case (_, nt, bucket, shard, _, pos) =>
+      assert(bucket == nt / 32)
+      assert(shard >= 0 && shard < 4)
+      assert(pos >= 1 && pos <= 16)
+    }
+    // within (bucket, shard, batch): positions are 1..n with no gaps, and
+    // only the LAST batch may be short
+    rows.groupBy(t => (t._3, t._4)).foreach { case ((b, s), g) =>
+      val byBatch = g.groupBy(_._5).toSeq.sortBy(_._1)
+      byBatch.zipWithIndex.foreach { case ((batch, members), i) =>
+        assert(members.map(_._6).sorted.toSeq == (1 to members.length).map(_.toLong),
+          s"bucket $b shard $s batch $batch positions")
+        if (i < byBatch.length - 1)
+          assert(members.length == 16, s"non-final batch short in $b/$s")
+      }
+    }
+    out.unpersist()
+  }
+
+  // --------------------------------------------------------------- manifest
+
+  test("exportManifest totals reconcile with the corpus") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val m = Shaping.exportManifest(docs, "doc_id", "text", shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(m.map(_._1).distinct.length == m.length) // one row per shard
+    assert(m.map(_._2).sum == docs.count())
+    val totalToks = docs.select(sum(size(TextOps.tokens(col("text")))))
+      .as[Long].head()
+    assert(m.map(_._3).sum == totalToks)
+    assert(m.map(_._4).min == 0L)
+    // checksum is order-free: repartitioned input yields identical rows
+    val m2 = Shaping.exportManifest(docs.repartition(13), "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(5))).toMap
+    m.foreach { case (s, _, _, _, _, ck) => assert(m2(s) == ck) }
+  }
+
+  // ----------------------------------------------------------- heavy hitters
+
+  test("heavyHitters matches brute force and shares sum correctly") {
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    val got = Profile.heavyHitters(li, "l_partkey", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val total = li.count()
+    val brute = li.groupBy(col("l_partkey").cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(t => (-t._2, t._1)).take(10)
+    assert(got.map(t => (t._1, t._2)).toSeq == brute.toSeq)
+    got.foreach { case (_, cnt, share) =>
+      assert(math.abs(share - cnt.toDouble / total) < 1e-15) }
+  }
+}
