@@ -50,8 +50,12 @@ object Boilerplate {
   def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
       width: Int, maxDocFreq: Int): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    // The segment rows feed BOTH the frequency aggregate and the flag join;
+    // persist so the tokenize+explode subtree runs once (the widen
+    // barrier's nondeterministic filter would defeat exchange reuse).
     val seg = segments(docs, idCol, textCol, width)
       .withColumn("fp", md5(col("seg").cast("binary")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Distinct-doc frequency per segment fingerprint: the shuffle carries
     // 16-byte fingerprints + ids only. Only fingerprints OVER the threshold
     // survive into the join side.

@@ -234,8 +234,12 @@ object Dedup {
     * Output: (id, is_dup) for every delta row. */
   def bloomMemberFlags(newDocs: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, expectedItems: Long, fpp: Double): DataFrame = {
+    // The corpus fingerprint set feeds BOTH the bloom build (an eager
+    // aggregate — the sketch must exist before the probe can be planned)
+    // and the exact verify join; persist so the corpus is scanned once.
     val corpusFps = corpus
       .select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloom = corpusFps.stat.bloomFilter("fp", expectedItems, fpp)
     val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((fp: String) => bc.value.mightContainString(fp))

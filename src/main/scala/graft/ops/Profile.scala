@@ -21,7 +21,12 @@ object Profile {
     require(k >= 1, s"k must be >= 1, got $k")
     val counts = df.select(col(keyCol).cast("string").as("key"))
       .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt")).as("__total"))
+    // Grand total as a plain count(*) of the source: sum-of-counts over the
+    // aggregate would recompute the whole groupBy subtree (the widen
+    // barrier's nondeterministic filter defeats exchange reuse), while a
+    // bare row count is a zero-column scan + partial counts — the cheapest
+    // possible second pass.
+    val total = df.agg(count(lit(1)).as("__total"))
     counts.crossJoin(broadcast(total))
       .select(col("key"), col("cnt"),
         (col("cnt").cast("double") / col("__total").cast("double")).as("share"))
