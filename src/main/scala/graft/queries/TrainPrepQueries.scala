@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables.table
+import graft.functions.CountMinAgg
 import graft.ops.{Boilerplate, Dedup, Profile, Shaping, Vocab}
 
 /** Training-data preparation gates, round 6: C4-style boilerplate removal,
@@ -24,6 +25,8 @@ object TrainPrepQueries {
   private val CurriculumShards = 4
   private val ManifestShards = 8
   private val HeavyK = 25
+  private val CmDepth = 5
+  private val CmWidth = 2048
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -70,7 +73,22 @@ object TrainPrepQueries {
 
     // Skew diagnostic: top-25 part keys in lineitem with corpus share.
     "profile_heavy_keys" -> ((s, dir) =>
-      Profile.heavyHitters(table(s, dir, "lineitem"), "l_partkey", HeavyK)))
+      Profile.heavyHitters(table(s, dir, "lineitem"), "l_partkey", HeavyK)),
+
+    // Count-Min sketch validation: exact top-25 counts side by side with
+    // the sketch estimate. Rows-only (the murmur slot hash has no DuckDB
+    // twin); TrainPrepSpec asserts the CM guarantees (est ≥ exact,
+    // bounded overcount, merge invariance).
+    "profile_cm_topk" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val sk = li.agg(CountMinAgg.cmSketch(
+        col("l_partkey").cast("string"), CmDepth, CmWidth).as("sk"))
+      Profile.heavyHitters(li, "l_partkey", HeavyK)
+        .crossJoin(broadcast(sk))
+        .select(col("key"), col("cnt"),
+          CountMinAgg.cmEstimate(col("sk"), col("key"), CmDepth, CmWidth)
+            .as("cm_est"))
+    }))
 
   // ---------------------------------------------------------------- oracles
 

@@ -163,6 +163,37 @@ class TrainPrepSpec extends SparkSpec {
     m.foreach { case (s, _, _, _, _, ck) => assert(m2(s) == ck) }
   }
 
+  // -------------------------------------------------------------- count-min
+
+  test("CountMinAgg: never underestimates, bounded overcount, merge-invariant") {
+    import graft.functions.CountMinAgg._
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select(col("l_partkey").cast("string").as("key"))
+    val depth = 5; val width = 2048
+    val n = li.count()
+    val sk = li.agg(cmSketch(col("key"), depth, width).as("sk"))
+    val exact = li.groupBy("key").agg(count(lit(1)).as("cnt"))
+    val est = exact.crossJoin(broadcast(sk))
+      .select(col("key"), col("cnt"),
+        cmEstimate(col("sk"), col("key"), depth, width).as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.nonEmpty)
+    val slack = (2.0 * math.E / width * n).ceil.toLong
+    est.foreach { case (k, cnt, e) =>
+      assert(e >= cnt, s"CM underestimated $k: $e < $cnt")
+      assert(e <= cnt + slack, s"CM overcount for $k out of bound: $e > $cnt + $slack")
+    }
+    // merge invariance: partitioning must not change a single counter
+    val a = sk.collect()(0).getSeq[Long](0)
+    val b = li.repartition(13)
+      .agg(cmSketch(col("key"), depth, width)).collect()(0).getSeq[Long](0)
+    assert(a == b)
+    // total conservation: every depth row sums to the row count
+    (0 until depth).foreach { d =>
+      assert(a.slice(d * width, (d + 1) * width).sum == n, s"row $d total")
+    }
+  }
+
   // ----------------------------------------------------------- heavy hitters
 
   test("heavyHitters matches brute force and shares sum correctly") {
