@@ -2,12 +2,13 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Murmur3Hash}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Count-Min sketch as a custom TypedImperativeAggregate: a (depth × width)
@@ -41,6 +42,11 @@ case class CountMinAgg(
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"count_min_agg needs a string input, got ${child.dataType.catalogString}")
 
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](depth * width)
@@ -106,6 +112,12 @@ object CountMinAgg {
         Murmur3Hash(Seq(ColumnBridge.expression(key)), d))
       element_at(sketch, (lit(d * width) + pmod(h, lit(width)) + 1).cast("int"))
     }
-    least(perRow: _*)
+    // Runtime geometry guard: a depth/width that differs from the sketch's
+    // build parameters would index in-bounds but at WRONG slots, silently
+    // breaking the est >= truth guarantee. Fail loudly instead.
+    when(size(sketch) === lit(depth * width), least(perRow: _*))
+      .otherwise(raise_error(concat(
+        lit(s"cmEstimate expects a ${depth}x$width sketch (${depth * width} slots), got "),
+        size(sketch).cast("string"), lit(" slots"))).cast("long"))
   }
 }

@@ -46,6 +46,13 @@ object Boilerplate {
     * the output with an empty `text_clean` (the caller decides whether to
     * drop empties — that is a quality filter, not dedup).
     *
+    * `text_clean` is reassembled in TOKEN-NORMALIZED space (lowercased,
+    * single-space joined — the same normalization the segment matching
+    * runs on): original casing and whitespace are NOT preserved. Callers
+    * needing the raw text should treat the output as a keep/drop mask
+    * (join `n_kept`/segment flags back to the source) rather than a
+    * replacement text column.
+    *
     * Output: (id, n_segments, n_kept, text_clean). */
   def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
       width: Int, maxDocFreq: Int): DataFrame = {

@@ -242,7 +242,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloom = corpusFps.stat.bloomFilter("fp", expectedItems, fpp)
     val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((fp: String) => bc.value.mightContainString(fp))
+    // Null-safe: a null text yields a null fingerprint, which the exact
+    // semi join would simply never match — mirror that as "not a member"
+    // instead of letting the sketch probe NPE.
+    val mightContain = udf((fp: String) =>
+      fp != null && bc.value.mightContainString(fp))
     val delta = newDocs
       .select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
     val confirmed = delta.filter(mightContain(col("fp")))

@@ -89,6 +89,19 @@ object Shaping {
       .select(col("shard"), col("source"), col("id"), col("seq"))
   }
 
+  /** The 32-bit multiplicative id hash shared by the shuffle/curriculum/
+    * manifest family: prime-modulus reduction (keeps the ANSI product in
+    * long range) then the Knuth constant, folded to 32 bits. */
+  private[ops] def knuth32(id: Column): Column =
+    pmod(pmod(id, lit(1000000007L)) * lit(2654435761L), lit(4294967296L))
+
+  /** Shard from the HIGH bits of a 32-bit hash: floor(h·shards / 2^32).
+    * The low bits of a multiplicative hash are NOT mixed (the Knuth
+    * constant is 1 mod 8), so `pmod(h, shards)` would deal round-robin by
+    * raw id for power-of-two shard counts. */
+  private[ops] def shardOf(h: Column, shards: Int): Column =
+    shiftright(h * lit(shards.toLong), 32)
+
   /** Deterministic global shuffle — the training-order randomization pass:
     * rows are dealt into `shards` pseudo-random shards and given a
     * pseudo-random position within their shard, by the same engine-neutral
@@ -103,19 +116,6 @@ object Shaping {
     * 32-bit hash break by id, so the order is total and reproducible.
     *
     * Output: (shard, id, pos) with pos 1-based within shard. */
-  /** The 32-bit multiplicative id hash shared by the shuffle/curriculum/
-    * manifest family: prime-modulus reduction (keeps the ANSI product in
-    * long range) then the Knuth constant, folded to 32 bits. */
-  private[ops] def knuth32(id: Column): Column =
-    pmod(pmod(id, lit(1000000007L)) * lit(2654435761L), lit(4294967296L))
-
-  /** Shard from the HIGH bits of a 32-bit hash: floor(h·shards / 2^32).
-    * The low bits of a multiplicative hash are NOT mixed (the Knuth
-    * constant is 1 mod 8), so `pmod(h, shards)` would deal round-robin by
-    * raw id for power-of-two shard counts. */
-  private[ops] def shardOf(h: Column, shards: Int): Column =
-    shiftright(h * lit(shards.toLong), 32)
-
   def shuffleDeterministic(df: DataFrame, idCol: String, shards: Int): DataFrame = {
     require(shards > 0, "shards must be positive")
     val h = knuth32(col("id"))

@@ -9,3 +9,12 @@ final case class QueryFamily(
     name: String,
     queries: Map[String, (SparkSession, String) => DataFrame],
     oracles: Map[String, String])
+
+/** Oracle-side mirrors of engine expressions that multiple query families
+  * must keep bit-identical to the Scala side. */
+object OracleSql {
+  /** [[graft.ops.Shaping.knuth32]] in the dialect-neutral non-negative mod
+    * form (((x % m) + m) % m — DuckDB % is signed, Spark-side is pmod). */
+  def knuth32(idExpr: String): String =
+    s"(((($idExpr % 1000000007) + 1000000007) % 1000000007) * 2654435761) % 4294967296"
+}

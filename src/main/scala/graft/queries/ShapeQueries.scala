@@ -138,10 +138,8 @@ object ShapeQueries {
          |FROM p""".stripMargin,
 
     "shuffle_global" ->
-      // Non-negative mod form (((x % m) + m) % m) to mirror Spark's pmod
-      // exactly — DuckDB % is signed and would diverge on negative ids.
-      """WITH h AS (SELECT doc_id AS id,
-        |  ((((doc_id % 1000000007) + 1000000007) % 1000000007) * 2654435761) % 4294967296 AS h FROM documents)
+      s"""WITH h AS (SELECT doc_id AS id,
+        |  ${OracleSql.knuth32("doc_id")} AS h FROM documents)
         |SELECT CAST((h * 4) >> 32 AS BIGINT) AS shard, id,
         |  CAST(row_number() OVER (PARTITION BY (h * 4) >> 32 ORDER BY h, id) AS BIGINT) AS pos
         |FROM h""".stripMargin,

@@ -47,8 +47,11 @@ object TrainPrepQueries {
       val corpus = docs.filter(col("doc_id") % 5 =!= 0)
         .unionAll(docs.filter(col("doc_id") % 15 === 0)
           .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      // Sized for the LARGEST gate corpus (sf0.1: ~4.3k distinct corpus
+      // fingerprints) with headroom — an undersized filter degrades to
+      // everything-passes and the prefilter measures nothing.
       Dedup.bloomMemberFlags(newB, corpus, "doc_id", "text",
-        expectedItems = 2000L, fpp = 0.03)
+        expectedItems = 10000L, fpp = 0.03)
     }),
 
     // Corpus bigram frequency table, top 50 by (count desc, gram asc).
@@ -107,10 +110,7 @@ object TrainPrepQueries {
   private val gramGuard: String =
     s"guard AS (SELECT CASE WHEN max(len($toksSql)) > 4095 THEN error('gram range(1,4096) cap exceeded') ELSE 1 END AS g FROM documents)"
 
-  /** pmod-mirror of [[graft.ops.Shaping.knuth32]] in the dialect-neutral
-    * non-negative form. */
-  private def hashSql(idExpr: String): String =
-    s"(((($idExpr % 1000000007) + 1000000007) % 1000000007) * 2654435761) % 4294967296"
+  private def hashSql(idExpr: String): String = OracleSql.knuth32(idExpr)
 
   def oracles: Map[String, String] = Map(
 
