@@ -111,6 +111,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("Join"), p)
   }
 
+  test("vocab top-k plans as TakeOrderedAndProject over one hash aggregate") {
+    val p = plan("vocab_top_bigrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort "), p) // no global sort feeding the limit
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("curriculum batching shuffles once, by (bucket, shard)") {
+    val p = plan("curriculum_batches")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("export manifest is one partial-combining aggregate, no collects") {
+    val p = plan("export_manifest")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(!p.contains("Window") && !p.contains("CollectLimit"), p)
+  }
+
+  test("boilerplate flag join builds on the small over-threshold side") {
+    val df = SparkEntry.queries("clean_boilerplate")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    // the doc-freq filtered set is the build/broadcast side at gate scale;
+    // never a nested loop or cartesian pairing
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p) // segment subtree persisted once
+  }
+
+  test("count-min sketch aggregates map-side (partial) before the merge") {
+    val df = SparkEntry.queries("profile_cm_topk")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_countminagg") ||
+      "ObjectHashAggregate.*countminagg".r.findFirstIn(p.toLowerCase).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("seq_ratio is SQL-callable after extension registration") {
     GraftExtensions.registerOn(spark)
     val r = spark.sql("SELECT seq_ratio('grady_memorial', 'grady_memoral') AS r")
