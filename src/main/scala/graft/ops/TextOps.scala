@@ -99,6 +99,17 @@ object TextOps {
 
   def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
 
+  /** Unicode corpus hygiene: NFC canonical composition (custom expression —
+    * Spark has no built-in normalizer) then strip non-whitespace C0/C1-ish
+    * control characters. Case and layout are PRESERVED (this runs before,
+    * not instead of, [[normalized]]). Per-row, shuffle-free. */
+  def normalizeUnicode(text: Column): Column =
+    regexp_replace(
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.NfcNormalize(
+          org.apache.spark.sql.graft.ColumnBridge.expression(text))),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+
   /** TF-IDF over a corpus: (id, term, tf, df, tfidf) with
     * tfidf = tf · ln(N/df), rounded to 6dp (libm last-ulp differences across
     * engines). Two hash aggregates (term counts, then document frequency),

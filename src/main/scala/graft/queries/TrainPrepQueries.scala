@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables.table
 import graft.functions.CountMinAgg
-import graft.ops.{Boilerplate, Dedup, Profile, Shaping, Vocab}
+import graft.ops.{Boilerplate, Dedup, Profile, Shaping, TextOps, Vocab}
 
 /** Training-data preparation gates, round 6: C4-style boilerplate removal,
   * bloom-prefiltered delta dedup, tokenizer vocabulary statistics (n-gram
@@ -27,6 +27,12 @@ object TrainPrepQueries {
   private val HeavyK = 25
   private val CmDepth = 5
   private val CmWidth = 2048
+
+  /** Un-normalized suffix planted on every doc: decomposed `é` (e +
+    * U+0301), a BEL control, decomposed `ï` (i + U+0308). NFC must compose
+    * both pairs and the control strip must drop the BEL — written with the
+    * IDENTICAL raw codepoints in the Spark literal and the oracle SQL. */
+  private val RawSuffix = " café naïve"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -73,6 +79,18 @@ object TrainPrepQueries {
     "export_manifest" -> ((s, dir) =>
       Shaping.exportManifest(table(s, dir, "documents"), "doc_id", "text",
         ManifestShards)),
+
+    // Unicode hygiene: NFC composition + control strip on docs with a
+    // planted decomposed/control suffix. Exercises the custom NfcNormalize
+    // expression against DuckDB's independent nfc_normalize.
+    "text_unicode_nfc" -> ((s, dir) => {
+      val fab = table(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"), lit(RawSuffix)).as("text"))
+      fab.select(col("doc_id"),
+        TextOps.normalizeUnicode(col("text")).as("text_nfc"),
+        length(col("text")).cast("long").as("n_raw"))
+        .withColumn("n_nfc", length(col("text_nfc")).cast("long"))
+    }),
 
     // Skew diagnostic: top-25 part keys in lineitem with corpus share.
     "profile_heavy_keys" -> ((s, dir) =>
@@ -188,6 +206,16 @@ object TrainPrepQueries {
          |  CAST(max(id) AS BIGINT) AS max_id,
          |  CAST(sum(h) AS BIGINT) AS id_checksum
          |FROM h GROUP BY 1""".stripMargin,
+
+    "text_unicode_nfc" -> {
+      val ctrl = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+      s"""WITH f AS (SELECT doc_id, text || ' café naïve' AS text FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(nfc_normalize(text), '$ctrl', '', 'g') AS text_nfc,
+         |  CAST(len(text) AS BIGINT) AS n_raw,
+         |  CAST(len(regexp_replace(nfc_normalize(text), '$ctrl', '', 'g')) AS BIGINT) AS n_nfc
+         |FROM f""".stripMargin
+    },
 
     "profile_heavy_keys" ->
       s"""WITH c AS (SELECT CAST(l_partkey AS STRING) AS key, count(*) AS cnt

@@ -163,6 +163,27 @@ class TrainPrepSpec extends SparkSpec {
     m.foreach { case (s, _, _, _, _, ck) => assert(m2(s) == ck) }
   }
 
+  // ---------------------------------------------------------------- unicode
+
+  test("normalizeUnicode composes NFC and strips controls, preserves case") {
+    val docs = Seq(
+      (1L, "Café NaïveEnd"),  // decomposed + BEL
+      (2L, "plain ASCII stays"),
+      (3L, "tab\tand\nnewline kept")            // whitespace is NOT stripped
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+      TextOps.normalizeUnicode(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) == "Café NaïveEnd") // composed, BEL gone, case kept
+    assert(got(2L) == "plain ASCII stays")
+    assert(got(3L) == "tab\tand\nnewline kept")
+    // idempotent: normalizing twice changes nothing
+    val twice = docs.select(TextOps.normalizeUnicode(
+      TextOps.normalizeUnicode(col("text"))).as("t"))
+      .collect().map(_.getString(0))
+    assert(twice.toSet == got.values.toSet)
+  }
+
   // -------------------------------------------------------------- count-min
 
   test("CountMinAgg: never underestimates, bounded overcount, merge-invariant") {
