@@ -110,6 +110,24 @@ object Ann {
     topKRanked(scored, k)
   }
 
+  /** Symmetrize a directed kNN edge set ((query_id, vec_id, cos) rows from
+    * [[bruteTopK]], [[lshTopK]] or [[ivfTopK]]) into MUTUAL undirected
+    * edges: (a, b) survives iff a is in b's top-k AND b is in a's — the
+    * standard mutual-kNN pruning that strips hub nodes before graph-based
+    * clustering/dedup (a hub inside many top-k lists is rarely mutual).
+    * One semi join keyed by the id pair; cosine is symmetric and rounded
+    * identically on both directions, so either edge's score serves.
+    *
+    * Output: (id_a, id_b, cos) with id_a < id_b, one row per mutual pair. */
+  def mutualEdges(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("query_id").as("a"), col("vec_id").as("b"),
+      col("cos"))
+    val rev = e.select(col("b").as("a"), col("a").as("b"))
+    e.join(rev, Seq("a", "b"), "left_semi")
+      .filter(col("a") < col("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("cos"))
+  }
+
   /** splitmix64 (Vigna, public domain) — drives the deterministic ±1 plane
     * matrix below. Driver-side so planes become LITERALS in the plan: each
     * per-row bucket costs `planes` literal-array dot products instead of

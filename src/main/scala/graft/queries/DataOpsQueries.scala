@@ -83,6 +83,14 @@ object DataOpsQueries {
       Ann.bruteTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
     }),
 
+    // Mutual-kNN graph over a bounded subset (exact brute backend so the
+    // oracle is exact SQL; at corpus scale the same mutualEdges composes
+    // over the bucketed lshTopK backend — identical downstream shape).
+    "knn_graph_mutual" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings").filter(col("vec_id") < 200)
+      Ann.mutualEdges(Ann.bruteTopK(emb, emb, k = 5))
+    }),
+
     "sim_topk_lsh" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       Ann.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 10, dim = 64, planes = 6)
@@ -442,6 +450,18 @@ object DataOpsQueries {
           |r AS (SELECT query_id, vec_id, cos,
           |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM s)
           |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10""".stripMargin,
+      "knn_graph_mutual" ->
+        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+           |           FROM embeddings WHERE vec_id < 200),
+           |s AS (SELECT q.vec_id AS query_id, v.vec_id, round(${dotSql("q.e", "v.e")} /
+           |     (sqrt(${dotSql("q.e", "q.e")}) * sqrt(${dotSql("v.e", "v.e")})), 6) AS cos
+           | FROM v, v q WHERE v.vec_id <> q.vec_id),
+           |r AS (SELECT query_id, vec_id, cos,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM s),
+           |e AS (SELECT query_id AS a, vec_id AS b, cos FROM r WHERE rank <= 5)
+           |SELECT e.a AS id_a, e.b AS id_b, e.cos
+           |FROM e JOIN e m ON m.a = e.b AND m.b = e.a WHERE e.a < e.b""".stripMargin,
+
       // Normalize: elementwise x/norm with the ordered-fold norm (0.0-seeded
       // Spark fold ≡ DuckDB list_reduce from first element). Zero vectors
       // pass through unscaled on both sides.

@@ -215,6 +215,37 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------------------------------- mutual kNN
+
+  test("mutualEdges keeps exactly the bidirectional pairs, one row each") {
+    val edges = Seq(
+      (1L, 2L, 0.9), (2L, 1L, 0.9),   // mutual
+      (1L, 3L, 0.8),                  // one-directional (3's top-k omits 1)
+      (3L, 4L, 0.7), (4L, 3L, 0.7),   // mutual
+      (5L, 1L, 0.6)                   // hub edge, not reciprocated
+    ).toDF("query_id", "vec_id", "cos")
+    val got = Ann.mutualEdges(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 0.9), (3L, 4L, 0.7)))
+  }
+
+  test("mutualEdges over bruteTopK is symmetric-consistent on the fixture") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .filter(col("vec_id") < 100)
+    val directed = Ann.bruteTopK(emb, emb, k = 5)
+      .select(col("query_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val mutual = Ann.mutualEdges(Ann.bruteTopK(emb, emb, k = 5))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mutual.nonEmpty)
+    mutual.foreach { case (a, b) =>
+      assert(a < b)
+      assert(directed.contains((a, b)) && directed.contains((b, a)))
+    }
+    // completeness: every bidirectional directed pair is in the output
+    val expected = directed.filter { case (a, b) => a < b && directed.contains((b, a)) }
+    assert(mutual.toSet == expected)
+  }
+
   // ----------------------------------------------------------- heavy hitters
 
   test("heavyHitters matches brute force and shares sum correctly") {
