@@ -19,12 +19,14 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // Untimed codegen warmup: run every plan once against the smallest
-    // fixture. Generated-class sources are identical across scale factors
-    // (same schemas), so the timed runs below hit Janino's compilation
-    // cache instead of paying ~0.5-2 s of whole-stage-codegen compile per
-    // plan — a FIXED cost that does not exist in steady-state production
-    // (plans compile once, run for hours). The timed runs still perform
-    // every byte of sf-scale IO, shuffle and compute.
+    // fixture. Schemas are identical across scale factors, so most
+    // generated-class sources match and the timed runs below hit Janino's
+    // compilation cache instead of paying ~0.5-2 s of whole-stage-codegen
+    // compile per plan — a FIXED cost that does not exist in steady-state
+    // production (plans compile once, run for hours). Queries whose AQE
+    // strategy flips with input size (e.g. a join crossing the broadcast
+    // threshold) still compile those stages in the timed run. The timed
+    // runs perform every byte of sf-scale IO, shuffle and compute.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001"))
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {

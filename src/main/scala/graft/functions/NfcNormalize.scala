@@ -24,10 +24,14 @@ case class NfcNormalize(child: Expression)
   override def dataType: DataType = StringType
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    // Fast path: Normalizer.isNormalized is a cheap scan; ASCII and
-    // already-composed text (the overwhelming majority of a real corpus)
-    // skips the allocation in normalize().
+    val u = input.asInstanceOf[UTF8String]
+    // ASCII fast path on the raw bytes: all-ASCII is NFC by construction,
+    // so the dominant corpus case returns the input with ZERO allocation
+    // (no String copy, no Normalizer scan).
+    if (u.isFullAscii) return input
+    val s = u.toString
+    // Composed-but-non-ASCII fast path: isNormalized is a scan with no
+    // allocation beyond the String copy above.
     if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
       input
     else UTF8String.fromString(

@@ -128,7 +128,7 @@ class PlanSpec extends SparkSpec {
   test("export manifest is one partial-combining aggregate, no collects") {
     val p = plan("export_manifest")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
-    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(p.contains("partial_count"), p) // map-side combine, not final-only
     assert(!p.contains("Window") && !p.contains("CollectLimit"), p)
   }
 
@@ -145,7 +145,7 @@ class PlanSpec extends SparkSpec {
     val df = SparkEntry.queries("profile_cm_topk")(spark, sf("sf0.001"))
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("partial_countminagg") ||
-      "ObjectHashAggregate.*countminagg".r.findFirstIn(p.toLowerCase).isDefined, p)
+      "objecthashaggregate.*countminagg".r.findFirstIn(p.toLowerCase).isDefined, p)
     assert(!p.contains("CartesianProduct"), p)
   }
 

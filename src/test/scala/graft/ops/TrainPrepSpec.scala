@@ -237,11 +237,8 @@ class TrainPrepSpec extends SparkSpec {
     val mutual = Ann.mutualEdges(Ann.bruteTopK(emb, emb, k = 5))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(mutual.nonEmpty)
-    mutual.foreach { case (a, b) =>
-      assert(a < b)
-      assert(directed.contains((a, b)) && directed.contains((b, a)))
-    }
-    // completeness: every bidirectional directed pair is in the output
+    // soundness + completeness in one check: output = exactly the
+    // bidirectional directed pairs, emitted once with a < b
     val expected = directed.filter { case (a, b) => a < b && directed.contains((b, a)) }
     assert(mutual.toSet == expected)
   }
