@@ -45,10 +45,23 @@ object Bench {
       // fast run in BENCH_r{N}.json.
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Two lines: a full-precision per-query dump first (diagnostic; no
+    // "metric" key so a tail-grep for the contract line can't match it),
+    // then the contract JSON line LAST and kept under ~1 KB — the driver
+    // stores only the final 2000 chars of output, and a single line with
+    // every query name (~2.5 KB) gets its head (the headline total)
+    // truncated away. The short line carries the slowest 25 queries plus
+    // any failures; the full map is in the diagnostic line / repo docs.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"bench_full":$fullQs,"sf":"$sfDir"}""")
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val keep = (results.sortBy(-_._2).take(25) ++ results.filter(_._2 < 0))
+      .distinct.sortBy(_._1)
+    val qs = keep.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
