@@ -33,4 +33,38 @@ object Profile {
       .orderBy(col("cnt").desc, col("key").asc)
       .limit(k)
   }
+
+  /** Per-language corpus data card — the release report a curation run
+    * emits alongside its output shards: document and token volumes, length
+    * envelope, mean quality, and how many docs are byte-level duplicates.
+    *
+    * One row per language. Shape at 100 TB: a single hash aggregate keyed
+    * by langid (≤ tens of groups) — every stat partial-aggregates map-side
+    * except the exact-duplicate count, whose count(distinct fp) expands to
+    * a (langid, fp)-keyed first phase: the same shuffle an exact-dedup pass
+    * already does, reused here as a report. Float determinism: quality is
+    * summed as 6dp DECIMAL (exact, order-invariant); the means are a single
+    * double division of exact operands, then a 6dp round — the established
+    * cross-engine-safe form.
+    *
+    * Output: (langid, n_docs, tokens_total, len_min, len_max, mean_len,
+    * mean_quality, n_exact_dups). */
+  def corpusStats(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val perDoc = docs.select(
+      TextOps.languageId(t).as("langid"),
+      length(t).cast("long").as("len"),
+      TextOps.tokenCountWhitespace(t).cast("long").as("toks"),
+      round(TextOps.qualityScore(t), 6).cast("decimal(18,6)").as("q"),
+      TextOps.fingerprint(t).as("fp"))
+    val n = count(lit(1))
+    perDoc.groupBy(col("langid")).agg(
+      n.as("n_docs"),
+      sum(col("toks")).as("tokens_total"),
+      min(col("len")).as("len_min"),
+      max(col("len")).as("len_max"),
+      round(sum(col("len")).cast("double") / n.cast("double"), 6).as("mean_len"),
+      round(sum(col("q")).cast("double") / n.cast("double"), 6).as("mean_quality"),
+      (n - countDistinct(col("fp"))).as("n_exact_dups"))
+  }
 }

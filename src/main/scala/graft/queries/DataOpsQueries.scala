@@ -147,6 +147,12 @@ object DataOpsQueries {
     "text_tfidf" -> ((s, dir) =>
       TextOps.tfIdf(table(s, dir, "documents"), "doc_id", "text")),
 
+    // Corpus data card: per-language doc/token volumes, length envelope,
+    // mean quality, exact-duplicate count — the release report a curation
+    // run ships with its shards. One langid-keyed hash aggregate.
+    "corpus_stats" -> ((s, dir) =>
+      graft.ops.Profile.corpusStats(table(s, dir, "documents"), "text")),
+
     // PII scrub over a corpus with PLANTED pii spans (email/phone/ssn/ip
     // fabricated from doc_id formulas on every third doc — the organic
     // corpus has none, so redaction must change exactly those docs).
@@ -533,6 +539,23 @@ object DataOpsQueries {
            |SELECT id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
            | round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
            |FROM tf JOIN dfq USING (term), n""".stripMargin,
+      // Mirrors Profile.corpusStats: quality summed as 6dp DECIMAL (exact,
+      // order-invariant on both engines), means as one double division of
+      // exact operands + 6dp round.
+      "corpus_stats" ->
+        s"""WITH f AS (SELECT doc_id, text, $scoreSel FROM documents),
+           |d AS (SELECT $langCase AS langid,
+           |  CAST(length(text) AS BIGINT) AS len,
+           |  CAST(len($toksSql) AS BIGINT) AS toks,
+           |  CAST($roundedQualitySql AS DECIMAL(18,6)) AS q,
+           |  md5($normTextSql) AS fp FROM f)
+           |SELECT langid, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(toks) AS BIGINT) AS tokens_total,
+           |  min(len) AS len_min, max(len) AS len_max,
+           |  round(CAST(sum(len) AS DOUBLE) / count(*), 6) AS mean_len,
+           |  round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS mean_quality,
+           |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups
+           |FROM d GROUP BY 1""".stripMargin,
       "text_pii_redact" -> {
         val pats = TextOps.PiiPatterns
         val redacted = pats.foldLeft("ptext") { case (e, (_, p, r)) =>

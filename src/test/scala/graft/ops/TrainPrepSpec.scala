@@ -258,4 +258,33 @@ class TrainPrepSpec extends SparkSpec {
     got.foreach { case (_, cnt, share) =>
       assert(math.abs(share - cnt.toDouble / total) < 1e-15) }
   }
+
+  // ------------------------------------------------------------- data card
+
+  test("corpusStats: exact volumes, length envelope, dup count per language") {
+    // "the" marks en, "der" marks de (TextOps.LangMarkers); doc 3 is a
+    // byte-identical twin of doc 1 after fingerprint normalization.
+    val docs = Seq(
+      (1L, "the quick fox jumps over the lazy dog"),
+      (2L, "the dog sleeps"),
+      (3L, "The quick fox  jumps over the lazy dog"),
+      (4L, "der hund schläft der hund")
+    ).toDF("doc_id", "text")
+    val got = Profile.corpusStats(docs, "text").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("en", "de"))
+    val en = got("en")
+    assert(en.getLong(1) == 3L)                             // n_docs
+    assert(en.getLong(2) == (8 + 3 + 8).toLong)             // tokens_total
+    assert(en.getLong(3) == 14L && en.getLong(4) == 38L)    // len envelope
+    assert(math.abs(en.getDouble(5) - math.rint((37 + 14 + 38) / 3.0 * 1e6) / 1e6) < 1e-9)
+    assert(en.getLong(7) == 1L)                             // docs 1,3 collide
+    val de = got("de")
+    assert(de.getLong(1) == 1L && de.getLong(7) == 0L)
+    // mean_quality mirrors the per-row 6dp-rounded score exactly
+    val enQ = docs.filter(col("doc_id") =!= 4L)
+      .select(round(TextOps.qualityScore(col("text")), 6))
+      .collect().map(_.getDouble(0)).sum / 3.0
+    assert(math.abs(en.getDouble(6) - enQ) < 5e-7)
+  }
 }
