@@ -3,6 +3,7 @@ package graft.ops
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -10,14 +11,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, decoded/feature-extracted per partition.
   *
-  * The payloads are REAL PNG streams (encoded with `javax.imageio`, which
-  * ships in the JRE) and the decode path is a REAL `ImageIO.read` — the
-  * correctness gate only passes if the decoder recovers the dimensions and
-  * pixel values that went into the encoder. The same partition-wise seam
-  * (`mapPartitions`, one codec context per partition, not per row) is where
-  * an ffmpeg/audio binding would slot for non-image media; for video,
-  * `n_frames` > 1 and frame-sampling would happen inside the same batch
-  * loop.
+  * The payloads are REAL containers round-tripped through JRE codecs: PNG
+  * streams via `javax.imageio` and RIFF/WAVE PCM via `javax.sound.sampled`
+  * — each correctness gate only passes if the decoder recovers the
+  * dimensions / sample values that went into the encoder. The same
+  * partition-wise seam (`mapPartitions`, one codec context per partition,
+  * not per row) is where an ffmpeg binding would slot for compressed
+  * audio/video; for video, `n_frames` > 1 and frame-sampling happens
+  * inside the same batch loop.
   */
 object Multimodal {
 
@@ -138,6 +139,79 @@ object Multimodal {
         val argb = img.getRGB(0, 0)
         FrameRecord(v.doc_id, k, img.getWidth, img.getHeight,
           (argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+      }
+    }
+  }
+
+  /** One audio asset: an opaque RIFF/WAVE container. */
+  final case class AudioRecord(doc_id: Long, mime: String, payload: Array[Byte])
+
+  /** Decoded audio features: format fields parsed from the container
+    * header, sample statistics computed from the decoded PCM stream. */
+  final case class AudioFeatures(doc_id: Long, sample_rate: Int,
+      channels: Int, bits: Int, n_samples: Long, duration_ms: Long,
+      peak: Int, sum_abs: Long)
+
+  /** Fabricate a real WAV per document — 16-bit signed PCM mono at
+    * 8 or 16 kHz, `n_chars % 400 + 40` samples of the integer waveform
+    * `((i·k) mod 2001 − 1000)·16` with `k = doc_id % 97 + 3` — written
+    * through `AudioSystem.write` so the payload is a genuine RIFF/WAVE
+    * container, not a hand-rolled blob. Every parameter is an integer
+    * formula of (doc_id, n_chars), so a DuckDB oracle can predict exactly
+    * what a correct decode must recover. */
+  def fabricateAudio(docs: DataFrame): Dataset[AudioRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val rate = (8000L * (id % 2 + 1)).toInt
+          val n = (nChars % 400 + 40).toInt
+          val k = id % 97 + 3
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = ((i * k % 2001 - 1000) * 16).toInt
+            pcm(2 * i) = (s & 0xff).toByte          // PCM WAV is little-endian
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new AudioFormat(rate.toFloat, 16, 1,
+            /* signed = */ true, /* bigEndian = */ false)
+          val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+          val out = new ByteArrayOutputStream()
+          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+          AudioRecord(id, "audio/wav", out.toByteArray)
+        }
+      }
+  }
+
+  /** Partition-wise audio decode — a REAL `AudioSystem.getAudioInputStream`
+    * parse of the WAV container. Format fields come from the parsed header,
+    * peak/sum_abs from the decoded samples (PCM is lossless, so they must
+    * equal the fabrication formulas exactly — that equality IS the gate). */
+  def decodeAudio(spark: SparkSession, media: Dataset[AudioRecord]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(m.payload))
+        val fmt = ais.getFormat
+        val nFrames = ais.getFrameLength
+        val bytes = ais.readAllBytes()
+        var peak = 0
+        var sumAbs = 0L
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toInt
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          sumAbs += a
+          i += 2
+        }
+        val rate = fmt.getSampleRate.toInt
+        AudioFeatures(m.doc_id, rate, fmt.getChannels,
+          fmt.getSampleSizeInBits, nFrames, nFrames * 1000L / rate,
+          peak, sumAbs)
       }
     }
   }

@@ -193,6 +193,16 @@ object DataOpsQueries {
         .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
           col("r"), col("g"), col("b"))),
 
+    // Real WAV containers (AudioSystem round trip): the decoded header
+    // fields and exact integer sample statistics must match the
+    // fabrication formulas.
+    "multimodal_audio" -> ((s, dir) =>
+      Multimodal.decodeAudio(s,
+        Multimodal.fabricateAudio(table(s, dir, "documents"))).toDF()
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_samples"), col("duration_ms"),
+          col("peak"), col("sum_abs"))),
+
     // The composed curation pass: language filter → quality floor → exact
     // dedup → near-dup removal (every stage individually oracle-checked
     // above; this checks their composition).
@@ -584,6 +594,22 @@ object DataOpsQueries {
           | CAST((doc_id * 13 + 11 * k) % 256 AS INT) AS b
           |FROM documents, range(0, 5) t(k)
           |WHERE k % 2 = 0 AND k < doc_id % 5 + 1""".stripMargin,
+      // Waveform sum capped by formula (n ≤ 439 < 440), so the constant
+      // range needs no data guard.
+      "multimodal_audio" ->
+        """WITH d AS (SELECT doc_id,
+          |    CAST(8000 * (doc_id % 2 + 1) AS INT) AS sample_rate,
+          |    CAST(n_chars % 400 + 40 AS BIGINT) AS n,
+          |    doc_id % 97 + 3 AS k FROM documents),
+          |a AS (SELECT doc_id,
+          |    max(abs(((i * k) % 2001 - 1000) * 16)) AS peak,
+          |    sum(abs(((i * k) % 2001 - 1000) * 16)) AS sum_abs
+          |  FROM d, range(0, 440) r(i) WHERE i < n GROUP BY doc_id)
+          |SELECT d.doc_id, sample_rate, CAST(1 AS INT) AS channels,
+          |  CAST(16 AS INT) AS bits, n AS n_samples,
+          |  (n * 1000) // sample_rate AS duration_ms,
+          |  CAST(peak AS INT) AS peak, CAST(sum_abs AS BIGINT) AS sum_abs
+          |FROM d JOIN a USING (doc_id)""".stripMargin,
       "multimodal_decode" ->
         """SELECT doc_id, 'image/png' AS mime,
           | CAST(n_chars % 64 + 1 AS INT) AS width,

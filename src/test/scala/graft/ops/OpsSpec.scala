@@ -190,6 +190,29 @@ class OpsSpec extends SparkSpec {
     assert(out.agg(min(col("byte_len"))).head().getLong(0) > 50L)
   }
 
+  test("multimodal: WAV decode recovers format header and exact sample stats") {
+    val media = Multimodal.fabricateAudio(docs)
+    // the payload really is a RIFF/WAVE container
+    val first = media.head()
+    assert(new String(first.payload.take(4), "US-ASCII") == "RIFF")
+    assert(new String(first.payload.slice(8, 12), "US-ASCII") == "WAVE")
+    val out = Multimodal.decodeAudio(spark, media).toDF()
+    val bad = out.join(docs, Seq("doc_id")).filter(
+      col("sample_rate") =!= (lit(8000) * (col("doc_id") % 2 + 1)).cast("int") ||
+        col("channels") =!= 1 || col("bits") =!= 16 ||
+        col("n_samples") =!= (col("n_chars") % 400 + 40) ||
+        col("duration_ms") =!= expr("n_samples * 1000 div sample_rate"))
+    assert(bad.isEmpty) // header fields + frame count round-trip exactly
+    // sample stats: recompute one doc's waveform on the driver
+    val row = out.join(docs, Seq("doc_id")).orderBy("doc_id").head()
+    val id = row.getLong(0)
+    val n = (row.getAs[Long]("n_chars") % 400 + 40).toInt
+    val k = id % 97 + 3
+    val absVals = (0 until n).map(i => math.abs((i * k % 2001 - 1000) * 16))
+    assert(row.getAs[Int]("peak") == absVals.max.toInt)
+    assert(row.getAs[Long]("sum_abs") == absVals.sum)
+  }
+
   test("IVF top-k recall is comparable to multi-table LSH on this corpus") {
     val brute = Ann.bruteTopK(embs.filter(col("vec_id") < 5), embs, 10)
       .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
