@@ -149,6 +149,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("corpus_stats prunes the scan to text and partial-aggregates both phases") {
+    val df = SparkEntry.queries("corpus_stats")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<text:string>"), p)
+    // distinct-fp phase keyed by (langid, fp), final by langid — two
+    // exchanges of already-combined partials, never an Expand
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Expand"), p)
+  }
+
   test("seq_ratio is SQL-callable after extension registration") {
     GraftExtensions.registerOn(spark)
     val r = spark.sql("SELECT seq_ratio('grady_memorial', 'grady_memoral') AS r")
