@@ -160,10 +160,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), p)
   }
 
-  test("seq_ratio is SQL-callable after extension registration") {
+  test("custom expressions are SQL-callable after extension registration") {
     GraftExtensions.registerOn(spark)
     val r = spark.sql("SELECT seq_ratio('grady_memorial', 'grady_memoral') AS r")
       .head().getDouble(0)
     assert(r == 0.9629629629629629)
+    val row = spark.sql(
+      "SELECT seq_ratio_at_least('abcd', 'zzzz', 0.9) AS bounded, " +
+        "simhash64('alpha beta gamma') AS sh, " +
+        "nfc_normalize('é') AS n, " +
+        "size(text_shingles('a b c d', 3)) AS ns").head()
+    assert(row.getDouble(0) == -1.0) // char-bag bound short-circuits
+    assert(row.getLong(1) == graft.ops.Dedup.simhashOf("alpha beta gamma"))
+    assert(row.getString(2) == "é")
+    assert(row.getInt(3) == 2)
+    // aggregate path: the analyzer wraps the bare AggregateFunction
+    val cm = spark.sql(
+      "SELECT count_min_agg(CAST(id AS STRING), 3, 64) AS sk FROM range(100)")
+      .head().getSeq[Long](0)
+    assert(cm.length == 3 * 64 && cm.sum == 300L) // one increment per depth row
+    val tk = spark.sql(
+      "SELECT top_k_agg(CAST(id AS DOUBLE), id, 5) AS tk FROM range(100)")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.map(_.getLong(1)).toSet == Set(95L, 96L, 97L, 98L, 99L))
+    val mh = spark.sql(
+      "SELECT minhash_agg(CAST(id AS STRING), 8) AS mh FROM range(100)")
+      .head().getSeq[Long](0)
+    assert(mh.length == 8 && mh.forall(_ != Long.MaxValue))
   }
 }
