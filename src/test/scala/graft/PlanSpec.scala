@@ -171,7 +171,12 @@ class PlanSpec extends SparkSpec {
         "nfc_normalize('é') AS n, " +
         "size(text_shingles('a b c d', 3)) AS ns").head()
     assert(row.getDouble(0) == -1.0) // char-bag bound short-circuits
-    assert(row.getLong(1) == graft.ops.Dedup.simhashOf("alpha beta gamma"))
+    // SQL path must route to the same expression as the DataFrame path.
+    import spark.implicits._
+    val shExpected = graft.ops.Dedup
+      .simhash64(Seq(("d1", "alpha beta gamma")).toDF("id", "text"), "id", "text")
+      .head().getLong(1)
+    assert(row.getLong(1) == shExpected)
     assert(row.getString(2) == "é")
     assert(row.getInt(3) == 2)
     // aggregate path: the analyzer wraps the bare AggregateFunction
