@@ -48,4 +48,36 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** INTERVAL-OVERLAP join: all (left row ++ right row) pairs whose
+    * closed intervals [lLo, lHi] and [rLo, rHi] intersect — the
+    * session-vs-maintenance-window / promo-vs-order-activity shape that a
+    * raw `lLo <= rHi AND rLo <= lHi` theta join would plan as a nested
+    * loop. Same bucketization as [[bucketed]], replicating BOTH sides
+    * across the buckets they cover; a matching pair shares every bucket of
+    * its (non-empty) intersection, so each pair is counted ONCE by keeping
+    * only the intersection's FIRST bucket (`bucket == ⌊max(lLo,rLo)/W⌋`) —
+    * an arithmetic dedup, not a distinct-shuffle. Work is
+    * Σ(len/W + 1) replicated rows per side, compared only within a bucket;
+    * hot buckets (many long overlapping intervals on one time slice) are
+    * the skew case — AQE skew-join splits them, or shrink W. */
+  def overlapBucketed(left: DataFrame, lLoCol: String, lHiCol: String,
+      right: DataFrame, rLoCol: String, rHiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"overlap join column collision: ${overlap.mkString(", ")}; rename first")
+    require(!(left.columns ++ right.columns).contains("__bucket"),
+      "__bucket is reserved by the overlap join; rename the existing column")
+    def replicated(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__bucket",
+        explode(sequence(floorDiv(col(lo), bucketWidth),
+          floorDiv(col(hi), bucketWidth))))
+    replicated(left, lLoCol, lHiCol)
+      .join(replicated(right, rLoCol, rHiCol), Seq("__bucket"))
+      .filter(col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol) &&
+        col("__bucket") === floorDiv(greatest(col(lLoCol), col(rLoCol)), bucketWidth))
+      .drop("__bucket")
+  }
 }

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Robust-statistics cleanup of numeric columns — the outlier-taming step
+  * before a metric feeds a mixing weight or a quality threshold (one
+  * pathological document must not drag a source's mean length or score).
+  */
+object Robust {
+
+  /** Winsorize `valueCol` per group: clamp every value into the group's
+    * [p(lo), p(hi)] exact interpolated percentile envelope, emitted as
+    * `<valueCol>_w` alongside the input columns. Two passes over the
+    * data by construction (the envelope is an aggregate of the column
+    * being clamped): one hash aggregate to per-group bounds — group
+    * cardinality rows, broadcast back — and one narrow clamp; no
+    * per-row shuffle. Exact `percentile` (not approx) keeps the bounds
+    * engine-reproducible; at 100 TB swap in `percentile_approx` and accept
+    * sketch bounds, or winsorize on a [[Sampling.stratified]] sample's
+    * envelope. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    require(0.0 <= lo && lo < hi && hi <= 1.0,
+      s"need 0 <= lo < hi <= 1, got ($lo, $hi)")
+    Seq("__lo", "__hi").foreach { c =>
+      require(!df.columns.contains(c),
+        s"winsorize uses an internal $c column; rename the existing one")
+    }
+    require(!df.columns.contains(s"${valueCol}_w"),
+      s"winsorize emits ${valueCol}_w; rename the existing one")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(lo)).as("__lo"),
+        percentile(col(valueCol), lit(hi)).as("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+}

@@ -128,4 +128,85 @@ object Sampling {
       .filter(col("rank") <= ceil(lit(frac) * col("__n")))
       .drop("__n")
   }
+
+  /** Deterministic uniform in (0,1) derived from the id hash:
+    * `(knuth32(id) + 0.5) / 2^32`. Every step is IEEE-exact (integer +
+    * 0.5 is representable, the divisor is a power of two), so the value is
+    * bit-identical on any engine that can do 64-bit integer arithmetic —
+    * the engine-portable replacement for rand(seed), whose stream depends
+    * on partition layout. */
+  def uniform01(id: Column): Column =
+    (Shaping.knuth32(id) + lit(0.5)) / lit(4294967296.0)
+
+  /** Weighted sampling WITHOUT replacement, k per group — the
+    * Efraimidis–Spirakis exponential-key scheme (Inf. Proc. Letters 97(5),
+    * 2006): each row draws key `ln(u)/w` from its deterministic uniform
+    * [[uniform01]] and its weight, and the k LARGEST keys per group win.
+    * P(row wins) is proportional-to-weight without replacement, and the
+    * winner set is a pure function of (id, weight) — stable across runs,
+    * engines and partitionings.
+    *
+    * Ranking runs through the bounded [[TopKAgg]] aggregate, which
+    * partial-combines map-side: a group's candidates never gather in one
+    * window partition, so a group with a billion rows costs each task only
+    * an O(k) buffer (the `row_number()` formulation ships the whole group
+    * to one task). The winner ids (k·|groups| rows, tiny) broadcast-join
+    * back to the input to recover full rows.
+    *
+    * Rows with weight <= 0 or a null weight never win. `idCol` must be
+    * integral, unique and non-negative ([[permilleBucket]]'s contract);
+    * ties (hash-colliding ids with equal weights) break by id ascending. */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.contains("__tk"),
+      "weightedSample uses an internal __tk column; rename the existing one")
+    val key = log(uniform01(col(idCol))) / col(weightCol).cast("double")
+    val winners = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .groupBy(col(groupCol))
+      .agg(TopKAgg.topK(key, col(idCol).cast("long"), k).as("__tk"))
+      .select(col(groupCol), explode(col("__tk.id")).as(idCol))
+    df.join(broadcast(winners), Seq(groupCol, idCol))
+  }
+
+  /** Temperature-scaled source mixing — the multilingual/multi-source
+    * rebalancing rule (e.g. UnigramLM / mT5-style sampling): source s with
+    * n_s rows is kept at rate ∝ n_s^(α-1), normalized so the expected
+    * total is `budgetFrac` of the corpus, capped at 1.0. α = 1 reproduces
+    * natural proportions; α → 0 approaches uniform-over-sources; small
+    * sources are up-weighted relative to their share, never upsampled.
+    *
+    * The per-source rate is computed IN-PLAN (two tiny aggregates + a
+    * broadcast), quantized to an integer micro-rate (`round(1e6·rate)`),
+    * and each row keeps iff its exact integer hash slot
+    * `(knuth32(id)·10^6) >> 32` falls below it — the per-row decision is
+    * pure 64-bit integer arithmetic, so the kept set is deterministic and
+    * engine-portable; the one double (the rate) is pinned by the
+    * quantization. High hash bits, not `mod 10^6`: a multiplicative
+    * hash's low bits are unmixed. Output = input columns. */
+  def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
+      alpha: Double, budgetFrac: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(budgetFrac > 0.0 && budgetFrac <= 1.0,
+      s"budgetFrac must be in (0, 1], got $budgetFrac")
+    Seq("__n", "__z", "__tot", "__rate_micro").foreach { c =>
+      require(!df.columns.contains(c),
+        s"temperatureMix uses an internal $c column; rename the existing one")
+    }
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val z = counts.agg(sum(pow(col("__n"), lit(alpha))).as("__z"),
+      sum(col("__n")).as("__tot"))
+    val rates = counts.crossJoin(broadcast(z))
+      .select(col(sourceCol),
+        round(least(lit(1.0),
+          lit(budgetFrac) * col("__tot") * pow(col("__n"), lit(alpha)) /
+            col("__z") / col("__n")) * lit(1000000.0))
+          .cast("long").as("__rate_micro"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(Shaping.shardOf(Shaping.knuth32(col(idCol)), 1000000) <
+        col("__rate_micro"))
+      .drop("__rate_micro")
+  }
 }

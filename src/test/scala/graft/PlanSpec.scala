@@ -160,6 +160,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), p)
   }
 
+  test("weighted sample ranks through the bounded TopKAgg, not a ranking window") {
+    val p = plan("sample_weighted")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("(?i)topkagg".r.findFirstIn(p).nonEmpty, p)
+    assert(!p.contains("Window"), p)
+    // winner ids (k·|groups|) broadcast back to recover full rows
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("overlap join plans as a bucket equi-join, never a nested loop") {
+    val p = plan("overlap_join_promos")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("temperature mix: rates broadcast back; the corpus never shuffles for its filter") {
+    val p = plan("sample_temperature")
+    // per-source rate table joins back via broadcast, not a fact shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("winsorize: percentile bounds broadcast back onto a narrow clamp") {
+    val p = plan("winsorize_quantity")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("custom expressions are SQL-callable after extension registration") {
     GraftExtensions.registerOn(spark)
     val r = spark.sql("SELECT seq_ratio('grady_memorial', 'grady_memoral') AS r")

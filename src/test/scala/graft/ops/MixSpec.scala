@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Specs for the round-6 mixing/scoring operators: weighted sampling,
+  * temperature mixing, bigram LM scoring, the interval-overlap join and
+  * winsorization. */
+class MixSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("weightedSample: winner set equals the window formulation and is partition-invariant") {
+    val df = (1L to 500L).map(i =>
+      (i, if (i % 2 == 0) "even" else "odd", (i % 7 + 1).toDouble))
+      .toDF("id", "grp", "w")
+    val got = Sampling.weightedSample(df, "grp", "id", "w", k = 10)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    // reference: explicit exponential-key ranking window
+    val key = log(Sampling.uniform01(col("id"))) / col("w")
+    val ref = df.withColumn("__k", key)
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("grp").orderBy(col("__k").desc, col("id").asc)))
+      .filter(col("__r") <= 10)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    assert(got == ref)
+    assert(got.count(_._1 == "even") == 10 && got.count(_._1 == "odd") == 10)
+    // same rows out under a different partitioning
+    val re = Sampling.weightedSample(df.repartition(7), "grp", "id", "w", 10)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    assert(re == got)
+  }
+
+  test("weightedSample: zero/null weights never win; k caps at group size") {
+    val df = Seq((1L, "g", 0.0), (2L, "g", -3.0), (3L, "g", 5.0), (4L, "g", 1.0))
+      .toDF("id", "grp", "w")
+    val got = Sampling.weightedSample(df, "grp", "id", "w", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(3L, 4L))
+  }
+
+  test("weightedSample favors heavy weights") {
+    // two tiers: weight 100 vs 1; the heavy tier should dominate winners
+    val df = (1L to 200L).map(i => (i, "g", if (i <= 40) 100.0 else 1.0))
+      .toDF("id", "grp", "w")
+    val winners = Sampling.weightedSample(df, "grp", "id", "w", k = 20)
+      .select("id").as[Long].collect()
+    assert(winners.count(_ <= 40L) >= 15, s"heavy tier won ${winners.count(_ <= 40L)}/20")
+  }
+
+  test("temperatureMix: small sources keep a larger-than-natural share, budget holds") {
+    val rows = (1L to 3000L).map(i => (i, "big")) ++
+      (3001L to 3300L).map(i => (i, "small"))
+    val df = rows.toDF("id", "src")
+    val kept = Sampling.temperatureMix(df, "src", "id", alpha = 0.5, budgetFrac = 0.4)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    val keptBig = kept.getOrElse("big", 0L).toDouble / 3000
+    val keptSmall = kept.getOrElse("small", 0L).toDouble / 300
+    assert(keptSmall > keptBig,
+      s"small source rate $keptSmall should exceed big source rate $keptBig")
+    val total = kept.values.sum.toDouble / 3300
+    assert(math.abs(total - 0.4) < 0.05, s"kept fraction $total vs budget 0.4")
+    // alpha = 1 reproduces natural proportions: every source at ~budget
+    val nat = Sampling.temperatureMix(df, "src", "id", alpha = 1.0, budgetFrac = 0.4)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(math.abs(nat("big").toDouble / 3000 - 0.4) < 0.05)
+    assert(math.abs(nat("small").toDouble / 300 - 0.4) < 0.1)
+  }
+
+  test("LangModel.scoreDocs: hand-checked bigram probabilities") {
+    // corpus: d1 = "a b a", d2 = "a b". bigrams: d1: (a,b),(b,a); d2: (a,b)
+    // c2(a,b)=2, c2(b,a)=1; c1(a)=2, c1(b)=1; V=3 ("solo" counts); k=0.5
+    val d = Seq((1L, "a b a"), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val out = LangModel.scoreDocs(d, d, "doc_id", "text", addK = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toMap
+    val pAB = (2 + 0.5) / (2 + 0.5 * 3) // P(b|a)
+    val pBA = (1 + 0.5) / (1 + 0.5 * 3) // P(a|b)
+    val d1 = -(math.log(pAB) + math.log(pBA)) / 2
+    val d2 = -math.log(pAB)
+    assert(out(1L)._1 == 2L)
+    assert(math.abs(out(1L)._2.get - d1) < 1e-6)
+    assert(math.abs(out(2L)._2.get - d2) < 1e-6)
+    // single-token doc: zero bigrams, null score
+    assert(out(3L) == ((0L, None)))
+  }
+
+  test("LangModel.scoreDocs: unseen bigrams score via smoothing when scoring a different corpus") {
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val cand = Seq((10L, "a z")).toDF("doc_id", "text")
+    val out = LangModel.scoreDocs(cand, train, "doc_id", "text", addK = 0.5)
+      .collect()
+    assert(out.length == 1)
+    // c2(a,z)=0, c1(a)=2, V=2 -> P = 0.5/3
+    val expect = -math.log(0.5 / 3.0)
+    assert(math.abs(out.head.getDouble(2) - expect) < 1e-6)
+  }
+
+  test("overlapBucketed equals the naive theta join, exactly once per pair") {
+    val left = (1L to 120L).map(i => (i, i * 3, i * 3 + (i % 40)))
+      .toDF("lid", "llo", "lhi")
+    val right = (1L to 60L).map(j => (j, j * 7, j * 7 + 12))
+      .toDF("rid", "rlo", "rhi")
+    val got = RangeJoin.overlapBucketed(left, "llo", "lhi", right, "rlo", "rhi", 16L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    val naive = left.crossJoin(right)
+      .filter(col("llo") <= col("rhi") && col("rlo") <= col("lhi"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(got.sorted == naive.sorted) // seq equality: catches dup pairs too
+    assert(got.nonEmpty)
+  }
+
+  test("overlapBucketed: bucket width does not change the answer") {
+    val left = (1L to 50L).map(i => (i, i * 5, i * 5 + 20)).toDF("lid", "llo", "lhi")
+    val right = (1L to 50L).map(j => (j, j * 6, j * 6 + 3)).toDF("rid", "rlo", "rhi")
+    def run(w: Long) =
+      RangeJoin.overlapBucketed(left, "llo", "lhi", right, "rlo", "rhi", w)
+        .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(run(4L) == run(64L))
+  }
+
+  test("winsorize clamps into the exact per-group percentile envelope") {
+    val df = ((1 to 99).map(i => ("a", i.toLong, i.toDouble)) :+ ("a", 100L, 1000.0))
+      .toDF("grp", "id", "v")
+    val out = Robust.winsorize(df, "grp", "v", 0.05, 0.95)
+    val vw = out.select("v_w").as[Double].collect()
+    // p95 of 1..99,1000 (interpolated) pins the outlier; p05 floors the low end
+    val lo = vw.min
+    val hi = vw.max
+    assert(hi < 1000.0 && hi > 95.0, s"hi=$hi")
+    assert(lo > 1.0 && lo < 10.0, s"lo=$lo")
+    // interior values unchanged
+    val mid = out.filter(col("id") === 50L).select("v_w").as[Double].head()
+    assert(mid == 50.0)
+    // full-range winsorization is the identity
+    val id = Robust.winsorize(df, "grp", "v", 0.0, 1.0)
+      .select("v", "v_w").as[(Double, Double)].collect()
+    assert(id.forall { case (a, b) => a == b })
+  }
+}
