@@ -159,6 +159,49 @@ object Ann {
   def srpBucket(v: Column, dim: Int, planes: Int): Column =
     tableBucket(v, 0, dim, planes)
 
+  /** Deterministic ±1 sign matrix for [[randomProject]]: outDim rows of
+    * inDim signs from the same splitmix64 parity generator as the SRP
+    * planes, in a disjoint key namespace (t ≥ 2048 — LSH tables use small
+    * t). Public so an oracle can embed the IDENTICAL literals. */
+  def projectionSigns(outDim: Int, inDim: Int): Seq[Seq[Double]] = {
+    require(outDim > 0 && outDim <= 1024, s"outDim out of range: $outDim")
+    (0 until outDim).map(j => planeVec(2048 + j, 0, inDim))
+  }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions with a
+    * ±1/√outDim matrix (Achlioptas 2003 — database-friendly projections):
+    * preserves pairwise distances within (1±ε) w.h.p. while cutting the
+    * vector bytes `inDim/outDim`-fold — the standard pre-shrink before an
+    * ANN index or a near-dup pass at corpus scale. Pure narrow per-row
+    * arithmetic (no shuffle, no model to train or broadcast); the matrix is
+    * regenerated from arithmetic on both sides of any engine boundary.
+    *
+    * Each output component is an explicit left-associated ± chain over the
+    * input elements — one canonical float order, so results are
+    * bit-reproducible across engines (and ±1·x is exact). Output is LONG
+    * layout (id, dim, x) with x 6dp-rounded; pick outDim a power of 4 and
+    * the 1/√outDim scale stays IEEE-exact. */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, outDim: Int): DataFrame = {
+    require(inDim > 0 && outDim > 0 && outDim <= inDim,
+      s"need 0 < outDim <= inDim, got ($inDim, $outDim)")
+    require(!df.columns.contains("__v"),
+      "randomProject uses an internal __v column; rename the existing one")
+    val signs = projectionSigns(outDim, inDim)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    // the cast vector materializes ONCE as a projected attribute — an
+    // element_at over the raw transform(...) would re-run the cast per term
+    val dims = signs.zipWithIndex.map { case (row, j) =>
+      val sum = (0 until inDim).map { i =>
+        element_at(col("__v"), i + 1) * lit(row(i))
+      }.reduceLeft(_ + _)
+      struct(lit(j).as("dim"), round(sum * lit(scale), 6).as("x"))
+    }
+    df.withColumn("__v", asDouble(col(vecCol)))
+      .select(col(idCol), explode(array(dims: _*)).as("__d"))
+      .select(col(idCol), col("__d.dim").as("dim"), col("__d.x").as("x"))
+  }
+
   /** Multi-table SRP bucket ids: `tables` independent plane sets; a pair
     * collides if it shares ANY table's bucket — the standard recall
     * amplifier (recall ≈ 1-(1-p^P)^L). */

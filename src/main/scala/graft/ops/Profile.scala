@@ -67,4 +67,35 @@ object Profile {
       round(sum(col("q")).cast("double") / n.cast("double"), 6).as("mean_quality"),
       (n - countDistinct(col("fp"))).as("n_exact_dups"))
   }
+
+  /** Pre-flight profile of an equi-join: per-side row/distinct-key counts,
+    * how many keys match, the EXACT inner-join output size (Σ c_l·c_r over
+    * matched keys) and its largest single-key contribution — the numbers
+    * that decide broadcast vs shuffle vs salt BEFORE paying for the join.
+    * Cost: one count-aggregate per side (shuffles keys once each, counts
+    * partial-combine map-side) + a join of the two per-key count tables
+    * (distinct-key cardinality rows, not data rows) + a 1-row final
+    * aggregate. The hot key reports deterministically: ties break to the
+    * largest key via a max-of-struct. Output: one row —
+    * (rows_left, rows_right, keys_left, keys_right, keys_matched,
+    *  inner_rows, max_key_rows, hot_key). */
+  def joinProfile(left: DataFrame, right: DataFrame,
+      keyCol: String): DataFrame = {
+    val l = left.groupBy(col(keyCol)).agg(count(lit(1)).as("__cl"))
+    val r = right.groupBy(col(keyCol)).agg(count(lit(1)).as("__cr"))
+    l.join(r, Seq(keyCol), "full_outer")
+      .select(col(keyCol).as("__k"), col("__cl"), col("__cr"),
+        (coalesce(col("__cl"), lit(0L)) * coalesce(col("__cr"), lit(0L)))
+          .as("__out"))
+      .agg(
+        sum(coalesce(col("__cl"), lit(0L))).as("rows_left"),
+        sum(coalesce(col("__cr"), lit(0L))).as("rows_right"),
+        count(col("__cl")).as("keys_left"),
+        count(col("__cr")).as("keys_right"),
+        count(when(col("__cl").isNotNull && col("__cr").isNotNull, lit(1)))
+          .as("keys_matched"),
+        sum(col("__out")).as("inner_rows"),
+        max(col("__out")).as("max_key_rows"),
+        max(struct(col("__out"), col("__k"))).getField("__k").as("hot_key"))
+  }
 }

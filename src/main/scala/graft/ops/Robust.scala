@@ -37,4 +37,24 @@ object Robust {
         least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
   }
+
+  /** Keep rows at or below their group's `frac` percentile of `valueCol`
+    * (e.g. "the best half by perplexity, per language"). The per-group
+    * threshold is one exact-percentile aggregate broadcast back onto a
+    * narrow filter — the scale-safe per-group fraction: a ranking window
+    * per group would concentrate each group in one task, while the
+    * threshold form shuffles only group-cardinality rows. Keeps slightly
+    * more than `frac` when values tie at the threshold (ties all keep —
+    * deterministic, unlike a rank tiebreak on unstable ids). */
+  def keepBelowQuantile(df: DataFrame, groupCol: String, valueCol: String,
+      frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    require(!df.columns.contains("__q"),
+      "keepBelowQuantile uses an internal __q column; rename the existing one")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(frac)).as("__q"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .filter(col(valueCol) <= col("__q"))
+      .drop("__q")
+  }
 }

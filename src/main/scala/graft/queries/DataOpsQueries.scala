@@ -382,16 +382,7 @@ object DataOpsQueries {
           |WHERE CAST(m AS DOUBLE) / (ca.n + cb.n - m) >= 0.8""".stripMargin
 
   def oracles: Map[String, String] = {
-    val langScores = TextOps.LangMarkers.map { case (l, ws) => l -> markerSql(ws) }
-    val scoreSel = langScores.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")
-    val langCase = {
-      val arms = langScores.zipWithIndex.map { case ((l, _), i) =>
-        val later = langScores.drop(i + 1).map { case (l2, _) => s"s_$l2 <= s_$l" }
-        val cond = (s"s_$l > 0" +: later).mkString(" AND ")
-        s"WHEN $cond THEN '$l'"
-      }
-      s"CASE ${arms.mkString(" ")} ELSE 'und' END"
-    }
+    val (scoreSel, langCase) = OracleSql.langId(toksSql)
     Map(
       // MinHash emits exactly-verified pairs, so its output is always a
       // subset of the true >=tau pairs; on the gate corpus the banded LSH

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables.table
-import graft.ops.{LangModel, RangeJoin, Robust, Sampling}
+import graft.ops.{Ann, LangModel, Profile, RangeJoin, Robust, Sampling, Snapshot, TextOps}
 
 /** Corpus-mixing and scoring gates, round 6 continuation: weighted
   * sampling without replacement (Efraimidis–Spirakis), temperature-scaled
@@ -24,6 +24,9 @@ object MixQueries {
   private val OverlapBucket = 16L
   private val WinsorLo = 0.05
   private val WinsorHi = 0.95
+  private val CurateFrac = 0.5
+  private val ProjInDim = 64
+  private val ProjOutDim = 16
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
 
@@ -77,13 +80,83 @@ object MixQueries {
         table(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_linenumber"),
             col("l_returnflag"), col("l_quantity")),
-        "l_returnflag", "l_quantity", WinsorLo, WinsorHi)))
+        "l_returnflag", "l_quantity", WinsorLo, WinsorHi)),
+
+    // Composed perplexity curation: language-ID each doc, score it
+    // against the corpus bigram LM, keep the best half PER LANGUAGE via
+    // the broadcast quantile threshold (ties at the threshold keep).
+    "curate_lm" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val lang = docs.select(col("doc_id"),
+        TextOps.languageId(col("text")).as("langid"))
+      val scored = LangModel.scoreDocs(docs, docs, "doc_id", "text", LmAddK)
+        .filter(col("nll").isNotNull)
+      Robust.keepBelowQuantile(lang.join(scored, Seq("doc_id")),
+        "langid", "nll", CurateFrac)
+        .select(col("doc_id"), col("langid"), col("nll"))
+    }),
+
+    // Pre-flight join profile of lineitem ⋈ orders on the order key:
+    // exact inner-join output size, per-side key stats, hottest key.
+    "profile_join_keys" -> ((s, dir) =>
+      Profile.joinProfile(
+        table(s, dir, "lineitem").select(col("l_orderkey").as("jk")),
+        table(s, dir, "orders").select(col("o_orderkey").as("jk")),
+        "jk")),
+
+    // Johnson–Lindenstrauss ±1 projection of the 64-dim embeddings down
+    // to 16 dims (exact 0.25 scale), long layout.
+    "embed_project" -> ((s, dir) =>
+      Ann.randomProject(table(s, dir, "embeddings"),
+        "vec_id", "embedding", ProjInDim, ProjOutDim)),
+
+    // Snapshot reconciliation: old = ids not divisible by 3; current =
+    // every doc, with ids divisible by 7 re-crawled with edited text.
+    "snapshot_diff" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val old = docs.filter(col("doc_id") % 3 =!= 0)
+      val cur = docs.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      Snapshot.diff(old, cur, "doc_id", "text")
+    }))
 
   private val uniformSql =
     s"((${OracleSql.knuth32("doc_id")}) + 0.5) / 4294967296.0"
 
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+  private val normTextSql =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** Shared bigram-LM CTE chain (tokens → guarded bigram stream → model →
+    * per-doc order-pinned log-prob fold `lmg(doc_id, s, n)`); DuckDB 1.0
+    * can't correlate `range(len(toks))`, hence the constant range +
+    * loud-failure cap guard (the established dedup-oracle device). */
+  private val lmCtes =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |guard AS (SELECT CASE WHEN max(len(toks)) > 4096
+       |    THEN error('bigram range(1,4096) cap exceeded') ELSE 1 END AS g
+       |  FROM t),
+       |bg AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+       |    toks[CAST(i AS INT)] AS w1, toks[CAST(i + 1 AS INT)] AS w2
+       |  FROM t, range(1, 4096) r(i)
+       |  WHERE i + 1 <= len(toks) AND (SELECT g FROM guard) = 1),
+       |m2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+       |m1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+       |v AS (SELECT CAST(count(DISTINCT u) AS DOUBLE) AS vsz
+       |  FROM (SELECT unnest(toks) AS u FROM t)),
+       |sc AS (SELECT bg.doc_id, bg.pos,
+       |    ln((CAST(coalesce(c2, 0) AS DOUBLE) + $LmAddK) /
+       |       (CAST(coalesce(c1, 0) AS DOUBLE) + $LmAddK * vsz)) AS lp
+       |  FROM bg LEFT JOIN m2 USING (w1, w2) LEFT JOIN m1 USING (w1)
+       |  CROSS JOIN v),
+       |lmg AS (SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(lp ORDER BY pos)), (a, b) -> a + b) AS s,
+       |    count(*) AS n
+       |  FROM sc GROUP BY doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
 
@@ -111,31 +184,73 @@ object MixQueries {
          |WHERE (((${OracleSql.knuth32("d.doc_id")}) * 1000000) >> 32) < rate_micro""".stripMargin,
 
     "text_lm_score" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |guard AS (SELECT CASE WHEN max(len(toks)) > 4096
-         |    THEN error('bigram range(1,4096) cap exceeded') ELSE 1 END AS g
-         |  FROM t),
-         |bg AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
-         |    toks[CAST(i AS INT)] AS w1, toks[CAST(i + 1 AS INT)] AS w2
-         |  FROM t, range(1, 4096) r(i)
-         |  WHERE i + 1 <= len(toks) AND (SELECT g FROM guard) = 1),
-         |m2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
-         |m1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
-         |v AS (SELECT CAST(count(DISTINCT u) AS DOUBLE) AS vsz
-         |  FROM (SELECT unnest(toks) AS u FROM t)),
-         |sc AS (SELECT bg.doc_id, bg.pos,
-         |    ln((CAST(coalesce(c2, 0) AS DOUBLE) + $LmAddK) /
-         |       (CAST(coalesce(c1, 0) AS DOUBLE) + $LmAddK * vsz)) AS lp
-         |  FROM bg LEFT JOIN m2 USING (w1, w2) LEFT JOIN m1 USING (w1)
-         |  CROSS JOIN v),
-         |g AS (SELECT doc_id,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list(lp ORDER BY pos)), (a, b) -> a + b) AS s,
-         |    count(*) AS n
-         |  FROM sc GROUP BY doc_id)
+      s"""WITH $lmCtes
          |SELECT t.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_bigrams,
          |  round(-s / CAST(n AS DOUBLE), 6) AS nll
-         |FROM t LEFT JOIN g USING (doc_id)""".stripMargin,
+         |FROM t LEFT JOIN lmg USING (doc_id)""".stripMargin,
+
+    "curate_lm" -> {
+      val (scoreSel, langCase) = OracleSql.langId(toksSql)
+      s"""WITH $lmCtes,
+         |sc2 AS (SELECT doc_id, round(-s / CAST(n AS DOUBLE), 6) AS nll
+         |  FROM lmg),
+         |lng AS (SELECT doc_id, $langCase AS langid
+         |  FROM (SELECT doc_id, $scoreSel FROM documents) f),
+         |j AS (SELECT l.doc_id, l.langid, sc2.nll
+         |  FROM lng l JOIN sc2 USING (doc_id) WHERE nll IS NOT NULL),
+         |q AS (SELECT langid, quantile_cont(nll, $CurateFrac) AS thr
+         |  FROM j GROUP BY 1)
+         |SELECT j.doc_id, j.langid, j.nll
+         |FROM j JOIN q USING (langid) WHERE nll <= thr""".stripMargin
+    },
+
+    "profile_join_keys" ->
+      """WITH l AS (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem GROUP BY 1),
+        |o AS (SELECT o_orderkey AS k, count(*) AS cr FROM orders GROUP BY 1),
+        |j AS (SELECT coalesce(l.k, o.k) AS k, cl, cr,
+        |    coalesce(cl, 0) * coalesce(cr, 0) AS outn
+        |  FROM l FULL OUTER JOIN o ON l.k = o.k)
+        |SELECT CAST(sum(coalesce(cl, 0)) AS BIGINT) AS rows_left,
+        |  CAST(sum(coalesce(cr, 0)) AS BIGINT) AS rows_right,
+        |  CAST(count(cl) AS BIGINT) AS keys_left,
+        |  CAST(count(cr) AS BIGINT) AS keys_right,
+        |  CAST(count(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL THEN 1 END)
+        |    AS BIGINT) AS keys_matched,
+        |  CAST(sum(outn) AS BIGINT) AS inner_rows,
+        |  CAST(max(outn) AS BIGINT) AS max_key_rows,
+        |  (SELECT max(k) FROM j WHERE outn = (SELECT max(outn) FROM j)) AS hot_key
+        |FROM j""".stripMargin,
+
+    "embed_project" -> {
+      // the IDENTICAL ±1 matrix the Spark op regenerates, embedded as
+      // literal left-associated ± chains (one canonical float order)
+      val signs = graft.ops.Ann.projectionSigns(ProjOutDim, ProjInDim)
+      val arms = signs.zipWithIndex.map { case (row, j) =>
+        val chain = row.zipWithIndex.map { case (s, i) =>
+          val op = if (i == 0) (if (s > 0) "" else "-") else (if (s > 0) " + " else " - ")
+          s"${op}e[${i + 1}]"
+        }.mkString
+        s"SELECT vec_id, CAST($j AS INT) AS dim, round(($chain) * ${1.0 / math.sqrt(ProjOutDim.toDouble)}, 6) AS x FROM v"
+      }
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, y -> CAST(y AS DOUBLE)) AS e
+         |  FROM embeddings)
+         |${arms.mkString("\n UNION ALL\n ")}""".stripMargin
+    },
+
+    "snapshot_diff" ->
+      s"""WITH o AS (SELECT doc_id, $normTextSql AS fp
+         |  FROM documents WHERE doc_id % 3 <> 0),
+         |c AS (SELECT doc_id, lower(trim(regexp_replace(
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END,
+         |    '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents)
+         |SELECT coalesce(o.doc_id, c.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN c.doc_id IS NULL THEN 'removed'
+         |       WHEN o.fp = c.fp THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM o FULL OUTER JOIN c ON o.doc_id = c.doc_id""".stripMargin,
 
     "overlap_join_promos" ->
       s"""WITH o AS (SELECT o_orderkey,

@@ -17,4 +17,23 @@ object OracleSql {
     * form (((x % m) + m) % m — DuckDB % is signed, Spark-side is pmod). */
   def knuth32(idExpr: String): String =
     s"(((($idExpr % 1000000007) + 1000000007) % 1000000007) * 2654435761) % 4294967296"
+
+  /** [[graft.ops.TextOps.languageId]] mirror: (per-language marker-count
+    * select list, argmax-with-priority-ties CASE). `toksSql` is the
+    * tokenizer expression over a `text` column. */
+  def langId(toksSql: String): (String, String) = {
+    def markerSql(ws: Seq[String]) =
+      s"len(list_filter($toksSql, t -> list_contains(${ws.map(w => s"'$w'").mkString("[", ",", "]")}, t)))"
+    val langScores = graft.ops.TextOps.LangMarkers.map { case (l, ws) => l -> markerSql(ws) }
+    val scoreSel = langScores.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")
+    val langCase = {
+      val arms = langScores.zipWithIndex.map { case ((l, _), i) =>
+        val later = langScores.drop(i + 1).map { case (l2, _) => s"s_$l2 <= s_$l" }
+        val cond = (s"s_$l > 0" +: later).mkString(" AND ")
+        s"WHEN $cond THEN '$l'"
+      }
+      s"CASE ${arms.mkString(" ")} ELSE 'und' END"
+    }
+    (scoreSel, langCase)
+  }
 }

@@ -189,6 +189,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("random projection is a pure narrow plan — zero exchanges") {
+    val df = graft.queries.MixQueries.queries("embed_project")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+  }
+
+  test("join profile partial-aggregates per-side counts before the key join") {
+    val p = plan("profile_join_keys")
+    // per-key counts partial-combine map-side on both sides
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("curate_lm: the per-language threshold broadcasts back, never a per-language window") {
+    val p = plan("curate_lm")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("custom expressions are SQL-callable after extension registration") {
     GraftExtensions.registerOn(spark)
     val r = spark.sql("SELECT seq_ratio('grady_memorial', 'grady_memoral') AS r")

@@ -122,6 +122,80 @@ class MixSpec extends SparkSpec {
     assert(run(4L) == run(64L))
   }
 
+  test("keepBelowQuantile keeps ~frac per group, ties at the threshold all keep") {
+    val df = ((1 to 100).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 50).map(i => ("b", 1000L + i, 7.0))) // group b: all tied
+      .toDF("grp", "id", "v")
+    val out = Robust.keepBelowQuantile(df, "grp", "v", 0.5)
+    val byGrp = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(byGrp("a") == 50L) // p50 of 1..100 = 50.5; values <= 50.5 are 1..50
+    assert(byGrp("b") == 50L) // threshold 7.0, every row ties -> all keep
+    assert(out.filter(col("grp") === "a").agg(max("v")).as[Double].head() == 50.0)
+  }
+
+  test("joinProfile reports exact join statistics and a deterministic hot key") {
+    val left = Seq(1L, 1L, 1L, 2L, 3L, 5L).toDF("k")
+    val right = Seq(1L, 2L, 2L, 4L).toDF("k")
+    val r = Profile.joinProfile(left, right, "k").collect().head
+    assert(r.getAs[Long]("rows_left") == 6L)
+    assert(r.getAs[Long]("rows_right") == 4L)
+    assert(r.getAs[Long]("keys_left") == 4L)
+    assert(r.getAs[Long]("keys_right") == 3L)
+    assert(r.getAs[Long]("keys_matched") == 2L)
+    // inner rows: key1 3*1 + key2 1*2 = 5; max single-key 3 (key 1)
+    assert(r.getAs[Long]("inner_rows") == 5L)
+    assert(r.getAs[Long]("max_key_rows") == 3L)
+    assert(r.getAs[Long]("hot_key") == 1L)
+  }
+
+  test("joinProfile hot-key tie breaks to the largest key") {
+    val left = Seq(1L, 2L).toDF("k")
+    val right = Seq(1L, 2L).toDF("k")
+    val r = Profile.joinProfile(left, right, "k").collect().head
+    assert(r.getAs[Long]("hot_key") == 2L)
+  }
+
+  test("randomProject: deterministic, long layout, roughly norm-preserving") {
+    val dim = 16
+    // hash-spread components, NOT sinusoids: a pure tone in d concentrates
+    // the corpus in one frequency subspace and biases any FIXED matrix
+    val vecs = (1L to 40L).map { i =>
+      (i, (0 until dim).map(d =>
+        (((i * 131 + d) * 2654435761L % 1000) / 1000.0 - 0.5).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val out = Ann.randomProject(vecs, "vec_id", "embedding", dim, 4)
+    val rows = out.collect()
+    assert(rows.length == 40 * 4)
+    // same output under different partitioning
+    val again = Ann.randomProject(vecs.repartition(5), "vec_id", "embedding", dim, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(again == rows.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet)
+    // JL sanity: projected squared norm within 3x of the original, on average
+    val origNorm = vecs.select(col("vec_id"),
+      aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, x) => a + x).as("n2"))
+      .as[(Long, Double)].collect().toMap
+    val projNorm = out.groupBy("vec_id").agg(sum(col("x") * col("x")).as("p2"))
+      .as[(Long, Double)].collect().toMap
+    val ratios = origNorm.keys.map(k => projNorm(k) / origNorm(k))
+    val meanRatio = ratios.sum / ratios.size
+    assert(meanRatio > 0.4 && meanRatio < 2.5, s"mean norm ratio $meanRatio")
+  }
+
+  test("Snapshot.diff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val cur = Seq((1L, "alpha"), (2L, "BETA  edited"), (4L, "delta")).toDF("doc_id", "text")
+    val got = Snapshot.diff(old, cur, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // fingerprint normalization: case/whitespace variance is NOT a change
+    val cur2 = Seq((1L, "  ALPHA "), (3L, "gamma")).toDF("doc_id", "text")
+    val got2 = Snapshot.diff(old.filter(col("doc_id") =!= 2L), cur2, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got2 == Map(1L -> "unchanged", 3L -> "unchanged"))
+  }
+
   test("winsorize clamps into the exact per-group percentile envelope") {
     val df = ((1 to 99).map(i => ("a", i.toLong, i.toDouble)) :+ ("a", 100L, 1000.0))
       .toDF("grp", "id", "v")
