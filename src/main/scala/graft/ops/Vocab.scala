@@ -66,4 +66,60 @@ object Vocab {
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(k)
   }
+
+  /** The padded symbol-string encoding the BPE rounds operate on: every
+    * symbol wrapped in single spaces, so adjacent symbols are separated by
+    * a DOUBLE space and the pair (l, r) is the substring `" l  r "` —
+    * plain `replace` of that substring with `" lr "` is then EXACTLY the
+    * greedy left-to-right non-overlapping merge of classic BPE, with
+    * identical scan semantics in any engine's `replace`. (Symbols can
+    * never contain a space: words come from whitespace tokenization.) */
+  private def wrapped(word: Column): Column =
+    concat(lit(" "),
+      array_join(filter(split(word, ""), c => c =!= ""), "  "), lit(" "))
+
+  /** Iterative BPE training, `merges` rounds of count-pairs → argmax →
+    * apply-merge (Sennrich et al. 2016). Inherently round-synchronous:
+    * round r's argmax (a bounded 1-ROW collect, like a Lloyd iteration)
+    * decides round r+1's plan — so the corpus aggregates ONCE to the
+    * persisted distinct-word table (Zipf-small) and every round runs one
+    * partial-combining pair aggregate + one string replace over it.
+    * Argmax ties break (freq desc, left asc, right asc) — deterministic.
+    * Output: one row per learned merge — (step, lhs, rhs, freq); stops
+    * early if the corpus runs out of adjacent pairs. */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 64, s"merges out of range: $merges")
+    val spark = docs.sparkSession
+    val words0 = wordCounts(docs, textCol)
+      .select(wrapped(col("w")).as("sym"), col("wcnt"))
+      .persist()
+    val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var words = words0
+    var exhausted = false
+    for (step <- 1 to merges if !exhausted) {
+      val syms = filter(split(trim(col("sym")), "  "), s => s =!= "")
+      val top = words
+        .select(col("wcnt"), syms.as("__s"))
+        .filter(size(col("__s")) >= 2)
+        .select(col("wcnt"), explode(
+          transform(sequence(lit(1), size(col("__s")) - 1),
+            i => struct(element_at(col("__s"), i).as("l"),
+              element_at(col("__s"), i + 1).as("r")))).as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum(col("wcnt")).as("freq"))
+        .orderBy(col("freq").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, f) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        learned += ((step, l, r, f))
+        words = words.withColumn("sym",
+          replace(col("sym"), lit(s" $l  $r "), lit(s" ${l + r} ")))
+      }
+    }
+    words0.unpersist()
+    import spark.implicits._
+    learned.toSeq.toDF("step", "lhs", "rhs", "freq")
+  }
 }

@@ -27,6 +27,7 @@ object TrainPrepQueries {
   private val HeavyK = 25
   private val CmDepth = 5
   private val CmWidth = 2048
+  private val BpeMerges = 6
 
   /** Un-normalized suffix planted on every doc: decomposed `é` (e +
     * U+0301), a BEL control, decomposed `ï` (i + U+0308). NFC must compose
@@ -109,7 +110,13 @@ object TrainPrepQueries {
         .select(col("key"), col("cnt"),
           CountMinAgg.cmEstimate(col("sk"), col("key"), CmDepth, CmWidth)
             .as("cm_est"))
-    }))
+    }),
+
+    // Iterative BPE: 6 rounds of count-pairs → argmax → greedy merge over
+    // the persisted distinct-word table (each round is one aggregate + a
+    // 1-row collect, the Lloyd-iteration shape).
+    "bpe_merges" -> ((s, dir) =>
+      Vocab.bpeTrain(table(s, dir, "documents"), "text", BpeMerges)))
 
   // ---------------------------------------------------------------- oracles
 
@@ -222,5 +229,44 @@ object TrainPrepQueries {
          |           FROM lineitem GROUP BY 1)
          |SELECT key, CAST(cnt AS BIGINT) AS cnt,
          |  CAST(cnt AS DOUBLE) / CAST((SELECT sum(cnt) FROM c) AS DOUBLE) AS share
-         |FROM c ORDER BY cnt DESC, key ASC LIMIT $HeavyK""".stripMargin)
+         |FROM c ORDER BY cnt DESC, key ASC LIMIT $HeavyK""".stripMargin,
+
+    "bpe_merges" -> bpeOracle)
+
+  /** Unrolled [[graft.ops.Vocab.bpeTrain]] mirror: one (pairs → argmax →
+    * replace) CTE block per round on the padded symbol-string encoding
+    * (symbols separated by DOUBLE spaces, so plain `replace` of
+    * `" l  r "` is the greedy left-to-right merge in both engines).
+    * range(1, 64) covers pair starts for words of ≤ 63 symbols; the guard
+    * errors loudly beyond that. */
+  private def bpeOracle: String = {
+    val rounds = (1 to BpeMerges).map { r =>
+      val prev = s"w${r - 1}"
+      // MATERIALIZED: DuckDB inlines plain CTEs, and this chain references
+      // each round's tables repeatedly — inlining would blow up ~3^rounds
+      s"""p$r AS MATERIALIZED (SELECT s[CAST(i AS INT)] AS l, s[CAST(i + 1 AS INT)] AS r,
+         |    CAST(sum(wcnt) AS BIGINT) AS freq
+         |  FROM (SELECT string_split(trim(sym), '  ') AS s, wcnt FROM $prev),
+         |    range(1, 64) t$r(i)
+         |  WHERE i + 1 <= len(s) AND (SELECT g FROM guard) = 1
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT l, r, freq FROM p$r ORDER BY freq DESC, l, r LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT replace(sym,
+         |    ' ' || (SELECT l FROM m$r) || '  ' || (SELECT r FROM m$r) || ' ',
+         |    ' ' || (SELECT l FROM m$r) || (SELECT r FROM m$r) || ' ') AS sym,
+         |    wcnt FROM $prev)""".stripMargin
+    }
+    val finalSel = (1 to BpeMerges).map { r =>
+      s"SELECT CAST($r AS INT) AS step, l AS lhs, r AS rhs, freq FROM m$r"
+    }.mkString("\n UNION ALL\n ")
+    s"""WITH wc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS wcnt
+       |  FROM (SELECT unnest($toksSql) AS w FROM documents) GROUP BY w),
+       |guard AS MATERIALIZED (SELECT CASE WHEN max(len(w)) > 63
+       |    THEN error('bpe symbol range(1,64) cap exceeded') ELSE 1 END AS g
+       |  FROM wc),
+       |w0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' '
+       |    AS sym, wcnt FROM wc),
+       |${rounds.mkString(",\n")}
+       |$finalSel""".stripMargin
+  }
 }

@@ -196,6 +196,29 @@ class MixSpec extends SparkSpec {
     assert(got2 == Map(1L -> "unchanged", 3L -> "unchanged"))
   }
 
+  test("bpeTrain learns the classic merge sequence (Sennrich fixture)") {
+    // low x5, lower x2, newest x6, widest x3 — independently hand-computed
+    // with greedy left-to-right merges and the (freq desc, l, r) tiebreak
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val got = Vocab.bpeTrain(d, "text", merges = 6)
+      .orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L),
+      (4, "lo", "w", 7L), (5, "e", "w", 6L), (6, "ew", "est", 6L)))
+  }
+
+  test("bpeTrain stops early when the corpus runs out of pairs") {
+    val d = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val got = Vocab.bpeTrain(d, "text", merges = 10)
+      .orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // merges: (a,b)x2 then (c,d)x1 — then every word is one symbol
+    assert(got.toSeq == Seq((1, "a", "b", 2L), (2, "c", "d", 1L)))
+  }
+
   test("winsorize clamps into the exact per-group percentile envelope") {
     val df = ((1 to 99).map(i => ("a", i.toLong, i.toDouble)) :+ ("a", 100L, 1000.0))
       .toDF("grp", "id", "v")
