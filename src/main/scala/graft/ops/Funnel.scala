@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-event analytics over an event stream: conversion funnels and
+  * cohort retention — the product-analytics queries a clickstream
+  * warehouse answers all day.
+  */
+object Funnel {
+
+  /** Strict-order funnel: per user, the earliest time of stage 0, then the
+    * earliest stage-1 event STRICTLY AFTER it, then the earliest stage-2
+    * event strictly after THAT, … (the no-lookback conversion definition —
+    * an early purchase before the first view does not count).
+    *
+    * One filtered min-aggregate per stage, each joined user-to-user with
+    * the previous stage's time — every shuffle is on the user key (AQE
+    * co-partitions the chain), no per-user window and no event-list
+    * collection, so a user with millions of events costs only her
+    * per-stage minima. Output: (user, t_<stage>… nullable, stage) where
+    * `stage` counts completed steps. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "need at least two funnel stages")
+    require(stages.distinct.size == stages.size, "stages must be distinct")
+    def tcol(i: Int) = s"t_${stages(i)}"
+    var acc = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as(tcol(0)))
+    for (i <- 1 until stages.size) {
+      val next = events.filter(col(typeCol) === stages(i))
+        .join(acc.select(col(userCol), col(tcol(i - 1))), Seq(userCol))
+        .filter(col(tsCol) > col(tcol(i - 1)))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as(tcol(i)))
+      acc = acc.join(next, Seq(userCol), "left")
+    }
+    val stageExpr = (stages.size to 1 by -1).foldRight(lit(0)) {
+      case (i, els) => when(col(tcol(i - 1)).isNotNull, lit(i)).otherwise(els)
+    }
+    acc.withColumn("stage", stageExpr.cast("int"))
+  }
+
+  /** Cohort retention matrix: users cohort by their FIRST-ever activity
+    * day; each (cohort, age-in-days) cell counts distinct users active
+    * that day. Two user-keyed shuffles (first-day aggregate, join back) +
+    * one distinct + one count — nothing is per-user-serial. Output:
+    * (cohort yyyy-MM-dd, age_days, n_active). */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val first = events.groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("__cohort"))
+    events.select(col(userCol), to_date(col(tsCol)).as("__day"))
+      .join(first, Seq(userCol))
+      .select(col("__cohort"), datediff(col("__day"), col("__cohort")).as("age_days"),
+        col(userCol))
+      .distinct()
+      .groupBy(col("__cohort"), col("age_days"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(date_format(col("__cohort"), "yyyy-MM-dd").as("cohort"),
+        col("age_days").cast("long").as("age_days"), col("n_active"))
+  }
+}

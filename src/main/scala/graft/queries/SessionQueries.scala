@@ -54,7 +54,24 @@ object SessionQueries {
             .as("snap_sec"),
           (col("user_id") * 4 + col("k")).cast("double").as("rate"))
       graft.ops.AsOfJoin.asof(ev, snaps, "user_id", "ts_sec", "snap_sec", Seq("rate"))
-    }))
+    }),
+
+    // Strict-order conversion funnel view → click → purchase: per-stage
+    // min-aggregates chained by user-keyed joins, no per-user windows.
+    "funnel_stages" -> ((s, dir) => {
+      val f = graft.ops.Funnel.funnel(table(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      f.select(col("user_id"),
+        date_format(col("t_view"), "yyyy-MM-dd HH:mm:ss").as("t_view"),
+        date_format(col("t_click"), "yyyy-MM-dd HH:mm:ss").as("t_click"),
+        date_format(col("t_purchase"), "yyyy-MM-dd HH:mm:ss").as("t_purchase"),
+        col("stage"))
+    }),
+
+    // Cohort retention: first-activity-day cohorts × active-age cells.
+    "cohort_retention" -> ((s, dir) =>
+      graft.ops.Funnel.cohortRetention(table(s, dir, "events"),
+        "user_id", "ts")))
 
   def oracles: Map[String, String] = Map(
     "sessionize_events" ->
@@ -84,5 +101,31 @@ object SessionQueries {
         |  FROM (SELECT DISTINCT user_id FROM events) u
         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks)
         |SELECT e.event_id, e.user_id, e.ts_sec, s.rate
-        |FROM e ASOF JOIN s ON e.user_id = s.user_id AND e.ts_sec >= s.snap_sec""".stripMargin)
+        |FROM e ASOF JOIN s ON e.user_id = s.user_id AND e.ts_sec >= s.snap_sec""".stripMargin,
+
+    "funnel_stages" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts) AS t1 FROM events e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t0 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t1 GROUP BY 1)
+        |SELECT v.user_id,
+        |  strftime(t0, '%Y-%m-%d %H:%M:%S') AS t_view,
+        |  strftime(t1, '%Y-%m-%d %H:%M:%S') AS t_click,
+        |  strftime(t2, '%Y-%m-%d %H:%M:%S') AS t_purchase,
+        |  CAST(CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2
+        |    ELSE 1 END AS INT) AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT f.cohort, CAST(ts AS DATE) - cohort AS age_days,
+        |    e.user_id
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+        |  CAST(age_days AS BIGINT) AS age_days,
+        |  CAST(count(*) AS BIGINT) AS n_active
+        |FROM a GROUP BY 1, 2""".stripMargin)
 }

@@ -25,6 +25,25 @@ class StreamingSpec extends SparkSpec {
     assert(g == batchEvents.count())
   }
 
+  test("stream-stream interval join (click→purchase attribution) equals the batch join") {
+    val dir = Files.createTempDirectory("graft-ssjoin").toString
+    val batch = Tables.table(spark, sf("sf0.001"), "events")
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    def clicks(df: DataFrame) = df.filter(col("event_type") === "click")
+    def buys(df: DataFrame) = df.filter(col("event_type") === "purchase")
+    val q = StreamJoin.attribution(clicks(stream), buys(stream), windowMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("attrib").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("attrib")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = StreamJoin.attribution(clicks(batch), buys(batch), windowMinutes = 30)
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("foreachBatch clean stream applies the full clean+rules pass per micro-batch") {
     val dir = Files.createTempDirectory("graft-cleanstream").toString
     // Write a small canonical CSV into the watched directory.
