@@ -25,6 +25,10 @@ object Funnel {
     require(stages.size >= 2, "need at least two funnel stages")
     require(stages.distinct.size == stages.size, "stages must be distinct")
     def tcol(i: Int) = s"t_${stages(i)}"
+    (stages.indices.map(tcol) :+ "stage").foreach { c =>
+      require(!events.columns.contains(c),
+        s"funnel emits a $c column; rename the existing one")
+    }
     var acc = events.filter(col(typeCol) === stages.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as(tcol(0)))
     for (i <- 1 until stages.size) {
@@ -47,6 +51,10 @@ object Funnel {
     * (cohort yyyy-MM-dd, age_days, n_active). */
   def cohortRetention(events: DataFrame, userCol: String,
       tsCol: String): DataFrame = {
+    Seq("__cohort", "__day").foreach { c =>
+      require(!events.columns.contains(c),
+        s"cohortRetention uses an internal $c column; rename the existing one")
+    }
     val first = events.groupBy(col(userCol))
       .agg(min(to_date(col(tsCol))).as("__cohort"))
     events.select(col(userCol), to_date(col(tsCol)).as("__day"))

@@ -39,6 +39,10 @@ object LangModel {
     * adjacent token pair, `pos` the 0-based pair position. Pure narrow
     * (tokenize + explode), no shuffle. */
   def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    Seq("__toks", "pos", "w1", "w2").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"bigrams emits/uses a $c column; rename the existing one")
+    }
     val toks = TextOps.tokens(col(textCol))
     docs
       .select(col(idCol), toks.as("__toks"))

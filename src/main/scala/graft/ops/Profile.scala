@@ -81,6 +81,10 @@ object Profile {
     *  inner_rows, max_key_rows, hot_key). */
   def joinProfile(left: DataFrame, right: DataFrame,
       keyCol: String): DataFrame = {
+    Seq("__cl", "__cr", "__out", "__k").foreach { c =>
+      require(!left.columns.contains(c) && !right.columns.contains(c),
+        s"joinProfile uses an internal $c column; rename the existing one")
+    }
     val l = left.groupBy(col(keyCol)).agg(count(lit(1)).as("__cl"))
     val r = right.groupBy(col(keyCol)).agg(count(lit(1)).as("__cr"))
     l.join(r, Seq(keyCol), "full_outer")

@@ -18,6 +18,10 @@ object Snapshot {
     * narrow classify. Output: (id, status). */
   def diff(old: DataFrame, cur: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    Seq("__fpo", "__fpn", "status").foreach { c =>
+      require(!old.columns.contains(c) && !cur.columns.contains(c),
+        s"diff emits/uses a $c column; rename the existing one")
+    }
     val o = old.select(col(idCol),
       TextOps.fingerprint(col(textCol)).as("__fpo"))
     val n = cur.select(col(idCol),
