@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-contract checking — the "is this snapshot fit to ship" gate run
+  * before a corpus or fact table feeds training or reporting: null
+  * coverage, range violations, key uniqueness and referential integrity,
+  * reduced to ONE summary row a scheduler can assert on.
+  */
+object Quality {
+
+  /** Per-column null counts + row count in a single aggregate pass
+    * (conditional sums — no per-column jobs). */
+  def nullReport(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = cols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"))
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Rows whose composite key appears more than once: duplicate-key row
+    * count (0 = the key is unique). One key-shuffled aggregate; the
+    * second aggregate runs on distinct keys only. */
+  def dupKeyCount(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(when(col("__c") > 1, col("__c"))), lit(0L))
+        .as("n_dup_rows"))
+  }
+
+  /** Child rows whose key has no parent — referential-integrity breaks,
+    * counted via a left-anti join (shuffle on the key, no data columns
+    * shipped). */
+  def orphanCount(child: DataFrame, parent: DataFrame,
+      childKey: String, parentKey: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)), Seq(childKey),
+        "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+
+  /** One-row contract report over a fact table: row count, null counts
+    * for `nullCols`, out-of-[lo, hi] count for `rangeCol`, duplicate-key
+    * rows for `keyCols`, and orphans vs `parent` — three aggregate
+    * subtrees (narrow scan pass + key aggregate + anti join) combined by
+    * broadcast cross joins of 1-row frames; nothing collects. */
+  def contractReport(df: DataFrame, nullCols: Seq[String],
+      rangeCol: String, lo: Double, hi: Double,
+      keyCols: Seq[String], parent: DataFrame, childKey: String,
+      parentKey: String): DataFrame = {
+    val base = {
+      val aggs = nullCols.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c")) :+
+        sum(when(col(rangeCol) < lo || col(rangeCol) > hi, 1L).otherwise(0L))
+          .as(s"oob_$rangeCol")
+      df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    }
+    base
+      .crossJoin(broadcast(dupKeyCount(df, keyCols)))
+      .crossJoin(broadcast(orphanCount(df, parent, childKey, parentKey)))
+  }
+}

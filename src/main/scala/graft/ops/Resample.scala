@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: aggregate an event stream onto a fixed
+  * grid and FILL THE GAPS, per key — the resample step before any
+  * windowed model sees the series (a missing hour must be an explicit
+  * zero row, not an absent one).
+  */
+object Resample {
+
+  /** Hourly resample per key over each key's own [first, last] hour span:
+    * (key, hour_ts, n_events, value_sum) with explicit zero rows for
+    * silent hours. Shape: one keyed aggregate to the observed hourly
+    * cells, one tiny per-key span aggregate whose `sequence` explode
+    * generates the full grid (rows ∝ Σ span-hours — bounded by time, not
+    * by events), and a left join grid←cells co-partitioned on (key,
+    * hour). A key with a years-long span and billions of events still
+    * costs its span in grid rows; heavily skewed spans are AQE's skew
+    * case on the join. Output timestamps are epoch-hour longs
+    * (`hour_sec`), engine-neutral. */
+  def hourlyPerKey(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    Seq("hour_sec", "n_events", "value_sum", "__h", "__h0", "__h1").foreach { c =>
+      require(!events.columns.contains(c),
+        s"hourlyPerKey emits/uses a $c column; rename the existing one")
+    }
+    val hourSec = (unix_timestamp(col(tsCol)) -
+      pmod(unix_timestamp(col(tsCol)), lit(3600L)))
+    val cells = events
+      .select(col(keyCol), hourSec.as("__h"),
+        col(valueCol).cast("decimal(18,6)").as("__v"))
+      .groupBy(col(keyCol), col("__h"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__v")).cast("double").as("value_sum"))
+    val grid = events
+      .select(col(keyCol), hourSec.as("__h"))
+      .groupBy(col(keyCol))
+      .agg(min(col("__h")).as("__h0"), max(col("__h")).as("__h1"))
+      .select(col(keyCol),
+        explode(sequence(col("__h0"), col("__h1"), lit(3600L))).as("__h"))
+    grid.join(cells, Seq(keyCol, "__h"), "left")
+      .select(col(keyCol), col("__h").as("hour_sec"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("value_sum"), lit(0.0)).as("value_sum"))
+  }
+}

@@ -71,7 +71,12 @@ object SessionQueries {
     // Cohort retention: first-activity-day cohorts × active-age cells.
     "cohort_retention" -> ((s, dir) =>
       graft.ops.Funnel.cohortRetention(table(s, dir, "events"),
-        "user_id", "ts")))
+        "user_id", "ts")),
+
+    // Per-user hourly resample with explicit zero rows for silent hours.
+    "resample_user_hours" -> ((s, dir) =>
+      graft.ops.Resample.hourlyPerKey(table(s, dir, "events"),
+        "user_id", "ts", "value")))
 
   def oracles: Map[String, String] = Map(
     "sessionize_events" ->
@@ -127,5 +132,28 @@ object SessionQueries {
         |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
         |  CAST(age_days AS BIGINT) AS age_days,
         |  CAST(count(*) AS BIGINT) AS n_active
-        |FROM a GROUP BY 1, 2""".stripMargin)
+        |FROM a GROUP BY 1, 2""".stripMargin,
+
+    // Constant-bound range + loud guard: DuckDB 1.0 can't correlate
+    // range() laterally; 2048 hours covers the month-long fixture span.
+    "resample_user_hours" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS h,
+        |    value
+        |  FROM events),
+        |cells AS (SELECT user_id, h, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |  FROM e GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM e GROUP BY 1),
+        |guard AS (SELECT CASE WHEN max((h1 - h0) / 3600) > 2047
+        |    THEN error('hour grid range(0,2048) cap exceeded') ELSE 1 END AS g
+        |  FROM span),
+        |grid AS (SELECT user_id, h0 + i * 3600 AS h
+        |  FROM span, range(0, 2048) r(i)
+        |  WHERE h0 + i * 3600 <= h1 AND (SELECT g FROM guard) = 1)
+        |SELECT g.user_id, g.h AS hour_sec,
+        |  coalesce(n_events, 0) AS n_events,
+        |  coalesce(value_sum, 0.0) AS value_sum
+        |FROM grid g LEFT JOIN cells c ON g.user_id = c.user_id AND g.h = c.h""".stripMargin)
 }

@@ -55,9 +55,62 @@ object StatsQueries {
           approx_count_distinct(col("l_orderkey"), 0.02).as("hll_distinct"),
           percentile(col("l_quantity"), lit(0.5)).as("exact_p50"),
           percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
-            .as("approx_p50"))))
+            .as("approx_p50"))),
+
+    // Data-contract report over a deterministically dirtied lineitem:
+    // planted nulls (shifted line numbers keep keys unique), out-of-range
+    // quantities, exact duplicate keys and orphan order keys — the report
+    // must count each fault class exactly.
+    "dq_lineitem" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"))
+      val nulls = li.filter(col("l_orderkey") % 997 === 0)
+        .select(col("l_orderkey"), (col("l_linenumber") + 100).as("l_linenumber"),
+          lit(null).cast("string").as("l_returnflag"), col("l_quantity"))
+      val oob = li.filter(col("l_orderkey") % 991 === 0)
+        .select(col("l_orderkey"), (col("l_linenumber") + 200).as("l_linenumber"),
+          col("l_returnflag"), lit(999.0).as("l_quantity"))
+      val dups = li.filter(col("l_orderkey") % 983 === 0)
+      val orphans = li.filter(col("l_orderkey") % 977 === 0)
+        .select((col("l_orderkey") + 2000000000L).as("l_orderkey"),
+          col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+      val dirty = li.unionAll(nulls).unionAll(oob)
+        .unionAll(dups).unionAll(orphans)
+      graft.ops.Quality.contractReport(dirty,
+        nullCols = Seq("l_returnflag"),
+        rangeCol = "l_quantity", lo = 1.0, hi = 50.0,
+        keyCols = Seq("l_orderkey", "l_linenumber"),
+        parent = table(s, dir, "orders"),
+        childKey = "l_orderkey", parentKey = "o_orderkey")
+    }))
 
   def oracles: Map[String, String] = Map(
+    "dq_lineitem" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |  FROM lineitem),
+        |dirty AS (
+        |  SELECT * FROM li
+        |  UNION ALL SELECT l_orderkey, l_linenumber + 100, NULL, l_quantity
+        |    FROM li WHERE l_orderkey % 997 = 0
+        |  UNION ALL SELECT l_orderkey, l_linenumber + 200, l_returnflag, 999.0
+        |    FROM li WHERE l_orderkey % 991 = 0
+        |  UNION ALL SELECT * FROM li WHERE l_orderkey % 983 = 0
+        |  UNION ALL SELECT l_orderkey + 2000000000, l_linenumber, l_returnflag,
+        |    l_quantity FROM li WHERE l_orderkey % 977 = 0),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_l_returnflag,
+        |  CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1
+        |    ELSE 0 END) AS BIGINT) AS oob_l_quantity
+        |  FROM dirty),
+        |k AS (SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+        |    AS n_dup_rows
+        |  FROM (SELECT count(*) AS c FROM dirty GROUP BY l_orderkey, l_linenumber)),
+        |o AS (SELECT CAST(count(*) AS BIGINT) AS n_orphans FROM dirty
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |SELECT * FROM d, k, o""".stripMargin,
+
     "agg_quantity_stats" ->
       """SELECT l_returnflag,
         | quantile_cont(l_quantity, 0.5) AS median_qty,

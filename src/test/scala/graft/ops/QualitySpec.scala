@@ -1,0 +1,61 @@
+package graft.ops
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Data-contract report and time-series resample semantics. */
+class QualitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("contractReport counts each fault class exactly") {
+    val child = Seq(
+      (1L, 1, Option("A"), 10.0),
+      (1L, 2, Option("B"), 10.0),
+      (2L, 1, None, 10.0),      // null flag
+      (3L, 1, Option("A"), 99.0), // out of range
+      (3L, 1, Option("A"), 12.0), // duplicate key with the row above
+      (9L, 1, Option("A"), 10.0)) // orphan parent
+      .toDF("k", "ln", "flag", "qty")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Quality.contractReport(child, Seq("flag"), "qty", 1.0, 50.0,
+      Seq("k", "ln"), parent, "k", "pk").collect().head
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("null_flag") == 1L)
+    assert(r.getAs[Long]("oob_qty") == 1L)
+    assert(r.getAs[Long]("n_dup_rows") == 2L) // both copies of (3,1)
+    assert(r.getAs[Long]("n_orphans") == 1L)
+  }
+
+  test("contractReport is all-zero (except n_rows) on clean data") {
+    val child = Seq((1L, 1, Option("A"), 10.0)).toDF("k", "ln", "flag", "qty")
+    val parent = Seq(1L).toDF("pk")
+    val r = Quality.contractReport(child, Seq("flag"), "qty", 1.0, 50.0,
+      Seq("k", "ln"), parent, "k", "pk").collect().head
+    assert((r.getAs[Long]("n_rows"), r.getAs[Long]("null_flag"),
+      r.getAs[Long]("oob_qty"), r.getAs[Long]("n_dup_rows"),
+      r.getAs[Long]("n_orphans")) == ((1L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("hourlyPerKey fills silent hours with explicit zeros per key") {
+    val h0 = 1700006400L // midnight, seconds
+    def ts(hours: Double) = new Timestamp((h0 + (hours * 3600).toLong) * 1000L)
+    val ev = Seq(
+      (1L, ts(0.5), 2.0), (1L, ts(0.7), 3.0), // hour 0: 2 events
+      (1L, ts(3.1), 5.0),                     // hours 1,2 silent; hour 3
+      (2L, ts(10.2), 7.0))                    // single-hour user
+      .toDF("user_id", "ts", "value")
+    val got = Resample.hourlyPerKey(ev, "user_id", "ts", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(
+      (1L, h0, 2L, 5.0),
+      (1L, h0 + 3600, 0L, 0.0),
+      (1L, h0 + 7200, 0L, 0.0),
+      (1L, h0 + 10800, 1L, 5.0),
+      (2L, h0 + 36000, 1L, 7.0)))
+  }
+}
