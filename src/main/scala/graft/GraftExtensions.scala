@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.enrich.{SequenceMatcherRatio, SequenceMatcherRatioAtLeast}
-import graft.functions.{CodeFormatValid, CountMinAgg, NfcNormalize, RepetitionStats, SimHash64, TextShingles}
+import graft.functions.{CodeFormatValid, CountMinAgg, JaroWinklerSim, NfcNormalize, RepetitionStats, SimHash64, TextShingles}
 import graft.ops.{MinHashAgg, TopKAgg}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
@@ -116,6 +116,10 @@ object GraftExtensions {
     "top_k_agg" -> (classOf[TopKAgg] -> { c: Seq[Expression] =>
       arity(c, "top_k_agg(score, id, k)", 3)
       TopKAgg(c.head, c(1), litInt(c(2), "k"))
+    }),
+    "jaro_winkler" -> (classOf[JaroWinklerSim] -> { c: Seq[Expression] =>
+      arity(c, "jaro_winkler(a, b)", 2)
+      JaroWinklerSim(c.head, c(1))
     }))
 
   /** Register the functions on an already-created session. */

@@ -30,6 +30,21 @@ object EnrichQueries {
       RegistryEnricher.enrich(scraped, cms)
         .select(col("c_custkey"), col("campus_id"), col("match_kind"),
           col("match_ratio"), col("cms_rating"))
+    }),
+
+    // Jaro–Winkler record-linkage scores between each customer's name and
+    // its successor's — graft's codegen'd expression vs DuckDB's NATIVE
+    // jaro_winkler_similarity: two independent implementations must agree
+    // (semantics pinned in JaroWinklerImpl; 6dp rounding for libm-order
+    // neutrality).
+    "text_jaro_winkler" -> ((s, dir) => {
+      val c = table(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val d = c.select((col("c_custkey") - 1).as("c_custkey"),
+        col("c_name").as("next_name"))
+      c.join(d, Seq("c_custkey"))
+        .select(col("c_custkey"),
+          round(graft.functions.JaroWinklerSim.jaroWinkler(
+            col("c_name"), col("next_name")), 6).as("jw"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -42,5 +57,10 @@ object EnrichQueries {
          |      WHEN c_custkey % 10 = 0 AND c_custkey % 3 = 0 THEN CAST(22.0 AS DOUBLE) / 23.0
          | END AS match_ratio,
          | CASE WHEN c_custkey % 10 = 0 THEN cast(c_custkey % 5 as string) END AS cms_rating
-         |FROM customer""".stripMargin)
+         |FROM customer""".stripMargin,
+
+    "text_jaro_winkler" ->
+      """SELECT c.c_custkey,
+        |  round(jaro_winkler_similarity(c.c_name, d.c_name), 6) AS jw
+        |FROM customer c JOIN customer d ON d.c_custkey = c.c_custkey + 1""".stripMargin)
 }

@@ -226,6 +226,8 @@ class PlanSpec extends SparkSpec {
         "nfc_normalize('é') AS n, " +
         "size(text_shingles('a b c d', 3)) AS ns").head()
     assert(row.getDouble(0) == -1.0) // char-bag bound short-circuits
+    assert(spark.sql("SELECT jaro_winkler('martha', 'marhta') AS jw")
+      .head().getDouble(0) == 0.9611111111111111)
     // SQL path must route to the same expression as the DataFrame path.
     import spark.implicits._
     val shExpected = graft.ops.Dedup
