@@ -57,6 +57,37 @@ object StatsQueries {
           percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
             .as("approx_p50"))),
 
+    // 7-day trailing moving average of daily order revenue per priority —
+    // a RANGE-frame window over the day number (counts calendar days, not
+    // rows: gap days widen nothing). Decimal day-sums keep the mean's
+    // numerator exact; one shuffle by priority.
+    "agg_moving_avg" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority")).orderBy(col("day"))
+        .rangeBetween(-6L, 0L)
+      table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        .select(col("o_orderpriority"), col("day"),
+          col("rev").cast("double").as("rev"),
+          (sum(col("rev")).over(w).cast("double") /
+            count(lit(1)).over(w).cast("double")).as("ma7"))
+    }),
+
+    // GROUPING SETS beyond rollup: independent marginals + grand total in
+    // one pass (flag), (status), () — partial aggregation replicates rows
+    // per grouping id, never re-scans.
+    "agg_grouping_sets" -> ((s, dir) => {
+      table(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |  count(*) AS n, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+              |FROM li_gs
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |""".stripMargin)
+    }),
+
     // Data-contract report over a deterministically dirtied lineitem:
     // planted nulls (shifted line numbers keep keys unique), out-of-range
     // quantities, exact duplicate keys and orphan order keys — the report
@@ -86,6 +117,23 @@ object StatsQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "agg_moving_avg" ->
+      """WITH d AS (SELECT o_orderpriority,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, day, CAST(rev AS DOUBLE) AS rev,
+        |  CAST(sum(rev) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE) AS ma7
+        |FROM d
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
     "dq_lineitem" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         |  FROM lineitem),
