@@ -16,6 +16,7 @@ object EnrichQueries {
 
   def family: QueryFamily = QueryFamily("enrich", queries, oracles)
 
+  private val PromoCount = 160
   private val keyE = "substr(md5(cast(c_custkey as string)), 1, 12)"
   private val scrapedKeyE =
     s"CASE WHEN c_custkey % 3 = 0 THEN concat(substr($keyE, 1, 2), substr($keyE, 4)) ELSE $keyE END"
@@ -45,6 +46,24 @@ object EnrichQueries {
         .select(col("c_custkey"),
           round(graft.functions.JaroWinklerSim.jaroWinkler(
             col("c_name"), col("next_name")), 6).as("jw"))
+    }),
+
+    // Promo-calendar enrichment via the plan-embedded StepLookup binary
+    // search (map-side, ZERO joins/shuffles — the GeoIP shape) against a
+    // pure-arithmetic oracle: two independent methods must agree. 10-day
+    // windows every 17 days from epoch day 8035 (1992-01-01).
+    "lookup_promo_period" -> ((s, dir) => {
+      val starts = Array.tabulate(PromoCount)(p => 8035L + 17L * p)
+      val ids = Array.tabulate(PromoCount)(_.toLong)
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .withColumn("__pid",
+          graft.functions.StepLookup.stepLookup(col("day"), starts, ids))
+        .select(col("l_orderkey"), col("l_linenumber"), col("day"),
+          when(col("day") - (lit(8035L) + col("__pid") * 17L) <= 9L,
+            col("__pid")).as("promo_id"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -62,5 +81,15 @@ object EnrichQueries {
     "text_jaro_winkler" ->
       """SELECT c.c_custkey,
         |  round(jaro_winkler_similarity(c.c_name, d.c_name), 6) AS jw
-        |FROM customer c JOIN customer d ON d.c_custkey = c.c_custkey + 1""".stripMargin)
+        |FROM customer c JOIN customer d ON d.c_custkey = c.c_custkey + 1""".stripMargin,
+
+    "lookup_promo_period" ->
+      s"""WITH l AS (SELECT l_orderkey, l_linenumber,
+         |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, day,
+         |  CASE WHEN day >= 8035 AND (day - 8035) % 17 <= 9
+         |        AND (day - 8035) // 17 < $PromoCount
+         |       THEN (day - 8035) // 17 END AS promo_id
+         |FROM l""".stripMargin)
 }

@@ -209,6 +209,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("step lookup enrichment is a pure narrow plan — zero joins, zero exchanges") {
+    val df = graft.queries.EnrichQueries.queries("lookup_promo_period")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("*(1)"), p) // whole-stage-codegen stage marker
+  }
+
   test("funnel chains user-keyed aggregates — no per-user window, no nested loop") {
     val p = plan("funnel_stages")
     assert(!p.contains("Window"), p)
