@@ -223,4 +223,53 @@ object Shaping {
         max(col("id")).as("max_id"),
         sum(col("__h")).as("id_checksum"))
   }
+
+  /** One packed-bin assignment row. */
+  final case class PackedDoc(shard: Long, bin: Long, id: Long,
+      n_tokens: Long, bin_off: Long)
+
+  /** First-fit-decreasing BIN packing of whole documents into fixed
+    * `seqLen`-token bins, per shard — the padding-minimizing alternative
+    * to [[packSequences]]' concat-then-chunk: no document straddles a
+    * sequence boundary, and FFD is within 11/9·OPT + 6/9 of the optimal
+    * bin count (Dósa 2007). The greedy is inherently SEQUENTIAL per
+    * shard, so this is the legitimate `mapPartitions` case: rows sort
+    * (shard, n_tokens desc, id) inside each of exactly `shards`
+    * partitions and a per-shard scan maintains open-bin residuals
+    * (memory ∝ open bins; index residuals by size if a shard's bin count
+    * outgrows a linear scan). Deterministic: the sort order fixes the
+    * greedy's every choice. Documents longer than seqLen fail loudly —
+    * chunk them first ([[chunkDocuments]]); empty documents drop.
+    * Output: (shard, bin, id, n_tokens, bin_off). */
+  def packBinsFfd(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, shards: Int): DataFrame = {
+    require(seqLen > 0 && shards > 0, "seqLen and shards must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counted = docs
+      .select(col(idCol).cast("long").as("id"),
+        TextOps.tokenCountWhitespace(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("shard", pmod(col("id"), lit(shards.toLong)))
+    counted
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard").asc, col("n_tokens").desc, col("id").asc)
+      .as[(Long, Long, Long)] // (id, n_tokens, shard) — select order above
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var bins = scala.collection.mutable.ArrayBuffer[Long]() // residuals
+        it.map { case (id, n, shard) =>
+          if (shard != curShard) { curShard = shard; bins = bins.empty }
+          if (n > seqLen) throw new IllegalArgumentException(
+            s"doc $id has $n tokens > seqLen $seqLen; chunk before packing")
+          var b = 0
+          while (b < bins.length && bins(b) < n) b += 1
+          if (b == bins.length) bins += seqLen.toLong
+          val off = seqLen - bins(b)
+          bins(b) -= n
+          PackedDoc(shard, b.toLong, id, n, off)
+        }
+      }
+      .toDF()
+  }
 }

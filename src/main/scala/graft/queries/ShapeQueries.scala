@@ -34,6 +34,14 @@ object ShapeQueries {
       Shaping.packSequences(table(s, dir, "documents"), "doc_id", "text",
         SeqLen.toInt, PackShards)),
 
+    // FFD whole-document bin packing (no straddling) — rows-only gate
+    // (the greedy is per-shard sequential, not SQL-expressible);
+    // ShapeSpec asserts capacity, conservation, determinism and the
+    // bin-count bound vs next-fit.
+    "pack_bins_ffd" -> ((s, dir) =>
+      Shaping.packBinsFfd(table(s, dir, "documents"), "doc_id", "text",
+        seqLen = 128, shards = PackShards)),
+
     "sample_stratified_customers" -> ((s, dir) =>
       Sampling.stratified(table(s, dir, "customer"), "c_mktsegment", "c_custkey",
         SampleRates, SampleDefault)

@@ -59,6 +59,54 @@ class ShapeSpec extends SparkSpec {
     }
   }
 
+  test("packBinsFfd: capacity respected, tokens conserved, beats next-fit, deterministic") {
+    import spark.implicits._
+    // 60 docs, token counts 1..30 repeating, 2 shards, bins of 32
+    val docs = (1L to 60L)
+      .map(i => (i, (1 to (i % 30 + 1).toInt).map(k => s"t$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Shaping.packBinsFfd(docs, "doc_id", "text", seqLen = 32, shards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // every doc packed exactly once
+    assert(out.map(_._3).distinct.length == 60)
+    assert(out.map(_._4).sum == (1L to 60L).map(_ % 30 + 1).sum)
+    // capacity per (shard, bin); offsets disjoint and in-bin
+    out.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sum <= 32)
+      val spans = rows.map(t => (t._5, t._5 + t._4)).sortBy(_._1)
+      assert(spans.forall { case (a, b) => a >= 0 && b <= 32 })
+      assert(spans.zip(spans.drop(1)).forall { case ((_, e), (s, _)) => s >= e })
+    }
+    // FFD bin count <= next-fit (pack in id order, new bin when overflow)
+    val ffdBins = out.map(t => (t._1, t._2)).distinct.length
+    val byShard = (1L to 60L).map(i => (i % 2, i % 30 + 1)).groupBy(_._1)
+    val nextFit = byShard.values.map { rows =>
+      var bins = 1; var rem = 32L
+      rows.sortBy(_._1).map(_._2).foreach { n =>
+        if (n > rem) { bins += 1; rem = 32L }
+        rem -= n
+      }
+      bins
+    }.sum
+    assert(ffdBins <= nextFit, s"ffd=$ffdBins nextfit=$nextFit")
+    // deterministic under a different input partitioning
+    val again = Shaping.packBinsFfd(docs.repartition(7), "doc_id", "text", 32, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(again == out.toSet)
+  }
+
+  test("packBinsFfd rejects docs longer than seqLen") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 10).map(k => s"t$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Shaping.packBinsFfd(docs, "doc_id", "text", seqLen = 4, shards = 1).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("stratified sampling is a deterministic subset at the stratum rate") {
     import spark.implicits._
     val base = (1L to 4000L).map(i => (i, if (i % 2 == 0) "A" else "B")).toDF("id", "seg")
