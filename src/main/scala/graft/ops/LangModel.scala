@@ -62,9 +62,17 @@ object LangModel {
     * cross-engine-safe form for libm outputs); documents with fewer than
     * two tokens carry n_bigrams = 0 and a null nll. */
   def scoreDocs(docs: DataFrame, corpus: DataFrame, idCol: String,
-      textCol: String, addK: Double = 0.5): DataFrame = {
+      textCol: String, addK: Double = 0.5, cache: Boolean = true): DataFrame = {
     require(addK > 0.0, s"addK must be positive, got $addK")
-    val trainBg = bigrams(corpus, idCol, textCol)
+    // The bigram stream feeds THREE consumers (bigram counts, context
+    // counts, and — when self-scoring — the scoring side, which hits the
+    // same cache by plan equality). Without caching each consumer re-runs
+    // tokenize+explode over the corpus. Local/medium scale: persist (the
+    // stream is tokens-sized). At 100 TB don't cache a corpus-sized
+    // stream — materialize the MODEL aggregates to tables instead (the
+    // two-pass KenLM shape) and pass cache = false.
+    val rawBg = bigrams(corpus, idCol, textCol)
+    val trainBg = if (cache) rawBg.persist() else rawBg
     val model = trainBg.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("__c2"))
     val context = trainBg.groupBy(col("w1"))

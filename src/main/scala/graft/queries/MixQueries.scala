@@ -91,8 +91,10 @@ object MixQueries {
         TextOps.languageId(col("text")).as("langid"))
       val scored = LangModel.scoreDocs(docs, docs, "doc_id", "text", LmAddK)
         .filter(col("nll").isNotNull)
-      Robust.keepBelowQuantile(lang.join(scored, Seq("doc_id")),
-        "langid", "nll", CurateFrac)
+      // keepBelowQuantile reads its input TWICE (threshold + filter);
+      // persisting the scored join keeps the LM chain single-execution.
+      val joined = lang.join(scored, Seq("doc_id")).persist()
+      Robust.keepBelowQuantile(joined, "langid", "nll", CurateFrac)
         .select(col("doc_id"), col("langid"), col("nll"))
     }),
 
