@@ -13,7 +13,9 @@ object Explain {
       "filter_shipdate_range", "agg_pricing_summary", "join_broadcast_segment",
       "join_multi_nation_revenue", "clean_rows", "dedup_ngram_pairs",
       "sim_topk_brute", "range_join_promos", "join_salted_revenue",
-      "pack_sequences", "interleave_sources", "enrich_fuzzy_registry")
+      "pack_sequences", "interleave_sources", "enrich_fuzzy_registry",
+      "curate_lm", "sample_weighted", "overlap_join_promos",
+      "profile_join_keys", "funnel_stages", "lookup_promo_period")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -33,4 +33,25 @@ object Snapshot {
           .when(col("__fpo") === col("__fpn"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** Schema drift between two snapshots: one row per column that was
+    * added, removed, or changed type (by Catalyst DDL string, so nested
+    * and nullability changes surface too). Pure metadata — no jobs run;
+    * the check a pipeline makes BEFORE diffing content, because a silent
+    * widening (int → string) corrupts every downstream cast. */
+  def schemaDiff(old: DataFrame, cur: DataFrame): DataFrame = {
+    val spark = old.sparkSession
+    import spark.implicits._
+    val o = old.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val n = cur.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val rows =
+      (n.keySet -- o.keySet).toSeq.sorted.map(c =>
+        (c, "added", null: String, n(c))) ++
+      (o.keySet -- n.keySet).toSeq.sorted.map(c =>
+        (c, "removed", o(c), null: String)) ++
+      (o.keySet & n.keySet).toSeq.sorted.collect {
+        case c if o(c) != n(c) => (c, "type_changed", o(c), n(c))
+      }
+    rows.toDF("column", "change", "old_type", "new_type")
+  }
 }

@@ -219,6 +219,15 @@ class MixSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "a", "b", 2L), (2, "c", "d", 1L)))
   }
 
+  test("Snapshot.schemaDiff reports added/removed/type-changed columns") {
+    val old = Seq((1L, "a", 1)).toDF("id", "text", "score")
+    val cur = Seq((1L, "a", "1", true)).toDF("id", "text", "score", "flag")
+    val got = Snapshot.schemaDiff(old, cur)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("flag", "added"), ("score", "type_changed")))
+    assert(Snapshot.schemaDiff(old, old).count() == 0)
+  }
+
   test("winsorize clamps into the exact per-group percentile envelope") {
     val df = ((1 to 99).map(i => ("a", i.toLong, i.toDouble)) :+ ("a", 100L, 1000.0))
       .toDF("grp", "id", "v")
