@@ -88,6 +88,19 @@ object StatsQueries {
               |""".stripMargin)
     }),
 
+    // Distribution drift: even-key lineitems are the baseline quantity
+    // distribution; odd-key quantities shift +15 (pushing the tail into
+    // the overflow bin) — per-bin PSI contributions must quantify it.
+    "drift_psi" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      graft.ops.Drift.psiBins(
+        li.filter(col("l_orderkey") % 2 === 0).select(col("l_quantity")),
+        li.filter(col("l_orderkey") % 2 === 1)
+          .select((col("l_quantity") + 15.0).as("l_quantity")),
+        "l_quantity", lo = 0.0, hi = 60.0, bins = 12)
+    }),
+
     // Data-contract report over a deterministically dirtied lineitem:
     // planted nulls (shifted line numbers keep keys unique), out-of-range
     // quantities, exact duplicate keys and orphan order keys — the report
@@ -117,6 +130,29 @@ object StatsQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "drift_psi" ->
+      """WITH base AS (SELECT CASE WHEN l_quantity < 0 THEN -1
+        |    WHEN l_quantity >= 60 THEN 12
+        |    ELSE CAST(floor(l_quantity / 5.0) AS BIGINT) END AS bin,
+        |    count(*) AS n_base
+        |  FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1),
+        |cur AS (SELECT CASE WHEN v < 0 THEN -1 WHEN v >= 60 THEN 12
+        |    ELSE CAST(floor(v / 5.0) AS BIGINT) END AS bin, count(*) AS n_cur
+        |  FROM (SELECT l_quantity + 15.0 AS v FROM lineitem
+        |        WHERE l_orderkey % 2 = 1) GROUP BY 1),
+        |j AS (SELECT coalesce(base.bin, cur.bin) AS bin,
+        |    coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+        |  FROM base FULL OUTER JOIN cur ON base.bin = cur.bin),
+        |t AS (SELECT sum(n_base) AS nb, sum(n_cur) AS nc FROM j)
+        |SELECT bin, CAST(n_base AS BIGINT) AS n_base,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  round(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(nc AS DOUBLE) + 7.0)
+        |       - (CAST(n_base AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 7.0))
+        |    * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(nc AS DOUBLE) + 7.0))
+        |       / ((CAST(n_base AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 7.0))),
+        |    6) AS contrib
+        |FROM j, t""".stripMargin,
+
     "agg_moving_avg" ->
       """WITH d AS (SELECT o_orderpriority,
         |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,

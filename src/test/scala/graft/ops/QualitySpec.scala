@@ -39,6 +39,21 @@ class QualitySpec extends SparkSpec {
       r.getAs[Long]("n_orphans")) == ((1L, 0L, 0L, 0L, 0L)))
   }
 
+  test("psiBins: identical distributions score ~0, a shift scores high") {
+    val base = (1 to 100).map(i => (i % 10).toDouble).toDF("v")
+    val same = Drift.psiBins(base, base, "v", 0.0, 10.0, 10)
+      .agg(sum("contrib")).as[Double].head()
+    assert(math.abs(same) < 1e-9)
+    val shifted = (1 to 100).map(i => (i % 10 + 5).toDouble).toDF("v")
+    val moved = Drift.psiBins(base, shifted, "v", 0.0, 10.0, 10)
+      .agg(sum("contrib")).as[Double].head()
+    assert(moved > 0.25, s"psi=$moved should flag a 5-bin shift")
+    // overflow rows landed in bin 10
+    val bins = Drift.psiBins(base, shifted, "v", 0.0, 10.0, 10)
+      .filter(col("bin") === 10L).select("n_cur").as[Long].head()
+    assert(bins == 50L) // values 10..14 from the +5 shift
+  }
+
   test("hourlyPerKey fills silent hours with explicit zeros per key") {
     val h0 = 1700006400L // midnight, seconds
     def ts(hours: Double) = new Timestamp((h0 + (hours * 3600).toLong) * 1000L)
