@@ -27,6 +27,8 @@ object MixQueries {
   private val CurateFrac = 0.5
   private val ProjInDim = 64
   private val ProjOutDim = 16
+  private val PipeSeqLen = 64
+  private val PipeShards = 4
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
 
@@ -96,6 +98,22 @@ object MixQueries {
       val joined = lang.join(scored, Seq("doc_id")).persist()
       Robust.keepBelowQuantile(joined, "langid", "nll", CurateFrac)
         .select(col("doc_id"), col("langid"), col("nll"))
+    }),
+
+    // Cross-family composition: the curate_lm survivors flow straight
+    // into GPT-style sequence packing — language-ID → LM perplexity floor
+    // → concat-then-chunk layout, one exact oracle end to end.
+    "pipeline_lm_pack" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val lang = docs.select(col("doc_id"),
+        TextOps.languageId(col("text")).as("langid"))
+      val scored = LangModel.scoreDocs(docs, docs, "doc_id", "text", LmAddK)
+        .filter(col("nll").isNotNull)
+      val joined = lang.join(scored, Seq("doc_id")).persist()
+      val kept = Robust.keepBelowQuantile(joined, "langid", "nll", CurateFrac)
+        .select(col("doc_id"))
+      graft.ops.Shaping.packSequences(docs.join(kept, Seq("doc_id")),
+        "doc_id", "text", PipeSeqLen, PipeShards)
     }),
 
     // Pre-flight join profile of lineitem ⋈ orders on the order key:
@@ -204,6 +222,37 @@ object MixQueries {
          |  FROM j GROUP BY 1)
          |SELECT j.doc_id, j.langid, j.nll
          |FROM j JOIN q USING (langid) WHERE nll <= thr""".stripMargin
+    },
+
+    "pipeline_lm_pack" -> {
+      val (scoreSel, langCase) = OracleSql.langId(toksSql)
+      s"""WITH $lmCtes,
+         |sc2 AS (SELECT doc_id, round(-s / CAST(n AS DOUBLE), 6) AS nll
+         |  FROM lmg),
+         |lng AS (SELECT doc_id, $langCase AS langid
+         |  FROM (SELECT doc_id, $scoreSel FROM documents) f),
+         |j AS (SELECT l.doc_id, l.langid, sc2.nll
+         |  FROM lng l JOIN sc2 USING (doc_id) WHERE nll IS NOT NULL),
+         |q AS (SELECT langid, quantile_cont(nll, $CurateFrac) AS thr
+         |  FROM j GROUP BY 1),
+         |kept AS (SELECT j.doc_id FROM j JOIN q USING (langid)
+         |  WHERE nll <= thr),
+         |tp AS (SELECT CAST(t.doc_id % $PipeShards AS BIGINT) AS shard,
+         |    t.doc_id AS id, CAST(len(toks) AS BIGINT) AS n_tokens
+         |  FROM t JOIN kept ON t.doc_id = kept.doc_id
+         |  WHERE len(toks) > 0),
+         |p AS (SELECT shard, id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS start_off
+         |  FROM tp)
+         |SELECT shard, id, n_tokens, start_off,
+         |  CAST((start_off - start_off % $PipeSeqLen) / $PipeSeqLen AS BIGINT)
+         |    AS seq_first,
+         |  CAST(((start_off + n_tokens - 1)
+         |    - (start_off + n_tokens - 1) % $PipeSeqLen) / $PipeSeqLen AS BIGINT)
+         |    AS seq_last
+         |FROM p""".stripMargin
     },
 
     "profile_join_keys" ->
