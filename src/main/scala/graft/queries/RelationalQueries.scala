@@ -164,6 +164,22 @@ object RelationalQueries {
         .agg(concat_ws(",", sort_array(collect_set(col("c_mktsegment")))).as("segments"))
     }),
 
+    // Market-basket co-occurrence: distinct parts per order self-joined
+    // on the order key (co-partitioned — never a cross join), pair counts,
+    // deterministic top-50. The association-rule support table.
+    "basket_pair_counts" -> ((s, dir) => {
+      val b = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = b.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val c = b.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      a.join(c, Seq("l_orderkey"))
+        .filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
+        .limit(50)
+    }),
+
     // L2/L3 — deterministic global sort + limit.
     "topk_orders_by_price" -> ((s, dir) => {
       table(s, dir, "orders")
@@ -218,6 +234,15 @@ object RelationalQueries {
       " WHEN 'HCPCS' THEN 'HCPCS' WHEN 'ICD' THEN 'ICD' WHEN 'DRG' THEN 'DRG'" +
       " WHEN 'CDT' THEN 'CDT' WHEN 'NDC' THEN 'NDC' WHEN 'APC' THEN 'APC' END"
     Map(
+      "basket_pair_counts" ->
+        """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+          |SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+          |  CAST(count(*) AS BIGINT) AS n_orders
+          |FROM b a JOIN b c
+          |  ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+          |GROUP BY 1, 2
+          |ORDER BY n_orders DESC, part_a ASC, part_b ASC LIMIT 50""".stripMargin,
+
       "agg_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
           | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,

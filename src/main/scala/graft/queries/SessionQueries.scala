@@ -76,7 +76,25 @@ object SessionQueries {
     // Per-user hourly resample with explicit zero rows for silent hours.
     "resample_user_hours" -> ((s, dir) =>
       graft.ops.Resample.hourlyPerKey(table(s, dir, "events"),
-        "user_id", "ts", "value")))
+        "user_id", "ts", "value")),
+
+    // First-order behavioral Markov matrix: per-user event streams in
+    // (ts, event_id) order, lag pairs, global transition counts and
+    // row-normalized probabilities (6dp — exact integer division).
+    "event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val pairs = table(s, dir, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val w2 = Window.partitionBy(col("from_type"))
+      pairs.select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / sum(col("n")).over(w2).cast("double"), 6)
+          .as("p"))
+    }))
 
   def oracles: Map[String, String] = Map(
     "sessionize_events" ->
@@ -155,5 +173,18 @@ object SessionQueries {
         |SELECT g.user_id, g.h AS hour_sec,
         |  coalesce(n_events, 0) AS n_events,
         |  coalesce(value_sum, 0.0) AS value_sum
-        |FROM grid g LEFT JOIN cells c ON g.user_id = c.user_id AND g.h = c.h""".stripMargin)
+        |FROM grid g LEFT JOIN cells c ON g.user_id = c.user_id AND g.h = c.h""".stripMargin,
+
+    "event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, next_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM c""".stripMargin)
 }
