@@ -25,28 +25,49 @@ object Drift {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     require(lo < hi, s"need lo < hi, got ($lo, $hi)")
     val width = (hi - lo) / bins
-    def binned(df: DataFrame, as: String) = {
+    def binned(df: DataFrame) = {
       val v = col(valueCol).cast("double")
       val b = when(v < lo, lit(-1L))
         .when(v >= hi, lit(bins.toLong))
         .otherwise(floor((v - lit(lo)) / lit(width)).cast("long"))
-      df.filter(v.isNotNull)
-        .groupBy(b.as("bin")).agg(count(lit(1)).as(as))
+      df.filter(v.isNotNull).select(b.as("bin"))
     }
-    val b = binned(base, "n_base")
-    val c = binned(cur, "n_cur")
-    val totalBins = lit((bins + 2).toDouble)
-    val joined = b.join(c, Seq("bin"), "full_outer")
-      .select(col("bin"),
+    psiOverKeys(binned(base), binned(cur), "bin", bins + 2)
+  }
+
+  /** PSI over a CATEGORICAL column (language, source, event type …):
+    * categories are their own bins. `smoothCats` is the category count B
+    * used in the Laplace smoothing — pass the known vocabulary size, or
+    * leave 0 to derive it from the observed union (deriving adds one tiny
+    * aggregate over the category table, not the data). Output:
+    * (<keyCol>, n_base, n_cur, contrib). */
+  def psiCategorical(base: DataFrame, cur: DataFrame, keyCol: String,
+      smoothCats: Int = 0): DataFrame =
+    psiOverKeys(base.filter(col(keyCol).isNotNull).select(col(keyCol)),
+      cur.filter(col(keyCol).isNotNull).select(col(keyCol)),
+      keyCol, smoothCats)
+
+  /** Shared kernel: per-key counts on each side, full-outer join on the
+    * key (key-cardinality rows), smoothed PSI contribution per key. */
+  private def psiOverKeys(base: DataFrame, cur: DataFrame, keyCol: String,
+      smoothCats: Int): DataFrame = {
+    val b = base.groupBy(col(keyCol)).agg(count(lit(1)).as("n_base"))
+    val c = cur.groupBy(col(keyCol)).agg(count(lit(1)).as("n_cur"))
+    val joined = b.join(c, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    val nb = joined.agg(sum(col("n_base")).as("__nb"), sum(col("n_cur")).as("__nc"))
-    joined.crossJoin(broadcast(nb))
-      .select(col("bin"), col("n_base"), col("n_cur"), {
+    val totals = joined.agg(sum(col("n_base")).as("__nb"),
+      sum(col("n_cur")).as("__nc"),
+      (if (smoothCats > 0) lit(smoothCats.toLong) else count(lit(1)))
+        .as("__cats"))
+    joined.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("n_base"), col("n_cur"), {
+        val bCats = col("__cats").cast("double")
         val pb = (col("n_base").cast("double") + lit(0.5)) /
-          (col("__nb").cast("double") + lit(0.5) * totalBins)
+          (col("__nb").cast("double") + lit(0.5) * bCats)
         val pc = (col("n_cur").cast("double") + lit(0.5)) /
-          (col("__nc").cast("double") + lit(0.5) * totalBins)
+          (col("__nc").cast("double") + lit(0.5) * bCats)
         round((pc - pb) * log(pc / pb), 6).as("contrib")
       })
   }

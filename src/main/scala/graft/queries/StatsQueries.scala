@@ -101,6 +101,18 @@ object StatsQueries {
         "l_quantity", lo = 0.0, hi = 60.0, bins = 12)
     }),
 
+    // Categorical drift: even-key docs are the baseline language mix;
+    // odd-key docs relabel every doc_id % 6 == 1 to 'en' (planted skew).
+    "drift_lang_psi" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+      graft.ops.Drift.psiCategorical(
+        d.filter(col("doc_id") % 2 === 0).select(col("lang")),
+        d.filter(col("doc_id") % 2 === 1)
+          .select(when(col("doc_id") % 6 === 1, lit("en"))
+            .otherwise(col("lang")).as("lang")),
+        "lang")
+    }),
+
     // Data-contract report over a deterministically dirtied lineitem:
     // planted nulls (shifted line numbers keep keys unique), out-of-range
     // quantities, exact duplicate keys and orphan order keys — the report
@@ -130,6 +142,27 @@ object StatsQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "drift_lang_psi" ->
+      """WITH base AS (SELECT lang, count(*) AS n_base FROM documents
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |cur AS (SELECT CASE WHEN doc_id % 6 = 1 THEN 'en' ELSE lang END AS lang,
+        |    count(*) AS n_cur
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT coalesce(base.lang, cur.lang) AS lang,
+        |    coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+        |  FROM base FULL OUTER JOIN cur ON base.lang = cur.lang),
+        |t AS (SELECT CAST(sum(n_base) AS DOUBLE) AS nb,
+        |    CAST(sum(n_cur) AS DOUBLE) AS nc,
+        |    CAST(count(*) AS DOUBLE) AS cats FROM j)
+        |SELECT lang, CAST(n_base AS BIGINT) AS n_base,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  round(((CAST(n_cur AS DOUBLE) + 0.5) / (nc + 0.5 * cats)
+        |       - (CAST(n_base AS DOUBLE) + 0.5) / (nb + 0.5 * cats))
+        |    * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (nc + 0.5 * cats))
+        |       / ((CAST(n_base AS DOUBLE) + 0.5) / (nb + 0.5 * cats))),
+        |    6) AS contrib
+        |FROM j, t""".stripMargin,
+
     "drift_psi" ->
       """WITH base AS (SELECT CASE WHEN l_quantity < 0 THEN -1
         |    WHEN l_quantity >= 60 THEN 12

@@ -54,6 +54,20 @@ class QualitySpec extends SparkSpec {
     assert(bins == 50L) // values 10..14 from the +5 shift
   }
 
+  test("psiCategorical: stable mixes score ~0, a relabel skew registers on both sides") {
+    val base = (1 to 90).map(i => Seq("en", "de", "fr")(i % 3)).toDF("lang")
+    val same = Drift.psiCategorical(base, base, "lang")
+      .agg(sum("contrib")).as[Double].head()
+    assert(math.abs(same) < 1e-9)
+    // relabel all fr -> en: en gains, fr vanishes (smoothing keeps it finite)
+    val skew = (1 to 90).map(i => Seq("en", "de", "en")(i % 3)).toDF("lang")
+    val rows = Drift.psiCategorical(base, skew, "lang")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rows("en") > 0.0 && rows("fr") > 0.0) // both terms positive PSI
+    assert(math.abs(rows("de")) < 1e-6)
+    assert(rows.values.sum > 0.25)
+  }
+
   test("hourlyPerKey fills silent hours with explicit zeros per key") {
     val h0 = 1700006400L // midnight, seconds
     def ts(hours: Double) = new Timestamp((h0 + (hours * 3600).toLong) * 1000L)
