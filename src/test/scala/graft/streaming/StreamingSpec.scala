@@ -44,6 +44,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("idempotent sink: a replayed batch publishes once, reader sees whole batches") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-sink").toString
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(IdempotentSink.appendOnce(out)(batch, 7L))      // first attempt
+    assert(!IdempotentSink.appendOnce(out)(batch, 7L))     // crash replay: no-op
+    assert(IdempotentSink.appendOnce(out)(batch, 8L))      // next batch lands
+    val rows = spark.read.parquet(s"$out/data")
+      .select("id", "batch").as[(Long, Long)].collect().toSeq.sorted
+    assert(rows == Seq((1L, 7L), (1L, 8L), (2L, 7L), (2L, 8L)))
+    // drive it end-to-end through a real foreachBatch stream
+    val dir = Files.createTempDirectory("graft-sink-src").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val q = spark.readStream.schema(batch.schema).parquet(dir)
+      .writeStream.foreachBatch { (df: DataFrame, id: Long) =>
+        IdempotentSink.appendOnce(out + "/streamed")(df, id); ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(s"$out/streamed/data").count() == 2)
+  }
+
   test("foreachBatch clean stream applies the full clean+rules pass per micro-batch") {
     val dir = Files.createTempDirectory("graft-cleanstream").toString
     // Write a small canonical CSV into the watched directory.
