@@ -38,6 +38,23 @@ object SessionQueries {
           sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
     }),
 
+    // Same session semantics through Spark's NATIVE session_window (merge
+    // events within the gap): an independent implementation of the
+    // sessionize_events computation — window end is last-event + gap, so
+    // subtracting the gap recovers the last event time. One gap-merging
+    // aggregate, no lag/running-sum window chain.
+    "sessionize_native" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), s"$GapMinutes minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("w.end") - expr(s"INTERVAL $GapMinutes MINUTES"),
+            "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("total_value"))),
+
     // As-of join of each event to its user's latest rate snapshot
     // (ops/AsOfJoin: union + one keyed window — no range-join explosion).
     // Snapshots are fabricated weekly-per-user from integer formulas; the
@@ -125,6 +142,27 @@ object SessionQueries {
         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks)
         |SELECT e.event_id, e.user_id, e.ts_sec, s.rate
         |FROM e ASOF JOIN s ON e.user_id = s.user_id AND e.ts_sec >= s.snap_sec""".stripMargin,
+
+    // Mirror of session_window's exact boundary rule: a session continues
+    // while ts < previous ts + gap (full-precision timestamps; the
+    // lag-based sessionize_events oracle floors to seconds and uses
+    // strict >, so the two gates pin both semantics independently).
+    "sessionize_native" ->
+      s"""WITH o AS (SELECT user_id, event_id, ts, value,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+         |    OR ts >= prev_ts + INTERVAL $GapMinutes MINUTE THEN 1 ELSE 0 END AS ns
+         |  FROM o),
+         |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS idx
+         |  FROM f)
+         |SELECT user_id,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         |FROM s GROUP BY user_id, idx""".stripMargin,
 
     "funnel_stages" ->
       """WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
