@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph dataflow (extension — the reference has no graph ops;
+  * its nearest neighbor is the connected-components pass in [[Dedup]]).
+  * PageRank is the canonical "importance over a link graph" signal a
+  * training-data pipeline uses to weight crawled sources.
+  *
+  * Cross-engine determinism: ranks are fixed-point integers (units of
+  * 1e-12), every step is 64-bit integer multiply/divide/sum — addition is
+  * order-invariant, so the result is bit-identical on any engine and any
+  * partitioning, unlike double-summed PageRank where the reduce order
+  * drifts the low bits. The scaled arithmetic is overflow-safe by
+  * construction: rank mass only shrinks from the initial total of Scale
+  * (1e12), so `r*Damp ≤ 8.5e14`, and the per-edge contribution divides by
+  * the full out-weight BEFORE multiplying by the edge weight
+  * (`((r*850) div (1000*outw)) * w`, w ≤ outw), keeping every
+  * intermediate ≤ ~8.5e17 < 2^63. The truncation each edge suffers
+  * (< w units of 1e-12) is deterministic and mirrored in the oracle.
+  *
+  * Scale shape: per iteration — one shuffle join of ranks onto the edge
+  * list (edges pre-joined with out-weights once, outside the loop), one
+  * hash aggregate of contributions by destination, one left join back to
+  * the node set. All keyed by node id; skew follows in-degree, which AQE
+  * skew-split handles. The node count rides as a 1-row broadcast (no
+  * driver action in the loop).
+  */
+object Graph {
+
+  /** 1.0 of rank mass in fixed-point units (1e-12 resolution). */
+  val Scale = 1000000000000L
+
+  /** Damping 0.85: teleport mass is 0.15 * Scale. */
+  val Teleport = 150000000000L
+
+  /** Fixed-iteration PageRank over a weighted edge list.
+    *
+    * @param edges  (srcCol, dstCol, wCol) rows; wCol a positive integral
+    *               weight (e.g. transition count). Parallel edges should
+    *               be pre-aggregated.
+    * @return (node, rank) — rank in fixed-point units; sum over nodes ≤
+    *         Scale (dangling-node mass leaks, identically on any engine).
+    */
+  def pagerankScaled(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    Seq("node", "r", "__n", "__m", "__c", "outw").foreach { c =>
+      require(!edges.columns.contains(c),
+        s"pagerankScaled uses an internal $c column; rename the existing one")
+    }
+    val nodes = edges.select(col(srcCol).as("node"))
+      .union(edges.select(col(dstCol).as("node")))
+      .distinct()
+    val n1 = nodes.agg(count(lit(1)).as("__n"))
+    // Edge list with its source's total out-weight: built once, reused by
+    // every iteration (the loop-invariant half of the join).
+    val eo = edges
+      .join(edges.groupBy(col(srcCol)).agg(sum(col(wCol)).as("outw")),
+        srcCol)
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        col(wCol).cast("long").as("__w"), col("outw").cast("long").as("outw"))
+    var ranks = nodes.crossJoin(broadcast(n1))
+      .select(col("node"), expr(s"$Scale div __n").as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = eo
+        .join(ranks.select(col("node").as("__src"), col("r")), "__src")
+        .select(col("__dst").as("node"),
+          expr("((r * 850) div (1000 * outw)) * __w").as("__c"))
+      val inMass = contribs.groupBy(col("node")).agg(sum(col("__c")).as("__m"))
+      ranks = nodes.join(inMass, Seq("node"), "left")
+        .crossJoin(broadcast(n1))
+        .select(col("node"),
+          (expr(s"$Teleport div __n") + coalesce(col("__m"), lit(0L))).as("r"))
+    }
+    ranks
+  }
+
+  /** Degree profile of a weighted edge list: per node, out/in degree and
+    * out/in weight (0 where absent). One aggregate per direction + a full
+    * outer merge on the node id. */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String): DataFrame = {
+    val out = edges.groupBy(col(srcCol).as("node"))
+      .agg(count(lit(1)).as("out_deg"), sum(col(wCol)).cast("long").as("out_w"))
+    val in = edges.groupBy(col(dstCol).as("node"))
+      .agg(count(lit(1)).as("in_deg"), sum(col(wCol)).cast("long").as("in_w"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("out_w"), lit(0L)).as("out_w"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"))
+  }
+}

@@ -102,4 +102,48 @@ object Profile {
         max(col("__out")).as("max_key_rows"),
         max(struct(col("__out"), col("__k"))).getField("__k").as("hot_key"))
   }
+
+  /** Exact equi-width histogram of a numeric column: `bins` buckets of
+    * `width` starting at `lo`, out-of-range values clamped into the edge
+    * buckets. One hash aggregate keyed by the computed bin id (≤ `bins`
+    * groups — fully map-side-combined, the cheapest possible profile of a
+    * 100 TB column). Bin arithmetic is a single IEEE-double divide +
+    * floor, bit-identical across engines; per-bin extremes are exact
+    * min/max (no order-dependent sums).
+    *
+    * Output: (bin, bin_lo, n_rows, min_v, max_v), bin in [0, bins). */
+  def histogram(df: DataFrame, valueCol: String, lo: Double,
+      width: Double, bins: Int): DataFrame = {
+    require(width > 0.0, s"width must be positive, got $width")
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val v = col(valueCol)
+    val bin = least(greatest(floor((v - lit(lo)) / lit(width)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    df.filter(v.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n_rows"), min(v).as("min_v"), max(v).as("max_v"))
+      .select(col("bin"),
+        (lit(lo) + col("bin").cast("double") * lit(width)).as("bin_lo"),
+        col("n_rows"), col("min_v"), col("max_v"))
+  }
+
+  /** Most frequent value of `valueCol` per `keyCol` group — the
+    * categorical "typical value" profile. Deterministic tie-break:
+    * (count desc, value asc). Two hash aggregates — (key, value) counts,
+    * then a per-key top-1 window over the COUNT table (cardinality
+    * |distinct pairs|, not |rows|, so the window sort is over already-
+    * collapsed data). Output: (key, mode_value, n). */
+  def modeBy(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!df.columns.exists(c => c == "__cnt" || c == "__rn"),
+      "modeBy uses internal __cnt/__rn columns; rename the existing one")
+    val counts = df.groupBy(col(keyCol), col(valueCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__cnt").desc, col(valueCol).asc)
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col(valueCol).as("mode_value"),
+        col("__cnt").as("n"))
+  }
 }

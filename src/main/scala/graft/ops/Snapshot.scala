@@ -54,4 +54,31 @@ object Snapshot {
       }
     rows.toDF("column", "change", "old_type", "new_type")
   }
+
+  /** SCD-type-2 compaction of a changelog into validity intervals: per
+    * key, rows ordered by (tsCol, tieCol) become versions with
+    * `valid_from` = own timestamp, `valid_to` = next version's timestamp
+    * (null on the current row), `version` = 1-based sequence, and
+    * `is_current`. The point-in-time lookup this feeds is
+    * `valid_from <= t AND (valid_to IS NULL OR t < valid_to)`.
+    *
+    * One shuffle on the key + a per-key window sort — no global ordering
+    * anywhere, so it scales with the key count; the heaviest key costs
+    * its own history length, not the table's. `tieCol` must make the
+    * per-key order total or version assignment is nondeterministic. */
+  def scd2(changelog: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Seq("version", "valid_from", "valid_to", "is_current").foreach { c =>
+      require(!changelog.columns.contains(c),
+        s"scd2 appends a $c column; rename the existing one")
+    }
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    changelog
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

@@ -44,6 +44,25 @@ object Vocab {
     docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
 
+  /** Inverted index: per term, the document frequency and the sorted
+    * posting list of ids containing it. Terms are deduplicated INSIDE each
+    * document before the explode (array_distinct on the token array), so
+    * the shuffled stream is (term, doc) pairs — bounded by distinct terms
+    * per doc, not token occurrences. One hash aggregate keyed by term;
+    * postings sort locally per term after the shuffle.
+    *
+    * At retrieval scale the posting list of a stopword-grade term is the
+    * skew risk — `minDf`-style caps don't help there; the standard fix is
+    * dropping top-df terms (they carry no selectivity), which the caller
+    * does by filtering on the emitted `df`. Output: (term, df, postings). */
+  def invertedIndex(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("__doc"),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("__doc"))).as("postings"))
+
   /** First-iteration BPE pair statistics: for every adjacent character
     * pair inside a word, the total corpus occurrences (word frequency
     * summed over each position the pair appears at). This is exactly the

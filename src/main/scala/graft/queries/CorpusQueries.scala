@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables.table
-import graft.ops.{Decontaminate, TextOps}
+import graft.ops.{Decontaminate, TextOps, Vocab}
 
 /** Corpus-hygiene gates: benchmark decontamination (n-gram overlap between
   * a train corpus and an eval set) and repetition-based quality metrics
@@ -83,7 +83,15 @@ object CorpusQueries {
         .withColumn("keep",
           col("unique_token_ratio") >= 0.4 &&
             col("dup_bigram_frac") <= 0.03 &&
-            col("top_bigram_frac") <= 0.04)))
+            col("top_bigram_frac") <= 0.04)),
+
+    // Inverted index over the document corpus: per term, document
+    // frequency + the sorted posting list. Per-doc dedup happens BEFORE
+    // the explode, so the exchange carries distinct (term, doc) pairs.
+    "index_postings" -> ((s, dir) =>
+      Vocab.invertedIndex(
+        table(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")))
 
   // ---------------------------------------------------------------- oracles
 
@@ -174,5 +182,13 @@ object CorpusQueries {
          |LEFT JOIN s1 ON s1.doc_id = d.doc_id
          |LEFT JOIN s2 ON s2.doc_id = d.doc_id
          |LEFT JOIN s3 ON s3.doc_id = d.doc_id""".stripMargin
-    })
+    },
+
+    "index_postings" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(list_distinct($toksSql)) AS term
+         |  FROM documents)
+         |SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |  list(doc_id ORDER BY doc_id) AS postings
+         |FROM t GROUP BY term""".stripMargin)
 }

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.table
+import graft.ops.Graph
+
+/** Graph gates over the event-transition graph (nodes = event types,
+  * edges = consecutive-event transitions per user, weights = transition
+  * counts — the same edge fabrication as `event_transitions`).
+  *
+  * PageRank runs in fixed-point integer arithmetic ([[Graph.Scale]] units)
+  * so the iterative loop is bit-exact on any engine/partitioning; the
+  * oracle unrolls the same three iterations as a CTE chain (the
+  * established cross-engine trick from the BPE gate).
+  */
+object GraphQueries {
+
+  def family: QueryFamily = QueryFamily("graph", queries, oracles)
+
+  private val Iters = 3
+
+  /** Weighted transition edge list: (src, dst, w). */
+  private def transitionEdges(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    table(s, dir, "events")
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "graph_pagerank" -> ((s, dir) =>
+      Graph.pagerankScaled(transitionEdges(s, dir), "src", "dst", "w", Iters)
+        .select(col("node"), col("r").as("pr"))),
+
+    "graph_degrees" -> ((s, dir) =>
+      Graph.degrees(transitionEdges(s, dir), "src", "dst", "w")))
+
+  /** Shared edge CTEs: e(src, dst, w), ow(src, outw), nodes, nn(n). */
+  private val edgeCtes: String =
+    """s AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |e AS (SELECT event_type AS src, next_type AS dst,
+      |    CAST(count(*) AS BIGINT) AS w
+      |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)""".stripMargin
+
+  /** One unrolled PageRank iteration: contributions from r$i, ranks r${i+1}. */
+  private def iterCtes(i: Int): String =
+    s"""c${i + 1} AS (SELECT e.dst AS node,
+       |    CAST(sum(((r.r * 850) // (1000 * ow.outw)) * e.w) AS BIGINT) AS m
+       |  FROM e JOIN ow ON ow.src = e.src JOIN r$i r ON r.node = e.src
+       |  GROUP BY 1),
+       |r${i + 1} AS (SELECT nodes.node,
+       |    (${Graph.Teleport} // nn.n) + coalesce(c${i + 1}.m, 0) AS r
+       |  FROM nodes CROSS JOIN nn
+       |  LEFT JOIN c${i + 1} ON c${i + 1}.node = nodes.node)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+
+    "graph_pagerank" ->
+      s"""WITH $edgeCtes,
+         |r0 AS (SELECT node, ${Graph.Scale} // n AS r
+         |  FROM nodes CROSS JOIN nn),
+         |${(0 until Iters).map(iterCtes).mkString(",\n")}
+         |SELECT node, CAST(r AS BIGINT) AS pr FROM r$Iters""".stripMargin,
+
+    "graph_degrees" ->
+      s"""WITH $edgeCtes,
+         |od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg,
+         |    CAST(sum(w) AS BIGINT) AS out_w FROM e GROUP BY 1),
+         |id AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg,
+         |    CAST(sum(w) AS BIGINT) AS in_w FROM e GROUP BY 1)
+         |SELECT coalesce(od.node, id.node) AS node,
+         |  coalesce(od.out_deg, 0) AS out_deg, coalesce(od.out_w, 0) AS out_w,
+         |  coalesce(id.in_deg, 0) AS in_deg, coalesce(id.in_w, 0) AS in_w
+         |FROM od FULL OUTER JOIN id ON od.node = id.node""".stripMargin)
+}

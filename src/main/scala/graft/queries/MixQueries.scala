@@ -139,7 +139,15 @@ object MixQueries {
         when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
           .otherwise(col("text")).as("text"))
       Snapshot.diff(old, cur, "doc_id", "text")
-    }))
+    }),
+
+    // SCD-2 compaction: each customer's order stream becomes status
+    // validity intervals — version, valid_from/valid_to, is_current.
+    "scd2_order_history" -> ((s, dir) =>
+      Snapshot.scd2(
+        table(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderstatus"), col("o_orderdate")),
+        "o_custkey", "o_orderdate", "o_orderkey")))
 
   private val uniformSql =
     s"((${OracleSql.knuth32("doc_id")}) + 0.5) / 4294967296.0"
@@ -302,6 +310,16 @@ object MixQueries {
          |       WHEN o.fp = c.fp THEN 'unchanged'
          |       ELSE 'changed' END AS status
          |FROM o FULL OUTER JOIN c ON o.doc_id = c.doc_id""".stripMargin,
+
+    "scd2_order_history" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w AS valid_to,
+        |  lead(o_orderdate) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)""".stripMargin,
 
     "overlap_join_promos" ->
       s"""WITH o AS (SELECT o_orderkey,

@@ -139,9 +139,40 @@ object StatsQueries {
         keyCols = Seq("l_orderkey", "l_linenumber"),
         parent = table(s, dir, "orders"),
         childKey = "l_orderkey", parentKey = "o_orderkey")
-    }))
+    }),
+
+    // Exact equi-width histogram of order totals: 32 × 25k buckets,
+    // clamped edges. Bin id is one IEEE divide + floor — bit-identical
+    // across engines; per-bin stats are count/min/max (no double sums).
+    "agg_histogram_prices" -> ((s, dir) =>
+      graft.ops.Profile.histogram(table(s, dir, "orders"),
+        "o_totalprice", lo = 0.0, width = 25000.0, bins = 32)),
+
+    // Per-status modal order priority with the deterministic
+    // (count desc, value asc) tie-break.
+    "agg_mode_priority" -> ((s, dir) =>
+      graft.ops.Profile.modeBy(table(s, dir, "orders"),
+        "o_orderstatus", "o_orderpriority")))
 
   def oracles: Map[String, String] = Map(
+    "agg_histogram_prices" ->
+      """WITH b AS (SELECT
+        |    CAST(least(greatest(floor((o_totalprice - 0.0) / 25000.0), 0.0),
+        |      31.0) AS BIGINT) AS bin, o_totalprice
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |SELECT bin, 0.0 + CAST(bin AS DOUBLE) * 25000.0 AS bin_lo,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(o_totalprice) AS min_v, max(o_totalprice) AS max_v
+        |FROM b GROUP BY bin""".stripMargin,
+
+    "agg_mode_priority" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY n DESC, o_orderpriority ASC) AS rn FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_value, n
+        |FROM r WHERE rn = 1""".stripMargin,
     "drift_lang_psi" ->
       """WITH base AS (SELECT lang, count(*) AS n_base FROM documents
         |  WHERE doc_id % 2 = 0 GROUP BY 1),

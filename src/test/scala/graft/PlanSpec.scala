@@ -223,6 +223,49 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("histogram is one partial-combining aggregate over a one-column scan") {
+    val p = plan("agg_histogram_prices")
+    assert(p.contains("ReadSchema: struct<o_totalprice:double>"), p)
+    assert(p.contains("partial_count"), p)
+    // ≤ bins groups: exactly the partial→final aggregation exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("modeBy windows over the collapsed count table, not the raw rows") {
+    val p = plan("agg_mode_priority")
+    // (key, value) counts partial-aggregate before any exchange; the
+    // top-1 window then sorts |distinct pairs| rows, never |rows|.
+    assert(p.contains("partial_count"), p)
+    val windowIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(windowIdx >= 0 && aggIdx >= 0 && windowIdx < aggIdx, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("inverted index dedups terms per doc before the explode, one exchange") {
+    val p = plan("index_postings")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(p.contains("array_distinct"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("scd2 compaction shuffles once, by the history key") {
+    val p = plan("scd2_order_history")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p) // no global sort
+  }
+
+  test("pagerank iterations never degrade to a cartesian product") {
+    val p = plan("graph_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    // events scan carries only the transition columns (ts surfaces as
+    // bigint nanos at the scan; value/props never read)
+    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"), p)
+  }
+
   test("custom expressions are SQL-callable after extension registration") {
     GraftExtensions.registerOn(spark)
     val r = spark.sql("SELECT seq_ratio('grady_memorial', 'grady_memoral') AS r")

@@ -19,17 +19,31 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # List-valued cells (posting lists, collect_set columns) aren't
+    # hashable/sortable as ndarrays — render them to a canonical string,
+    # as the driver renders values before hashing.
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+                lambda v: isinstance(v, (list, tuple)) or hasattr(v, "tolist")
+        ).any():
+            df[c] = df[c].map(
+                lambda v: str(list(v.tolist() if hasattr(v, "tolist") else v))
+                if v is not None and not isinstance(v, (str, bytes)) else v)
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
     return df.reset_index(drop=True)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # Subset mode (matches Verify's optional 3rd arg): only flag missing
+    # dumps for the queries actually requested.
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
     n_pass = n_fail = 0
     # An oracle whose query dump is missing means the query CRASHED in
     # Verify — that must fail the gate, not vanish from it.
@@ -103,4 +117,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))
