@@ -50,17 +50,22 @@ object Graph {
       require(!edges.columns.contains(c),
         s"pagerankScaled uses an internal $c column; rename the existing one")
     }
+    // The adjacency (edges + out-weights) and node set are loop
+    // invariants referenced by every iteration — persist them, as any
+    // iterative graph engine materializes its adjacency once. Without
+    // this, each of the iters+3 references replays the caller's whole
+    // edge-derivation lineage (e.g. a window over the raw event log).
     val nodes = edges.select(col(srcCol).as("node"))
       .union(edges.select(col(dstCol).as("node")))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n1 = nodes.agg(count(lit(1)).as("__n"))
-    // Edge list with its source's total out-weight: built once, reused by
-    // every iteration (the loop-invariant half of the join).
     val eo = edges
       .join(edges.groupBy(col(srcCol)).agg(sum(col(wCol)).as("outw")),
         srcCol)
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
         col(wCol).cast("long").as("__w"), col("outw").cast("long").as("outw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.crossJoin(broadcast(n1))
       .select(col("node"), expr(s"$Scale div __n").as("r"))
     for (_ <- 1 to iters) {

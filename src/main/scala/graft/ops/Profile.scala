@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
 
 /** Data-distribution profiling: the skew diagnostic that decides whether a
   * join needs [[SkewJoin.saltedJoin]] or a key needs special-casing.
@@ -125,6 +126,41 @@ object Profile {
       .select(col("bin"),
         (lit(lo) + col("bin").cast("double") * lit(width)).as("bin_lo"),
         col("n_rows"), col("min_v"), col("max_v"))
+  }
+
+  /** ANALYZE-style per-column table statistics — the input a cost-based
+    * optimizer (or a data-contract baseline) wants: non-null/null counts,
+    * exact distinct count, and the typed extremes (numeric ones as
+    * doubles, string ones as strings; other types report counts/ndv
+    * only). One single-column aggregate per requested column, unioned —
+    * each scan prunes to exactly one column, so on a columnar store the
+    * total IO is the requested columns once, and no multi-distinct
+    * Expand ever multiplies the row stream.
+    *
+    * Output: one row per column — (col_name, n_nonnull, n_null, ndv,
+    * min_num, max_num, min_str, max_str). */
+  def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val parts = cols.map { c =>
+      val dt = df.schema(c).dataType
+      val isNum = dt.isInstanceOf[NumericType]
+      val isStr = dt == StringType
+      df.select(col(c))
+        .agg(
+          count(col(c)).as("n_nonnull"),
+          count(when(col(c).isNull, lit(1))).as("n_null"),
+          countDistinct(col(c)).as("ndv"),
+          (if (isNum) min(col(c)).cast("double")
+           else lit(null).cast("double")).as("min_num"),
+          (if (isNum) max(col(c)).cast("double")
+           else lit(null).cast("double")).as("max_num"),
+          (if (isStr) min(col(c)) else lit(null).cast("string")).as("min_str"),
+          (if (isStr) max(col(c)) else lit(null).cast("string")).as("max_str"))
+        .select(lit(c).as("col_name"), col("n_nonnull"), col("n_null"),
+          col("ndv"), col("min_num"), col("max_num"), col("min_str"),
+          col("max_str"))
+    }
+    parts.reduce(_ unionAll _)
   }
 
   /** Most frequent value of `valueCol` per `keyCol` group — the

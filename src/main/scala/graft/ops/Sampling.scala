@@ -108,6 +108,35 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Temporal train/validation split: per key, the FIRST `trainPct`% of
+    * rows (by time) are `train`, the rest `val` — the leakage-safe split
+    * for sequential data, where a random split would let the model peek at
+    * each user's future. The cut count is exact integer arithmetic
+    * (`(cnt * trainPct) div 100`), so the boundary is engine-independent;
+    * `tieCol` totalizes the per-key order. Keys with < 100/(100-trainPct)
+    * rows contribute all rows to train (floor semantics).
+    *
+    * One shuffle on the key + a per-key window (row_number and count over
+    * the same partitioning — single exchange, two window frames). Appends
+    * a `split` column. */
+  def temporalSplit(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, trainPct: Int): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, s"trainPct in (0,100): $trainPct")
+    Seq("split", "__rn", "__cnt").foreach { c =>
+      require(!df.columns.contains(c),
+        s"temporalSplit uses/emits a $c column; rename the existing one")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(all))
+      .withColumn("split",
+        when(col("__rn") <= expr(s"(__cnt * $trainPct) div 100"), lit("train"))
+          .otherwise(lit("val")))
+      .drop("__rn", "__cnt")
+  }
+
   /** Keep the top `frac` of rows by score — the ADAPTIVE quality floor
     * ("best 30% of the corpus", however the score distribution shifts),
     * versus [[graft.ops.Curation]]'s fixed threshold. Exact and

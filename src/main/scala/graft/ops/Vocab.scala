@@ -63,6 +63,46 @@ object Vocab {
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(col("__doc"))).as("postings"))
 
+  /** Skip-gram co-occurrence counts: for every token, the ordered pairs
+    * (token, following token) within a `window`-token lookahead — the raw
+    * statistic behind word-embedding training and PMI collocation mining.
+    *
+    * Pure narrow pair generation: pairs are built INSIDE the token array
+    * (indexed transform + bounded slice, O(n·window) per doc) and only
+    * then exploded into the single counting aggregate — no positional
+    * self-join, so there is exactly one exchange (by pair) and co-located
+    * pair construction at any corpus size. */
+  def coocCounts(docs: DataFrame, textCol: String, window: Int): DataFrame = {
+    require(window >= 1 && window <= 64, s"window out of range: $window")
+    val tk = docs.select(TextOps.tokens(col(textCol)).as("__toks"))
+    // element at 0-based i pairs with 1-based positions i+2 .. i+1+window
+    val pairs = flatten(transform(col("__toks"), (t, i) =>
+      transform(slice(col("__toks"), i + lit(2), lit(window)),
+        t2 => array(t, t2))))
+    tk.select(explode(pairs).as("__p"))
+      .groupBy(col("__p")(0).as("w1"), col("__p")(1).as("w2"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Vocabulary coverage report: how much of the token stream the top-`k`
+    * words cover, and the OOV (out-of-vocabulary) rate a tokenizer built
+    * from that vocab would pay. Deterministic vocab cut:
+    * (count desc, word asc). One count aggregate + a k-row TakeOrdered +
+    * two 1-row reductions — the corpus is scanned once.
+    * Output: one row (vocab_size, covered, total, oov_rate). */
+  def coverage(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val wc = wordCounts(docs, textCol)
+    val top = wc.orderBy(col("wcnt").desc, col("w").asc).limit(k)
+      .agg(count(lit(1)).as("vocab_size"), sum(col("wcnt")).as("covered"))
+    val total = wc.agg(sum(col("wcnt")).as("total"))
+    top.crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("covered"), col("total"),
+        round(lit(1.0) -
+          col("covered").cast("double") / col("total").cast("double"), 6)
+          .as("oov_rate"))
+  }
+
   /** First-iteration BPE pair statistics: for every adjacent character
     * pair inside a word, the total corpus occurrences (word frequency
     * summed over each position the pair appears at). This is exactly the

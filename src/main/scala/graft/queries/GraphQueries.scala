@@ -22,7 +22,10 @@ object GraphQueries {
 
   private val Iters = 3
 
-  /** Weighted transition edge list: (src, dst, w). */
+  /** Weighted transition edge list: (src, dst, w). Persisted — it is
+    * |event types|² rows derived from a full window pass over the event
+    * log, and every consumer (degrees' two aggregates, pagerank's
+    * adjacency + node set) re-references it. */
   private def transitionEdges(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
@@ -31,6 +34,7 @@ object GraphQueries {
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
       .agg(count(lit(1)).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

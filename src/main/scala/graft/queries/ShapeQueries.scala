@@ -61,6 +61,14 @@ object ShapeQueries {
       Sampling.assignSplits(table(s, dir, "documents").select(col("doc_id")),
         "doc_id", Seq("val" -> 50, "test" -> 100))),
 
+    // Leakage-safe temporal split: per user, the first 80% of events (by
+    // time) train, the rest validate — integer cut, engine-independent.
+    "sample_temporal_split" -> ((s, dir) =>
+      Sampling.temporalSplit(
+        table(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts")),
+        "user_id", "ts", "event_id", trainPct = 80)),
+
     // Weighted 3:1 interleave of two id sources into per-shard training
     // streams — the deterministic mixing schedule.
     "interleave_sources" -> ((s, dir) =>
@@ -191,6 +199,14 @@ object ShapeQueries {
         |       WHEN (((doc_id % 1000000007) * 2654435761) % 4294967296) % 1000 < 150 THEN 'test'
         |       ELSE 'train' END AS split
         |FROM documents""".stripMargin,
+
+    "sample_temporal_split" ->
+      """SELECT event_id, user_id, ts,
+        |  CASE WHEN CAST(row_number() OVER w AS BIGINT)
+        |      <= (CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) * 80) // 100
+        |    THEN 'train' ELSE 'val' END AS split
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 
     "interleave_sources" ->
       """WITH src AS (

@@ -152,9 +152,38 @@ object StatsQueries {
     // (count desc, value asc) tie-break.
     "agg_mode_priority" -> ((s, dir) =>
       graft.ops.Profile.modeBy(table(s, dir, "orders"),
-        "o_orderstatus", "o_orderpriority")))
+        "o_orderstatus", "o_orderpriority")),
+
+    // ANALYZE-style per-column statistics (CBO inputs): counts, exact
+    // ndv, typed extremes; one pruned single-column scan per column.
+    "profile_table_stats" -> ((s, dir) =>
+      graft.ops.Profile.tableStats(table(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))))
+
+  /** One per-column stats SELECT for [[graft.ops.Profile.tableStats]]'s
+    * oracle: numeric columns report double extremes, strings report
+    * string extremes, others report counts/ndv only. */
+  private def colStatsSql(c: String, kind: String): String = {
+    val (minN, maxN) =
+      if (kind == "num") (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)")
+      else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+    val (minS, maxS) =
+      if (kind == "str") (s"min($c)", s"max($c)")
+      else ("CAST(NULL AS STRING)", "CAST(NULL AS STRING)")
+    s"""SELECT '$c' AS col_name, CAST(count($c) AS BIGINT) AS n_nonnull,
+       |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+       |  $minN AS min_num, $maxN AS max_num,
+       |  $minS AS min_str, $maxS AS max_str FROM lineitem""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
+    "profile_table_stats" ->
+      Seq("l_orderkey" -> "num", "l_quantity" -> "num",
+        "l_returnflag" -> "str", "l_shipdate" -> "other")
+        .map { case (c, k) => colStatsSql(c, k) }
+        .mkString("\nUNION ALL\n"),
+
     "agg_histogram_prices" ->
       """WITH b AS (SELECT
         |    CAST(least(greatest(floor((o_totalprice - 0.0) / 25000.0), 0.0),

@@ -28,6 +28,8 @@ object TrainPrepQueries {
   private val CmDepth = 5
   private val CmWidth = 2048
   private val BpeMerges = 6
+  private val CoocWindow = 3
+  private val CoverageK = 20
 
   /** Un-normalized suffix planted on every doc: decomposed `é` (e +
     * U+0301), a BEL control, decomposed `ï` (i + U+0308). NFC must compose
@@ -69,6 +71,16 @@ object TrainPrepQueries {
     // by word frequency, top 40.
     "bpe_pair_counts" -> ((s, dir) =>
       Vocab.topBpePairs(table(s, dir, "documents"), "text", k = BpeK)),
+
+    // Skip-gram co-occurrence counts within a 3-token lookahead — pair
+    // generation stays inside the token array (no positional self-join).
+    "vocab_cooc_pairs" -> ((s, dir) =>
+      Vocab.coocCounts(table(s, dir, "documents"), "text", window = CoocWindow)),
+
+    // Vocabulary coverage: token-stream share of the top-20 words and the
+    // OOV rate a tokenizer with that vocab would pay.
+    "vocab_coverage" -> ((s, dir) =>
+      Vocab.coverage(table(s, dir, "documents"), "text", k = CoverageK)),
 
     // Length-bucketed curriculum batching (32-token buckets, batch 16,
     // 4 trainer shards).
@@ -174,6 +186,26 @@ object TrainPrepQueries {
          |  WHERE i + 1 <= len(toks) AND (SELECT g FROM guard) = 1)
          |SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1
          |ORDER BY cnt DESC, gram ASC LIMIT $BigramK""".stripMargin,
+
+    "vocab_cooc_pairs" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |t AS (SELECT doc_id, unnest(toks) AS tok,
+         |    generate_subscripts(toks, 1) AS i FROM tk),
+         |p AS (SELECT a.tok AS w1, b.tok AS w2
+         |  FROM t a JOIN t b ON a.doc_id = b.doc_id
+         |    AND b.i > a.i AND b.i <= a.i + $CoocWindow)
+         |SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+         |FROM p GROUP BY 1, 2""".stripMargin,
+
+    "vocab_coverage" ->
+      s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wcnt
+         |  FROM (SELECT unnest($toksSql) AS w FROM documents) GROUP BY 1),
+         |top AS (SELECT * FROM wc ORDER BY wcnt DESC, w ASC LIMIT $CoverageK)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM top) AS vocab_size,
+         |  (SELECT CAST(sum(wcnt) AS BIGINT) FROM top) AS covered,
+         |  (SELECT CAST(sum(wcnt) AS BIGINT) FROM wc) AS total,
+         |  round(1.0 - CAST((SELECT sum(wcnt) FROM top) AS DOUBLE) /
+         |    CAST((SELECT sum(wcnt) FROM wc) AS DOUBLE), 6) AS oov_rate""".stripMargin,
 
     "bpe_pair_counts" ->
       s"""WITH tk AS (SELECT $toksSql AS toks FROM documents),

@@ -117,6 +117,71 @@ class GraphSpec extends SparkSpec {
     assert(out.filter(_.getLong(0) == 2L).head.getAs[Boolean]("is_current"))
   }
 
+  test("temporalSplit: per-key 80/20 cut by time, floor semantics") {
+    import spark.implicits._
+    val ev = (1 to 10).map(i => (1L, i.toLong, i.toLong * 100)) ++
+      Seq((2L, 100L, 5L), (2L, 101L, 3L), (2L, 102L, 9L), (2L, 103L, 1L)) ++
+      Seq((3L, 200L, 1L)) // 1 row: floor(0.8) = 0 -> all val
+    val df = ev.toDF("k", "id", "t")
+    val out = Sampling.temporalSplit(df, "k", "t", "id", trainPct = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val k1 = out.filter(_._1 == 1L)
+    assert(k1.count(_._3 == "train") == 8 && k1.count(_._3 == "val") == 2)
+    // key 1 ordered by t: ids 1..8 train, 9..10 val
+    assert(k1.filter(_._3 == "val").map(_._2).sorted.toSeq == Seq(9L, 10L))
+    // key 2: 4 rows -> floor(3.2)=3 train, ordered by t: ids 103,101,100
+    val k2 = out.filter(_._1 == 2L)
+    assert(k2.filter(_._3 == "train").map(_._2).toSet == Set(103L, 101L, 100L))
+    assert(k2.filter(_._3 == "val").map(_._2).toSeq == Seq(102L))
+    // a single-row key has floor(0.8)=0 train rows
+    assert(out.filter(_._1 == 3L).head._3 == "val")
+  }
+
+  test("coocCounts: bounded lookahead pairs, ordered, multiset counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a c"), (2L, "a b")).toDF("doc_id", "text")
+    val out = Vocab.coocCounts(docs, "text", window = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // doc1 pairs (w=2): (a,b),(a,a),(b,a),(b,c),(a,c); doc2: (a,b)
+    assert(out(("a", "b")) == 2L)
+    assert(out(("a", "a")) == 1L)
+    assert(out(("b", "a")) == 1L)
+    assert(out(("b", "c")) == 1L)
+    assert(out(("a", "c")) == 1L)
+    assert(out.values.sum == 6L)
+    // ordered pairs: (c, anything) never appears (c is terminal)
+    assert(!out.keys.exists(_._1 == "c"))
+  }
+
+  test("coverage: top-k cut is deterministic; oov is the uncovered share") {
+    import spark.implicits._
+    // counts: x=4, b=2, a=2 -> k=2 vocab is (x, a) [tie a<b]
+    val docs = Seq((1L, "x x a b"), (2L, "x x a b")).toDF("doc_id", "text")
+    val r = Vocab.coverage(docs, "text", k = 2).head()
+    assert(r.getLong(0) == 2L) // vocab_size
+    assert(r.getLong(1) == 6L) // covered: 4 + 2
+    assert(r.getLong(2) == 8L) // total
+    assert(r.getDouble(3) == 0.25)
+  }
+
+  test("tableStats: typed extremes, exact ndv, null accounting") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(2.5), Some("b")),
+      (2L, None, Some("a")),
+      (3L, Some(7.5), None),
+      (3L, Some(2.5), Some("a"))).toDF("id", "v", "s")
+    val out = Profile.tableStats(df, Seq("id", "v", "s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("id").getLong(1) == 4L && out("id").getLong(2) == 0L &&
+      out("id").getLong(3) == 3L)
+    assert(out("id").getDouble(4) == 1.0 && out("id").getDouble(5) == 3.0)
+    assert(out("v").getLong(1) == 3L && out("v").getLong(2) == 1L &&
+      out("v").getLong(3) == 2L)
+    assert(out("s").getString(6) == "a" && out("s").getString(7) == "b")
+    assert(out("s").isNullAt(4) && out("s").isNullAt(5)) // no numeric extremes
+  }
+
   test("invertedIndex: per-doc dedup, sorted postings, exact df") {
     import spark.implicits._
     val docs = Seq(
