@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables.table
-import graft.ops.{Decontaminate, TextOps, Vocab}
+import graft.ops.{Decontaminate, Ranking, Retrieval, TextOps, Vocab}
 
 /** Corpus-hygiene gates: benchmark decontamination (n-gram overlap between
   * a train corpus and an eval set) and repetition-based quality metrics
@@ -19,6 +19,13 @@ object CorpusQueries {
     * contains exactly 3 six-grams, all present in its eval source doc. */
   private val ContamN = 6
   private val SnippetTokens = 8
+
+  /** BM25 gate query (fixture-vocab terms with distinct frequencies) and
+    * cut sizes. */
+  private val BmQuery = Seq("join", "vector", "merge")
+  private val BmTopK = 25
+  private val RrfK = 60
+  private val RrfTopK = 20
 
   /** Eval set = doc_id % 17 == 0; planted contamination appends the first 8
     * tokens of eval doc 17·(doc_id % 29) to every train doc with
@@ -91,7 +98,30 @@ object CorpusQueries {
     "index_postings" -> ((s, dir) =>
       Vocab.invertedIndex(
         table(s, dir, "documents").select(col("doc_id"), col("text")),
-        "doc_id", "text")))
+        "doc_id", "text")),
+
+    // Okapi BM25 top-25 for a fixed 3-term query — 6dp-rounded
+    // contributions decimal-summed per doc (order-invariant).
+    "search_bm25" -> ((s, dir) =>
+      Retrieval.bm25Scores(table(s, dir, "documents"), "doc_id", "text",
+        BmQuery)
+        .orderBy(col("score").desc, col("id").asc).limit(BmTopK)),
+
+    // Hybrid fusion: BM25 ranking ⊕ document-length prior via
+    // reciprocal-rank fusion (k=60), top 20.
+    "search_rrf" -> ((s, dir) => {
+      val bm = Retrieval.bm25Scores(table(s, dir, "documents"), "doc_id",
+        "text", BmQuery)
+      val r1 = Ranking.globalRank(bm, Seq(col("score").desc, col("id").asc))
+        .select(col("id"), col("rank"))
+      val r2 = Ranking.globalRank(
+        table(s, dir, "documents").select(col("doc_id").as("id"),
+          col("n_chars")),
+        Seq(col("n_chars").desc, col("id").asc))
+        .select(col("id"), col("rank"))
+      Retrieval.rrfFuse(r1, r2, "id", "rank", RrfK)
+        .orderBy(col("rrf").desc, col("id").asc).limit(RrfTopK)
+    }))
 
   // ---------------------------------------------------------------- oracles
 
@@ -190,5 +220,43 @@ object CorpusQueries {
          |  FROM documents)
          |SELECT term, CAST(count(*) AS BIGINT) AS df,
          |  list(doc_id ORDER BY doc_id) AS postings
-         |FROM t GROUP BY term""".stripMargin)
+         |FROM t GROUP BY term""".stripMargin,
+
+    "search_bm25" ->
+      s"""WITH $bm25Ctes
+         |SELECT id, score FROM bm
+         |ORDER BY score DESC, id ASC LIMIT $BmTopK""".stripMargin,
+
+    "search_rrf" ->
+      s"""WITH $bm25Ctes,
+         |r1 AS (SELECT id, CAST(row_number() OVER
+         |    (ORDER BY score DESC, id ASC) AS DOUBLE) AS rk FROM bm),
+         |r2 AS (SELECT doc_id AS id, CAST(row_number() OVER
+         |    (ORDER BY n_chars DESC, doc_id ASC) AS DOUBLE) AS rk
+         |  FROM documents),
+         |f AS (SELECT coalesce(r1.id, r2.id) AS id,
+         |    coalesce(1.0 / ($RrfK.0 + r1.rk), 0.0) +
+         |    coalesce(1.0 / ($RrfK.0 + r2.rk), 0.0) AS rrf
+         |  FROM r1 FULL OUTER JOIN r2 ON r1.id = r2.id)
+         |SELECT id, rrf FROM f ORDER BY rrf DESC, id ASC LIMIT $RrfTopK""".stripMargin)
+
+  /** BM25 CTE chain shared by both search oracles — mirrors
+    * [[graft.ops.Retrieval.bm25Scores]] operand for operand (k1=1.2,
+    * b=0.75; 1-b pre-folded to 0.25, k1+1 left as the sum 1.2 + 1.0). */
+  private def bm25Ctes: String = {
+    val terms = BmQuery.map(t => s"'$t'").mkString(", ")
+    s"""b2 AS (SELECT doc_id AS id, $toksSql AS toks FROM documents),
+       |b3 AS (SELECT id, CAST(len(toks) AS DOUBLE) AS len, toks FROM b2),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(len) AS tot FROM b3),
+       |st2 AS (SELECT n, tot / n AS avglen FROM st),
+       |tf AS (SELECT id, len, term, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT id, len, unnest(toks) AS term FROM b3)
+       |  WHERE term IN ($terms) GROUP BY 1, 2, 3),
+       |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |bm AS (SELECT id, CAST(sum(CAST(round(
+       |      ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.2 + 1.0)) /
+       |        (tf + 1.2 * (0.25 + (len / avglen) * 0.75)),
+       |      6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+       |  FROM tf JOIN dfq USING (term), st2 GROUP BY id)""".stripMargin
+  }
 }
