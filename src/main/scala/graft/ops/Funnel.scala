@@ -67,4 +67,44 @@ object Funnel {
       .select(date_format(col("__cohort"), "yyyy-MM-dd").as("cohort"),
         col("age_days").cast("long").as("age_days"), col("n_active"))
   }
+
+  /** Session path mining: gap-sessionize the event stream, render each
+    * session's first `maxLen` event types as a `>`-joined path string,
+    * and count sessions per path — the "what journeys do users actually
+    * take" table behind funnel design.
+    *
+    * The per-session event order comes from `sort_array` over collected
+    * (ts, tie, type) structs — the tie column totalizes the order, so the
+    * path string is deterministic on any engine. Sessions are keyed by
+    * (user, running-start-count); one user-keyed window + two hash
+    * aggregates, nothing global. Output: (path, n_sessions). */
+  def sessionPaths(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, gapSec: Long,
+      maxLen: Int): DataFrame = {
+    require(gapSec > 0 && maxLen >= 1, s"bad gap/maxLen: $gapSec/$maxLen")
+    Seq("__prev", "__new", "__sid", "__evs", "path").foreach { c =>
+      require(!events.columns.contains(c),
+        s"sessionPaths uses/emits a $c column; rename the existing one")
+    }
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val running = order.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(order))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          unix_timestamp(col(tsCol)) - unix_timestamp(col("__prev")) > gapSec,
+          1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(running))
+      .groupBy(col(userCol), col("__sid"))
+      .agg(sort_array(collect_list(
+        struct(col(tsCol), col(tieCol), col(typeCol)))).as("__evs"))
+      .select(concat_ws(">",
+        slice(transform(col("__evs"), e => e.getField(typeCol)), 1, maxLen))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+  }
 }

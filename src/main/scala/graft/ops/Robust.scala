@@ -57,4 +57,42 @@ object Robust {
       .filter(col(valueCol) <= col("__q"))
       .drop("__q")
   }
+
+  /** Robust outlier report via the MAD (median absolute deviation)
+    * z-score: per group — row count, median, MAD, and how many rows fall
+    * outside `z` robust standard deviations (1.4826·MAD ≈ σ for normal
+    * data; the estimator a mean/stddev rule can't provide once outliers
+    * contaminate the moments themselves).
+    *
+    * Exact MAD is inherently two quantile passes (median, then median of
+    * deviations) plus the flag count — three group aggregates with the
+    * per-group scalars broadcast back between them; no per-group window
+    * ever materializes a group in one task. Deviations of integer-valued
+    * data against a .5-interpolated median are IEEE-exact, so the
+    * threshold comparison is engine-independent (the oracle mirrors the
+    * `(mad * 1.4826) * z` operand order).
+    *
+    * Output: (group, n_rows, med, mad, n_outliers). */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      z: Double = 3.0): DataFrame = {
+    require(z > 0.0, s"z must be positive, got $z")
+    Seq("__med", "__mad", "__dev").foreach { c =>
+      require(!df.columns.contains(c),
+        s"madOutliers uses an internal $c column; rename the existing one")
+    }
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
+    val withDev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+    val mad = withDev.groupBy(col(groupCol))
+      .agg(percentile(col("__dev"), lit(0.5)).as("__mad"))
+    withDev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(col("__med")).as("med"),
+        max(col("__mad")).as("mad"),
+        count(when(col("__dev") > (col("__mad") * 1.4826) * z, lit(1)))
+          .as("n_outliers"))
+  }
 }

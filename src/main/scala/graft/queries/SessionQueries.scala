@@ -95,6 +95,13 @@ object SessionQueries {
       graft.ops.Resample.hourlyPerKey(table(s, dir, "events"),
         "user_id", "ts", "value")),
 
+    // Session path mining: per gap-session, the first 5 event types as a
+    // '>'-joined journey string, counted per distinct path.
+    "session_paths" -> ((s, dir) =>
+      graft.ops.Funnel.sessionPaths(table(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type",
+        gapSec = GapMinutes * 60L, maxLen = 5)),
+
     // First-order behavioral Markov matrix: per-user event streams in
     // (ts, event_id) order, lag pairs, global transition counts and
     // row-normalized probabilities (6dp — exact integer division).
@@ -212,6 +219,21 @@ object SessionQueries {
         |  coalesce(n_events, 0) AS n_events,
         |  coalesce(value_sum, 0.0) AS value_sum
         |FROM grid g LEFT JOIN cells c ON g.user_id = c.user_id AND g.h = c.h""".stripMargin,
+
+    "session_paths" ->
+      s"""WITH o AS (SELECT user_id, event_id, ts, event_type,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+         |    OR date_diff('second', prev_ts, ts) > ${GapMinutes * 60} THEN 1 ELSE 0 END AS ns
+         |  FROM o),
+         |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+         |p AS (SELECT array_to_string(
+         |    (list(event_type ORDER BY ts, event_id))[1:5], '>') AS path
+         |  FROM s GROUP BY user_id, sid)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         |FROM p GROUP BY path""".stripMargin,
 
     "event_transitions" ->
       """WITH s AS (SELECT user_id, event_type,

@@ -158,7 +158,24 @@ object StatsQueries {
     // ndv, typed extremes; one pruned single-column scan per column.
     "profile_table_stats" -> ((s, dir) =>
       graft.ops.Profile.tableStats(table(s, dir, "lineitem"),
-        Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))))
+        Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))),
+
+    // Robust MAD-z outlier report over a deterministically contaminated
+    // quantity column (planted 999s on l_orderkey % 991 — the dq_lineitem
+    // fabrication style): the per-group outlier counts must isolate
+    // exactly the planted rows. Quantities are integer-valued doubles, so
+    // both quantile passes interpolate exactly.
+    "outlier_mad" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      val dirty = li.unionAll(
+        li.filter(col("l_orderkey") % 991 === 0)
+          .select(col("l_orderkey"), col("l_returnflag"),
+            lit(999.0).as("l_quantity")))
+      graft.ops.Robust.madOutliers(
+        dirty.select(col("l_returnflag"), col("l_quantity")),
+        "l_returnflag", "l_quantity", z = 3.0)
+    }))
 
   /** One per-column stats SELECT for [[graft.ops.Profile.tableStats]]'s
     * oracle: numeric columns report double extremes, strings report
@@ -178,6 +195,26 @@ object StatsQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "outlier_mad" ->
+      """WITH d AS (
+        |  SELECT l_returnflag, l_quantity FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 999.0 AS l_quantity FROM lineitem
+        |  WHERE l_orderkey % 991 = 0),
+        |m AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+        |  FROM d GROUP BY 1),
+        |dv AS (SELECT d.l_returnflag, m.med,
+        |    abs(d.l_quantity - m.med) AS dev
+        |  FROM d JOIN m USING (l_returnflag)),
+        |md AS (SELECT l_returnflag, quantile_cont(dev, 0.5) AS mad
+        |  FROM dv GROUP BY 1)
+        |SELECT dv.l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  max(dv.med) AS med, max(md.mad) AS mad,
+        |  CAST(count(CASE WHEN dv.dev > (md.mad * 1.4826) * 3.0
+        |    THEN 1 END) AS BIGINT) AS n_outliers
+        |FROM dv JOIN md USING (l_returnflag)
+        |GROUP BY 1""".stripMargin,
+
     "profile_table_stats" ->
       Seq("l_orderkey" -> "num", "l_quantity" -> "num",
         "l_returnflag" -> "str", "l_shipdate" -> "other")

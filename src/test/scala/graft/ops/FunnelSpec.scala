@@ -36,6 +36,25 @@ class FunnelSpec extends SparkSpec {
     assert(got(3L) == ((t(2), null, null, 1)))
   }
 
+  test("sessionPaths: gap splits sessions; paths truncate at maxLen; ties order by tie col") {
+    val ev = Seq(
+      // user 1, session 1: 6 events (truncates to 5), two at the same ts
+      (1L, 1L, t(0), "a"), (1L, 2L, t(1), "b"), (1L, 4L, t(2), "c"),
+      (1L, 3L, t(2), "d"), (1L, 5L, t(3), "e"), (1L, 6L, t(4), "f"),
+      // user 1, session 2 after a 2h gap
+      (1L, 7L, t(150), "a"), (1L, 8L, t(151), "b"),
+      // user 2: same 2-event path
+      (2L, 9L, t(0), "a"), (2L, 10L, t(1), "b"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Funnel.sessionPaths(ev, "user_id", "ts", "event_id",
+      "event_type", gapSec = 1800L, maxLen = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // same-ts events order by event_id: d (id 3) before c (id 4)
+    assert(out("a>b>d>c>e") == 1L) // 6th event truncated away
+    assert(out("a>b") == 2L)       // session 2 of user 1 + user 2
+    assert(out.values.sum == 3L)
+  }
+
   test("cohortRetention counts each user once per active day") {
     val d0 = 1700006400000L // 2023-11-15 00:00:00 UTC — midnight-aligned
     def ts(day: Int, hour: Int) =

@@ -246,4 +246,22 @@ class MixSpec extends SparkSpec {
       .select("v", "v_w").as[(Double, Double)].collect()
     assert(id.forall { case (a, b) => a == b })
   }
+
+  test("madOutliers flags exactly the planted contamination") {
+    // 1..101 (odd count: median/MAD exact integers) + two planted 999s.
+    val df = ((1 to 101).map(i => ("a", i.toDouble)) ++
+      Seq(("a", 999.0), ("a", 999.0)) ++
+      (1 to 5).map(i => ("b", 10.0))).toDF("grp", "v")
+    val out = Robust.madOutliers(df, "grp", "v", z = 3.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val (n, med, mad, k) = out("a")
+    assert(n == 103L)
+    assert(med == 52.0) // median of 1..101 + two highs shifts by 1
+    assert(mad == 26.0) // deviations |x-52|: median is 26
+    // threshold = 26*1.4826*3 ≈ 115.6 -> only the two 999s exceed it
+    assert(k == 2L)
+    // constant group: MAD 0, nothing flagged (999-free)
+    assert(out("b") == ((5L, 10.0, 0.0, 0L)))
+  }
 }
