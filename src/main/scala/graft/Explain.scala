@@ -15,7 +15,10 @@ object Explain {
       "sim_topk_brute", "range_join_promos", "join_salted_revenue",
       "pack_sequences", "interleave_sources", "enrich_fuzzy_registry",
       "curate_lm", "sample_weighted", "overlap_join_promos",
-      "profile_join_keys", "funnel_stages", "lookup_promo_period")
+      "profile_join_keys", "funnel_stages", "lookup_promo_period",
+      "graph_pagerank", "search_bm25", "search_rrf", "index_postings",
+      "scd2_order_history", "session_paths", "outlier_mad",
+      "vocab_cooc_pairs", "agg_histogram_prices", "profile_table_stats")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -181,4 +181,30 @@ object Vocab {
     import spark.implicits._
     learned.toSeq.toDF("step", "lhs", "rhs", "freq")
   }
+
+  /** Apply learned BPE merges to the corpus: per document, the total
+    * piece count after greedy merge application — the "how many tokens
+    * will training actually see" statistic that sizes a data mix.
+    *
+    * Encoding runs on the DISTINCT-WORD table (Zipf: far smaller than
+    * the token stream) as a chain of `replace` calls on the double-space
+    * padded symbol string — one narrow expression per merge, identical
+    * greedy left-to-right semantics in any engine ([[bpeTrain]]'s
+    * encoding). Piece counts then join back onto the exploded token
+    * stream and sum per document: one distinct aggregate, one join keyed
+    * by word, one count aggregate. Output: (idCol, n_pieces). */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w")).distinct()
+    val sym = merges.foldLeft(wrapped(col("w"))) { case (s, (l, r)) =>
+      replace(s, lit(s" $l  $r "), lit(s" ${l + r} "))
+    }
+    val enc = words.select(col("w"),
+      size(split(trim(sym), "  ")).cast("long").as("__np"))
+    docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("w"))
+      .join(enc, "w")
+      .groupBy(col(idCol))
+      .agg(sum(col("__np")).as("n_pieces"))
+  }
 }

@@ -128,7 +128,17 @@ object TrainPrepQueries {
     // the persisted distinct-word table (each round is one aggregate + a
     // 1-row collect, the Lloyd-iteration shape).
     "bpe_merges" -> ((s, dir) =>
-      Vocab.bpeTrain(table(s, dir, "documents"), "text", BpeMerges)))
+      Vocab.bpeTrain(table(s, dir, "documents"), "text", BpeMerges)),
+
+    // Tokenizer application: train the 6-merge BPE, then encode the
+    // corpus with it — per doc, the piece count training would see.
+    "bpe_encode" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val merges = Vocab.bpeTrain(docs, "text", BpeMerges)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Vocab.bpeEncode(docs, "doc_id", "text", merges)
+    }))
 
   // ---------------------------------------------------------------- oracles
 
@@ -263,7 +273,8 @@ object TrainPrepQueries {
          |  CAST(cnt AS DOUBLE) / CAST((SELECT sum(cnt) FROM c) AS DOUBLE) AS share
          |FROM c ORDER BY cnt DESC, key ASC LIMIT $HeavyK""".stripMargin,
 
-    "bpe_merges" -> bpeOracle)
+    "bpe_merges" -> bpeOracle,
+    "bpe_encode" -> bpeEncodeOracle)
 
   /** Unrolled [[graft.ops.Vocab.bpeTrain]] mirror: one (pairs → argmax →
     * replace) CTE block per round on the padded symbol-string encoding
@@ -271,7 +282,12 @@ object TrainPrepQueries {
     * `" l  r "` is the greedy left-to-right merge in both engines).
     * range(1, 64) covers pair starts for words of ≤ 63 symbols; the guard
     * errors loudly beyond that. */
-  private def bpeOracle: String = {
+  /** Shared unrolled BPE merge chain (wc → guard → w0 → p/m/w per round).
+    * `carryW` keeps the source word in every wN so a consumer can map
+    * encodings back onto the token stream (the encode oracle); the
+    * training oracle drops it. */
+  private def bpeChain(carryW: Boolean): String = {
+    val wSel = if (carryW) "w, " else ""
     val rounds = (1 to BpeMerges).map { r =>
       val prev = s"w${r - 1}"
       // MATERIALIZED: DuckDB inlines plain CTEs, and this chain references
@@ -283,22 +299,38 @@ object TrainPrepQueries {
          |  WHERE i + 1 <= len(s) AND (SELECT g FROM guard) = 1
          |  GROUP BY 1, 2),
          |m$r AS MATERIALIZED (SELECT l, r, freq FROM p$r ORDER BY freq DESC, l, r LIMIT 1),
-         |w$r AS MATERIALIZED (SELECT replace(sym,
+         |w$r AS MATERIALIZED (SELECT ${wSel}replace(sym,
          |    ' ' || (SELECT l FROM m$r) || '  ' || (SELECT r FROM m$r) || ' ',
          |    ' ' || (SELECT l FROM m$r) || (SELECT r FROM m$r) || ' ') AS sym,
          |    wcnt FROM $prev)""".stripMargin
     }
-    val finalSel = (1 to BpeMerges).map { r =>
-      s"SELECT CAST($r AS INT) AS step, l AS lhs, r AS rhs, freq FROM m$r"
-    }.mkString("\n UNION ALL\n ")
-    s"""WITH wc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS wcnt
+    s"""wc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS wcnt
        |  FROM (SELECT unnest($toksSql) AS w FROM documents) GROUP BY w),
        |guard AS MATERIALIZED (SELECT CASE WHEN max(len(w)) > 63
        |    THEN error('bpe symbol range(1,64) cap exceeded') ELSE 1 END AS g
        |  FROM wc),
-       |w0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' '
+       |w0 AS MATERIALIZED (SELECT $wSel' ' || array_to_string(string_split(w, ''), '  ') || ' '
        |    AS sym, wcnt FROM wc),
-       |${rounds.mkString(",\n")}
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeOracle: String = {
+    val finalSel = (1 to BpeMerges).map { r =>
+      s"SELECT CAST($r AS INT) AS step, l AS lhs, r AS rhs, freq FROM m$r"
+    }.mkString("\n UNION ALL\n ")
+    s"""WITH ${bpeChain(carryW = false)}
        |$finalSel""".stripMargin
   }
+
+  /** Encode oracle: the same chain with the word carried through, piece
+    * counts from the final symbol strings, summed over each document's
+    * token stream. */
+  private def bpeEncodeOracle: String =
+    s"""WITH ${bpeChain(carryW = true)},
+       |enc AS (SELECT w,
+       |    CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS np
+       |  FROM w$BpeMerges),
+       |tk AS (SELECT doc_id, unnest($toksSql) AS w FROM documents)
+       |SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_pieces
+       |FROM tk JOIN enc USING (w) GROUP BY doc_id""".stripMargin
 }

@@ -116,6 +116,37 @@ class TrainPrepSpec extends SparkSpec {
     assert(got == Map("lo" -> 3L, "ow" -> 3L, "we" -> 1L, "er" -> 1L))
   }
 
+  test("bpeEncode applies merges in order; piece counts are per-doc sums") {
+    val docs = Seq((1L, "low lower"), (2L, "low")).toDF("doc_id", "text")
+    // merges (lo), (low): "low" -> 1 piece, "lower" -> low+e+r = 3 pieces
+    val out = Vocab.bpeEncode(docs, "doc_id", "text",
+      Seq("l" -> "o", "lo" -> "w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 4L, 2L -> 1L))
+    // no merges: every char is a piece
+    val raw = Vocab.bpeEncode(docs, "doc_id", "text", Nil)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(raw == Map(1L -> 8L, 2L -> 3L))
+    // a merge that never fires changes nothing
+    val noop = Vocab.bpeEncode(docs, "doc_id", "text",
+      Seq("z" -> "q", "l" -> "o", "lo" -> "w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noop == out)
+  }
+
+  test("bpeEncode round-trips bpeTrain's merges on its own corpus") {
+    val docs = Seq((1L, "aa aa ab"), (2L, "aa ab ab")).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrain(docs, "text", 2)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // first merge must be (a,a): freq 4·? — "aa" words dominate
+    assert(merges.head == ("a" -> "a"))
+    val out = Vocab.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // after (a,a) and the learned 2nd merge, every word is 1-2 pieces
+    assert(out.values.forall(n => n >= 3L && n <= 6L))
+  }
+
   // ------------------------------------------------------------- curriculum
 
   test("curriculumBatches: bucket arithmetic, batch bounds, determinism") {
