@@ -87,6 +87,10 @@ object Graph {
     * outer merge on the node id. */
   def degrees(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String): DataFrame = {
+    Seq(srcCol, dstCol, wCol).foreach { c =>
+      require(!Set("node", "out_deg", "out_w", "in_deg", "in_w").contains(c),
+        s"degrees emits node/out_deg/out_w/in_deg/in_w; rename column $c")
+    }
     val out = edges.groupBy(col(srcCol).as("node"))
       .agg(count(lit(1)).as("out_deg"), sum(col(wCol)).cast("long").as("out_w"))
     val in = edges.groupBy(col(dstCol).as("node"))

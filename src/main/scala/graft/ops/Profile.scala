@@ -117,6 +117,8 @@ object Profile {
       width: Double, bins: Int): DataFrame = {
     require(width > 0.0, s"width must be positive, got $width")
     require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(valueCol != "bin",
+      "histogram emits a bin column; rename the value column")
     val v = col(valueCol)
     val bin = least(greatest(floor((v - lit(lo)) / lit(width)), lit(0.0)),
       lit((bins - 1).toDouble)).cast("long")

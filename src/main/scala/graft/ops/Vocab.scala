@@ -195,6 +195,8 @@ object Vocab {
     * by word, one count aggregate. Output: (idCol, n_pieces). */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
+    require(idCol != "w" && idCol != "n_pieces",
+      "bpeEncode uses internal w/n_pieces columns; rename the id column")
     val words = docs
       .select(explode(TextOps.tokens(col(textCol))).as("w")).distinct()
     val sym = merges.foldLeft(wrapped(col("w"))) { case (s, (l, r)) =>

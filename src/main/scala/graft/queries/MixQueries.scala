@@ -147,7 +147,21 @@ object MixQueries {
       Snapshot.scd2(
         table(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
           col("o_orderstatus"), col("o_orderdate")),
-        "o_custkey", "o_orderdate", "o_orderkey")))
+        "o_custkey", "o_orderdate", "o_orderkey")),
+
+    // Point-in-time read of the SCD-2 table: each customer's state as of
+    // the snapshot instant (≤ 1 row per key survives the interval filter).
+    "scd2_snapshot_at" -> ((s, dir) =>
+      Snapshot.scd2(
+        table(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderstatus"), col("o_orderdate")),
+        "o_custkey", "o_orderdate", "o_orderkey")
+        .filter(col("valid_from") <= to_timestamp(lit(PitInstant)) &&
+          (col("valid_to").isNull ||
+            to_timestamp(lit(PitInstant)) < col("valid_to")))))
+
+  /** Snapshot instant for the point-in-time SCD-2 gate (mid date-range). */
+  private val PitInstant = "1998-06-01"
 
   private val uniformSql =
     s"((${OracleSql.knuth32("doc_id")}) + 0.5) / 4294967296.0"
@@ -310,6 +324,19 @@ object MixQueries {
          |       WHEN o.fp = c.fp THEN 'unchanged'
          |       ELSE 'changed' END AS status
          |FROM o FULL OUTER JOIN c ON o.doc_id = c.doc_id""".stripMargin,
+
+    "scd2_snapshot_at" ->
+      s"""WITH h AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+         |    CAST(row_number() OVER w AS BIGINT) AS version,
+         |    o_orderdate AS valid_from,
+         |    lead(o_orderdate) OVER w AS valid_to,
+         |    lead(o_orderdate) OVER w IS NULL AS is_current
+         |  FROM orders
+         |  WINDOW w AS (PARTITION BY o_custkey
+         |    ORDER BY o_orderdate, o_orderkey))
+         |SELECT * FROM h
+         |WHERE valid_from <= TIMESTAMP '$PitInstant'
+         |  AND (valid_to IS NULL OR TIMESTAMP '$PitInstant' < valid_to)""".stripMargin,
 
     "scd2_order_history" ->
       """SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,

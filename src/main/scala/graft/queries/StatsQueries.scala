@@ -160,6 +160,46 @@ object StatsQueries {
       graft.ops.Profile.tableStats(table(s, dir, "lineitem"),
         Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))),
 
+    // Shannon entropy of the linestatus distribution per returnflag:
+    // per-category -p·ln(p) contributions rounded to 6dp and summed as
+    // DECIMAL (order-invariant; the tfidf ln-determinism precedent).
+    "agg_entropy" -> ((s, dir) => {
+      val c = table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("__n"))
+      val tot = c.groupBy(col("l_returnflag")).agg(sum(col("__n")).as("__tot"))
+      val p = col("__n").cast("double") / col("__tot").cast("double")
+      c.join(broadcast(tot), "l_returnflag")
+        .select(col("l_returnflag"),
+          round(-(p * log(p)), 6).cast("decimal(18,6)").as("__h"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_categories"),
+          sum(col("__h")).cast("double").as("entropy"))
+    }),
+
+    // Closed-form OLS trend: revenue-vs-day slope/intercept per priority
+    // from one aggregate of exact sums (x sums as LONG, y and x·y as
+    // DECIMAL), final arithmetic in mirrored-operand-order doubles.
+    "agg_trend_slope" -> ((s, dir) => {
+      val d = table(s, dir, "orders").select(col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("__x"),
+        col("o_totalprice").cast("decimal(18,2)").as("__y"))
+      val agg = d.groupBy(col("o_orderpriority")).agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x").cast("decimal(10,0)") * col("__y")).as("__sxy"))
+      val (nD, sxD, sxxD, syD, sxyD) = (col("n").cast("double"),
+        col("__sx").cast("double"), col("__sxx").cast("double"),
+        col("__sy").cast("double"), col("__sxy").cast("double"))
+      val slope = (nD * sxyD - sxD * syD) / (nD * sxxD - sxD * sxD)
+      agg.select(col("o_orderpriority"), col("n"),
+        round(slope, 6).as("slope"),
+        round((syD - slope * sxD) / nD, 6).as("intercept"))
+    }),
+
     // Robust MAD-z outlier report over a deterministically contaminated
     // quantity column (planted 999s on l_orderkey % 991 — the dq_lineitem
     // fabrication style): the per-group outlier counts must isolate
@@ -195,6 +235,40 @@ object StatsQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "agg_entropy" ->
+      """WITH c AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT l_returnflag, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM c GROUP BY 1),
+        |h AS (SELECT c.l_returnflag,
+        |    CAST(round(-((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) *
+        |      ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 6)
+        |      AS DECIMAL(18,6)) AS hh
+        |  FROM c JOIN t USING (l_returnflag))
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_categories,
+        |  CAST(sum(hh) AS DOUBLE) AS entropy
+        |FROM h GROUP BY 1""".stripMargin,
+
+    "agg_trend_slope" -> {
+      val x = "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)"
+      val slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+      s"""WITH d AS (SELECT o_orderpriority, $x AS x,
+         |    CAST(o_totalprice AS DECIMAL(18,2)) AS y FROM orders),
+         |a AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n0,
+         |    CAST(sum(x) AS BIGINT) AS sx0, CAST(sum(x * x) AS BIGINT) AS sxx0,
+         |    sum(y) AS sy0, sum(CAST(x AS DECIMAL(10,0)) * y) AS sxy0
+         |  FROM d GROUP BY 1),
+         |f AS (SELECT o_orderpriority, n0 AS n_rows,
+         |    CAST(n0 AS DOUBLE) AS n, CAST(sx0 AS DOUBLE) AS sx,
+         |    CAST(sxx0 AS DOUBLE) AS sxx, CAST(sy0 AS DOUBLE) AS sy,
+         |    CAST(sxy0 AS DOUBLE) AS sxy FROM a)
+         |SELECT o_orderpriority, n_rows AS n,
+         |  round($slope, 6) AS slope,
+         |  round((sy - ($slope) * sx) / n, 6) AS intercept
+         |FROM f""".stripMargin
+    },
+
     "outlier_mad" ->
       """WITH d AS (
         |  SELECT l_returnflag, l_quantity FROM lineitem
