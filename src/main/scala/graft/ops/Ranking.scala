@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions.{broadcast, count, expr, lit}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Scalable global ranking — a dense total order over the whole dataset.
@@ -34,5 +35,22 @@ object Ranking {
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     spark.createDataFrame(ranked, schema)
+  }
+
+  /** Equal-frequency (quantile) binning: global rank by `orderCols`, then
+    * `bin = ((rank − 1) · k) div n` — pure integer arithmetic, so the bin
+    * boundaries are engine-exact (unlike ntile, whose remainder layout
+    * differs per implementation). Bins are balanced to within one row.
+    * Distributed via [[globalRank]]'s range exchange; the row count rides
+    * as a 1-row broadcast. Appends a `bin` column (0-based). */
+  def quantileBins(df: DataFrame, orderCols: Seq[Column], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(!df.columns.contains("bin") && !df.columns.contains("__n"),
+      "quantileBins appends bin and uses __n; rename the existing column")
+    val n = df.agg(count(lit(1)).as("__n"))
+    globalRank(df, orderCols)
+      .crossJoin(broadcast(n))
+      .withColumn("bin", expr(s"((rank - 1) * $k) div __n"))
+      .drop("__n")
   }
 }

@@ -45,4 +45,36 @@ object Resample {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         coalesce(col("value_sum"), lit(0.0)).as("value_sum"))
   }
+
+  /** Rate-spike detection over a resampled grid: per key, compare each
+    * hour's event count to the mean of the PRIOR `windowHours` hours
+    * (RANGE frame ending one hour before the current cell, so a spike
+    * never inflates its own baseline) and flag cells exceeding
+    * `factor ×` that baseline. First cells with an empty prior window
+    * never flag. Counts are integers, the baseline is one double
+    * division of exact sums — engine-independent.
+    *
+    * One key shuffle; the RANGE window walks each key's grid in hour
+    * order. Output: cells + (baseline ~6dp, spike). */
+  def rateSpikes(cells: DataFrame, keyCol: String, hourCol: String,
+      nCol: String, windowHours: Int = 24, factor: Double = 3.0): DataFrame = {
+    require(windowHours >= 1 && factor > 0.0,
+      s"bad windowHours/factor: $windowHours/$factor")
+    Seq("__bsum", "__bcnt", "baseline", "spike").foreach { c =>
+      require(!cells.columns.contains(c),
+        s"rateSpikes emits/uses a $c column; rename the existing one")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(hourCol).asc)
+      .rangeBetween(-windowHours.toLong * 3600L, -3600L)
+    val mean = col("__bsum").cast("double") / col("__bcnt").cast("double")
+    cells
+      .withColumn("__bsum", sum(col(nCol)).over(w))
+      .withColumn("__bcnt", count(col(nCol)).over(w))
+      .withColumn("baseline",
+        when(col("__bcnt") > 0, round(mean, 6)).otherwise(lit(null)))
+      .withColumn("spike",
+        col("__bcnt") > 0 && col(nCol).cast("double") > mean * factor)
+      .drop("__bsum", "__bcnt")
+  }
 }

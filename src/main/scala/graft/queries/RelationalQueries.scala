@@ -198,6 +198,15 @@ object RelationalQueries {
         Seq(col("o_totalprice").desc, col("o_orderkey").asc))
         .select(col("o_orderkey"), col("rank"))),
 
+    // Equal-frequency decile binning via pure integer arithmetic
+    // (((rank−1)·10) div n) — engine-exact boundaries, unlike ntile.
+    "feature_deciles" -> ((s, dir) =>
+      graft.ops.Ranking.quantileBins(
+        table(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity")),
+        Seq(col("l_quantity").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc), k = 10)),
+
     // Point-in-interval range join, bucketized (graft.ops.RangeJoin): every
     // ~97th order opens a 7-17 day promo window; shipments are matched by
     // ship-day ∈ [lo, hi] and aggregated per promo. The oracle runs the
@@ -252,6 +261,16 @@ object RelationalQueries {
         """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
           |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
           |  AND l_discount > 0.05 AND l_returnflag = 'R'""".stripMargin,
+      "feature_deciles" ->
+        """WITH r AS (SELECT l_orderkey, l_linenumber, l_quantity,
+          |    CAST(row_number() OVER (ORDER BY l_quantity, l_orderkey,
+          |      l_linenumber) AS BIGINT) AS rank
+          |  FROM lineitem),
+          |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem)
+          |SELECT l_orderkey, l_linenumber, l_quantity, rank,
+          |  ((rank - 1) * 10) // n AS bin
+          |FROM r, n""".stripMargin,
+
       "rank_orders_global" ->
         """SELECT o_orderkey,
           |  CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rank

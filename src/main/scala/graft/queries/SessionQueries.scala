@@ -95,6 +95,14 @@ object SessionQueries {
       graft.ops.Resample.hourlyPerKey(table(s, dir, "events"),
         "user_id", "ts", "value")),
 
+    // Rate-spike anomalies: each hour vs the mean of its PRIOR 24 grid
+    // hours (the spike never inflates its own baseline).
+    "anomaly_rate_spikes" -> ((s, dir) =>
+      graft.ops.Resample.rateSpikes(
+        graft.ops.Resample.hourlyPerKey(table(s, dir, "events"),
+          "user_id", "ts", "value"),
+        "user_id", "hour_sec", "n_events", windowHours = 24, factor = 3.0)),
+
     // Session path mining: per gap-session, the first 5 event types as a
     // '>'-joined journey string, counted per distinct path.
     "session_paths" -> ((s, dir) =>
@@ -219,6 +227,38 @@ object SessionQueries {
         |  coalesce(n_events, 0) AS n_events,
         |  coalesce(value_sum, 0.0) AS value_sum
         |FROM grid g LEFT JOIN cells c ON g.user_id = c.user_id AND g.h = c.h""".stripMargin,
+
+    "anomaly_rate_spikes" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS h,
+        |    value
+        |  FROM events),
+        |cells AS (SELECT user_id, h, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |  FROM e GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM e GROUP BY 1),
+        |guard AS (SELECT CASE WHEN max((h1 - h0) / 3600) > 2047
+        |    THEN error('hour grid range(0,2048) cap exceeded') ELSE 1 END AS g
+        |  FROM span),
+        |grid AS (SELECT user_id, h0 + i * 3600 AS h
+        |  FROM span, range(0, 2048) r(i)
+        |  WHERE h0 + i * 3600 <= h1 AND (SELECT g FROM guard) = 1),
+        |rs AS (SELECT g.user_id, g.h AS hour_sec,
+        |    coalesce(n_events, 0) AS n_events,
+        |    coalesce(value_sum, 0.0) AS value_sum
+        |  FROM grid g LEFT JOIN cells c ON g.user_id = c.user_id AND g.h = c.h),
+        |w AS (SELECT user_id, hour_sec, n_events, value_sum,
+        |    CAST(sum(n_events) OVER win AS BIGINT) AS bsum,
+        |    CAST(count(n_events) OVER win AS BIGINT) AS bcnt
+        |  FROM rs WINDOW win AS (PARTITION BY user_id ORDER BY hour_sec
+        |    RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING))
+        |SELECT user_id, hour_sec, n_events, value_sum,
+        |  CASE WHEN bcnt > 0 THEN
+        |    round(CAST(bsum AS DOUBLE) / CAST(bcnt AS DOUBLE), 6) END AS baseline,
+        |  (bcnt > 0 AND CAST(n_events AS DOUBLE) >
+        |    (CAST(bsum AS DOUBLE) / CAST(bcnt AS DOUBLE)) * 3.0) AS spike
+        |FROM w""".stripMargin,
 
     "session_paths" ->
       s"""WITH o AS (SELECT user_id, event_id, ts, event_type,

@@ -266,6 +266,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"), p)
   }
 
+  test("bm25 filters the token stream before aggregating; stats broadcast back") {
+    val p = plan("search_bm25")
+    // the isin filter sits below the tf aggregate; dfreq and (N, avglen)
+    // come back as broadcasts, so no corpus-sized shuffle joins exist
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("co-occurrence pairs stay inside the token array — one exchange, no self-join") {
+    val p = plan("vocab_cooc_pairs")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("temporal split plans a single key exchange for both window frames") {
+    val p = plan("sample_temporal_split")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("trend slope is one partial-combining aggregate over a pruned scan") {
+    val p = plan("agg_trend_slope")
+    assert(p.contains("ReadSchema: struct<o_totalprice:double,o_orderdate:timestamp"), p)
+    assert(p.contains("partial_count"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("custom expressions are SQL-callable after extension registration") {
     GraftExtensions.registerOn(spark)
     val r = spark.sql("SELECT seq_ratio('grady_memorial', 'grady_memoral') AS r")

@@ -182,6 +182,38 @@ class GraphSpec extends SparkSpec {
     assert(out("s").isNullAt(4) && out("s").isNullAt(5)) // no numeric extremes
   }
 
+  test("rateSpikes: prior-window baseline, no self-inflation, cold start unflagged") {
+    import spark.implicits._
+    // one key, hours 0..4 with counts 2,2,2,20,2 — only hour 3 spikes
+    val cells = Seq(0L -> 2L, 3600L -> 2L, 7200L -> 2L, 10800L -> 20L,
+      14400L -> 2L).map { case (h, n) => (1L, h, n) }
+      .toDF("k", "hour_sec", "n")
+    val out = Resample.rateSpikes(cells, "k", "hour_sec", "n",
+      windowHours = 24, factor = 3.0)
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4))).toMap
+    assert(out(0L) == ((None, false)))          // empty prior window
+    assert(out(10800L) == ((Some(2.0), true)))  // 20 > 3·2
+    // the spike hour joins the NEXT hour's baseline but doesn't flag it:
+    // baseline(4h) = (2+2+2+20)/4 = 6.5; 2 < 19.5
+    assert(out(14400L) == ((Some(6.5), false)))
+  }
+
+  test("quantileBins: integer-exact balanced bins, deterministic ties") {
+    import spark.implicits._
+    val df = (1L to 12L).map(i => (i, (i % 4).toDouble)).toDF("id", "v")
+    val out = Ranking.quantileBins(df,
+      Seq(col("v").asc, col("id").asc), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // n=12, k=10: bin = ((rank-1)*10) div 12 -> sizes 2,1,1,2,1,1,2,1,1,2
+    val sizes = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.values.sum == 12 && sizes.values.forall(s => s == 1 || s == 2))
+    assert(out.values.max == 9L && out.values.min == 0L)
+    // ties on v order by id: ids 4,8,12 (v=0) occupy the lowest ranks
+    val lowBin = out.filter(_._2 == 0L).keys.toSet
+    assert(lowBin.subsetOf(Set(4L, 8L, 12L)))
+  }
+
   test("invertedIndex: per-doc dedup, sorted postings, exact df") {
     import spark.implicits._
     val docs = Seq(
