@@ -66,6 +66,36 @@ object Snapshot {
     * anywhere, so it scales with the key count; the heaviest key costs
     * its own history length, not the table's. `tieCol` must make the
     * per-key order total or version assignment is nondeterministic. */
+  /** CDC apply — MERGE a changelog of upserts/deletes onto a base
+    * snapshot: per key, the latest change (by `seqCol`) wins; `D` drops
+    * the key, `U`/`I` replace-or-insert the payload, untouched base rows
+    * pass through. The lakehouse MERGE INTO shape as a pure computation.
+    *
+    * One window over the changelog keyed by `keyCol` (cost follows each
+    * key's change count), one full-outer key join against the base — the
+    * base never reshuffles more than once, and at 100 TB the join prunes
+    * to (key, payload) columns only. Output: (keyCol, payloadCol). */
+  def cdcApply(base: DataFrame, changelog: DataFrame, keyCol: String,
+      seqCol: String, opCol: String, payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Seq("__rn", "__op", "__pl").foreach { c =>
+      require(!base.columns.contains(c) && !changelog.columns.contains(c),
+        s"cdcApply uses an internal $c column; rename the existing one")
+    }
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+    val latest = changelog
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col(opCol).as("__op"),
+        col(payloadCol).as("__pl"))
+    base.select(col(keyCol), col(payloadCol))
+      .join(latest, Seq(keyCol), "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(col(keyCol),
+        when(col("__op").isNull, col(payloadCol)).otherwise(col("__pl"))
+          .as(payloadCol))
+  }
+
   def scd2(changelog: DataFrame, keyCol: String, tsCol: String,
       tieCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables.table
@@ -158,10 +159,34 @@ object MixQueries {
         "o_custkey", "o_orderdate", "o_orderkey")
         .filter(col("valid_from") <= to_timestamp(lit(PitInstant)) &&
           (col("valid_to").isNull ||
-            to_timestamp(lit(PitInstant)) < col("valid_to")))))
+            to_timestamp(lit(PitInstant)) < col("valid_to")))),
+
+    // Lakehouse MERGE as a computation: latest changelog op per key wins
+    // over the base snapshot (update / delete / insert fabrication).
+    "cdc_apply" -> (cdcApplyGate _))
 
   /** Snapshot instant for the point-in-time SCD-2 gate (mid date-range). */
   private val PitInstant = "1998-06-01"
+
+  /** CDC apply: fabricated changelog — updates on doc_id%7 (seq 1),
+    * deletes on doc_id%13 (seq 2, beats the update on %91 keys), inserts
+    * at doc_id+100000 for doc_id%29 (seq 3). MERGE semantics: latest op
+    * per key wins. */
+  private def cdcApplyGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val u = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), lit("U").as("op"),
+        concat(col("text"), lit(" v2")).as("text"), lit(1L).as("seq"))
+    val d = docs.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), lit("D").as("op"),
+        lit(null).cast("string").as("text"), lit(2L).as("seq"))
+    val i = docs.filter(col("doc_id") % 29 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), lit("I").as("op"),
+        concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
+        lit(3L).as("seq"))
+    Snapshot.cdcApply(docs, u.unionAll(d).unionAll(i),
+      "doc_id", "seq", "op", "text")
+  }
 
   private val uniformSql =
     s"((${OracleSql.knuth32("doc_id")}) + 0.5) / 4294967296.0"
@@ -324,6 +349,25 @@ object MixQueries {
          |       WHEN o.fp = c.fp THEN 'unchanged'
          |       ELSE 'changed' END AS status
          |FROM o FULL OUTER JOIN c ON o.doc_id = c.doc_id""".stripMargin,
+
+    "cdc_apply" ->
+      """WITH b AS (SELECT doc_id, text FROM documents),
+        |u AS (SELECT doc_id, 'U' AS op, text || ' v2' AS text, 1 AS seq
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |d AS (SELECT doc_id, 'D', CAST(NULL AS STRING), 2
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |i AS (SELECT doc_id + 100000, 'I',
+        |    'new doc ' || CAST(doc_id AS STRING), 3
+        |  FROM documents WHERE doc_id % 29 = 0),
+        |cl AS (SELECT * FROM u UNION ALL SELECT * FROM d
+        |  UNION ALL SELECT * FROM i),
+        |latest AS (SELECT doc_id, op, text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY seq DESC) AS rn FROM cl) WHERE rn = 1)
+        |SELECT coalesce(b.doc_id, l.doc_id) AS doc_id,
+        |  CASE WHEN l.op IS NULL THEN b.text ELSE l.text END AS text
+        |FROM b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
 
     "scd2_snapshot_at" ->
       s"""WITH h AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,

@@ -200,6 +200,22 @@ object StatsQueries {
         round((syD - slope * sxD) / nD, 6).as("intercept"))
     }),
 
+    // Leave-one-out target encoding: each order's priority encoded as the
+    // mean total price of the OTHER orders in its priority — exact
+    // decimal group sums, one subtraction per row, leakage-free by
+    // construction. Singleton groups encode null.
+    "feature_target_encode" -> ((s, dir) => {
+      val agg = table(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("__n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("__s"))
+      table(s, dir, "orders").join(broadcast(agg), "o_orderpriority")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          when(col("__n") > 1,
+            round((col("__s") - col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double") / (col("__n") - 1L).cast("double"), 6))
+            .otherwise(lit(null)).as("loo_mean"))
+    }),
+
     // Robust MAD-z outlier report over a deterministically contaminated
     // quantity column (planted 999s on l_orderkey % 991 — the dq_lineitem
     // fabrication style): the per-group outlier counts must isolate
@@ -235,6 +251,16 @@ object StatsQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "feature_target_encode" ->
+      """WITH a AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o.o_orderpriority,
+        |  CASE WHEN n > 1 THEN
+        |    round(CAST(s - CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) /
+        |      CAST(n - 1 AS DOUBLE), 6) END AS loo_mean
+        |FROM orders o JOIN a ON o.o_orderpriority = a.o_orderpriority""".stripMargin,
+
     "agg_entropy" ->
       """WITH c AS (SELECT l_returnflag, l_linestatus,
         |    CAST(count(*) AS BIGINT) AS n

@@ -247,6 +247,19 @@ class MixSpec extends SparkSpec {
     assert(id.forall { case (a, b) => a == b })
   }
 
+  test("cdcApply: latest op wins — update, delete-over-update, insert, passthrough") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "payload")
+    val cl = Seq(
+      (1L, 1L, "U", "a2"),   // update
+      (2L, 1L, "U", "b2"),   // update...
+      (2L, 2L, "D", null),   // ...then delete: delete wins
+      (4L, 1L, "I", "d"))    // insert of a new key
+      .toDF("k", "seq", "op", "payload")
+    val out = Snapshot.cdcApply(base, cl, "k", "seq", "op", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a2", 3L -> "c", 4L -> "d")) // 2 deleted
+  }
+
   test("madOutliers flags exactly the planted contamination") {
     // 1..101 (odd count: median/MAD exact integers) + two planted 999s.
     val df = ((1 to 101).map(i => ("a", i.toDouble)) ++
