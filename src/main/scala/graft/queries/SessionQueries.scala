@@ -103,6 +103,19 @@ object SessionQueries {
           "user_id", "ts", "value"),
         "user_id", "hour_sec", "n_events", windowHours = 24, factor = 3.0)),
 
+    // Sequence features: each user's LAST 5 event types, newest first —
+    // the recency window a sequential recommender consumes.
+    "feature_last_events" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          slice(reverse(sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type"))))), 1, 5)
+            .as("__top"))
+        .select(col("user_id"), col("n_events"),
+          transform(col("__top"), e => e.getField("event_type"))
+            .as("last_events"))),
+
     // Session path mining: per gap-session, the first 5 event types as a
     // '>'-joined journey string, counted per distinct path.
     "session_paths" -> ((s, dir) =>
@@ -227,6 +240,12 @@ object SessionQueries {
         |  coalesce(n_events, 0) AS n_events,
         |  coalesce(value_sum, 0.0) AS value_sum
         |FROM grid g LEFT JOIN cells c ON g.user_id = c.user_id AND g.h = c.h""".stripMargin,
+
+    "feature_last_events" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  (list(event_type ORDER BY ts DESC, event_id DESC))[1:5]
+        |    AS last_events
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "anomaly_rate_spikes" ->
       """WITH e AS (SELECT user_id,

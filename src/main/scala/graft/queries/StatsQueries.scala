@@ -216,6 +216,23 @@ object StatsQueries {
             .otherwise(lit(null)).as("loo_mean"))
     }),
 
+    // Median imputation: null out quantities on l_orderkey % 997, refill
+    // from the per-flag median of the surviving values (both engines'
+    // quantile functions skip nulls; integer-valued medians interpolate
+    // exactly). Emits the imputed column and the was_null provenance flag.
+    "feature_impute_median" -> ((s, dir) => {
+      val dirty = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          when(col("l_orderkey") % 997 === 0, lit(null).cast("double"))
+            .otherwise(col("l_quantity")).as("__q"))
+      val med = dirty.groupBy(col("l_returnflag"))
+        .agg(percentile(col("__q"), lit(0.5)).as("__med"))
+      dirty.join(broadcast(med), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          coalesce(col("__q"), col("__med")).as("qty_imputed"),
+          col("__q").isNull.as("was_null"))
+    }),
+
     // Robust MAD-z outlier report over a deterministically contaminated
     // quantity column (planted 999s on l_orderkey % 991 — the dq_lineitem
     // fabrication style): the per-group outlier counts must isolate
@@ -260,6 +277,17 @@ object StatsQueries {
         |    round(CAST(s - CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) /
         |      CAST(n - 1 AS DOUBLE), 6) END AS loo_mean
         |FROM orders o JOIN a ON o.o_orderpriority = a.o_orderpriority""".stripMargin,
+
+    "feature_impute_median" ->
+      """WITH d AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    CASE WHEN l_orderkey % 997 = 0 THEN NULL
+        |         ELSE l_quantity END AS q
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, quantile_cont(q, 0.5) AS med
+        |  FROM d GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, d.l_returnflag,
+        |  coalesce(q, med) AS qty_imputed, q IS NULL AS was_null
+        |FROM d JOIN m USING (l_returnflag)""".stripMargin,
 
     "agg_entropy" ->
       """WITH c AS (SELECT l_returnflag, l_linestatus,
