@@ -103,6 +103,39 @@ object SessionQueries {
           "user_id", "ts", "value"),
         "user_id", "hour_sec", "n_events", windowHours = 24, factor = 3.0)),
 
+    // Semi-structured extraction: schema-declared from_json over the
+    // props payload (the Spark-first parse — no schema inference pass),
+    // aggregated per extracted key value.
+    "events_json_props" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"), col("k"))
+        .agg(count(lit(1)).as("n"))),
+
+    // Time-weighted mean value per user: each reading weighted by how
+    // long it was current (until the next event); final open interval
+    // drops. Decimal value·seconds sums — order-invariant.
+    "agg_time_weighted" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      table(s, dir, "events")
+        .withColumn("__next", lead(unix_timestamp(col("ts")), 1).over(w))
+        .filter(col("__next").isNotNull)
+        .select(col("user_id"),
+          (col("__next") - unix_timestamp(col("ts"))).as("__dt"),
+          col("value").cast("decimal(18,6)").as("__v"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("__dt")).as("total_sec"),
+          when(sum(col("__dt")) > 0,
+            round(sum(col("__v") * col("__dt")).cast("double") /
+              sum(col("__dt")).cast("double"), 6))
+            .otherwise(lit(null)).as("tw_mean"))
+    }),
+
     // Sequence features: each user's LAST 5 event types, newest first —
     // the recency window a sequential recommender consumes.
     "feature_last_events" -> ((s, dir) =>
@@ -240,6 +273,29 @@ object SessionQueries {
         |  coalesce(n_events, 0) AS n_events,
         |  coalesce(value_sum, 0.0) AS value_sum
         |FROM grid g LEFT JOIN cells c ON g.user_id = c.user_id AND g.h = c.h""".stripMargin,
+
+    "events_json_props" ->
+      """SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "agg_time_weighted" ->
+      """WITH o AS (SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+        |    value
+        |  FROM events),
+        |iv AS (SELECT user_id, nxt - t AS dt,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM o WHERE nxt IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(dt) AS BIGINT) AS total_sec,
+        |  CASE WHEN sum(dt) > 0 THEN
+        |    round(CAST(sum(v * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE), 6)
+        |  END AS tw_mean
+        |FROM iv GROUP BY user_id""".stripMargin,
 
     "feature_last_events" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
