@@ -198,6 +198,18 @@ object RelationalQueries {
         Seq(col("o_totalprice").desc, col("o_orderkey").asc))
         .select(col("o_orderkey"), col("rank"))),
 
+    // Grouped top-3 through the bounded TopKAgg (k-row partial states
+    // merged map-side) — never a per-group ranking window.
+    "topk_per_priority" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.ops.TopKAgg.topK(col("o_totalprice"), col("o_orderkey"), 3)
+          .as("__tk"))
+        .select(col("o_orderpriority"), posexplode(col("__tk")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.id").as("o_orderkey"),
+          col("col.score").as("o_totalprice"))),
+
     // Equal-frequency decile binning via pure integer arithmetic
     // (((rank−1)·10) div n) — engine-exact boundaries, unlike ntile.
     "feature_deciles" -> ((s, dir) =>
@@ -261,6 +273,14 @@ object RelationalQueries {
         """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
           |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
           |  AND l_discount > 0.05 AND l_returnflag = 'R'""".stripMargin,
+      "topk_per_priority" ->
+        """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+          |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+          |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk
+          |  FROM orders)
+          |SELECT o_orderpriority, rnk, o_orderkey, o_totalprice
+          |FROM r WHERE rnk <= 3""".stripMargin,
+
       "feature_deciles" ->
         """WITH r AS (SELECT l_orderkey, l_linenumber, l_quantity,
           |    CAST(row_number() OVER (ORDER BY l_quantity, l_orderkey,

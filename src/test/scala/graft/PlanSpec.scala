@@ -266,6 +266,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"), p)
   }
 
+  test("grouped top-k runs through the bounded TopKAgg, never a ranking window") {
+    val p = plan("topk_per_priority")
+    assert("(?i)topkagg".r.findFirstIn(p).nonEmpty, p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
   test("bm25 filters the token stream before aggregating; stats broadcast back") {
     val p = plan("search_bm25")
     // the isin filter sits below the tf aggregate; dfreq and (N, avglen)
