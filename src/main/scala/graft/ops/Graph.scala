@@ -42,6 +42,9 @@ object Graph {
     *               be pre-aggregated.
     * @return (node, rank) — rank in fixed-point units; sum over nodes ≤
     *         Scale (dangling-node mass leaks, identically on any engine).
+    *         The persisted invariants stay cached after return (the
+    *         returned plan references them); they release on session
+    *         eviction or an explicit catalog clearCache.
     */
   def pagerankScaled(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, iters: Int): DataFrame = {

@@ -22,8 +22,10 @@ object Retrieval {
     * aggregate (the filter prunes ~all tokens for a short query), then
     * (doc, term) tf-counts aggregate with map-side combine; document
     * frequencies and the (N, avglen) scalar ride back as broadcasts.
-    * No global structure anywhere — at 100 TB this is one filtered
-    * aggregate plus two tiny broadcast joins.
+    * No global structure anywhere — at 100 TB this is the corpus scanned
+    * twice (once for the (N, avglen) stats, once for the filtered tf
+    * aggregate — both narrow scans of the text column) plus two tiny
+    * broadcast joins.
     *
     * `len` sums are integer-valued doubles (exact ≤ 2^53); `avglen` is
     * one double division of exact operands. Output: (id, score). */
@@ -47,8 +49,9 @@ object Retrieval {
     // idf = ln((n - df + 0.5)/(df + 0.5) + 1)  [BM25+-style, ≥ 0]
     // tfn = tf·(k1+1) / (tf + k1·((1-b) + (len/avglen)·b))
     // Operand order is load-bearing: the oracle mirrors it symbol for
-    // symbol ((1-b) pre-folded — exact for dyadic b; k1+1 left as a sum
-    // because 1.2 + 1.0 ≠ the 2.2 literal in IEEE doubles).
+    // symbol — (1-b) pre-folded (exact for dyadic b) and k1+1 written as
+    // the sum `(1.2 + 1.0)` on both sides so neither engine's literal
+    // parsing has to be reasoned about.
     val idf = log(
       (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)
     val lenNorm = lit(1.0 - b) + (col("__len") / col("__avglen")) * b

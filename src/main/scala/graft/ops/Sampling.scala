@@ -113,8 +113,10 @@ object Sampling {
     * for sequential data, where a random split would let the model peek at
     * each user's future. The cut count is exact integer arithmetic
     * (`(cnt * trainPct) div 100`), so the boundary is engine-independent;
-    * `tieCol` totalizes the per-key order. Keys with < 100/(100-trainPct)
-    * rows contribute all rows to train (floor semantics).
+    * `tieCol` totalizes the per-key order. Floor semantics bias small
+    * keys toward `val`: train takes floor(cnt·trainPct/100) rows, so a
+    * key with fewer than 100/trainPct rows contributes NOTHING to train
+    * (a 1-row key at 80% goes entirely to val — the leakage-safe side).
     *
     * One shuffle on the key + a per-key window (row_number and count over
     * the same partitioning — single exchange, two window frames). Appends

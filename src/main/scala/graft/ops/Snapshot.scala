@@ -55,17 +55,6 @@ object Snapshot {
     rows.toDF("column", "change", "old_type", "new_type")
   }
 
-  /** SCD-type-2 compaction of a changelog into validity intervals: per
-    * key, rows ordered by (tsCol, tieCol) become versions with
-    * `valid_from` = own timestamp, `valid_to` = next version's timestamp
-    * (null on the current row), `version` = 1-based sequence, and
-    * `is_current`. The point-in-time lookup this feeds is
-    * `valid_from <= t AND (valid_to IS NULL OR t < valid_to)`.
-    *
-    * One shuffle on the key + a per-key window sort — no global ordering
-    * anywhere, so it scales with the key count; the heaviest key costs
-    * its own history length, not the table's. `tieCol` must make the
-    * per-key order total or version assignment is nondeterministic. */
   /** CDC apply — MERGE a changelog of upserts/deletes onto a base
     * snapshot: per key, the latest change (by `seqCol`) wins; `D` drops
     * the key, `U`/`I` replace-or-insert the payload, untouched base rows
@@ -96,6 +85,17 @@ object Snapshot {
           .as(payloadCol))
   }
 
+  /** SCD-type-2 compaction of a changelog into validity intervals: per
+    * key, rows ordered by (tsCol, tieCol) become versions with
+    * `valid_from` = own timestamp, `valid_to` = next version's timestamp
+    * (null on the current row), `version` = 1-based sequence, and
+    * `is_current`. The point-in-time lookup this feeds is
+    * `valid_from <= t AND (valid_to IS NULL OR t < valid_to)`.
+    *
+    * One shuffle on the key + a per-key window sort — no global ordering
+    * anywhere, so it scales with the key count; the heaviest key costs
+    * its own history length, not the table's. `tieCol` must make the
+    * per-key order total or version assignment is nondeterministic. */
   def scd2(changelog: DataFrame, keyCol: String, tsCol: String,
       tieCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -89,10 +89,15 @@ object Vocab {
     * from that vocab would pay. Deterministic vocab cut:
     * (count desc, word asc). One count aggregate + a k-row TakeOrdered +
     * two 1-row reductions — the corpus is scanned once.
-    * Output: one row (vocab_size, covered, total, oov_rate). */
+    * Output: one row (vocab_size, covered, total, oov_rate).
+    *
+    * The word-count table feeds both the top-k cut and the total — it is
+    * persisted (vocab-sized, Zipf-small) so the token stream aggregates
+    * ONCE; the cache lives until session eviction. */
   def coverage(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val wc = wordCounts(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val top = wc.orderBy(col("wcnt").desc, col("w").asc).limit(k)
       .agg(count(lit(1)).as("vocab_size"), sum(col("wcnt")).as("covered"))
     val total = wc.agg(sum(col("wcnt")).as("total"))

@@ -22,20 +22,28 @@ object GraphQueries {
 
   private val Iters = 3
 
-  /** Weighted transition edge list: (src, dst, w). Persisted — it is
-    * |event types|² rows derived from a full window pass over the event
-    * log, and every consumer (degrees' two aggregates, pagerank's
-    * adjacency + node set) re-references it. */
-  private def transitionEdges(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
-    table(s, dir, "events")
-      .withColumn("next_type", lead(col("event_type"), 1).over(w))
-      .filter(col("next_type").isNotNull)
-      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
-      .agg(count(lit(1)).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  /** Weighted transition edge list: (src, dst, w). Persisted and
+    * memoized per (session, dir) — it is |event types|² rows derived
+    * from a full window pass over the event log, referenced repeatedly
+    * WITHIN each gate's plan (degrees' two aggregates, pagerank's
+    * adjacency + node set) and ACROSS the two graph gates; the memo
+    * makes both gates share one cached copy instead of each persisting
+    * its own. Cache lives for the session (driver runs are one-shot;
+    * MEMORY_AND_DISK evicts LRU under pressure). */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def transitionEdges(s: SparkSession, dir: String): DataFrame =
+    edgeCache.computeIfAbsent((s, dir), { case (sess, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      table(sess, d, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -103,15 +103,16 @@ object SessionQueries {
           "user_id", "ts", "value"),
         "user_id", "hour_sec", "n_events", windowHours = 24, factor = 3.0)),
 
-    // Semi-structured extraction: schema-declared from_json over the
-    // props payload (the Spark-first parse — no schema inference pass),
-    // aggregated per extracted key value.
+    // Semi-structured extraction over the props payload, aggregated per
+    // extracted key value. get_json_object (extract-then-cast) rather
+    // than from_json with a typed schema: the oracle's
+    // json_extract_string + CAST has extract-then-cast semantics, and the
+    // two diverge on quoted numbers / malformed rows — the established
+    // json_sum precedent.
     "events_json_props" -> ((s, dir) =>
       table(s, dir, "events")
         .select(col("event_type"),
-          from_json(col("props"),
-            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
-            .getField("k").as("k"))
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy(col("event_type"), col("k"))
         .agg(count(lit(1)).as("n"))),
 
