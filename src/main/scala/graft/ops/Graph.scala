@@ -47,8 +47,9 @@ object Graph {
     *         eviction or an explicit catalog clearCache.
     */
   def pagerankScaled(edges: DataFrame, srcCol: String, dstCol: String,
-      wCol: String, iters: Int): DataFrame = {
-    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+      wCol: String, iters: Int, checkpointEvery: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1")
     Seq("node", "r", "__n", "__m", "__c", "outw").foreach { c =>
       require(!edges.columns.contains(c),
         s"pagerankScaled uses an internal $c column; rename the existing one")
@@ -71,7 +72,7 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.crossJoin(broadcast(n1))
       .select(col("node"), expr(s"$Scale div __n").as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = eo
         .join(ranks.select(col("node").as("__src"), col("r")), "__src")
         .select(col("__dst").as("node"),
@@ -81,6 +82,14 @@ object Graph {
         .crossJoin(broadcast(n1))
         .select(col("node"),
           (expr(s"$Teleport div __n") + coalesce(col("__m"), lit(0L))).as("r"))
+      // Deep iterative plans are the classic Spark lineage trap: each
+      // round nests 3 more joins, so analysis/codegen cost grows
+      // superlinearly and very deep loops overflow the planner. Eagerly
+      // localCheckpoint every few rounds to truncate the lineage — the
+      // result is bit-identical (integer arithmetic), only the plan
+      // resets. Never on the last round (the caller composes the result).
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks
   }

@@ -50,6 +50,18 @@ class GraphSpec extends SparkSpec {
     assert(r1("b") > r1("c")) // 3:1 out-weight favors b
   }
 
+  test("pagerankScaled: deep iteration with checkpointing matches the unbroken lineage") {
+    val e = edges(("a", "b", 2L), ("b", "c", 1L), ("c", "a", 3L),
+      ("a", "c", 1L))
+    val deep = Graph.pagerankScaled(e, "src", "dst", "w", iters = 12,
+      checkpointEvery = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = Graph.pagerankScaled(e, "src", "dst", "w", iters = 12,
+      checkpointEvery = 100) // never fires
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(deep == plain) // lineage truncation is plan-only, not semantic
+  }
+
   test("pagerankScaled rejects internal column collisions") {
     intercept[IllegalArgumentException] {
       Graph.pagerankScaled(
