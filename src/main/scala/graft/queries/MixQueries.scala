@@ -163,7 +163,19 @@ object MixQueries {
 
     // Lakehouse MERGE as a computation: latest changelog op per key wins
     // over the base snapshot (update / delete / insert fabrication).
-    "cdc_apply" -> (cdcApplyGate _))
+    "cdc_apply" -> (cdcApplyGate _),
+
+    // Schema-evolution merge: an old snapshot (no lang/source columns)
+    // unions with the current wider one by NAME, missing columns null-
+    // filled — the crawl-generations concat every corpus rebuild does.
+    "schema_evolve_union" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      val cur = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      old.unionByName(cur, allowMissingColumns = true)
+    }))
 
   /** Snapshot instant for the point-in-time SCD-2 gate (mid date-range). */
   private val PitInstant = "1998-06-01"
@@ -349,6 +361,14 @@ object MixQueries {
          |       WHEN o.fp = c.fp THEN 'unchanged'
          |       ELSE 'changed' END AS status
          |FROM o FULL OUTER JOIN c ON o.doc_id = c.doc_id""".stripMargin,
+
+    "schema_evolve_union" ->
+      """SELECT doc_id, text, CAST(NULL AS STRING) AS lang,
+        |  CAST(NULL AS STRING) AS source
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, text, lang, source
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
 
     "cdc_apply" ->
       """WITH b AS (SELECT doc_id, text FROM documents),
