@@ -160,6 +160,27 @@ object StatsQueries {
       graft.ops.Profile.tableStats(table(s, dir, "lineitem"),
         Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))),
 
+    // Incremental aggregate maintenance: two disjoint partitions of the
+    // orders table aggregate independently, then MERGE algebraically
+    // (counts add, decimal sums add, extremes min/max) — the oracle is
+    // the direct full recompute, so the gate proves the merge algebra.
+    "agg_incremental_update" -> ((s, dir) => {
+      def part(even: Boolean) = table(s, dir, "orders")
+        .filter(if (even) col("o_orderkey") % 2 === 0
+                else col("o_orderkey") % 2 === 1)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("__n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("__s"),
+          min(col("o_orderdate")).as("__d0"),
+          max(col("o_orderdate")).as("__d1"))
+      part(even = true).unionAll(part(even = false))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("__n")).as("n_rows"),
+          sum(col("__s")).cast("double").as("revenue"),
+          min(col("__d0")).as("first_date"),
+          max(col("__d1")).as("last_date"))
+    }),
+
     // Shannon entropy of the linestatus distribution per returnflag:
     // per-category -p·ln(p) contributions rounded to 6dp and summed as
     // DECIMAL (order-invariant; the tfidf ln-determinism precedent).
@@ -288,6 +309,13 @@ object StatsQueries {
         |SELECT l_orderkey, l_linenumber, d.l_returnflag,
         |  coalesce(q, med) AS qty_imputed, q IS NULL AS was_null
         |FROM d JOIN m USING (l_returnflag)""".stripMargin,
+
+    "agg_incremental_update" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "agg_entropy" ->
       """WITH c AS (SELECT l_returnflag, l_linestatus,
