@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables.table
@@ -160,6 +161,36 @@ object StatsQueries {
       graft.ops.Profile.tableStats(table(s, dir, "lineitem"),
         Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))),
 
+    // Two-sample Kolmogorov–Smirnov distance between the baseline (even
+    // orderkeys) and a +15-shifted current (odd) quantity distribution —
+    // the exact ECDF sup-distance, not an approximation. Values collapse
+    // to per-value counts FIRST (|distinct values| rows), so the
+    // cumulative window walks the tiny collapsed table; ECDF fractions
+    // are single exact divisions. Deterministic argmax: (ks desc, v asc).
+    "drift_ks" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val merged = li.select(
+        when(col("l_orderkey") % 2 === 0, col("l_quantity"))
+          .otherwise(col("l_quantity") + 15.0).as("v"),
+        (col("l_orderkey") % 2 === 0).as("base"))
+      val counts = merged.groupBy(col("v"))
+        .agg(count(when(col("base"), lit(1))).as("c0"),
+          count(when(!col("base"), lit(1))).as("c1"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = counts.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+      counts
+        .withColumn("cum0", sum(col("c0")).over(w))
+        .withColumn("cum1", sum(col("c1")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("v"),
+          abs(col("cum0").cast("double") / col("n0").cast("double") -
+            col("cum1").cast("double") / col("n1").cast("double")).as("d"))
+        .orderBy(col("d").desc, col("v").asc).limit(1)
+        .select(round(col("d"), 6).as("ks"), col("v").as("at_value"))
+    }),
+
     // Incremental aggregate maintenance: two disjoint partitions of the
     // orders table aggregate independently, then MERGE algebraically
     // (counts add, decimal sums add, extremes min/max) — the oracle is
@@ -309,6 +340,28 @@ object StatsQueries {
         |SELECT l_orderkey, l_linenumber, d.l_returnflag,
         |  coalesce(q, med) AS qty_imputed, q IS NULL AS was_null
         |FROM d JOIN m USING (l_returnflag)""".stripMargin,
+
+    "drift_ks" ->
+      """WITH m AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN l_quantity
+        |    ELSE l_quantity + 15.0 END AS v,
+        |    l_orderkey % 2 = 0 AS base
+        |  FROM lineitem),
+        |c AS (SELECT v,
+        |    CAST(count(CASE WHEN base THEN 1 END) AS BIGINT) AS c0,
+        |    CAST(count(CASE WHEN NOT base THEN 1 END) AS BIGINT) AS c1
+        |  FROM m GROUP BY v),
+        |t AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+        |    CAST(sum(c1) AS BIGINT) AS n1 FROM c),
+        |cum AS (SELECT v,
+        |    CAST(sum(c0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum0,
+        |    CAST(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1
+        |  FROM c),
+        |d AS (SELECT v,
+        |    abs(CAST(cum0 AS DOUBLE) / CAST(n0 AS DOUBLE) -
+        |        CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS d
+        |  FROM cum CROSS JOIN t)
+        |SELECT round(d, 6) AS ks, v AS at_value FROM d
+        |ORDER BY d DESC, v ASC LIMIT 1""".stripMargin,
 
     "agg_incremental_update" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
