@@ -161,6 +161,28 @@ object StatsQueries {
       graft.ops.Profile.tableStats(table(s, dir, "lineitem"),
         Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))),
 
+    // Exact Gini coefficient of per-customer revenue concentration:
+    // G = (2·Σ rank·x) / (n·Σx) − (n+1)/n over ascending-sorted revenues.
+    // Revenues are exact decimal sums; rank·x products and their sum stay
+    // decimal (order-invariant); the closing formula is three exact
+    // divisions in mirrored operand order. Ranking is the distributed
+    // global rank, never a one-task window.
+    "agg_gini_revenue" -> ((s, dir) => {
+      val rev = table(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val ranked = graft.ops.Ranking.globalRank(rev,
+        Seq(col("rev").asc, col("o_custkey").asc))
+      ranked.agg(count(lit(1)).as("__n"),
+          sum(col("rev")).as("__sx"),
+          sum(col("rank").cast("decimal(20,0)") * col("rev")).as("__sxr"))
+        .select(
+          col("__n").as("n_customers"),
+          round(lit(2.0) * col("__sxr").cast("double") /
+            (col("__n").cast("double") * col("__sx").cast("double")) -
+            (col("__n") + 1L).cast("double") / col("__n").cast("double"), 6)
+            .as("gini"))
+    }),
+
     // Two-sample Kolmogorov–Smirnov distance between the baseline (even
     // orderkeys) and a +15-shifted current (odd) quantity distribution —
     // the exact ECDF sup-distance, not an approximation. Values collapse
@@ -340,6 +362,20 @@ object StatsQueries {
         |SELECT l_orderkey, l_linenumber, d.l_returnflag,
         |  coalesce(q, med) AS qty_imputed, q IS NULL AS was_null
         |FROM d JOIN m USING (l_returnflag)""".stripMargin,
+
+    "agg_gini_revenue" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT rev, CAST(row_number() OVER
+        |    (ORDER BY rev ASC, o_custkey ASC) AS BIGINT) AS rank FROM rev),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(rev) AS sx,
+        |    sum(CAST(rank AS DECIMAL(20,0)) * rev) AS sxr FROM r)
+        |SELECT n AS n_customers,
+        |  round(2.0 * CAST(sxr AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) -
+        |    CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+        |FROM a""".stripMargin,
 
     "drift_ks" ->
       """WITH m AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN l_quantity
