@@ -100,6 +100,28 @@ object CorpusQueries {
         table(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text")),
 
+    // Cross-source vocabulary overlap: exact token-set Jaccard for every
+    // source pair — the corpus-comparison signal behind mixing decisions.
+    // The token stream collapses to distinct (source, token) FIRST, so
+    // the self-join runs on vocab-sized sides keyed by token.
+    "source_token_jaccard" -> ((s, dir) => {
+      val st = table(s, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+        .distinct()
+      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+      val inter = st.select(col("source").as("s1"), col("t"))
+        .join(st.select(col("source").as("s2"), col("t")), "t")
+        .filter(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("s1"), col("nv").as("n1"))), "s1")
+        .join(broadcast(sizes.select(col("source").as("s2"), col("nv").as("n2"))), "s2")
+        .select(col("s1"), col("s2"), col("n_inter"), col("n1"), col("n2"),
+          round(col("n_inter").cast("double") /
+            (col("n1") + col("n2") - col("n_inter")).cast("double"), 6)
+            .as("jaccard"))
+    }),
+
     // Okapi BM25 top-25 for a fixed 3-term query — 6dp-rounded
     // contributions decimal-summed per doc (order-invariant).
     "search_bm25" -> ((s, dir) =>
@@ -221,6 +243,21 @@ object CorpusQueries {
          |SELECT term, CAST(count(*) AS BIGINT) AS df,
          |  list(doc_id ORDER BY doc_id) AS postings
          |FROM t GROUP BY term""".stripMargin,
+
+    "source_token_jaccard" ->
+      s"""WITH st AS (SELECT DISTINCT source, unnest($toksSql) AS t
+         |  FROM documents),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv
+         |  FROM st GROUP BY 1),
+         |iv AS (SELECT a.source AS s1, b.source AS s2,
+         |    CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT s1, s2, n_inter, z1.nv AS n1, z2.nv AS n2,
+         |  round(CAST(n_inter AS DOUBLE) /
+         |    CAST(z1.nv + z2.nv - n_inter AS DOUBLE), 6) AS jaccard
+         |FROM iv JOIN sz z1 ON z1.source = iv.s1
+         |JOIN sz z2 ON z2.source = iv.s2""".stripMargin,
 
     "search_bm25" ->
       s"""WITH $bm25Ctes

@@ -161,6 +161,49 @@ object StatsQueries {
       graft.ops.Profile.tableStats(table(s, dir, "lineitem"),
         Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))),
 
+    // Functional-dependency profiling: does A determine B? A→B holds iff
+    // |distinct A| == |distinct (A,B)| — two count-distinct aggregates
+    // per candidate, unioned. Discovers the key structure a layout/
+    // normalization decision needs.
+    "profile_fd_check" -> ((s, dir) => {
+      def fd(df: DataFrame, lhs: String, rhs: String) = df
+        .agg(countDistinct(col(lhs)).as("n_lhs"),
+          countDistinct(col(lhs), col(rhs)).as("n_pairs"))
+        .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_lhs"), col("n_pairs"),
+          (col("n_lhs") === col("n_pairs")).as("holds"))
+      val o = table(s, dir, "orders")
+      val li = table(s, dir, "lineitem")
+      fd(o, "o_orderkey", "o_custkey")
+        .unionAll(fd(o, "o_custkey", "o_orderpriority"))
+        .unionAll(fd(li, "l_orderkey", "l_returnflag"))
+        .unionAll(fd(li, "l_partkey", "l_suppkey"))
+    }),
+
+    // Exact Pearson correlation per group from one aggregate of exact
+    // sums (x as LONG, y/x·y/y² as DECIMAL) — the OLS-trend pattern with
+    // a sqrt closing step, operand order mirrored.
+    "agg_correlation" -> ((s, dir) => {
+      val d = table(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("__x"),
+        col("l_extendedprice").cast("decimal(18,2)").as("__y"))
+      val agg = d.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x").cast("decimal(10,0)") * col("__y")).as("__sxy"))
+      val (nD, sxD, sxxD, syD, syyD, sxyD) = (col("n").cast("double"),
+        col("__sx").cast("double"), col("__sxx").cast("double"),
+        col("__sy").cast("double"), col("__syy").cast("double"),
+        col("__sxy").cast("double"))
+      agg.select(col("l_returnflag"), col("n"),
+        round((nD * sxyD - sxD * syD) /
+          sqrt((nD * sxxD - sxD * sxD) * (nD * syyD - syD * syD)), 6)
+          .as("pearson_r"))
+    }),
+
     // Exact Gini coefficient of per-customer revenue concentration:
     // G = (2·Σ rank·x) / (n·Σx) − (n+1)/n over ascending-sorted revenues.
     // Revenues are exact decimal sums; rank·x products and their sum stay
@@ -362,6 +405,38 @@ object StatsQueries {
         |SELECT l_orderkey, l_linenumber, d.l_returnflag,
         |  coalesce(q, med) AS qty_imputed, q IS NULL AS was_null
         |FROM d JOIN m USING (l_returnflag)""".stripMargin,
+
+    "profile_fd_check" -> {
+      def fd(t: String, l: String, r: String) =
+        s"""SELECT '$l' AS lhs, '$r' AS rhs,
+           |  CAST(count(DISTINCT $l) AS BIGINT) AS n_lhs,
+           |  CAST(count(DISTINCT ($l, $r)) AS BIGINT) AS n_pairs,
+           |  count(DISTINCT $l) = count(DISTINCT ($l, $r)) AS holds
+           |FROM $t""".stripMargin
+      Seq(fd("orders", "o_orderkey", "o_custkey"),
+        fd("orders", "o_custkey", "o_orderpriority"),
+        fd("lineitem", "l_orderkey", "l_returnflag"),
+        fd("lineitem", "l_partkey", "l_suppkey"))
+        .mkString("\nUNION ALL\n")
+    },
+
+    "agg_correlation" ->
+      """WITH d AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y FROM lineitem),
+        |a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(x) AS BIGINT) AS sx0, CAST(sum(x * x) AS BIGINT) AS sxx0,
+        |    sum(y) AS sy0, sum(y * y) AS syy0,
+        |    sum(CAST(x AS DECIMAL(10,0)) * y) AS sxy0
+        |  FROM d GROUP BY 1),
+        |f AS (SELECT l_returnflag, n0 AS n, CAST(n0 AS DOUBLE) AS nd,
+        |    CAST(sx0 AS DOUBLE) AS sx, CAST(sxx0 AS DOUBLE) AS sxx,
+        |    CAST(sy0 AS DOUBLE) AS sy, CAST(syy0 AS DOUBLE) AS syy,
+        |    CAST(sxy0 AS DOUBLE) AS sxy FROM a)
+        |SELECT l_returnflag, n,
+        |  round((nd * sxy - sx * sy) /
+        |    sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6)
+        |    AS pearson_r
+        |FROM f""".stripMargin,
 
     "agg_gini_revenue" ->
       """WITH rev AS (SELECT o_custkey,
