@@ -99,6 +99,21 @@ object TextOps {
 
   def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
 
+  /** Light suffix stemmer over the token array — the
+    * "-ing/-ed/-s (not -ss)" strip with minimum-stem guards, the
+    * vocabulary-collapsing normalization a retrieval index applies before
+    * counting. Rules fire first-match-only, mirrored as a CASE chain in
+    * the oracle. Pure per-token expression, no UDF. */
+  def stemLite(toks: Column): Column =
+    transform(toks, t =>
+      when(t.endsWith("ing") && length(t) > 5,
+        t.substr(lit(1), length(t) - 3))
+        .when(t.endsWith("ed") && length(t) > 4,
+          t.substr(lit(1), length(t) - 2))
+        .when(t.endsWith("s") && !t.endsWith("ss") && length(t) > 3,
+          t.substr(lit(1), length(t) - 1))
+        .otherwise(t))
+
   /** Unicode corpus hygiene: NFC canonical composition (custom expression —
     * Spark has no built-in normalizer) then strip non-whitespace C0/C1-ish
     * control characters. Case and layout are PRESERVED (this runs before,

@@ -144,6 +144,35 @@ object DataOpsQueries {
       table(s, dir, "documents").select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fingerprint"))),
 
+    // Suffix stemming: the -ing/-ed/-s strip with minimum-stem guards,
+    // first-match-only, rejoined to a stemmed text.
+    "text_stem_lite" -> ((s, dir) =>
+      table(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", TextOps.stemLite(TextOps.tokens(col("text"))))
+          .as("stemmed"))),
+
+    // Composed training-data pipeline: exact dedup (keep the smallest id
+    // per fingerprint) → adaptive quality floor (top 50%) → deterministic
+    // val/train assignment — three oracle-mirrored stages in one plan.
+    "pipeline_dedup_split" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val deduped = docs
+        .select(col("doc_id"), col("text"),
+          TextOps.fingerprint(col("text")).as("__fp"))
+        .withColumn("__keep",
+          min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__fp"))))
+        .filter(col("doc_id") === col("__keep"))
+        .select(col("doc_id"), col("text"))
+      val curated = graft.ops.Sampling.topFraction(
+        deduped.select(col("doc_id"),
+          round(TextOps.qualityScore(col("text")), 6).as("quality")),
+        "quality", "doc_id", frac = 0.5)
+      graft.ops.Sampling.assignSplits(
+        curated.select(col("doc_id"), col("quality"), col("rank")),
+        "doc_id", Seq("val" -> 100))
+    }),
+
     "text_tfidf" -> ((s, dir) =>
       TextOps.tfIdf(table(s, dir, "documents"), "doc_id", "text")),
 
@@ -510,6 +539,34 @@ object DataOpsQueries {
         s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
            | CAST(len(regexp_extract_all(text, '${TextOps.BpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
            |FROM documents""".stripMargin,
+      "text_stem_lite" ->
+        s"""SELECT doc_id, array_to_string(list_transform($toksSql, t ->
+           |  CASE WHEN t LIKE '%ing' AND length(t) > 5
+           |         THEN t[1:length(t) - 3]
+           |       WHEN t LIKE '%ed' AND length(t) > 4
+           |         THEN t[1:length(t) - 2]
+           |       WHEN t LIKE '%s' AND t NOT LIKE '%ss' AND length(t) > 3
+           |         THEN t[1:length(t) - 1]
+           |       ELSE t END), ' ') AS stemmed
+           |FROM documents""".stripMargin,
+
+      "pipeline_dedup_split" ->
+        s"""WITH f AS (SELECT doc_id, text, md5($normTextSql) AS fp
+           |  FROM documents),
+           |k AS (SELECT doc_id, text FROM (
+           |    SELECT doc_id, text,
+           |      min(doc_id) OVER (PARTITION BY fp) AS keep FROM f)
+           |  WHERE doc_id = keep),
+           |q AS (SELECT doc_id, $roundedQualitySql AS quality FROM k),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+           |r AS (SELECT doc_id, quality, CAST(row_number() OVER
+           |    (ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rank
+           |  FROM q)
+           |SELECT doc_id, quality, rank,
+           |  CASE WHEN (((doc_id % 1000000007) * 2654435761) % 4294967296)
+           |      % 1000 < 100 THEN 'val' ELSE 'train' END AS split
+           |FROM r, n WHERE rank <= CAST(ceil(0.5 * n) AS BIGINT)""".stripMargin,
+
       "text_fingerprint" ->
         s"SELECT doc_id, md5($normTextSql) AS fingerprint FROM documents",
       "sample_top_fraction" ->
