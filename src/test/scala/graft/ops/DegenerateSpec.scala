@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampType}
+
+import graft.SparkSpec
+
+/** Degenerate-input behavior of the round-6 continuation operators:
+  * empty frames, single rows, and no-match inputs must yield empty or
+  * well-defined results — never a runtime error (Spark 4 ANSI mode makes
+  * silent div-by-zero impossible, so these paths need explicit proof). */
+class DegenerateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def emptyDf(fields: (String, org.apache.spark.sql.types.DataType)*) =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(fields.map { case (n, t) => StructField(n, t) }))
+
+  test("histogram / modeBy / scd2 on empty input yield zero rows") {
+    val e = emptyDf("v" -> DoubleType)
+    assert(Profile.histogram(e, "v", 0.0, 10.0, 4).count() == 0)
+    val kv = emptyDf("k" -> StringType, "v" -> StringType)
+    assert(Profile.modeBy(kv, "k", "v").count() == 0)
+    val log = emptyDf("k" -> LongType, "ts" -> TimestampType, "seq" -> LongType)
+    assert(Snapshot.scd2(log, "k", "ts", "seq").count() == 0)
+  }
+
+  test("bm25 with no matching terms and cooc on sub-window docs yield zero rows") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    assert(Retrieval.bm25Scores(docs, "doc_id", "text",
+      Seq("zeta")).count() == 0)
+    // no doc has 2+ tokens beyond position 1 window? doc 1 has one pair
+    val one = Seq((1L, "solo")).toDF("doc_id", "text")
+    assert(Vocab.coocCounts(one, "text", window = 3).count() == 0)
+    val empty = Seq((1L, "   ")).toDF("doc_id", "text")
+    assert(Vocab.coocCounts(empty, "text", window = 3).count() == 0)
+    assert(Vocab.invertedIndex(empty, "doc_id", "text").count() == 0)
+  }
+
+  test("rateSpikes single cell and quantileBins n=1 are well-defined") {
+    val cell = Seq((1L, 0L, 5L)).toDF("k", "hour_sec", "n")
+    val rs = Resample.rateSpikes(cell, "k", "hour_sec", "n").collect()
+    assert(rs.length == 1 && !rs.head.getBoolean(4)) // no baseline, no spike
+    assert(rs.head.isNullAt(3))
+    val onebin = Ranking.quantileBins(
+      Seq((1L, 2.0)).toDF("id", "v"), Seq(col("v").asc, col("id").asc), 10)
+      .collect()
+    assert(onebin.length == 1 && onebin.head.getAs[Long]("bin") == 0L)
+  }
+
+  test("cdcApply with empty changelog is the identity; empty base inserts all") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "payload")
+    val noCl = emptyDf("k" -> LongType, "seq" -> LongType,
+      "op" -> StringType, "payload" -> StringType)
+    val same = Snapshot.cdcApply(base, noCl, "k", "seq", "op", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(same == Map(1L -> "a", 2L -> "b"))
+    val noBase = emptyDf("k" -> LongType, "payload" -> StringType)
+    val cl = Seq((9L, 1L, "I", "z")).toDF("k", "seq", "op", "payload")
+    val ins = Snapshot.cdcApply(noBase, cl, "k", "seq", "op", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ins == Map(9L -> "z"))
+  }
+
+  test("madOutliers and coverage on empty / single-row inputs do not error") {
+    val e = emptyDf("g" -> StringType, "v" -> DoubleType)
+    assert(Robust.madOutliers(e, "g", "v").count() == 0)
+    val single = Seq(("a", 1.0)).toDF("g", "v")
+    val m = Robust.madOutliers(single, "g", "v").collect()
+    assert(m.length == 1 && m.head.getLong(1) == 1L &&
+      m.head.getLong(4) == 0L) // MAD 0, nothing flagged
+    val emptyDocs = emptyDf("doc_id" -> LongType, "text" -> StringType)
+    val cov = Vocab.coverage(emptyDocs, "text", 5).collect()
+    assert(cov.length == 1 && cov.head.getLong(0) == 0L) // empty vocab
+  }
+
+  test("temporalSplit and sessionPaths on empty events yield zero rows") {
+    val e = emptyDf("u" -> LongType, "ts" -> TimestampType, "id" -> LongType,
+      "t" -> StringType)
+    assert(Sampling.temporalSplit(e, "u", "ts", "id", 80).count() == 0)
+    assert(Funnel.sessionPaths(e, "u", "ts", "id", "t", 1800L, 5).count() == 0)
+  }
+}
