@@ -50,6 +50,11 @@ object Graph {
       wCol: String, iters: Int, checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1")
+    // The 50-iteration cap is only safe BECAUSE lineage truncates: past
+    // ~20 un-truncated rounds the nested-join plan depth overwhelms the
+    // planner. Deep runs must therefore actually checkpoint.
+    require(iters <= 20 || checkpointEvery <= 10,
+      s"iters > 20 requires checkpointEvery <= 10 (got $checkpointEvery)")
     Seq("node", "r", "__n", "__m", "__c", "outw").foreach { c =>
       require(!edges.columns.contains(c),
         s"pagerankScaled uses an internal $c column; rename the existing one")

@@ -539,15 +539,18 @@ object DataOpsQueries {
         s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
            | CAST(len(regexp_extract_all(text, '${TextOps.BpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
            |FROM documents""".stripMargin,
+      // coalesce mirrors Spark's null path: tokens(NULL) -> NULL array ->
+      // concat_ws skips the null and emits '' — DuckDB's array_to_string
+      // would emit NULL instead.
       "text_stem_lite" ->
-        s"""SELECT doc_id, array_to_string(list_transform($toksSql, t ->
+        s"""SELECT doc_id, coalesce(array_to_string(list_transform($toksSql, t ->
            |  CASE WHEN t LIKE '%ing' AND length(t) > 5
            |         THEN t[1:length(t) - 3]
            |       WHEN t LIKE '%ed' AND length(t) > 4
            |         THEN t[1:length(t) - 2]
            |       WHEN t LIKE '%s' AND t NOT LIKE '%ss' AND length(t) > 3
            |         THEN t[1:length(t) - 1]
-           |       ELSE t END), ' ') AS stemmed
+           |       ELSE t END), ' '), '') AS stemmed
            |FROM documents""".stripMargin,
 
       "pipeline_dedup_split" ->
@@ -563,8 +566,8 @@ object DataOpsQueries {
            |    (ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rank
            |  FROM q)
            |SELECT doc_id, quality, rank,
-           |  CASE WHEN (((doc_id % 1000000007) * 2654435761) % 4294967296)
-           |      % 1000 < 100 THEN 'val' ELSE 'train' END AS split
+           |  CASE WHEN (${OracleSql.knuth32("doc_id")}) % 1000 < 100
+           |    THEN 'val' ELSE 'train' END AS split
            |FROM r, n WHERE rank <= CAST(ceil(0.5 * n) AS BIGINT)""".stripMargin,
 
       "text_fingerprint" ->

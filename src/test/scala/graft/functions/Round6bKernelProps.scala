@@ -56,13 +56,15 @@ object Round6bKernelProps extends Properties("Round6bKernels") {
   // contrib = ((r * 850) div (1000 * outw)) * w  (Graph.pagerankScaled);
   // per-node outflow never exceeds the damped rank, and no step overflows.
 
+  // The REAL production constant — a resolution change must flow into
+  // this property, not leave it auditing a stale envelope.
+  private val Scale = graft.ops.Graph.Scale
+
   private val prCase = for {
-    r <- Gen.choose(0L, Graph.Scale)
+    r <- Gen.choose(0L, Scale)
     nEdges <- Gen.choose(1, 8)
     ws <- Gen.listOfN(nEdges, Gen.choose(1L, 1000000L))
   } yield (r, ws)
-
-  private object Graph { val Scale = 1000000000000L }
 
   property("pagerank step: outflow <= damped rank, intermediates in range") =
     forAll(prCase) { case (r, ws) =>
@@ -70,7 +72,7 @@ object Round6bKernelProps extends Properties("Round6bKernels") {
       val contribs = ws.map { w =>
         val q = (r * 850L) / (1000L * outw)
         // overflow audit on the exact intermediate products
-        assert(r <= Graph.Scale && r * 850L > 0 || r == 0L)
+        assert(r <= Scale && r * 850L > 0 || r == 0L)
         q * w
       }
       contribs.forall(_ >= 0L) && contribs.sum <= (r * 850L) / 1000L
