@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -416,5 +417,53 @@ object Dedup {
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  // --------------------------------------------- duplicated substring spans
+
+  /** Span-level exact substring duplication (the substring-dedup criterion of
+    * Lee et al., "Deduplicating Training Data Makes Language Models Better":
+    * any token n-gram occurring more than once in the corpus — across docs or
+    * within one — marks its covered tokens as duplicated). Returns one row
+    * per MAXIMAL duplicated token run per document:
+    * `(doc_id, span_start, span_end, span_tokens)`, positions 0-based
+    * inclusive; overlapping and touching gram intervals are island-merged.
+    *
+    * Plan shape at scale: positional gram generation is a narrow per-document
+    * projection; grams travel the shuffle as i64 xxhash64 values only (never
+    * gram text — a 2^-64-per-pair collision risk, accepted); the occurrence
+    * count is a map-side-combinable hash aggregate keyed by the gram hash;
+    * surviving positions island-merge under a per-document window whose state
+    * is bounded by hits-per-doc. Nothing quadratic, no driver action. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"gram length must be >= 1, got $n")
+    // `t` is materialized as an attribute first so the transform lambda below
+    // re-evaluates a column reference per element, not the tokenizer chain
+    // (the measured higher-order-function pitfall recorded in BASELINE.md).
+    val toks = docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("t"))
+    val grams = toks.select(col("id"),
+      posexplode(
+        when(size(col("t")) >= n,
+          transform(sequence(lit(0), size(col("t")) - n),
+            p => xxhash64(concat_ws(" ", slice(col("t"), p + 1, lit(n))))))
+          .otherwise(lit(Array.empty[Long]))).as(Seq("pos", "g")))
+    val dupGrams = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1).select(col("g"))
+    val hits = grams.join(dupGrams, Seq("g"))
+      .select(col("id"), col("pos").cast("long").as("s"),
+        (col("pos") + lit(n - 1)).cast("long").as("e"))
+    val prev = Window.partitionBy(col("id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy(col("id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hits
+      .withColumn("pmax", max(col("e")).over(prev))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax") + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(run))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 }

@@ -57,6 +57,14 @@ object DataOpsQueries {
       Dedup.simhashNearDupPairs(table(s, dir, "documents"), "doc_id", "text",
         maxDistance = 5)),
 
+    // Span-level exact substring dedup (Lee et al. criterion): every token
+    // 4-gram occurring >1x in the corpus marks its span; maximal island-merged
+    // per-doc spans survive (at sf0.01: 25k gram hits collapse to 643 spans).
+    // The engine ships only i64 gram hashes; the oracle recomputes with string
+    // grams — identical output modulo 2^-64 hash collisions.
+    "dedup_substring_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(table(s, dir, "documents"), "doc_id", "text", n = 4)),
+
     // Near-dup detection on a corpus with PLANTED near-duplicates (the
     // fixture's organic pairs max out at cos≈0.6 — no real near-dups), gated
     // on the banded-SRP scale path with exact verify. τ=0.9 is the regime
@@ -448,6 +456,26 @@ object DataOpsQueries {
            |  NOT((nfp.fp IN (SELECT fp FROM cfp)) OR (nfp.id IN (SELECT id FROM near))) AS kept
            |FROM nfp""".stripMargin
       },
+      "dedup_substring_spans" ->
+        s"""WITH $shingleCapGuard,
+           |toks AS (SELECT doc_id AS id, $toksSql AS toks FROM documents),
+           |grams AS (
+           |  SELECT id, CAST(i - 1 AS BIGINT) AS pos,
+           |         array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 3), ' ') AS g
+           |  FROM toks, range(1, 4096) t(i)
+           |  WHERE i + 3 <= len(toks) AND (SELECT g FROM guard) = 1),
+           |counted AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+           |hits AS (SELECT id, pos AS s, pos + 3 AS e FROM grams JOIN counted USING (g)),
+           |marked AS (SELECT id, s, e,
+           |  max(e) OVER (PARTITION BY id ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           |  FROM hits),
+           |isl AS (SELECT id, s, e,
+           |  sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+           |    OVER (PARTITION BY id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+           |  FROM marked)
+           |SELECT id AS doc_id, min(s) AS span_start, max(e) AS span_end,
+           |       max(e) - min(s) + 1 AS span_tokens
+           |FROM isl GROUP BY id, island""".stripMargin,
       "dedup_components" ->
         s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($oraclesNgramSql) q),
            |edges AS (SELECT id_a AS s, id_b AS d FROM pairs

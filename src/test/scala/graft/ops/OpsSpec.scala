@@ -80,6 +80,23 @@ class OpsSpec extends SparkSpec {
     assert(dist == cc)
   }
 
+  test("duplicate substring spans: cross-doc overlap merge, within-doc repeat, short docs") {
+    val docs = Seq(
+      (0L, "a b c d e f g h"),          // shares run "a b c d e" with doc 1
+      (1L, "x y a b c d e q"),
+      (2L, "zz ww"),                     // shorter than n: no grams, no spans
+      (3L, "p q r s p q r t"),          // within-doc repeated gram "p q r"
+      (4L, null.asInstanceOf[String])    // null text: no spans
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // doc 0: grams abc,bcd,cde at pos 0,1,2 -> one merged span [0,4] (5 toks)
+    // doc 1: same grams at pos 2,3,4 -> [2,6]
+    // doc 3: "p q r" at pos 0 and 4 -> two islands [0,2] and [4,6] (gap at 3)
+    assert(spans == Set((0L, 0L, 4L, 5L), (1L, 2L, 6L, 5L),
+      (3L, 0L, 2L, 3L), (3L, 4L, 6L, 3L)))
+  }
+
   test("connected components fail loudly when the iteration cap is too low") {
     val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("id_a", "id_b")
