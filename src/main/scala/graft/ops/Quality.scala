@@ -59,4 +59,33 @@ object Quality {
       .crossJoin(broadcast(dupKeyCount(df, keyCols)))
       .crossJoin(broadcast(orphanCount(df, parent, childKey, parentKey)))
   }
+
+  // ------------------------------------------------------------- privacy
+
+  /** k-anonymity equivalence classes (Sweeney 2002) over quasi-identifier
+    * columns: one row per distinct QI combination with its class size — the
+    * re-identification-risk primitive a release audit runs before data
+    * leaves the pipeline. One map-side-combinable hash aggregate. */
+  def kAnonymityClasses(df: DataFrame, qiCols: Seq[String]): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("class_size"))
+  }
+
+  /** Classes violating k-anonymity (class_size < k) — the combinations a
+    * release must generalize or suppress. */
+  def kAnonymityRisky(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame =
+    kAnonymityClasses(df, qiCols).where(col("class_size") < k)
+
+  /** Distinct-l-diversity per QI class (Machanavajjhala et al. 2007):
+    * a class can be k-anonymous yet still leak its sensitive attribute when
+    * every member shares one value (l = 1). One grouped aggregate; the
+    * distinct count is exact (partial-distinct expand, no sketch) because
+    * the report is a compliance artifact. */
+  def lDiversity(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(countDistinct(col(sensitiveCol)).as("l"),
+        count(lit(1)).as("class_size"))
+  }
 }

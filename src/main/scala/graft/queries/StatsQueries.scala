@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables.table
+import graft.ops.Quality
 
 /** Statistical aggregates (extension — SURVEY notes the reference has none):
   * exact interpolated percentiles and variance/stddev. Cross-engine
@@ -118,6 +119,24 @@ object StatsQueries {
     // planted nulls (shifted line numbers keep keys unique), out-of-range
     // quantities, exact duplicate keys and orphan order keys — the report
     // must count each fault class exactly.
+    // k-anonymity release audit (Sweeney 2002): QI = (nation, market
+    // segment); classes smaller than k=10 are re-identification risks a
+    // release must generalize or suppress. One map-side-combinable
+    // aggregate; the filter is on the aggregated class size.
+    "privacy_k_anon" -> ((s, dir) =>
+      Quality.kAnonymityRisky(table(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)),
+
+    // Distinct-l-diversity (Machanavajjhala 2007): QI = (nation, 1000-wide
+    // balance bucket), sensitive = market segment; classes with l < 3 leak
+    // the sensitive attribute even where k-anonymity holds.
+    "privacy_l_diversity" -> ((s, dir) =>
+      Quality.lDiversity(
+        table(s, dir, "customer")
+          .withColumn("bal_bucket", floor(col("c_acctbal") / 1000).cast("long")),
+        Seq("c_nationkey", "bal_bucket"), "c_mktsegment")
+        .where(col("l") < 3)),
+
     "dq_lineitem" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -619,6 +638,16 @@ object StatsQueries {
         |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "privacy_k_anon" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+        |FROM customer GROUP BY 1, 2 HAVING count(*) < 10""".stripMargin,
+
+    "privacy_l_diversity" ->
+      """SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        |  count(DISTINCT c_mktsegment) AS l, count(*) AS class_size
+        |FROM customer GROUP BY 1, 2
+        |HAVING count(DISTINCT c_mktsegment) < 3""".stripMargin,
 
     "dq_lineitem" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity

@@ -39,6 +39,26 @@ class QualitySpec extends SparkSpec {
       r.getAs[Long]("n_orphans")) == ((1L, 0L, 0L, 0L, 0L)))
   }
 
+  test("k-anonymity flags undersized classes; l-diversity flags single-value classes") {
+    val rows = Seq(
+      ("us", "a", "hi"), ("us", "a", "hi"), ("us", "a", "lo"), // class (us,a): size 3
+      ("us", "b", "hi"),                                       // class (us,b): size 1
+      ("fr", "a", "lo"), ("fr", "a", "lo"))                    // class (fr,a): size 2
+      .toDF("country", "grp", "income")
+    val risky = Quality.kAnonymityRisky(rows, Seq("country", "grp"), k = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(risky == Set(("us", "b", 1L), ("fr", "a", 2L)))
+    // l-diversity on sensitive `income`: (us,a) has {hi,lo} -> l=2;
+    // (us,b) {hi} -> l=1; (fr,a) {lo,lo} -> l=1 despite size 2
+    val ld = Quality.lDiversity(rows, Seq("country", "grp"), "income")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(ld(("us", "a")) == (2L, 3L))
+    assert(ld(("us", "b")) == (1L, 1L))
+    assert(ld(("fr", "a")) == (1L, 2L))
+  }
+
   test("psiBins: identical distributions score ~0, a shift scores high") {
     val base = (1 to 100).map(i => (i % 10).toDouble).toDF("v")
     val same = Drift.psiBins(base, base, "v", 0.0, 10.0, 10)
