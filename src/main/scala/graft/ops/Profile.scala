@@ -184,4 +184,42 @@ object Profile {
       .select(col(keyCol), col(valueCol).as("mode_value"),
         col("__cnt").as("n"))
   }
+
+  // ------------------------------------------------------------- Benford
+
+  /** log10(1 + 1/d) for d = 1..9, pre-rounded to 6dp as literals so the
+    * engine and any SQL oracle agree bit-for-bit (no float-log drift). */
+  private val benfordExpected: Seq[(Int, Double)] = Seq(
+    1 -> 0.30103, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.09691,
+    5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+    9 -> 0.045757)
+
+  /** Benford first-significant-digit audit — the classic forensic screen
+    * for fabricated or mechanically-generated numeric columns. Rows with
+    * value >= 1 contribute their integer part's leading digit (extracted
+    * through exact integer-string formatting, not float log10, so both
+    * engines agree on every value); output is one row per digit 1..9 with
+    * count, observed share, the Benford expectation, and |deviation|.
+    *
+    * One map-side-combinable 9-group aggregate over a narrow projection;
+    * the total and the 9-row expectation table ride along as broadcasts —
+    * no driver action, nothing scales with input size but the scan. */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.where(col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val expected = benfordExpected.toDF("digit", "expected_p")
+    val total = counts.agg(sum(col("n")).as("__total"))
+    broadcast(expected).join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("__total"), 6).as("observed_p"),
+        col("expected_p"),
+        round(abs(col("n") / col("__total") - col("expected_p")), 6)
+          .as("abs_dev"))
+  }
 }

@@ -119,6 +119,12 @@ object StatsQueries {
     // planted nulls (shifted line numbers keep keys unique), out-of-range
     // quantities, exact duplicate keys and orphan order keys — the report
     // must count each fault class exactly.
+    // Benford first-significant-digit audit over extended prices: exact
+    // string-based digit extraction, literal 6dp expectation table (no
+    // float-log drift between engines).
+    "profile_benford_prices" -> ((s, dir) =>
+      graft.ops.Profile.benfordDigits(table(s, dir, "lineitem"), "l_extendedprice")),
+
     // k-anonymity release audit (Sweeney 2002): QI = (nation, market
     // segment); classes smaller than k=10 are re-identification risks a
     // release must generalize or suppress. One map-side-combinable
@@ -638,6 +644,21 @@ object StatsQueries {
         |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "profile_benford_prices" ->
+      """WITH counts AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem WHERE l_extendedprice >= 1 GROUP BY 1),
+        |exp AS (SELECT digit, CAST(expected_p AS DOUBLE) AS expected_p FROM (VALUES
+        |  (1, 0.30103), (2, 0.176091), (3, 0.124939), (4, 0.09691), (5, 0.079181),
+        |  (6, 0.066947), (7, 0.057992), (8, 0.051153), (9, 0.045757)) e(digit, expected_p)),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM counts)
+        |SELECT e.digit, coalesce(c.n, 0) AS n,
+        |  round(coalesce(c.n, 0) / total, 6) AS observed_p,
+        |  e.expected_p,
+        |  round(abs(coalesce(c.n, 0) / total - e.expected_p), 6) AS abs_dev
+        |FROM exp e LEFT JOIN counts c ON e.digit = c.digit, tot""".stripMargin,
 
     "privacy_k_anon" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS class_size

@@ -59,6 +59,16 @@ class QualitySpec extends SparkSpec {
     assert(ld(("fr", "a")) == (1L, 2L))
   }
 
+  test("benfordDigits: exact digit extraction, sub-1 exclusion, zero-filled digits") {
+    // 123.9 -> 1, 20.0 -> 2, 2.5 -> 2, 999.99 -> 9, 0.7 and -5 excluded
+    val vals = Seq(123.9, 20.0, 2.5, 999.99, 0.7, -5.0).toDF("x")
+    val r = Profile.benfordDigits(vals, "x").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(r.size == 9) // all digits present even when unobserved
+    assert(r(1) == (1L, 0.25) && r(2) == (2L, 0.5) && r(9) == (1L, 0.25))
+    assert(r(3)._1 == 0L && r(3)._2 == 0.0)
+  }
+
   test("psiBins: identical distributions score ~0, a shift scores high") {
     val base = (1 to 100).map(i => (i % 10).toDouble).toDF("v")
     val same = Drift.psiBins(base, base, "v", 0.0, 10.0, 10)
