@@ -37,6 +37,58 @@ object Ranking {
     spark.createDataFrame(ranked, schema)
   }
 
+  /** Distributed prefix sums — the parallel scan. The window formulation
+    * (`sum(...).over(Window.orderBy(...))` with an empty partition spec)
+    * pulls every row into ONE task; this is the two-pass shape that scales:
+    * range-repartition by `orderCols`, per-partition partial totals (one
+    * tiny job returning one row per partition), broadcast the exclusive
+    * partition offsets, then a narrow second pass accumulates within each
+    * partition starting from its offset.
+    *
+    * Appends `cum_<c>` (running inclusive sum in `orderCols` order) for
+    * each of `valueCols`, which must be non-null LongType. Callers must
+    * make `orderCols` a total order for a deterministic curve. */
+  def prefixSum(df: DataFrame, orderCols: Seq[Column],
+      valueCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    require(valueCols.nonEmpty, "need at least one value column")
+    valueCols.foreach { c =>
+      require(df.columns.contains(c), s"missing value column $c")
+      require(!df.columns.contains(s"cum_$c"),
+        s"prefixSum appends cum_$c; rename the existing column")
+    }
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val vIdx = valueCols.map(sorted.schema.fieldIndex).toArray
+    val partials: Array[Array[Long]] = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val sums = new Array[Long](vIdx.length)
+        it.foreach { r =>
+          var j = 0
+          while (j < vIdx.length) { sums(j) += r.getLong(vIdx(j)); j += 1 }
+        }
+        Iterator((pid, sums))
+      }.collect().sortBy(_._1).map(_._2)
+    // exclusive running offsets per partition (tiny: one entry/partition)
+    val offsets = partials.scanLeft(new Array[Long](vIdx.length)) { (acc, p) =>
+      acc.zip(p).map { case (a, b) => a + b }
+    }.init
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = StructType(sorted.schema.fields ++
+      valueCols.map(c => StructField(s"cum_$c", LongType, nullable = false)))
+    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val run = bc.value(pid).clone()
+      it.map { r =>
+        var j = 0
+        while (j < vIdx.length) { run(j) += r.getLong(vIdx(j)); j += 1 }
+        // run.toList COPIES — Row must not alias the mutable accumulator
+        Row.fromSeq(r.toSeq ++ run.toList)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Equal-frequency (quantile) binning: global rank by `orderCols`, then
     * `bin = ((rank − 1) · k) div n` — pure integer arithmetic, so the bin
     * boundaries are engine-exact (unlike ntile, whose remainder layout

@@ -214,4 +214,34 @@ object Vocab {
       .groupBy(col(idCol))
       .agg(sum(col("__np")).as("n_pieces"))
   }
+
+  // ------------------------------------------------ vocabulary growth curve
+
+  /** Heaps-law vocabulary growth curve: one row per document (in `idCol`
+    * order) with its token count, its count of never-before-seen token
+    * types, and the running corpus totals of both — the type/token curve a
+    * corpus audit fits the Heaps exponent on (sublinear growth is the
+    * signature of natural text; near-linear growth flags id-like noise).
+    *
+    * First occurrences come from a token-keyed `min(id)` aggregate
+    * (map-side combinable — no sort over the token stream); the running
+    * totals use [[Ranking.prefixSum]]'s two-pass distributed scan instead
+    * of the single-task global window. */
+  def growthCurve(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+    val perDoc = toks.groupBy(col("id")).agg(count(lit(1)).as("n_tokens"))
+    val newTypes = toks.groupBy(col("tok")).agg(min(col("id")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("new_types"))
+    val joined = docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .join(newTypes, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    Ranking.prefixSum(joined, Seq(col("id")), Seq("n_tokens", "new_types"))
+      .select(col("id").as("doc_id"), col("n_tokens"), col("new_types"),
+        col("cum_n_tokens").as("cum_tokens"),
+        col("cum_new_types").as("cum_types"))
+  }
 }

@@ -122,6 +122,13 @@ object CorpusQueries {
             .as("jaccard"))
     }),
 
+    // Heaps-law vocabulary growth curve: per-doc token/new-type counts plus
+    // running corpus totals in doc_id order. The running sums go through
+    // Ranking.prefixSum's two-pass distributed scan — never a single-task
+    // global window (the oracle may window; it doesn't have to scale).
+    "corpus_growth_curve" -> ((s, dir) =>
+      Vocab.growthCurve(table(s, dir, "documents"), "doc_id", "text")),
+
     // Okapi BM25 top-25 for a fixed 3-term query — 6dp-rounded
     // contributions decimal-summed per doc (order-invariant).
     "search_bm25" -> ((s, dir) =>
@@ -258,6 +265,20 @@ object CorpusQueries {
          |    CAST(z1.nv + z2.nv - n_inter AS DOUBLE), 6) AS jaccard
          |FROM iv JOIN sz z1 ON z1.source = iv.s1
          |JOIN sz z2 ON z2.source = iv.s2""".stripMargin,
+
+    "corpus_growth_curve" ->
+      s"""WITH toks AS (SELECT doc_id AS id, unnest($toksSql) AS tok FROM documents),
+         |percnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tokens FROM toks GROUP BY 1),
+         |firsts AS (SELECT tok, min(id) AS id FROM toks GROUP BY 1),
+         |newt AS (SELECT id, CAST(count(*) AS BIGINT) AS new_types FROM firsts GROUP BY 1),
+         |j AS (SELECT doc_id AS id,
+         |    coalesce(n_tokens, 0) AS n_tokens, coalesce(new_types, 0) AS new_types
+         |  FROM documents LEFT JOIN percnt ON doc_id = percnt.id
+         |  LEFT JOIN newt ON doc_id = newt.id)
+         |SELECT id AS doc_id, n_tokens, new_types,
+         |  CAST(sum(n_tokens) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         |  CAST(sum(new_types) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+         |FROM j""".stripMargin,
 
     "search_bm25" ->
       s"""WITH $bm25Ctes

@@ -15,6 +15,21 @@ class CorpusSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("growthCurve: first-seen attribution, empty docs, running totals") {
+    val fixture = docs(
+      (10L, "a b a"),      // 3 tokens, new types {a,b} = 2
+      (20L, ""),           // empty: 0 / 0
+      (30L, "b c c d"),    // 4 tokens, new {c,d} = 2
+      (40L, "a d"))        // 2 tokens, new 0
+    val got = Vocab.growthCurve(fixture, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got(10L) == (3L, 2L, 3L, 2L))
+    assert(got(20L) == (0L, 0L, 3L, 2L))
+    assert(got(30L) == (4L, 2L, 7L, 4L))
+    assert(got(40L) == (2L, 0L, 9L, 4L))
+  }
+
   test("repetitionStats: hand-computed counts, case/whitespace handling") {
     val d = docs(
       1L -> "a b a b a",        // unigrams: 5 total, 2 distinct, max 3 (a)

@@ -121,6 +121,27 @@ class ShapeSpec extends SparkSpec {
     assert(math.abs(kept.length / 2000.0 - 0.5) < 0.1)
   }
 
+  test("prefixSum matches the single-partition window scan, stable under partitioning") {
+    import spark.implicits._
+    val base = (1L to 3000L).map(i => (i, i % 7, (i * 13) % 5)).toDF("id", "a", "b")
+    val want = base.withColumn("cum_a",
+        sum(col("a")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("id")).rowsBetween(Long.MinValue, 0)))
+      .withColumn("cum_b",
+        sum(col("b")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("id")).rowsBetween(Long.MinValue, 0)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    def got(df: org.apache.spark.sql.DataFrame) =
+      Ranking.prefixSum(df, Seq(col("id")), Seq("a", "b"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got(base) == want)
+    assert(got(base.repartition(17)) == want)
+    // appended-name collision fails loudly
+    intercept[IllegalArgumentException] {
+      Ranking.prefixSum(base.withColumn("cum_a", lit(0L)), Seq(col("id")), Seq("a"))
+    }
+  }
+
   test("globalRank: dense 1..N total order, stable under input partitioning") {
     import spark.implicits._
     val base = (1L to 5000L).map(i => (i, (i * 7919) % 1000)).toDF("id", "key")
