@@ -92,6 +92,15 @@ object TextOps {
       graft.functions.RepetitionStats(
         org.apache.spark.sql.graft.ColumnBridge.expression(text), n))
 
+  /** Per-document Deflate stats `struct(raw_bytes, compressed_bytes,
+    * ratio)` — the compression-ratio quality heuristic (repetitive
+    * machine text compresses low, noise compresses high; curation
+    * band-passes the ratio). Not SQL-expressible: gates are rows-only. */
+  def compressionStats(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.CompressionStats(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
   /** Normalization + md5 content fingerprint (near-identity key for exact
     * dedup across whitespace/case variance). */
   def normalized(text: Column): Column =

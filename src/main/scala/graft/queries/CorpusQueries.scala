@@ -122,6 +122,17 @@ object CorpusQueries {
             .as("jaccard"))
     }),
 
+    // Compression-ratio quality signal (Deflate level 1, one reusable
+    // deflater per task): rows-only gate — no SQL oracle can mirror
+    // deflate — CorpusSpec asserts the discriminative ordering
+    // (repetitive < prose < noise) and exact raw byte lengths.
+    "text_compression" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.compressionStats(col("text")).as("c"))
+        .select(col("doc_id"), col("c.raw_bytes").as("raw_bytes"),
+          col("c.compressed_bytes").as("compressed_bytes"),
+          round(col("c.ratio"), 6).as("ratio"))),
+
     // Heaps-law vocabulary growth curve: per-doc token/new-type counts plus
     // running corpus totals in doc_id order. The running sums go through
     // Ranking.prefixSum's two-pass distributed scan — never a single-task

@@ -15,6 +15,29 @@ class CorpusSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("compressionStats: repetitive < prose < noise ordering, exact raw lengths") {
+    val repetitive = Array.fill(200)("spam").mkString(" ")
+    val prose = "the quick brown fox jumps over the lazy dog while seven " +
+      "wizards brew tonic and a jury of vexed folk quiz them nightly " * 8
+    val rnd = new scala.util.Random(42)
+    val noise = Seq.fill(1000)((rnd.nextInt(93) + 33).toChar).mkString
+    val df = docs((1L, repetitive), (2L, prose), (3L, noise))
+      .select(col("doc_id"), TextOps.compressionStats(col("text")).as("c"))
+      .select(col("doc_id"), col("c.raw_bytes"), col("c.compressed_bytes"),
+        col("c.ratio"))
+    val m = df.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(m(1L)._1 == repetitive.getBytes("UTF-8").length.toLong)
+    assert(m(2L)._1 == prose.getBytes("UTF-8").length.toLong)
+    assert(m(1L)._3 < m(2L)._3 && m(2L)._3 < m(3L)._3)
+    assert(m(1L)._3 < 0.1)  // pure repetition compresses away
+    assert(m(3L)._3 > 0.5)  // near-random noise barely compresses
+    // null text -> null struct, not a crash
+    val nul = docs((9L, null.asInstanceOf[String]))
+      .select(TextOps.compressionStats(col("text")).as("c")).collect()
+    assert(nul.head.isNullAt(0))
+  }
+
   test("growthCurve: first-seen attribution, empty docs, running totals") {
     val fixture = docs(
       (10L, "a b a"),      // 3 tokens, new types {a,b} = 2
