@@ -288,6 +288,25 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("substring-span dedup: combinable gram count, per-doc windows, nothing quadratic") {
+    val p = plan("dedup_substring_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // no global (single-task) window anywhere — islands merge per document
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // the gram occurrence count map-side combines on the i64 hash
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("growth curve avoids the window scan: no Window node, no single-task exchange") {
+    val df = SparkEntry.queries("corpus_growth_curve")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    // running totals come from Ranking.prefixSum's two-pass RDD scan, so
+    // the final plan must contain neither a Window nor a SinglePartition
+    // funnel (the naive cum-sum formulation would show both)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("temporal split plans a single key exchange for both window frames") {
     val p = plan("sample_temporal_split")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)

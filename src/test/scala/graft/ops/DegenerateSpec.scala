@@ -81,4 +81,26 @@ class DegenerateSpec extends SparkSpec {
     assert(Sampling.temporalSplit(e, "u", "ts", "id", 80).count() == 0)
     assert(Funnel.sessionPaths(e, "u", "ts", "id", "t", 1800L, 5).count() == 0)
   }
+
+  test("substring spans, prefix sums, benford, k-anon on empty/undersized input") {
+    // all docs shorter than the gram: zero grams, zero spans (and no
+    // descending-sequence trap from size(t) - n going negative)
+    val short = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(short, "doc_id", "text", n = 5).count() == 0)
+    val eDocs = emptyDf("doc_id" -> LongType, "text" -> StringType)
+    assert(Dedup.duplicateSpans(eDocs, "doc_id", "text", n = 3).count() == 0)
+    assert(Vocab.growthCurve(eDocs, "doc_id", "text").count() == 0)
+    // prefixSum over an empty frame: no partials, no offsets, no rows
+    val eKv = emptyDf("id" -> LongType, "v" -> LongType)
+    assert(Ranking.prefixSum(eKv, Seq(col("id")), Seq("v")).count() == 0)
+    // benford: no rows >= 1 still emits the 9-digit expectation spine
+    val sub1 = Seq(0.2, 0.9).toDF("x")
+    val b = Profile.benfordDigits(sub1, "x").collect()
+    assert(b.length == 9 && b.forall(_.getLong(1) == 0L))
+    // single-row k-anon: the lone class is risky for any k > 1
+    val one = Seq(("us", "a")).toDF("c1", "c2")
+    assert(Quality.kAnonymityRisky(one, Seq("c1", "c2"), k = 2L).count() == 1)
+    assert(Quality.lDiversity(one, Seq("c1"), "c2").collect()
+      .head.getLong(1) == 1L)
+  }
 }
