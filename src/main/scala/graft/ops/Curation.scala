@@ -70,4 +70,31 @@ object Curation {
     (afterExact, Dedup.ngramJaccardPairs(afterExact, "id", "text",
       params.shingleN, params.nearDupThreshold))
   }
+
+  /** Budget-constrained selection: rank documents by (quality desc, id asc)
+    * — a total order — and keep the maximal PREFIX whose running token
+    * total stays within `budgetTokens` ("fill a 10B-token budget with the
+    * best documents"). Prefix semantics, not knapsack: the first document
+    * that would overflow the budget is dropped and nothing after it is
+    * reconsidered, so the cut is deterministic and auditable.
+    *
+    * Quality is 6dp-rounded BEFORE ranking so the order (and therefore the
+    * kept set) is stable across engines; the running total is
+    * [[Ranking.prefixSum]]'s two-pass distributed scan, never a
+    * single-task global window. */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    // null text scores 0 quality / 0 tokens (prefixSum needs non-null longs)
+    val scored = docs.select(col(idCol).as("id"),
+      coalesce(round(TextOps.qualityScore(col(textCol)), 6), lit(0.0))
+        .as("quality"),
+      coalesce(TextOps.tokenCountWhitespace(col(textCol)).cast("long"), lit(0L))
+        .as("n_tokens"))
+    Ranking.prefixSum(scored, Seq(col("quality").desc, col("id").asc),
+        Seq("n_tokens"))
+      .where(col("cum_n_tokens") <= budgetTokens)
+      .select(col("id").as("doc_id"), col("quality"), col("n_tokens"),
+        col("cum_n_tokens").as("cum_tokens"))
+  }
 }

@@ -246,6 +246,14 @@ object DataOpsQueries {
     "curate_corpus" -> ((s, dir) =>
       graft.ops.Curation.curate(table(s, dir, "documents"), "doc_id", "text")),
 
+    // Budget-constrained curation: rank (6dp quality desc, id asc), keep
+    // the maximal prefix with running tokens <= 8000 — the "fill a token
+    // budget with the best documents" selection. Running totals via the
+    // distributed prefix-sum scan, never a global window.
+    "curate_token_budget" -> ((s, dir) =>
+      graft.ops.Curation.tokenBudgetSelect(table(s, dir, "documents"),
+        "doc_id", "text", budgetTokens = 8000L)),
+
     // Same pipeline with TRANSITIVE near-dup removal: qualifying pairs are
     // collapsed via connected components, only each cluster's min id
     // survives (differs from greedy exactly on connected clusters).
@@ -562,6 +570,27 @@ object DataOpsQueries {
            | least(1.0, $stop * 5.0 / $words) * 0.2 +
            | least(1.0, $words / 100.0) * 0.2 AS quality
            |FROM documents""".stripMargin
+      },
+      "curate_token_budget" -> {
+        val len = "CAST(length(text) AS DOUBLE)"
+        val words = s"greatest(CAST(len($toksSql) AS DOUBLE), 1.0)"
+        val punct = s"($len - CAST(length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE))"
+        val stop = s"CAST(${markerSql(TextOps.LangMarkers.flatMap(_._2))} AS DOUBLE)"
+        s"""WITH scored AS (SELECT doc_id AS id,
+           |  coalesce(round(
+           |    least(1.0, $len / 500.0) * 0.3 +
+           |    (1.0 - least(1.0, $punct / $words)) * 0.3 +
+           |    least(1.0, $stop * 5.0 / $words) * 0.2 +
+           |    least(1.0, $words / 100.0) * 0.2, 6), 0.0) AS quality,
+           |  coalesce(CAST(len($toksSql) AS BIGINT), 0) AS n_tokens
+           |  FROM documents),
+           |c AS (SELECT id, quality, n_tokens,
+           |  sum(n_tokens) OVER (ORDER BY quality DESC, id ASC
+           |    ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM scored)
+           |SELECT id AS doc_id, quality, n_tokens,
+           |  CAST(cum AS BIGINT) AS cum_tokens
+           |FROM c WHERE cum <= 8000""".stripMargin
       },
       "text_tokens" ->
         s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,

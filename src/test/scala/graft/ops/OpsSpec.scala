@@ -35,6 +35,25 @@ class OpsSpec extends SparkSpec {
     assert(ids(Curation.curateTransitive(d, "doc_id", "text", p)) == Set(1L))
   }
 
+  test("tokenBudgetSelect keeps exactly the in-budget quality-ranked prefix") {
+    val docs = table(spark, sf("sf0.001"), "documents")
+    val budget = 2000L
+    val got = Curation.tokenBudgetSelect(docs, "doc_id", "text", budget)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // local recompute: sort by (quality desc, id asc), running cum, prefix cut
+    val scored = docs.select(col("doc_id"),
+        round(TextOps.qualityScore(col("text")), 6).as("q"),
+        TextOps.tokenCountWhitespace(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, q, _) => (-q, id) }
+    var cum = 0L
+    val want = scored.flatMap { case (id, _, n) =>
+      cum += n; if (cum <= budget) Some((id, cum)) else None
+    }
+    assert(got.toSet == want.toSet)
+    assert(got.nonEmpty && got.map(_._2).max <= budget)
+  }
+
   test("incremental dedup: exact twins flagged, cross-set pairs = full graph restricted") {
     val newB = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
