@@ -110,6 +110,29 @@ object Ann {
     topKRanked(scored, k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query vector, the k nearest corpus vectors whose `labelCol` DIFFERS
+    * from the query's — the near-misses that teach the decision boundary
+    * (random negatives are mostly trivial; the hard ones sit just across
+    * it). Same exact scoring backend as [[bruteTopK]] (6dp-rounded cosine,
+    * id tiebreak, bounded map-side [[TopKAgg]] — never a ranking window);
+    * at corpus scale swap the exact scorer for the [[lshTopK]] bucketed
+    * candidate generator upstream of the label filter, same downstream
+    * shape. */
+  def mineHardNegatives(queries: DataFrame, corpus: DataFrame,
+      labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col(labelCol).as("__qlabel"), asDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id"), col(labelCol),
+      asDouble(col("embedding")).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id") &&
+        col(labelCol) =!= col("__qlabel"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    topKRanked(scored, k)
+  }
+
   /** Symmetrize a directed kNN edge set ((query_id, vec_id, cos) rows from
     * [[bruteTopK]], [[lshTopK]] or [[ivfTopK]]) into MUTUAL undirected
     * edges: (a, b) survives iff a is in b's top-k AND b is in a's — the

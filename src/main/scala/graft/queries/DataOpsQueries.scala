@@ -91,6 +91,13 @@ object DataOpsQueries {
       Ann.bruteTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
     }),
 
+    // Hard-negative mining: per query, top-10 nearest corpus vectors with a
+    // DIFFERENT label (exact backend here; lshTopK upstream at scale).
+    "mine_hard_negatives" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ann.mineHardNegatives(emb.filter(col("vec_id") < 5), emb, "label", k = 10)
+    }),
+
     // Mutual-kNN graph over a bounded subset (exact brute backend so the
     // oracle is exact SQL; at corpus scale the same mutualEdges composes
     // over the bucketed lshTopK backend — identical downstream shape).
@@ -522,6 +529,15 @@ object DataOpsQueries {
           |r AS (SELECT query_id, vec_id, cos,
           |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM s)
           |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10""".stripMargin,
+      "mine_hard_negatives" ->
+        s"""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, label AS qlabel, e AS qe FROM v WHERE vec_id < 5),
+           |s AS (SELECT query_id, vec_id, round(${dotSql("qe", "e")} /
+           |     (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("e", "e")})), 6) AS cos
+           | FROM v, q WHERE vec_id <> query_id AND label <> qlabel),
+           |r AS (SELECT query_id, vec_id, cos,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM s)
+           |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10""".stripMargin,
       "knn_graph_mutual" ->
         s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
            |           FROM embeddings WHERE vec_id < 200),

@@ -156,6 +156,26 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall = $recall")
   }
 
+  test("hard negatives: every hit crosses labels and outranks unpicked cross-label vectors") {
+    val emb = table(spark, sf("sf0.001"), "embeddings")
+    val lab = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Ann.mineHardNegatives(emb.filter(col("vec_id") < 3), emb,
+      "label", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.forall { case (q, v, _, _) => lab(v) != lab(q) })
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L) && byQ.values.forall(_.length == 5))
+    // agrees with the unrestricted brute ranking filtered to cross-label
+    val brute = Ann.bruteTopK(emb.filter(col("vec_id") < 3), emb, k = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = brute.filter { case (q, v, _) => lab(v) != lab(q) }
+      .groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy { case (_, v, c) => (-c, v) }.take(5).toSeq
+      }.toSet
+    assert(got.map { case (q, v, c, _) => (q, v, c) }.toSet == want)
+  }
+
   test("LSH top-k results are a subset of each query's bucket-scored space with sane recall") {
     val brute = Ann.bruteTopK(embs.filter(col("vec_id") < 5), embs, 10)
       .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
