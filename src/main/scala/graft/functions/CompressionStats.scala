@@ -45,7 +45,15 @@ case class CompressionStats(child: Expression)
   // Per-instance (= per task after serialization) reusable deflater. Level
   // BEST_SPEED: the heuristic needs the ORDERING of ratios, not optimal
   // compression, and level 1 is ~5x faster than the default on text.
-  @transient private lazy val deflater = new Deflater(Deflater.BEST_SPEED, true)
+  // Deflater holds off-heap zlib state that only a GC finalizer would
+  // otherwise release, so end() it at task completion — long-lived
+  // executors running many short tasks must not accumulate native memory.
+  @transient private lazy val deflater = {
+    val d = new Deflater(Deflater.BEST_SPEED, true)
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => d.end())
+    d
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes

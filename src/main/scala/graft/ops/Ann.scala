@@ -98,17 +98,33 @@ object Ann {
       .select(col("query_id"), col("r.id").as("vec_id"), col("r.score").as("cos"),
         (col("pos") + 1).cast("int").as("rank"))
 
+  /** Broadcast-queries exact scoring scaffold shared by [[bruteTopK]] and
+    * [[mineHardNegatives]]: every (corpus, query) pair except self —
+    * optionally keeping only pairs whose `labelCol` differs from the
+    * query's — scored with 6dp-rounded cosine. One definition so the
+    * scoring shape (rounding, tiebreak input, broadcast policy) can never
+    * drift between the plain and the label-filtered variant. */
+  private def exactScored(queries: DataFrame, corpus: DataFrame,
+      labelCol: Option[String]): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("query_id") +:
+        labelCol.map(l => col(l).as("__qlabel")).toSeq :+
+        asDouble(col("embedding")).as("qv"): _*)
+    val c = corpus.select(
+      col("vec_id") +: labelCol.map(col).toSeq :+
+        asDouble(col("embedding")).as("cv"): _*)
+    val keep = labelCol.foldLeft(col("query_id") =!= col("vec_id")) {
+      (acc, l) => acc && col(l) =!= col("__qlabel")
+    }
+    c.crossJoin(broadcast(q)).filter(keep)
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+  }
+
   /** Exact brute-force top-k: for each query row, the k nearest corpus rows
     * by cosine (rounded to 6dp for cross-engine rank stability, id tiebreak). */
-  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"),
-      asDouble(col("embedding")).as("qv"))
-    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
-    topKRanked(scored, k)
-  }
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    topKRanked(exactScored(queries, corpus, None), k)
 
   /** Hard-negative mining for contrastive/embedding training: for each
     * query vector, the k nearest corpus vectors whose `labelCol` DIFFERS
@@ -120,18 +136,8 @@ object Ann {
     * candidate generator upstream of the label filter, same downstream
     * shape. */
   def mineHardNegatives(queries: DataFrame, corpus: DataFrame,
-      labelCol: String, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"),
-      col(labelCol).as("__qlabel"), asDouble(col("embedding")).as("qv"))
-    val c = corpus.select(col("vec_id"), col(labelCol),
-      asDouble(col("embedding")).as("cv"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("vec_id") &&
-        col(labelCol) =!= col("__qlabel"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
-      .select(col("query_id"), col("vec_id"), col("cos"))
-    topKRanked(scored, k)
-  }
+      labelCol: String, k: Int): DataFrame =
+    topKRanked(exactScored(queries, corpus, Some(labelCol)), k)
 
   /** Symmetrize a directed kNN edge set ((query_id, vec_id, cos) rows from
     * [[bruteTopK]], [[lshTopK]] or [[ivfTopK]]) into MUTUAL undirected

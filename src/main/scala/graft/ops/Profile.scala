@@ -195,11 +195,15 @@ object Profile {
     9 -> 0.045757)
 
   /** Benford first-significant-digit audit — the classic forensic screen
-    * for fabricated or mechanically-generated numeric columns. Rows with
-    * value >= 1 contribute their integer part's leading digit (extracted
-    * through exact integer-string formatting, not float log10, so both
-    * engines agree on every value); output is one row per digit 1..9 with
-    * count, observed share, the Benford expectation, and |deviation|.
+    * for fabricated or mechanically-generated numeric columns. Rows with a
+    * finite value in [1, 2^63) contribute their integer part's leading
+    * digit (extracted through exact integer-string formatting, not float
+    * log10, so both engines agree on every value; NaN/Infinity and
+    * values beyond long range — where doubles carry no integer precision
+    * anyway — are excluded rather than crashing the ANSI long cast);
+    * output is one row per digit 1..9 with count, observed share, the
+    * Benford expectation, and |deviation|. When no row qualifies, counts
+    * and observed shares are 0 and abs_dev equals the expectation.
     *
     * One map-side-combinable 9-group aggregate over a narrow projection;
     * the total and the 9-row expectation table ride along as broadcasts —
@@ -207,19 +211,23 @@ object Profile {
   def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.where(col(valueCol) >= 1)
+    val v = col(valueCol).cast("double")
+    val counts = df
+      .where(col(valueCol) >= 1 && !isnan(v) && v < 9.223372036854775e18)
       .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
         .cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     val expected = benfordExpected.toDF("digit", "expected_p")
-    val total = counts.agg(sum(col("n")).as("__total"))
-    broadcast(expected).join(counts, Seq("digit"), "left")
+    val total = counts.agg(coalesce(sum(col("n")), lit(0L)).as("__total"))
+    counts.join(broadcast(expected), Seq("digit"), "right")
       .na.fill(0L, Seq("n"))
       .crossJoin(broadcast(total))
       .select(col("digit"), col("n"),
-        round(col("n") / col("__total"), 6).as("observed_p"),
+        when(col("__total") === 0, lit(0.0))
+          .otherwise(round(col("n") / col("__total"), 6)).as("observed_p"),
         col("expected_p"),
-        round(abs(col("n") / col("__total") - col("expected_p")), 6)
+        when(col("__total") === 0, col("expected_p"))
+          .otherwise(round(abs(col("n") / col("__total") - col("expected_p")), 6))
           .as("abs_dev"))
   }
 }

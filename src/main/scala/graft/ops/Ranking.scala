@@ -47,7 +47,14 @@ object Ranking {
     *
     * Appends `cum_<c>` (running inclusive sum in `orderCols` order) for
     * each of `valueCols`, which must be non-null LongType. Callers must
-    * make `orderCols` a total order for a deterministic curve. */
+    * make `orderCols` a total order for a deterministic curve.
+    *
+    * NOTE: construction is EAGER — the partial-totals job (a full
+    * range-shuffle over the input) runs when this method is CALLED, not
+    * when the returned frame is acted on, and a downstream action pays the
+    * scan again. Build frames that use it (tokenBudgetSelect, growthCurve)
+    * only when they will actually be executed — plan-only tooling should
+    * skip them. */
   def prefixSum(df: DataFrame, orderCols: Seq[Column],
       valueCols: Seq[String]): DataFrame = {
     require(orderCols.nonEmpty, "need at least one order column")

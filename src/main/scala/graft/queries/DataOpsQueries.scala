@@ -587,17 +587,9 @@ object DataOpsQueries {
            | least(1.0, $words / 100.0) * 0.2 AS quality
            |FROM documents""".stripMargin
       },
-      "curate_token_budget" -> {
-        val len = "CAST(length(text) AS DOUBLE)"
-        val words = s"greatest(CAST(len($toksSql) AS DOUBLE), 1.0)"
-        val punct = s"($len - CAST(length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE))"
-        val stop = s"CAST(${markerSql(TextOps.LangMarkers.flatMap(_._2))} AS DOUBLE)"
+      "curate_token_budget" ->
         s"""WITH scored AS (SELECT doc_id AS id,
-           |  coalesce(round(
-           |    least(1.0, $len / 500.0) * 0.3 +
-           |    (1.0 - least(1.0, $punct / $words)) * 0.3 +
-           |    least(1.0, $stop * 5.0 / $words) * 0.2 +
-           |    least(1.0, $words / 100.0) * 0.2, 6), 0.0) AS quality,
+           |  coalesce($roundedQualitySql, 0.0) AS quality,
            |  coalesce(CAST(len($toksSql) AS BIGINT), 0) AS n_tokens
            |  FROM documents),
            |c AS (SELECT id, quality, n_tokens,
@@ -606,8 +598,7 @@ object DataOpsQueries {
            |  FROM scored)
            |SELECT id AS doc_id, quality, n_tokens,
            |  CAST(cum AS BIGINT) AS cum_tokens
-           |FROM c WHERE cum <= 8000""".stripMargin
-      },
+           |FROM c WHERE cum <= 8000""".stripMargin,
       "text_tokens" ->
         s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
            | CAST(len(regexp_extract_all(text, '${TextOps.BpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens

@@ -115,10 +115,6 @@ object StatsQueries {
         "lang")
     }),
 
-    // Data-contract report over a deterministically dirtied lineitem:
-    // planted nulls (shifted line numbers keep keys unique), out-of-range
-    // quantities, exact duplicate keys and orphan order keys — the report
-    // must count each fault class exactly.
     // Benford first-significant-digit audit over extended prices: exact
     // string-based digit extraction, literal 6dp expectation table (no
     // float-log drift between engines).
@@ -143,6 +139,10 @@ object StatsQueries {
         Seq("c_nationkey", "bal_bucket"), "c_mktsegment")
         .where(col("l") < 3)),
 
+    // Data-contract report over a deterministically dirtied lineitem:
+    // planted nulls (shifted line numbers keep keys unique), out-of-range
+    // quantities, exact duplicate keys and orphan order keys — the report
+    // must count each fault class exactly.
     "dq_lineitem" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
