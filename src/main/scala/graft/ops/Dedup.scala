@@ -356,6 +356,23 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("component"))
   }
 
+  /** Collapse a near-duplicate pair graph to one REPRESENTATIVE per
+    * cluster — the prune step of semantic dedup (SemDeDup-style: generate
+    * similarity pairs however you like — [[minhashNearDupPairs]],
+    * [[ngramJaccardPairs]], [[Ann.cosineNearDupPairs]] — then keep one
+    * member per connected component). The representative is the minimum
+    * id (the [[connectedComponents]] label), records in no pair survive
+    * untouched, so output = `records` minus non-representative cluster
+    * members. One anti join against the (pairs-sized, corpus-small)
+    * component labeling. */
+  def pruneToRepresentatives(records: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val drop = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    records.join(drop, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------------- n-gram Jaccard
 
   /** Exact n-gram Jaccard pairs at `threshold` via PREFIX FILTERING over an

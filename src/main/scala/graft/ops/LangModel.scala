@@ -96,4 +96,60 @@ object LangModel {
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("nll"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection via
+    * Importance Resampling"): score every document by the log-likelihood
+    * RATIO between a target-domain unigram model and the raw-corpus
+    * unigram model — `Σ_w c_doc(w)·(ln p_target(w) − ln p_raw(w))` with
+    * add-1 smoothing over the raw vocabulary. High scores mark documents
+    * that look like the target distribution; selection keeps the top mass
+    * (rank + cut, e.g. [[graft.ops.Sampling.topFraction]] or a plain
+    * top-k). The paper hashes n-grams into buckets to bound the feature
+    * space; here features are raw unigrams — the bucketing is an
+    * optimization, not a semantic, and exact features keep the score
+    * oracle-checkable.
+    *
+    * Everything is relational and scale-shaped: ONE token-counts aggregate
+    * serves both models (target counts are a conditional sum riding the
+    * raw count), per-token weights are 6dp-rounded decimals (the
+    * cross-engine-safe libm form) so the per-document sum is EXACT and
+    * order-free — no fold pinning needed — and the weight join shuffles
+    * on the token key (broadcastable when the vocabulary is small, keyed
+    * when it is web-scale). Documents with no tokens score 0.
+    *
+    * Output: (idCol, n_tokens, score) — score a double from the exact
+    * decimal sum. */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    Seq("__t", "__w", "__cr", "__ct", "__wt").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"dsirScores uses an internal $c column; rename the existing one")
+    }
+    val toks = docs.select(col(idCol), isTarget.as("__t"),
+      explode(TextOps.tokens(col(textCol))).as("__w"))
+    val counts = toks.groupBy(col("__w")).agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"))
+    // totals + vocab in one tiny aggregate over the (vocab-sized) counts
+    val tot = counts.agg(sum(col("__cr")).as("__tr"),
+      sum(col("__ct")).as("__tt"), count(lit(1)).as("__v"))
+    // ln((c+1)/(T+V)): integer-valued double operands, one correctly-
+    // rounded division, libm log rounded to 6dp — the established
+    // cross-engine form (agg_entropy / BM25 gates).
+    def smoothed(c: Column, t: Column): Column =
+      log((c.cast("double") + 1.0) /
+        (t.cast("double") + col("__v").cast("double")))
+    val weights = counts.crossJoin(broadcast(tot))
+      .select(col("__w"),
+        round(smoothed(col("__ct"), col("__tt")) -
+          smoothed(col("__cr"), col("__tr")), 6)
+          .cast("decimal(18,6)").as("__wt"))
+    val scored = toks.join(weights, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__wt")).cast("double").as("score"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score"), lit(0.0)).as("score"))
+  }
 }

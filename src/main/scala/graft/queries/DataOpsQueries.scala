@@ -81,6 +81,18 @@ object DataOpsQueries {
         threshold = 0.9, dim = 64, planes = 12, tables = 6)
         .select(col("id_a"), col("id_b"))),
 
+    // Semantic dedup, prune step (SemDeDup shape): the embedding near-dup
+    // pair graph collapses to one representative (min id) per connected
+    // component; output = surviving vec_ids. Same banded-SRP pair
+    // generator as dedup_embedding_pairs, so the exact-pair oracle
+    // composes with the recursive-CTE components + anti join.
+    "semdedup_prune" -> ((s, dir) => {
+      val v = plantedEmbeddings(table(s, dir, "embeddings"))
+      Dedup.pruneToRepresentatives(v.select(col("vec_id")), "vec_id",
+        Ann.cosineNearDupPairs(v, threshold = 0.9, dim = 64,
+          planes = 12, tables = 6))
+    }),
+
     // Per-vector max-abs int8 quantization. Rounding is floor(x+0.5) on
     // both sides — explicit IEEE formula, no engine round() half-way rule.
     "quantize_embeddings" -> ((s, dir) =>
@@ -508,6 +520,22 @@ object DataOpsQueries {
            |     (sqrt(${dotSql("ea", "ea")}) * sqrt(${dotSql("eb", "eb")})) AS cos
            | FROM p)
            |SELECT id_a, id_b FROM s WHERE cos >= 0.9""".stripMargin,
+      "semdedup_prune" ->
+        s"""WITH RECURSIVE v AS ($plantedSql),
+           |p AS (SELECT a.vec_id id_a, b.vec_id id_b, a.e ea, b.e eb FROM v a, v b WHERE a.vec_id < b.vec_id),
+           |pairs AS (SELECT id_a, id_b FROM p
+           |  WHERE ${dotSql("ea", "eb")} /
+           |    (sqrt(${dotSql("ea", "ea")}) * sqrt(${dotSql("eb", "eb")})) >= 0.9),
+           |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+           |          UNION ALL SELECT id_b, id_a FROM pairs),
+           |nodes AS (SELECT DISTINCT s AS id FROM edges),
+           |walk(id, lbl) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.id)
+           |SELECT vec_id FROM v WHERE vec_id NOT IN (
+           |  SELECT id FROM (SELECT id, min(lbl) AS component FROM walk GROUP BY id)
+           |  WHERE id <> component)""".stripMargin,
       "quantize_embeddings" ->
         """WITH v AS (SELECT vec_id AS id,
           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

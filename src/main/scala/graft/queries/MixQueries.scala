@@ -19,6 +19,7 @@ object MixQueries {
   private val MixAlpha = 0.7
   private val MixBudget = 0.5
   private val LmAddK = 0.5
+  private val DsirTopK = 150
   private val PromoCount = 160L
   private val PromoPeriod = 17L
   private val PromoLen = 9L // window is [start, start + 9] — 10 days
@@ -54,6 +55,17 @@ object MixQueries {
       val docs = table(s, dir, "documents")
       LangModel.scoreDocs(docs, docs, "doc_id", "text", LmAddK)
     }),
+
+    // DSIR importance selection: target = the English slice, raw = the
+    // whole corpus; per-doc unigram log-likelihood ratio (add-1 smoothing
+    // over the raw vocabulary, 6dp decimal-summed), keep the top 150 by
+    // (score, id) — TakeOrdered, never a global sort.
+    "dsir_select" -> ((s, dir) =>
+      LangModel.dsirScores(table(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+        .filter(col("n_tokens") > 0)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(DsirTopK)),
 
     // Order-activity windows ([orderdate, orderdate + key%30 days]) ⋈
     // overlapping 10-day promo windows every 17 days — the bucketized
@@ -267,6 +279,26 @@ object MixQueries {
          |SELECT t.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_bigrams,
          |  round(-s / CAST(n AS DOUBLE), 6) AS nll
          |FROM t LEFT JOIN lmg USING (doc_id)""".stripMargin,
+
+    "dsir_select" ->
+      s"""WITH tk AS (SELECT doc_id, (lang = 'en') AS tgt, unnest($toksSql) AS w
+         |  FROM documents),
+         |m AS (SELECT w, CAST(count(*) AS BIGINT) AS cr,
+         |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |  FROM tk GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+         |    CAST(sum(ct) AS BIGINT) AS tt,
+         |    CAST(count(*) AS BIGINT) AS v FROM m),
+         |wt AS (SELECT w, CAST(round(
+         |    ln((CAST(ct AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + CAST(v AS DOUBLE))) -
+         |    ln((CAST(cr AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + CAST(v AS DOUBLE))),
+         |    6) AS DECIMAL(18,6)) AS lw
+         |  FROM m, tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(lw) AS DOUBLE) AS score
+         |FROM tk JOIN wt USING (w)
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT $DsirTopK""".stripMargin,
 
     "curate_lm" -> {
       val (scoreSel, langCase) = OracleSql.langId(toksSql)

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Specs for the entity-resolution / DSIR / representative-prune trio. */
+class LinkageSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("resolveEntities links planted variants, leaves distinct names alone") {
+    val df = Seq(
+      (1L, "acme widgets inc"),
+      (2L, "acme widgets in"),   // 1-char drop of #1 → links
+      (3L, "zenith gears ltd"),
+      (4L, "brightline optics"), // singleton
+      (5L, "zenith gears ltdx")  // 1-char append of #3 → links
+    ).toDF("id", "name")
+    val got = Linkage.resolveEntities(df, "id", "name",
+      substring(col("name"), 1, 4), tau = 0.95)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 3L))
+  }
+
+  test("resolveEntities: transitive chains collapse to one entity; blocking prevents cross-block links") {
+    val df = Seq(
+      (10L, "northgate supply"),
+      (11L, "northgate supplyx"), // links to 10
+      (12L, "northgate supplyxy"), // links to 11 (and 10 transitively)
+      // identical name but a DIFFERENT block key → never scored
+      (13L, "xnorthgate supply")
+    ).toDF("id", "name")
+    val got = Linkage.resolveEntities(df, "id", "name",
+      substring(col("name"), 1, 4), tau = 0.9)
+      .as[(Long, Long)].collect().toMap
+    assert(got(10L) == 10L && got(11L) == 10L && got(12L) == 10L)
+    assert(got(13L) == 13L)
+  }
+
+  test("resolveEntities: tau = 1.0 links only exact duplicate names") {
+    val df = Seq((1L, "same name co"), (2L, "same name co"), (3L, "same name cq"))
+      .toDF("id", "name")
+    val got = Linkage.resolveEntities(df, "id", "name",
+      substring(col("name"), 1, 4), tau = 1.0)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("pruneToRepresentatives keeps min id per cluster and all singletons") {
+    val records = (1L to 10L).toDF("id")
+    val pairs = Seq((3L, 5L), (5L, 9L), (2L, 7L)).toDF("id_a", "id_b")
+    val kept = Dedup.pruneToRepresentatives(records, "id", pairs)
+      .as[Long].collect().toSet
+    // clusters {3,5,9}→3 and {2,7}→2; 5,9,7 dropped
+    assert(kept == Set(1L, 2L, 3L, 4L, 6L, 8L, 10L))
+  }
+
+  test("pruneToRepresentatives with no pairs is the identity") {
+    val records = (1L to 5L).toDF("id")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val kept = Dedup.pruneToRepresentatives(records, "id", pairs)
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("dsirScores ranks target-like documents above off-target ones") {
+    // target docs use one vocabulary, raw-only docs another; a mixed doc
+    // sits between.
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha", true),
+      (2L, "alpha beta beta alpha beta", true),
+      (3L, "gamma delta gamma delta gamma", false),
+      (4L, "delta gamma delta delta gamma", false),
+      (5L, "alpha beta gamma delta alpha", false)
+    ).toDF("id", "text", "is_en")
+    val got = LangModel.dsirScores(docs, "id", "text", col("is_en"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(1L) > 0.0 && got(2L) > 0.0, s"target docs must score > 0: $got")
+    assert(got(3L) < 0.0 && got(4L) < 0.0, s"off-target docs must score < 0: $got")
+    assert(got(5L) > got(3L) && got(5L) < got(1L),
+      s"mixed doc must sit between: $got")
+  }
+
+  test("dsirScores: token-less and null-text docs score 0 with n_tokens 0") {
+    val docs = Seq((1L, "alpha beta", true), (2L, "", false),
+      (3L, null.asInstanceOf[String], false)).toDF("id", "text", "t")
+    val got = LangModel.dsirScores(docs, "id", "text", col("t"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(2L) == ((0L, 0.0)) && got(3L) == ((0L, 0.0)))
+    assert(got(1L)._1 == 2L)
+  }
+
+  test("dsirScores is partition-invariant (exact decimal sums)") {
+    val docs = (1L to 200L).map(i =>
+      (i, s"tok${i % 13} tok${i % 7} tok${i % 3} tok${i % 29}", i % 4 == 0))
+      .toDF("id", "text", "t")
+    val a = LangModel.dsirScores(docs, "id", "text", col("t"))
+      .as[(Long, Long, Double)].collect().toSet
+    val b = LangModel.dsirScores(docs.repartition(17), "id", "text", col("t"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b)
+  }
+}
