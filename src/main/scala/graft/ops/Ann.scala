@@ -218,13 +218,17 @@ object Ann {
       "randomProject uses an internal __v column; rename the existing one")
     val signs = projectionSigns(outDim, inDim)
     val scale = 1.0 / math.sqrt(outDim.toDouble)
-    // the cast vector materializes ONCE as a projected attribute — an
-    // element_at over the raw transform(...) would re-run the cast per term
+    // Each dim is a 0.0-seeded left fold over sign-flipped elements — the
+    // same canonical float order as an unrolled ± chain (±1·x is exact,
+    // 0.0+x ≡ x), but WITHOUT the unrolled outDim×inDim expression tree:
+    // 1024 inlined element_at terms blow whole-stage codegen's 64 KB
+    // method cap and drop the stage to interpreted mode. The fold form
+    // stays a handful of higher-order expressions per dim.
     val dims = signs.zipWithIndex.map { case (row, j) =>
-      val sum = (0 until inDim).map { i =>
-        element_at(col("__v"), i + 1) * lit(row(i))
-      }.reduceLeft(_ + _)
-      struct(lit(j).as("dim"), round(sum * lit(scale), 6).as("x"))
+      val sgn = array(row.map(s => lit(s.toDouble)): _*)
+      val dot = aggregate(zip_with(col("__v"), sgn, (x, sg) => x * sg),
+        lit(0.0), (acc, x) => acc + x)
+      struct(lit(j).as("dim"), round(dot * lit(scale), 6).as("x"))
     }
     df.withColumn("__v", asDouble(col(vecCol)))
       .select(col(idCol), explode(array(dims: _*)).as("__d"))

@@ -185,6 +185,27 @@ object Profile {
         col("__cnt").as("n"))
   }
 
+  /** Class-balance report with the EFFECTIVE number of samples (Cui et
+    * al. 2019, "Class-Balanced Loss"): `E_n = (1 − β^n) / (1 − β)` — the
+    * de-duplicated "information content" of n samples under overlap rate
+    * β. The re-weighting factor a class-balanced trainer would use is
+    * ∝ 1/E_n; a report row per label carries count, corpus share and E_n.
+    * One map-side-combinable aggregate + a 1-row broadcast total;
+    * `β^n` is one libm pow of exact operands, 6dp-rounded (the
+    * cross-engine-safe form). */
+  def classBalance(df: DataFrame, labelCol: String,
+      beta: Double = 0.999): DataFrame = {
+    require(beta > 0.0 && beta < 1.0, s"beta must be in (0, 1), got $beta")
+    val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(labelCol), col("n"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 6)
+          .as("share"),
+        round((lit(1.0) - pow(lit(beta), col("n").cast("double"))) /
+          lit(1.0 - beta), 6).as("effective_n"))
+  }
+
   // ------------------------------------------------------------- Benford
 
   /** log10(1 + 1/d) for d = 1..9, pre-rounded to 6dp as literals so the

@@ -77,4 +77,36 @@ object Resample {
         col("__bcnt") > 0 && col(nCol).cast("double") > mean * factor)
       .drop("__bsum", "__bcnt")
   }
+
+  /** Exponentially time-decayed event mass per key — the recency-weighted
+    * activity feature (each event contributes `0.5^(age / halfLife)`,
+    * age measured back from the corpus's LATEST event, so yesterday's
+    * click outweighs last month's). The reference instant is computed
+    * in-plan (1-row broadcast — no driver action); per-event weights are
+    * `pow(0.5, Δsec/halfLife)` with both operands exact integers-as-
+    * doubles, 6dp-rounded to decimal (the cross-engine libm form), so the
+    * per-key sum is exact and order-free. One map-side-combinable
+    * aggregate over a narrow projection.
+    *
+    * Output: (keyCol, n_events, decayed_mass double). */
+  def timeDecayed(events: DataFrame, keyCol: String, tsCol: String,
+      halfLifeSeconds: Long): DataFrame = {
+    require(halfLifeSeconds > 0, s"halfLife must be > 0, got $halfLifeSeconds")
+    Seq("__sec", "__ref", "__w").foreach { c =>
+      require(!events.columns.contains(c),
+        s"timeDecayed uses an internal $c column; rename the existing one")
+    }
+    val secs = events.select(col(keyCol),
+      unix_timestamp(col(tsCol)).as("__sec"))
+    val ref = secs.agg(max(col("__sec")).as("__ref"))
+    secs.crossJoin(broadcast(ref))
+      .select(col(keyCol),
+        round(pow(lit(0.5),
+          (col("__ref") - col("__sec")).cast("double") /
+            lit(halfLifeSeconds.toDouble)), 6)
+          .cast("decimal(18,6)").as("__w"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__w")).cast("double").as("decayed_mass"))
+  }
 }

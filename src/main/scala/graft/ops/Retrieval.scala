@@ -83,4 +83,31 @@ object Retrieval {
           coalesce(lit(1.0) / (lit(k.toDouble) + col("__r2")), lit(0.0)))
           .as("rrf"))
   }
+
+  /** Exact phrase search via POSITIONAL inverted-index intersection — the
+    * classic phrase-query plan: each phrase term's posting list (doc,
+    * position) is shifted back by its offset in the phrase, so a phrase
+    * occurrence is an m-way equality on (doc, aligned start); the join
+    * chain intersects the lists smallest-first-agnostically on the
+    * (id, start) key. Each side of every join is ONE term's postings —
+    * the filter prunes the token stream before any shuffle, and every
+    * join is a keyed equi-join (broadcastable when a term is rare). No
+    * window, no per-doc array rebuild.
+    *
+    * Output: (id, n_hits, first_pos) for documents containing the exact
+    * token sequence at least once (token = [[TextOps.tokens]] semantics:
+    * lowercased, whitespace-split). */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val postings = docs.select(col(idCol).as("id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
+    val aligned = phrase.zipWithIndex.map { case (t, i) =>
+      postings.filter(col("term") === t)
+        .select(col("id"), (col("pos") - i).cast("long").as("start"))
+    }
+    aligned.reduce((a, b) => a.join(b, Seq("id", "start")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("start")).as("first_pos"))
+  }
 }

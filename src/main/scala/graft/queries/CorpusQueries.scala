@@ -26,6 +26,7 @@ object CorpusQueries {
   private val BmTopK = 25
   private val RrfK = 60
   private val RrfTopK = 20
+  private val PhraseQuery = Seq("slow", "hash", "batch")
 
   /** Eval set = doc_id % 17 == 0; planted contamination appends the first 8
     * tokens of eval doc 17·(doc_id % 29) to every train doc with
@@ -161,7 +162,16 @@ object CorpusQueries {
         .select(col("id"), col("rank"))
       Retrieval.rrfFuse(r1, r2, "id", "rank", RrfK)
         .orderBy(col("rrf").desc, col("id").asc).limit(RrfTopK)
-    }))
+    }),
+
+    // Exact phrase search via positional inverted-index intersection:
+    // each term's postings shift back by the term's phrase offset, a
+    // 3-way (doc, start) equi-join intersects them. The fixture phrase
+    // occurs organically (8 docs at sf0.01).
+    "search_phrase" -> ((s, dir) =>
+      Retrieval.phraseSearch(table(s, dir, "documents"), "doc_id", "text",
+        PhraseQuery)
+        .select(col("id").as("doc_id"), col("n_hits"), col("first_pos"))))
 
   // ---------------------------------------------------------------- oracles
 
@@ -307,7 +317,26 @@ object CorpusQueries {
          |    coalesce(1.0 / ($RrfK.0 + r1.rk), 0.0) +
          |    coalesce(1.0 / ($RrfK.0 + r2.rk), 0.0) AS rrf
          |  FROM r1 FULL OUTER JOIN r2 ON r1.id = r2.id)
-         |SELECT id, rrf FROM f ORDER BY rrf DESC, id ASC LIMIT $RrfTopK""".stripMargin)
+         |SELECT id, rrf FROM f ORDER BY rrf DESC, id ASC LIMIT $RrfTopK""".stripMargin,
+
+    "search_phrase" -> {
+      val aligns = PhraseQuery.zipWithIndex.map { case (t, i) =>
+        s"a$i AS (SELECT doc_id, pos - $i AS start FROM p WHERE term = '$t')"
+      }.mkString(",\n")
+      val joins = (1 until PhraseQuery.size)
+        .map(i => s"JOIN a$i USING (doc_id, start)").mkString(" ")
+      s"""WITH $capGuard,
+         |tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    toks[CAST(i AS INT)] AS term
+         |  FROM tk, range(1, 4096) r(i)
+         |  WHERE i <= len(toks) AND (SELECT g FROM guard) = 1),
+         |$aligns,
+         |h AS (SELECT a0.doc_id, a0.start FROM a0 $joins)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |  min(start) AS first_pos
+         |FROM h GROUP BY doc_id""".stripMargin
+    })
 
   /** BM25 CTE chain shared by both search oracles — mirrors
     * [[graft.ops.Retrieval.bm25Scores]] operand for operand (k1=1.2,

@@ -95,6 +95,13 @@ object SessionQueries {
       graft.ops.Resample.hourlyPerKey(table(s, dir, "events"),
         "user_id", "ts", "value")),
 
+    // Recency-weighted activity: each event contributes 0.5^(age/1day)
+    // back from the latest event in the corpus — the time-decayed count
+    // feature (exact decimal sum of 6dp-rounded pow terms).
+    "feature_time_decay" -> ((s, dir) =>
+      graft.ops.Resample.timeDecayed(table(s, dir, "events"),
+        "user_id", "ts", halfLifeSeconds = 86400L)),
+
     // Rate-spike anomalies: each hour vs the mean of its PRIOR 24 grid
     // hours (the spike never inflates its own baseline).
     "anomaly_rate_spikes" -> ((s, dir) =>
@@ -251,6 +258,16 @@ object SessionQueries {
         |  CAST(age_days AS BIGINT) AS age_days,
         |  CAST(count(*) AS BIGINT) AS n_active
         |FROM a GROUP BY 1, 2""".stripMargin,
+
+    "feature_time_decay" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |r AS (SELECT max(sec) AS ref FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(pow(0.5,
+        |    CAST(ref - sec AS DOUBLE) / 86400.0), 6) AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS decayed_mass
+        |FROM e, r GROUP BY user_id""".stripMargin,
 
     // Constant-bound range + loud guard: DuckDB 1.0 can't correlate
     // range() laterally; 2048 hours covers the month-long fixture span.

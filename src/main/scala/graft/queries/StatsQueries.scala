@@ -121,6 +121,11 @@ object StatsQueries {
     "profile_benford_prices" -> ((s, dir) =>
       graft.ops.Profile.benfordDigits(table(s, dir, "lineitem"), "l_extendedprice")),
 
+    // Class-balance report over embedding labels: per-class count, corpus
+    // share, and the Cui et al. effective number of samples at β=0.999.
+    "profile_class_balance" -> ((s, dir) =>
+      graft.ops.Profile.classBalance(table(s, dir, "embeddings"), "label")),
+
     // k-anonymity release audit (Sweeney 2002): QI = (nation, market
     // segment); classes smaller than k=10 are re-identification risks a
     // release must generalize or suppress. One map-side-combinable
@@ -659,6 +664,16 @@ object StatsQueries {
         |  e.expected_p,
         |  round(abs(coalesce(c.n, 0) / total - e.expected_p), 6) AS abs_dev
         |FROM exp e LEFT JOIN counts c ON e.digit = c.digit, tot""".stripMargin,
+
+    "profile_class_balance" ->
+      """WITH c AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c)
+        |SELECT label, n,
+        |  round(CAST(n AS DOUBLE) / tot, 6) AS share,
+        |  round((1.0 - pow(0.999, CAST(n AS DOUBLE))) / (1.0 - 0.999), 6)
+        |    AS effective_n
+        |FROM c, t""".stripMargin,
 
     "privacy_k_anon" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS class_size

@@ -117,4 +117,45 @@ class QualitySpec extends SparkSpec {
       (1L, h0 + 10800, 1L, 5.0),
       (2L, h0 + 36000, 1L, 7.0)))
   }
+
+  test("timeDecayed: latest event weighs 1, one half-life back weighs 0.5") {
+    val h0 = 1700000000L
+    def at(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, at(h0)),             // ref event: weight 1.0
+      (1L, at(h0 - 86400L)),    // exactly one half-life: 0.5
+      (2L, at(h0 - 172800L)))   // two half-lives: 0.25
+      .toDF("user_id", "ts")
+    val got = Resample.timeDecayed(ev, "user_id", "ts", 86400L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got(1L) == ((2L, 1.5)))
+    assert(got(2L) == ((1L, 0.25)))
+  }
+
+  test("timeDecayed is partition-invariant (decimal-summed weights)") {
+    val h0 = 1700000000L
+    val ev = (1L to 300L).map(i =>
+      (i % 5, new Timestamp((h0 - i * 977L) * 1000L))).toDF("user_id", "ts")
+    val a = Resample.timeDecayed(ev, "user_id", "ts", 86400L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Resample.timeDecayed(ev.repartition(13), "user_id", "ts", 86400L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
+  test("classBalance: counts, shares, and effective-n hand-check") {
+    val df = (Seq.fill(300)("a") ++ Seq.fill(100)("b") ++ Seq.fill(1)("c"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "label")
+    val got = Profile.classBalance(df, "label", beta = 0.999)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("a")._1 == 300L && got("b")._1 == 100L && got("c")._1 == 1L)
+    assert(math.abs(got("a")._2 - 300.0 / 401.0) < 1e-6)
+    // E_1 = 1 exactly; E_n < n and grows sub-linearly
+    assert(got("c")._3 == 1.0)
+    assert(got("a")._3 < 300.0 && got("a")._3 > got("b")._3)
+    assert(math.abs(got("b")._3 -
+      (1.0 - math.pow(0.999, 100.0)) / (1.0 - 0.999)) < 1e-5)
+  }
 }

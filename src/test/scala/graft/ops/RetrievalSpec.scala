@@ -51,4 +51,30 @@ class RetrievalSpec extends SparkSpec {
     // consensus doc 2 outranks either single-list doc
     assert(out(2L) > out(1L) && out(2L) > out(3L))
   }
+
+  test("phraseSearch: exact adjacency only, hit counts and first positions") {
+    val d = docs(
+      1L -> "big red fox jumps big red fox",  // 2 hits of "big red fox", first at 0
+      2L -> "big red dog red fox big",        // terms present, never adjacent in order
+      3L -> "x big red fox y",                // 1 hit at pos 1
+      4L -> "red big fox")                    // wrong order
+    val got = Retrieval.phraseSearch(d, "doc_id", "text",
+      Seq("big", "red", "fox")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((2L, 0L)), 3L -> ((1L, 1L))))
+  }
+
+  test("phraseSearch: overlapping occurrences each count") {
+    val d = docs(1L -> "a a a a")
+    val got = Retrieval.phraseSearch(d, "doc_id", "text", Seq("a", "a"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(got == ((3L, 0L)))
+  }
+
+  test("phraseSearch: single-term phrase equals token postings") {
+    val d = docs(1L -> "w q w", 2L -> "q", 3L -> "z")
+    val got = Retrieval.phraseSearch(d, "doc_id", "text", Seq("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L))
+  }
 }
