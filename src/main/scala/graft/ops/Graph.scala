@@ -99,6 +99,59 @@ object Graph {
     ranks
   }
 
+  /** Exact per-node triangle counts of an undirected simple graph, by
+    * degree-ordered edge orientation (the node-iterator bound): each edge
+    * {u,v} is oriented from its lower-(degree, id) endpoint, wedges are
+    * generated only from a node's ORIENTED out-neighbours, and a wedge
+    * (v, w) closes iff the oriented edge v→w exists. Every triangle is
+    * found exactly once, and the wedge count is Σ C(outdeg, 2) with
+    * outdeg ≤ O(√m) — the classic bound that keeps a power-law hub (degree
+    * d) from generating d² wedges. At cluster scale this is two shuffles:
+    * wedges by source (co-partitioned self-join) and the closing lookup
+    * by the (v, w) pair; skew follows oriented out-degree, which the
+    * orientation itself bounds.
+    *
+    * @param edges canonical undirected simple edges: one row per pair,
+    *              aCol < bCol, no self-loops, no duplicates.
+    * @return (node, triangles) for every node in ≥ 1 triangle, counts
+    *         exact (each triangle credited to all three corners).
+    */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // Orient each edge from its ≺-smaller endpoint, where ≺ is the total
+    // order (degree, id); carry the head's ≺-key so wedge pairs can be
+    // ordered without re-joining degrees.
+    val oriented = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"),
+            struct(col("db").as("d"), col("b").as("id")).as("vk")))
+          .otherwise(
+            struct(col("b").as("u"), col("a").as("v"),
+              struct(col("da").as("d"), col("a").as("id")).as("vk")))
+          .as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.vk").as("vk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Wedges (u; v ≺ w) from u's out-neighbours; close on oriented v→w
+    // (v ≺ w guarantees the closing edge, if present, is oriented v→w).
+    val left = oriented.select(col("u"), col("v"), col("vk"))
+    val right = oriented.select(col("u"), col("v").as("w"), col("vk").as("wk"))
+    val triangles = left.join(right, Seq("u"))
+      .filter(col("vk") < col("wk"))
+      .join(oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"),
+        "left_semi")
+    triangles
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("triangles"))
+  }
+
   /** Degree profile of a weighted edge list: per node, out/in degree and
     * out/in weight (0 where absent). One aggregate per direction + a full
     * outer merge on the node id. */

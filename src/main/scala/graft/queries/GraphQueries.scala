@@ -52,7 +52,25 @@ object GraphQueries {
         .select(col("node"), col("r").as("pr"))),
 
     "graph_degrees" -> ((s, dir) =>
-      Graph.degrees(transitionEdges(s, dir), "src", "dst", "w")))
+      Graph.degrees(transitionEdges(s, dir), "src", "dst", "w")),
+
+    // Exact triangle census of the co-purchase graph (parts linked when
+    // they share ≥ 2 orders — the support floor keeps the graph at the
+    // association-rule backbone rather than every incidental pairing).
+    // Degree-ordered orientation inside triangleCounts bounds wedge
+    // generation on hub parts; the oracle is the naive three-way join.
+    "graph_triangles" -> ((s, dir) => {
+      val b = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = b.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(b.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      Graph.triangleCounts(e, "pa", "pb")
+        .select(col("node").as("part"), col("triangles"))
+    }))
 
   /** Shared edge CTEs: e(src, dst, w), ow(src, outw), nodes, nn(n). */
   private val edgeCtes: String =
@@ -86,6 +104,21 @@ object GraphQueries {
          |  FROM nodes CROSS JOIN nn),
          |${(0 until Iters).map(iterCtes).mkString(",\n")}
          |SELECT node, CAST(r AS BIGINT) AS pr FROM r$Iters""".stripMargin,
+
+    "graph_triangles" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS pa, c.l_partkey AS pb
+        |  FROM b a JOIN b c
+        |    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |t AS (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+        |  FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+        |  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |n AS (SELECT x AS node FROM t
+        |  UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
+        |SELECT CAST(node AS BIGINT) AS part,
+        |  CAST(count(*) AS BIGINT) AS triangles
+        |FROM n GROUP BY 1""".stripMargin,
 
     "graph_degrees" ->
       s"""WITH $edgeCtes,

@@ -234,6 +234,37 @@ object StatsQueries {
           .as("pearson_r"))
     }),
 
+    // Higher central moments (skewness, excess kurtosis) per return flag
+    // from EXACT integer power sums S1..S4 — one map-side-combinable hash
+    // aggregate; the closing algebra runs in double with operand order
+    // mirrored token-for-token in the oracle (left-assoc in both
+    // engines), so the result is bit-identical, then round(6) absorbs
+    // nothing but presentation. x ≤ 50 ⇒ S4 ≤ n·6.25e6, overflow-safe in
+    // BIGINT far past 100 TB row counts.
+    "agg_moments" -> ((s, dir) => {
+      val d = table(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("__x"))
+      val agg = d.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("__s1"),
+        sum(col("__x") * col("__x")).as("__s2"),
+        sum(col("__x") * col("__x") * col("__x")).as("__s3"),
+        sum(col("__x") * col("__x") * col("__x") * col("__x")).as("__s4"))
+      val nd = col("n").cast("double")
+      val m = col("__s1").cast("double") / nd
+      val r2 = col("__s2").cast("double") / nd
+      val r3 = col("__s3").cast("double") / nd
+      val r4 = col("__s4").cast("double") / nd
+      val m2 = r2 - m * m
+      val m3 = r3 - lit(3.0) * m * r2 + lit(2.0) * m * m * m
+      val m4 = r4 - lit(4.0) * m * r3 + lit(6.0) * m * m * r2 -
+        lit(3.0) * m * m * m * m
+      agg.select(col("l_returnflag"), col("n"),
+        round(m, 6).as("mean_qty"),
+        round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
+        round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis"))
+    }),
+
     // Exact Gini coefficient of per-customer revenue concentration:
     // G = (2·Σ rank·x) / (n·Σx) − (n+1)/n over ascending-sorted revenues.
     // Revenues are exact decimal sums; rank·x products and their sum stay
@@ -449,6 +480,28 @@ object StatsQueries {
         fd("lineitem", "l_partkey", "l_suppkey"))
         .mkString("\nUNION ALL\n")
     },
+
+    "agg_moments" ->
+      """WITH d AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x
+        |  FROM lineitem),
+        |a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s1, CAST(sum(x*x) AS BIGINT) AS s2,
+        |    CAST(sum(x*x*x) AS BIGINT) AS s3,
+        |    CAST(sum(x*x*x*x) AS BIGINT) AS s4
+        |  FROM d GROUP BY 1),
+        |f AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+        |    CAST(s3 AS DOUBLE) AS s3d, CAST(s4 AS DOUBLE) AS s4d FROM a),
+        |g AS (SELECT l_returnflag, n, s1d/nd AS m, s2d/nd AS r2,
+        |    s3d/nd AS r3, s4d/nd AS r4 FROM f),
+        |h AS (SELECT l_returnflag, n, m,
+        |    r2 - m*m AS m2,
+        |    r3 - 3.0*m*r2 + 2.0*m*m*m AS m3,
+        |    r4 - 4.0*m*r3 + 6.0*m*m*r2 - 3.0*m*m*m*m AS m4 FROM g)
+        |SELECT l_returnflag, n, round(m, 6) AS mean_qty,
+        |  round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+        |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+        |FROM h""".stripMargin,
 
     "agg_correlation" ->
       """WITH d AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,

@@ -81,6 +81,38 @@ class GraphSpec extends SparkSpec {
     assert(out("c") == ((0L, 0L, 2L, 6L))) // no out-edges
   }
 
+  test("triangleCounts: K4, disjoint triangle, and a path — exact per-node counts") {
+    import spark.implicits._
+    // K4 on 1..4 (every node in C(3,2)=3 triangles), a disjoint triangle
+    // 5-6-7, and a pendant path 7-8-9 (no triangles for 8, 9).
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val e = (k4 ++ Seq((5L, 6L), (5L, 7L), (6L, 7L), (7L, 8L), (8L, 9L)))
+      .toDF("a", "b")
+    val out = Graph.triangleCounts(e, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(out(_) == 3L))
+    assert(Seq(5L, 6L, 7L).forall(out(_) == 1L))
+    assert(!out.contains(8L) && !out.contains(9L)) // path nodes emit nothing
+    // Credit invariant: Σ per-node counts = 3 × total triangles (4 + 1).
+    assert(out.values.sum == 3L * 5L)
+  }
+
+  test("triangleCounts: invariant under partitioning; hub wedge order irrelevant") {
+    import spark.implicits._
+    // Star hub 0 joined to 1..6 plus ring edges closing alternate
+    // triangles: hub has high degree so orientation points AWAY from it
+    // on every edge it could dominate — counts must still be exact.
+    val e = ((1L to 6L).map(i => (0L, i)) ++
+      Seq((1L, 2L), (3L, 4L), (5L, 6L))).toDF("a", "b")
+    val r1 = Graph.triangleCounts(e, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r2 = Graph.triangleCounts(e.repartition(7), "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == r2)
+    assert(r1(0L) == 3L) // hub corners all three triangles
+    assert((1L to 6L).forall(r1(_) == 1L))
+  }
+
   test("histogram: clamped edge bins, exact counts and extremes") {
     import spark.implicits._
     val df = Seq(-5.0, 0.0, 9.9, 10.0, 25.0, 99.0, 250.0)
