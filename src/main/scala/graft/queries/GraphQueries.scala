@@ -45,6 +45,28 @@ object GraphQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  private val coPurchaseCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Co-purchase graph: parts linked when they share ≥ 2 orders — the
+    * support floor keeps the graph at the association-rule backbone
+    * rather than every incidental pairing. Canonical (pa < pb) simple
+    * edges; persisted + memoized because the derivation is itself a
+    * self-join over the distinct order-part pairs and three gates
+    * (triangles, link prediction, k-core) reuse it. */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    coPurchaseCache.computeIfAbsent((s, dir), { case (sess, d) =>
+      val b = table(sess, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      b.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(b.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "graph_pagerank" -> ((s, dir) =>
@@ -54,23 +76,23 @@ object GraphQueries {
     "graph_degrees" -> ((s, dir) =>
       Graph.degrees(transitionEdges(s, dir), "src", "dst", "w")),
 
-    // Exact triangle census of the co-purchase graph (parts linked when
-    // they share ≥ 2 orders — the support floor keeps the graph at the
-    // association-rule backbone rather than every incidental pairing).
-    // Degree-ordered orientation inside triangleCounts bounds wedge
-    // generation on hub parts; the oracle is the naive three-way join.
-    "graph_triangles" -> ((s, dir) => {
-      val b = table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = b.select(col("l_orderkey"), col("l_partkey").as("pa"))
-        .join(b.select(col("l_orderkey"), col("l_partkey").as("pb")),
-          Seq("l_orderkey"))
-        .filter(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-      Graph.triangleCounts(e, "pa", "pb")
-        .select(col("node").as("part"), col("triangles"))
-    }))
+    // Exact triangle census of the co-purchase graph. Degree-ordered
+    // orientation inside triangleCounts bounds wedge generation on hub
+    // parts; the oracle is the naive three-way join.
+    "graph_triangles" -> ((s, dir) =>
+      Graph.triangleCounts(coPurchaseEdges(s, dir), "pa", "pb")
+        .select(col("node").as("part"), col("triangles"))),
+
+    // "Customers who bought X also bought Y" — resource-allocation link
+    // prediction over the co-purchase graph: non-adjacent part pairs
+    // scored by shared-neighbour mass in exact 1e-12 fixed point. The
+    // 500-degree hub cap (mirrored in the oracle) bounds the open-wedge
+    // quadratic term at scale.
+    "graph_linkpred" -> ((s, dir) =>
+      Graph.linkPrediction(coPurchaseEdges(s, dir), "pa", "pb",
+        minCommon = 2, maxDegree = 500)
+        .select(col("node_a").as("part_a"), col("node_b").as("part_b"),
+          col("cn"), col("ra"))))
 
   /** Shared edge CTEs: e(src, dst, w), ow(src, outw), nodes, nn(n). */
   private val edgeCtes: String =
@@ -84,6 +106,14 @@ object GraphQueries {
       |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1),
       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)""".stripMargin
+
+  /** Co-purchase edge CTEs: e(pa, pb) canonical support-≥2 edges. */
+  private val coPurchaseCtes: String =
+    """b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS pa, c.l_partkey AS pb
+      |  FROM b a JOIN b c
+      |    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
 
   /** One unrolled PageRank iteration: contributions from r$i, ranks r${i+1}. */
   private def iterCtes(i: Int): String =
@@ -106,11 +136,7 @@ object GraphQueries {
          |SELECT node, CAST(r AS BIGINT) AS pr FROM r$Iters""".stripMargin,
 
     "graph_triangles" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |e AS (SELECT a.l_partkey AS pa, c.l_partkey AS pb
-        |  FROM b a JOIN b c
-        |    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      s"""WITH $coPurchaseCtes,
         |t AS (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
         |  FROM e e1 JOIN e e2 ON e2.pa = e1.pb
         |  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
@@ -119,6 +145,24 @@ object GraphQueries {
         |SELECT CAST(node AS BIGINT) AS part,
         |  CAST(count(*) AS BIGINT) AS triangles
         |FROM n GROUP BY 1""".stripMargin,
+
+    "graph_linkpred" ->
+      s"""WITH $coPurchaseCtes,
+        |adj AS (SELECT pa AS v, pb AS x FROM e
+        |  UNION ALL SELECT pb, pa FROM e),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |ctr AS (SELECT adj.v, adj.x, ${Graph.Scale} // d AS wt
+        |  FROM adj JOIN deg ON deg.v = adj.v WHERE d <= 500),
+        |w AS (SELECT l.x AS na, r.x AS nb, l.wt
+        |  FROM ctr l JOIN ctr r ON l.v = r.v AND l.x < r.x),
+        |sc AS (SELECT na, nb, CAST(count(*) AS BIGINT) AS cn,
+        |    CAST(sum(wt) AS BIGINT) AS ra
+        |  FROM w GROUP BY 1, 2)
+        |SELECT CAST(na AS BIGINT) AS part_a, CAST(nb AS BIGINT) AS part_b,
+        |  cn, ra
+        |FROM sc
+        |WHERE cn >= 2 AND NOT EXISTS
+        |  (SELECT 1 FROM e WHERE e.pa = sc.na AND e.pb = sc.nb)""".stripMargin,
 
     "graph_degrees" ->
       s"""WITH $edgeCtes,

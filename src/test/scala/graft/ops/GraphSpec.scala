@@ -113,6 +113,47 @@ class GraphSpec extends SparkSpec {
     assert((1L to 6L).forall(r1(_) == 1L))
   }
 
+  test("linkPrediction: K4-minus-an-edge scores the missing pair; adjacency excluded") {
+    import spark.implicits._
+    // Nodes 1..4, all K4 edges except (3,4): the classic "predict the
+    // missing link" setup. Pair (3,4) shares neighbours {1,2}, both of
+    // degree 3 → cn=2, ra = 2·⌊1e12/3⌋. Adjacent pairs must not appear.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("a", "b")
+    val out = Graph.linkPrediction(e, "a", "b", minCommon = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == Map((3L, 4L) -> ((2L, 2L * (Graph.Scale / 3)))))
+    // minCommon=1 adds nothing here (every non-adjacent pair already
+    // shares ≥ 2) but on a path 5-6-7 it surfaces (5,7) via centre 6.
+    val path = Seq((5L, 6L), (6L, 7L)).toDF("a", "b")
+    val p = Graph.linkPrediction(path, "a", "b", minCommon = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(p == Map((5L, 7L) -> ((1L, Graph.Scale / 2))))
+  }
+
+  test("linkPrediction: hub cap removes hub-centred wedges; partition invariant") {
+    import spark.implicits._
+    // Star hub 0 — 1..5 plus edge (1,2). Uncapped: every pair in 1..5
+    // scores via centre 0 (deg 5); pair (1,2) is adjacent so excluded.
+    // With maxDegree=4 the hub is no longer a valid centre, and no
+    // qualifying wedge centre remains (1 and 2 have degree 2 but their
+    // neighbour pair (0, other) is adjacent or the score drops minCommon).
+    val e = ((1L to 5L).map(i => (0L, i)) ++ Seq((1L, 2L))).toDF("a", "b")
+    val full = Graph.linkPrediction(e, "a", "b", minCommon = 1).collect()
+    assert(full.length == 9) // C(5,2)=10 hub wedge pairs minus adjacent (1,2)
+    assert(full.forall(_.getLong(3) == Graph.Scale / 5))
+    val capped = Graph.linkPrediction(e, "a", "b", minCommon = 1,
+      maxDegree = 4)
+    assert(capped.count() == 0)
+    val repart = Graph.linkPrediction(e.repartition(7), "a", "b",
+      minCommon = 1).collect()
+    assert(repart.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).sorted.sameElements(full.map(r => (r.getLong(0),
+      r.getLong(1), r.getLong(2), r.getLong(3))).sorted))
+  }
+
   test("histogram: clamped edge bins, exact counts and extremes") {
     import spark.implicits._
     val df = Seq(-5.0, 0.0, 9.9, 10.0, 25.0, 99.0, 250.0)
