@@ -205,6 +205,60 @@ object Graph {
         col("cn"), col("ra"))
   }
 
+  /** The k-core of an undirected simple graph: the (unique) maximal
+    * subgraph in which every node has degree ≥ k, found by iterative
+    * peeling — drop all nodes of degree < k, recompute degrees, repeat
+    * to fixpoint. The fixpoint is deletion-ORDER independent (peeling in
+    * any order reaches the same core), which is what makes the result
+    * engine- and partitioning-exact and lets an oracle unroll the loop.
+    *
+    * Scale shape: each round is one degree aggregate plus two semi
+    * joins of the edge list against the surviving-node set, all keyed by
+    * node id — the standard bulk-synchronous peel (GraphX/GraphFrames
+    * shape). The convergence probe is one `count()` per round on the
+    * (persisted) shrinking edge set; lineage is truncated every round by
+    * the persist itself. Dense cores converge in a handful of rounds;
+    * long chains drain one layer per round, hence the maxIters guard
+    * throws loudly rather than returning a not-yet-core subgraph.
+    *
+    * @param edges canonical undirected simple edges (aCol < bCol, no
+    *              self-loops, no duplicates).
+    * @return (node, deg) for k-core members, deg the WITHIN-core degree
+    *         (≥ k by construction). Empty if no k-core exists.
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+      maxIters: Int = 25): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var e = edges.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b")).persist(mem)
+    var m = e.count()
+    var converged = m == 0L
+    var round = 0
+    while (!converged) {
+      round += 1
+      if (round > maxIters)
+        throw new IllegalStateException(
+          s"k-core peel did not converge within $maxIters rounds")
+      val keep = degrees(e).filter(col("deg") >= k).select(col("node"))
+      val e2 = e
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .persist(mem)
+      val m2 = e2.count()
+      converged = m2 == m
+      e.unpersist()
+      e = e2
+      m = m2
+    }
+    degrees(e)
+  }
+
   /** Degree profile of a weighted edge list: per node, out/in degree and
     * out/in weight (0 where absent). One aggregate per direction + a full
     * outer merge on the node id. */

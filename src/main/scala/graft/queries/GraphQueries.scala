@@ -92,7 +92,16 @@ object GraphQueries {
       Graph.linkPrediction(coPurchaseEdges(s, dir), "pa", "pb",
         minCommon = 2, maxDegree = 500)
         .select(col("node_a").as("part_a"), col("node_b").as("part_b"),
-          col("cn"), col("ra"))))
+          col("cn"), col("ra"))),
+
+    // Cyclic backbone of the co-purchase graph: the 2-core peels away
+    // every tree/pendant part, leaving only parts on cycles — the
+    // subgraph where association signals reinforce. Peeling reaches the
+    // unique fixpoint in ≤ 6 rounds on these fixtures; the oracle
+    // unrolls 12 (extra rounds past the fixpoint are no-ops).
+    "graph_kcore" -> ((s, dir) =>
+      Graph.kCore(coPurchaseEdges(s, dir), "pa", "pb", k = 2)
+        .select(col("node").as("part"), col("deg"))))
 
   /** Shared edge CTEs: e(src, dst, w), ow(src, outw), nodes, nn(n). */
   private val edgeCtes: String =
@@ -163,6 +172,29 @@ object GraphQueries {
         |FROM sc
         |WHERE cn >= 2 AND NOT EXISTS
         |  (SELECT 1 FROM e WHERE e.pa = sc.na AND e.pb = sc.nb)""".stripMargin,
+
+    "graph_kcore" -> {
+      // One peel round: degrees of ec$i → survivors → ec${i+1}. Each
+      // ec$i is referenced 3× by the next round, so WITHOUT
+      // materialization DuckDB inlines the chain 3^rounds times — the
+      // MATERIALIZED hint makes the unroll linear, mirroring Spark's
+      // per-round persist.
+      def peel(i: Int): String =
+        s"""g${i + 1} AS MATERIALIZED (SELECT v FROM (
+           |    SELECT pa AS v FROM ec$i UNION ALL SELECT pb FROM ec$i)
+           |  GROUP BY 1 HAVING count(*) >= 2),
+           |ec${i + 1} AS MATERIALIZED (SELECT pa, pb FROM ec$i
+           |  WHERE pa IN (SELECT v FROM g${i + 1})
+           |    AND pb IN (SELECT v FROM g${i + 1}))""".stripMargin
+      val rounds = 12
+      s"""WITH $coPurchaseCtes,
+         |ec0 AS MATERIALIZED (SELECT pa, pb FROM e),
+         |${(0 until rounds).map(peel).mkString(",\n")}
+         |SELECT CAST(v AS BIGINT) AS part, CAST(count(*) AS BIGINT) AS deg
+         |FROM (SELECT pa AS v FROM ec$rounds
+         |  UNION ALL SELECT pb FROM ec$rounds)
+         |GROUP BY 1""".stripMargin
+    },
 
     "graph_degrees" ->
       s"""WITH $edgeCtes,

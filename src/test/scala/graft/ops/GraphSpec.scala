@@ -154,6 +154,42 @@ class GraphSpec extends SparkSpec {
       r.getLong(1), r.getLong(2), r.getLong(3))).sorted))
   }
 
+  test("kCore: cascading peel drains a path, keeps the ring, K4 survives k=3") {
+    import spark.implicits._
+    // Ring 1-2-3-4-5-1 with a pendant path 5-6-7-8: the 2-core is the
+    // ring alone, and the path drains one layer per round (8, then 7,
+    // then 6) — exercises multi-round cascade, not just one peel.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 8L)).toDF("a", "b")
+    val core2 = Graph.kCore(e, "a", "b", k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == (1L to 5L).map(_ -> 2L).toMap)
+    // k=3 on the same graph: empty (ring degrees are all 2).
+    assert(Graph.kCore(e, "a", "b", k = 3).count() == 0L)
+    // K4 + pendant: 3-core is exactly the K4 with degree 3 each.
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)) :+
+      ((4L, 9L))
+    val core3 = Graph.kCore(k4.toDF("a", "b"), "a", "b", k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == (1L to 4L).map(_ -> 3L).toMap)
+  }
+
+  test("kCore: partition invariant; empty input; maxIters guard throws") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val r1 = Graph.kCore(e, "a", "b", k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val r2 = Graph.kCore(e.repartition(5), "a", "b", k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(r1 == r2 && r1 == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    assert(Graph.kCore(e.limit(0), "a", "b", k = 2).count() == 0L)
+    // A 4-link chain needs 2 drain rounds + 1 confirm; maxIters=1 must throw.
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Graph.kCore(chain, "a", "b", k = 2, maxIters = 1).count()
+    }
+  }
+
   test("histogram: clamped edge bins, exact counts and extremes") {
     import spark.implicits._
     val df = Seq(-5.0, 0.0, 9.9, 10.0, 25.0, 99.0, 250.0)
