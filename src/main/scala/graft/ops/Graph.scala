@@ -259,6 +259,51 @@ object Graph {
     degrees(e)
   }
 
+  /** Multi-source breadth-first hop distances over an undirected simple
+    * graph: for every node within `maxHops` of ANY source, the minimum
+    * hop count. The frontier pattern — each round joins only the
+    * CURRENT frontier onto the adjacency and anti-joins the visited set
+    * — so per-round work is proportional to the frontier's edge
+    * neighbourhood, not the whole graph (unlike the fixed-point
+    * full-graph rounds of [[pagerankScaled]]). Exactly the crawl-reach /
+    * seed-proximity shape a curation pipeline uses to score documents by
+    * link distance from a trusted seed set.
+    *
+    * Runs a FIXED `maxHops` rounds with no driver-side convergence
+    * probe: an exhausted frontier makes the remaining rounds empty
+    * joins, and the bounded hop count is the semantic anyway. Every
+    * round's frontier and the growing visited set are persisted (each is
+    * referenced by two downstream plans); BFS layers are unique minimum
+    * distances, so the result is engine- and partitioning-exact.
+    *
+    * @param edges   canonical undirected simple edges (aCol < bCol).
+    * @param sources one column, the seed node ids (must be distinct).
+    * @return (node, dist): sources at 0, else min hops, ≤ maxHops.
+    */
+  def hopDistances(edges: DataFrame, aCol: String, bCol: String,
+      sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 12,
+      s"maxHops out of range (1..12): $maxHops")
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(aCol).cast("long").as("v"),
+      col(bCol).cast("long").as("x"))
+    val adj = e.union(e.select(col("x").as("v"), col("v").as("x")))
+      .persist(mem)
+    val seed = sources.toDF("node").select(col("node").cast("long").as("node"))
+    var visited = seed.select(col("node"), lit(0).as("dist")).persist(mem)
+    var frontier = seed
+    for (d <- 1 to maxHops) {
+      val next = adj.join(frontier.select(col("node").as("v")), Seq("v"))
+        .select(col("x").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .persist(mem)
+      visited = visited.union(next.select(col("node"), lit(d).as("dist")))
+        .persist(mem)
+      frontier = next
+    }
+    visited
+  }
+
   /** Degree profile of a weighted edge list: per node, out/in degree and
     * out/in weight (0 where absent). One aggregate per direction + a full
     * outer merge on the node id. */

@@ -101,7 +101,22 @@ object GraphQueries {
     // unrolls 12 (extra rounds past the fixpoint are no-ops).
     "graph_kcore" -> ((s, dir) =>
       Graph.kCore(coPurchaseEdges(s, dir), "pa", "pb", k = 2)
-        .select(col("node").as("part"), col("deg"))))
+        .select(col("node").as("part"), col("deg"))),
+
+    // Association reach from the hub parts: BFS hop distance (≤ 4) from
+    // the top-3 co-purchase hubs (degree desc, id asc tie-break) — the
+    // seed-proximity signal used to rank a catalog/crawl by closeness
+    // to a trusted set. Frontier-proportional rounds, not full-graph.
+    "graph_bfs_hubs" -> ((s, dir) => {
+      val e = coPurchaseEdges(s, dir)
+      val deg = e.select(col("pa").as("node"))
+        .union(e.select(col("pb").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val seeds = deg.orderBy(col("deg").desc, col("node").asc)
+        .limit(3).select(col("node"))
+      Graph.hopDistances(e, "pa", "pb", seeds, maxHops = 4)
+        .select(col("node").as("part"), col("dist"))
+    }))
 
   /** Shared edge CTEs: e(src, dst, w), ow(src, outw), nodes, nn(n). */
   private val edgeCtes: String =
@@ -194,6 +209,26 @@ object GraphQueries {
          |FROM (SELECT pa AS v FROM ec$rounds
          |  UNION ALL SELECT pb FROM ec$rounds)
          |GROUP BY 1""".stripMargin
+    },
+
+    "graph_bfs_hubs" -> {
+      def hop(i: Int): String =
+        s"""f${i + 1} AS MATERIALIZED (SELECT DISTINCT adj.x AS node
+           |  FROM adj JOIN f$i ON adj.v = f$i.node
+           |  WHERE adj.x NOT IN (SELECT node FROM v$i)),
+           |v${i + 1} AS MATERIALIZED (SELECT node, d FROM v$i
+           |  UNION ALL SELECT node, ${i + 1} FROM f${i + 1})""".stripMargin
+      val hops = 4
+      s"""WITH $coPurchaseCtes,
+         |adj AS MATERIALIZED (SELECT pa AS v, pb AS x FROM e
+         |  UNION ALL SELECT pb, pa FROM e),
+         |dg AS (SELECT v, count(*) AS c FROM adj GROUP BY 1),
+         |f0 AS MATERIALIZED (SELECT v AS node FROM dg
+         |  ORDER BY c DESC, v ASC LIMIT 3),
+         |v0 AS MATERIALIZED (SELECT node, 0 AS d FROM f0),
+         |${(0 until hops).map(hop).mkString(",\n")}
+         |SELECT CAST(node AS BIGINT) AS part, CAST(d AS INT) AS dist
+         |FROM v$hops""".stripMargin
     },
 
     "graph_degrees" ->

@@ -190,6 +190,42 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("hopDistances: multi-source min distance, hop cap, unreachable excluded") {
+    import spark.implicits._
+    // Path 1-2-3-4-5-6 plus disjoint edge (10,11); sources {1, 5}.
+    // Min-distance layering: 2→1(from 1), 4→1(from 5), 3→2(either),
+    // 6→1(from 5); 10/11 unreachable. Cap at 2 keeps everything here.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L)).toDF("a", "b")
+    val src = Seq(1L, 5L).toDF("node")
+    val out = Graph.hopDistances(e, "a", "b", src, maxHops = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 6L -> 1, 3L -> 2))
+    // Cap 1: node 3 now outside the horizon.
+    val capped = Graph.hopDistances(e, "a", "b", src, maxHops = 1).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped == Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 6L -> 1))
+    // Exhausted frontier: rounds past the graph's diameter are no-ops.
+    val deep = Graph.hopDistances(e, "a", "b", Seq(10L).toDF("node"),
+      maxHops = 6).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(deep == Map(10L -> 0, 11L -> 1))
+  }
+
+  test("hopDistances: cycle takes the short way round; partition invariant") {
+    import spark.implicits._
+    // 6-ring from node 1: the far node (4) is 3 hops, both ways agree.
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 6L)).toDF("a", "b")
+    val src = Seq(1L).toDF("node")
+    val r1 = Graph.hopDistances(ring, "a", "b", src, maxHops = 5).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(r1 == Map(1L -> 0, 2L -> 1, 6L -> 1, 3L -> 2, 5L -> 2, 4L -> 3))
+    val r2 = Graph.hopDistances(ring.repartition(5), "a", "b",
+      src.repartition(2), maxHops = 5).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(r1 == r2)
+  }
+
   test("histogram: clamped edge bins, exact counts and extremes") {
     import spark.implicits._
     val df = Seq(-5.0, 0.0, 9.9, 10.0, 25.0, 99.0, 250.0)
