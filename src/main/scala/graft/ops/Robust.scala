@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Robust-statistics cleanup of numeric columns — the outlier-taming step
@@ -56,6 +56,51 @@ object Robust {
     df.join(broadcast(bounds), Seq(groupCol))
       .filter(col(valueCol) <= col("__q"))
       .drop("__q")
+  }
+
+  /** Approximate per-group quantiles from a DETERMINISTIC hash sample —
+    * the merge-invariant alternative to a mergeable quantile sketch
+    * (GK/KLL), whose compaction state depends on merge order and so
+    * cannot be bit-reproduced across partitionings or engines. The
+    * sample membership is a pure function of each row's id
+    * ([[Sampling.permilleBucket]] < permille), so ANY engine selects the
+    * same rows, and the type-1 (lower-rank) quantile of integer values
+    * needs no interpolation: p(q) = min{v : rank(v) ≥ ⌈q·n⌉}, evaluated
+    * as the all-integer `cum·den ≥ num·n` — not a float in the plan.
+    *
+    * Cost shape: one narrow sample filter (permille/1000 of rows
+    * survive), one hash aggregate to (group, value) counts, then a
+    * per-group running sum over the COLLAPSED value domain — the window
+    * partition holds distinct values, not rows, so a billion-row group
+    * with a bounded domain (quantities, scores, bucketed lengths) costs
+    * its domain size. For unbounded continuous domains, bucket first or
+    * use [[graft.ops.Ranking.prefixSum]]. Standard binomial bounds put
+    * the sampled quantile's rank error at O(√(q(1-q)/n_sample)).
+    *
+    * Output: (group, sample_n, p50, p90, p99). Groups whose sample is
+    * empty are absent (no rows to rank). */
+  def sampledQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: Column, permille: Int): DataFrame = {
+    require(permille >= 1 && permille <= 1000,
+      s"permille out of range (1..1000): $permille")
+    Seq("__v", "__c", "__cum", "sample_n", "p50", "p90", "p99").foreach { c =>
+      require(!df.columns.contains(c),
+        s"sampledQuantiles uses/emits $c; rename the existing column")
+    }
+    val s = df.filter(Sampling.permilleBucket(idCol) < permille)
+      .select(col(groupCol), col(valueCol).cast("long").as("__v"))
+    val counts = s.groupBy(col(groupCol), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__v"))
+    val cum = counts.withColumn("__cum", sum(col("__c")).over(w))
+    val n = s.groupBy(col(groupCol)).agg(count(lit(1)).as("sample_n"))
+    def pick(num: Int, den: Int, as: String) =
+      min(when(col("__cum") * den >= col("sample_n") * num, col("__v")))
+        .as(as)
+    cum.join(n, groupCol :: Nil)
+      .groupBy(col(groupCol), col("sample_n"))
+      .agg(pick(1, 2, "p50"), pick(9, 10, "p90"), pick(99, 100, "p99"))
   }
 
   /** Robust outlier report via the MAD (median absolute deviation)

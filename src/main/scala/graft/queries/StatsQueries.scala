@@ -59,6 +59,19 @@ object StatsQueries {
           percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
             .as("approx_p50"))),
 
+    // Deterministic hash-sampled quantiles — the ORACLE-CHECKABLE
+    // approximate percentile (vs agg_sketch_accuracy's rows-only
+    // KLL/HLL): sample membership is a pure function of the row id, so
+    // both engines rank the same 10% sample, and type-1 quantiles of
+    // integer quantities are all-integer arithmetic. StatsSpec bounds
+    // the sample-vs-exact error.
+    "sketch_quantiles_sampled" -> ((s, dir) =>
+      graft.ops.Robust.sampledQuantiles(
+        table(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity",
+        col("l_orderkey") * lit(8L) + col("l_linenumber"),
+        permille = 100)),
+
     // 7-day trailing moving average of daily order revenue per priority —
     // a RANGE-frame window over the day number (counts calendar days, not
     // rows: gap days widen nothing). Decimal day-sums keep the mean's
@@ -479,6 +492,27 @@ object StatsQueries {
         fd("lineitem", "l_orderkey", "l_returnflag"),
         fd("lineitem", "l_partkey", "l_suppkey"))
         .mkString("\nUNION ALL\n")
+    },
+
+    "sketch_quantiles_sampled" -> {
+      val id = "(l_orderkey * 8 + l_linenumber)"
+      s"""WITH s AS (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS BIGINT) AS v
+        |  FROM lineitem
+        |  WHERE (${OracleSql.knuth32(id)}) % 1000 < 100),
+        |c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM s GROUP BY 1, 2),
+        |cum AS (SELECT g, v,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
+        |  FROM c),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS sample_n
+        |  FROM s GROUP BY 1)
+        |SELECT cum.g AS l_returnflag, n.sample_n,
+        |  min(CASE WHEN cum * 2 >= sample_n THEN v END) AS p50,
+        |  min(CASE WHEN cum * 10 >= sample_n * 9 THEN v END) AS p90,
+        |  min(CASE WHEN cum * 100 >= sample_n * 99 THEN v END) AS p99
+        |FROM cum JOIN n ON n.g = cum.g
+        |GROUP BY 1, 2""".stripMargin
     },
 
     "agg_moments" ->

@@ -260,6 +260,35 @@ class MixSpec extends SparkSpec {
     assert(out == Map(1L -> "a2", 3L -> "c", 4L -> "d")) // 2 deleted
   }
 
+  test("sampledQuantiles: full sample is exact type-1; internal-name guard") {
+    // permille=1000 keeps every row, so the "sampled" quantiles are the
+    // exact lower-rank quantiles: of 1..100, p50=50, p90=90, p99=99.
+    val df = (1 to 100).map(i => ("a", i, i.toLong)).toDF("grp", "v", "id")
+    val out = Robust.sampledQuantiles(df, "grp", "v", col("id"), 1000)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map("a" -> ((100L, 50L, 90L, 99L))))
+    val clash = (1 to 3).map(i => ("a", i, i.toLong)).toDF("grp", "p50", "id")
+    intercept[IllegalArgumentException] {
+      Robust.sampledQuantiles(clash, "grp", "p50", col("id"), 1000)
+    }
+  }
+
+  test("sampledQuantiles: 10% hash sample lands near exact; partition invariant") {
+    val df = (1 to 20000).map(i => ("a", i % 1000, i.toLong))
+      .toDF("grp", "v", "id")
+    val out = Robust.sampledQuantiles(df, "grp", "v", col("id"), 100)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    val (n, p50, p90) = out
+    assert(n > 1500 && n < 2500)       // ~10% of 20k, binomial spread
+    assert(math.abs(p50 - 500L) < 50)  // exact p50 of v=id%1000 ≈ 500
+    assert(math.abs(p90 - 900L) < 50)
+    val rep = Robust.sampledQuantiles(df.repartition(13), "grp", "v",
+      col("id"), 100).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(rep == out)
+  }
+
   test("madOutliers flags exactly the planted contamination") {
     // 1..101 (odd count: median/MAD exact integers) + two planted 999s.
     val df = ((1 to 101).map(i => ("a", i.toDouble)) ++
