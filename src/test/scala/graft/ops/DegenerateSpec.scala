@@ -82,6 +82,26 @@ class DegenerateSpec extends SparkSpec {
     assert(Funnel.sessionPaths(e, "u", "ts", "id", "t", 1800L, 5).count() == 0)
   }
 
+  test("graph census/prediction/core/bfs and sampled quantiles on empty or trivial input") {
+    val eEdges = emptyDf("a" -> LongType, "b" -> LongType)
+    // triangle-free and empty graphs: no census rows, no scores, no core
+    assert(Graph.triangleCounts(eEdges, "a", "b").count() == 0)
+    assert(Graph.linkPrediction(eEdges, "a", "b", minCommon = 1).count() == 0)
+    assert(Graph.kCore(eEdges, "a", "b", k = 2).count() == 0)
+    val single = Seq((1L, 2L)).toDF("a", "b")
+    assert(Graph.triangleCounts(single, "a", "b").count() == 0)
+    assert(Graph.linkPrediction(single, "a", "b", minCommon = 1).count() == 0)
+    assert(Graph.kCore(single, "a", "b", k = 2).count() == 0)
+    // BFS with no edges: sources alone at distance 0
+    val src = Seq(7L).toDF("node")
+    val d = Graph.hopDistances(eEdges, "a", "b", src, maxHops = 3).collect()
+    assert(d.length == 1 && d.head.getLong(0) == 7L && d.head.getInt(1) == 0)
+    // sampled quantiles of an empty frame: no groups, no rows
+    val eVals = emptyDf("g" -> StringType, "v" -> LongType, "id" -> LongType)
+    assert(Robust.sampledQuantiles(eVals, "g", "v", col("id"), 100)
+      .count() == 0)
+  }
+
   test("substring spans, prefix sums, benford, k-anon on empty/undersized input") {
     // all docs shorter than the gram: zero grams, zero spans (and no
     // descending-sequence trap from size(t) - n going negative)
