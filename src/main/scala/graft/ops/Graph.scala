@@ -216,10 +216,16 @@ object Graph {
     * joins of the edge list against the surviving-node set, all keyed by
     * node id — the standard bulk-synchronous peel (GraphX/GraphFrames
     * shape). The convergence probe is one `count()` per round on the
-    * (persisted) shrinking edge set; lineage is truncated every round by
-    * the persist itself. Dense cores converge in a handful of rounds;
-    * long chains drain one layer per round, hence the maxIters guard
-    * throws loudly rather than returning a not-yet-core subgraph.
+    * shrinking edge set. Every round the survivor edge set is eagerly
+    * `localCheckpoint`ed, NOT merely persisted: each round's plan
+    * references the previous round's ~5 times (degrees twice via the
+    * union, the edge set itself, the keep set twice), so an un-truncated
+    * LOGICAL plan grows ~5× per round and Catalyst analysis — not the
+    * data — becomes the bottleneck within a handful of rounds (persist
+    * only short-circuits physical re-execution, never re-analysis).
+    * Dense cores converge in a handful of rounds; long chains drain one
+    * layer per round, hence the maxIters guard throws loudly rather
+    * than returning a not-yet-core subgraph.
     *
     * @param edges canonical undirected simple edges (aCol < bCol, no
     *              self-loops, no duplicates).
@@ -230,12 +236,11 @@ object Graph {
       maxIters: Int = 25): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("node")).union(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     var e = edges.select(col(aCol).cast("long").as("a"),
-      col(bCol).cast("long").as("b")).persist(mem)
+      col(bCol).cast("long").as("b")).localCheckpoint(true)
     var m = e.count()
     var converged = m == 0L
     var round = 0
@@ -249,10 +254,9 @@ object Graph {
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .persist(mem)
+        .localCheckpoint(true)
       val m2 = e2.count()
       converged = m2 == m
-      e.unpersist()
       e = e2
       m = m2
     }
@@ -271,9 +275,12 @@ object Graph {
     *
     * Runs a FIXED `maxHops` rounds with no driver-side convergence
     * probe: an exhausted frontier makes the remaining rounds empty
-    * joins, and the bounded hop count is the semantic anyway. Every
-    * round's frontier and the growing visited set are persisted (each is
-    * referenced by two downstream plans); BFS layers are unique minimum
+    * joins, and the bounded hop count is the semantic anyway. The
+    * adjacency and each round's new layer are eagerly
+    * `localCheckpoint`ed — each is referenced by 2-3 downstream plans
+    * per round, so an un-truncated LOGICAL plan grows ~3× per hop and
+    * Catalyst analysis, not the data, becomes the cost (persist alone
+    * never truncates re-analysis). BFS layers are unique minimum
     * distances, so the result is engine- and partitioning-exact.
     *
     * @param edges   canonical undirected simple edges (aCol < bCol).
@@ -284,22 +291,22 @@ object Graph {
       sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 12,
       s"maxHops out of range (1..12): $maxHops")
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(aCol).cast("long").as("v"),
       col(bCol).cast("long").as("x"))
     val adj = e.union(e.select(col("x").as("v"), col("v").as("x")))
-      .persist(mem)
+      .localCheckpoint(true)
     val seed = sources.toDF("node").select(col("node").cast("long").as("node"))
-    var visited = seed.select(col("node"), lit(0).as("dist")).persist(mem)
-    var frontier = seed
+    var visited = seed.select(col("node"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var frontier = visited.select(col("node"))
     for (d <- 1 to maxHops) {
       val next = adj.join(frontier.select(col("node").as("v")), Seq("v"))
         .select(col("x").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
-        .persist(mem)
-      visited = visited.union(next.select(col("node"), lit(d).as("dist")))
-        .persist(mem)
-      frontier = next
+        .select(col("node"), lit(d).as("dist"))
+        .localCheckpoint(true)
+      visited = visited.union(next)
+      frontier = next.select(col("node"))
     }
     visited
   }
