@@ -97,4 +97,70 @@ object Curation {
       .select(col("id").as("doc_id"), col("quality"), col("n_tokens"),
         col("cum_n_tokens").as("cum_tokens"))
   }
+
+  /** Filter-ablation report — the per-rule attribution table every corpus
+    * release publishes: for each curation rule, how many documents it
+    * flags, and how many it UNIQUELY flags (docs no other rule would
+    * catch — the marginal value of keeping that rule; a rule whose
+    * unique count is 0 is fully shadowed and could be dropped without
+    * changing the corpus). Rules evaluated INDEPENDENTLY (no
+    * short-circuit order, unlike [[curate]]'s sequential stages):
+    *
+    *   - `lang`    — language id ≠ `language`,
+    *   - `quality` — 6dp-rounded quality score < `minQuality`,
+    *   - `short`   — whitespace token count < `minTokens`,
+    *   - `dup`     — not the min-id representative of its exact
+    *                 fingerprint group,
+    *
+    * plus a `kept` row (zero flags; its two counts coincide).
+    *
+    * Cost shape: one narrow pass computes the three per-row flags; the
+    * dup flag is a fingerprint groupBy joined back (content-keyed,
+    * map-side combinable); everything then collapses into ONE global
+    * aggregate row that explodes into the 5-row report — no per-rule
+    * rescans of the corpus.
+    *
+    * Output: (rule, n_flagged, n_unique). */
+  def filterAblation(docs: DataFrame, idCol: String, textCol: String,
+      language: String = "en", minQuality: Double = 0.6,
+      minTokens: Int = 20): DataFrame = {
+    val f = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("__f_lang",
+        TextOps.languageId(col("text")) =!= lit(language))
+      .withColumn("__f_quality",
+        round(TextOps.qualityScore(col("text")), 6) < minQuality)
+      .withColumn("__f_short",
+        TextOps.tokenCountWhitespace(col("text")) < minTokens)
+      .withColumn("__fp", TextOps.fingerprint(col("text")))
+    val rep = f.groupBy(col("__fp")).agg(min(col("id")).as("__keep_id"))
+    val flagged = f.join(rep, Seq("__fp"))
+      .withColumn("__f_dup", col("id") =!= col("__keep_id"))
+      .withColumn("__nfails",
+        col("__f_lang").cast("int") + col("__f_quality").cast("int") +
+          col("__f_short").cast("int") + col("__f_dup").cast("int"))
+    // coalesce: sum over an EMPTY corpus is null — report zeros instead
+    def cnt(flag: String) = coalesce(sum(col(flag).cast("long")), lit(0L))
+    def uniq(flag: String) = coalesce(
+      sum((col(flag) && col("__nfails") === 1).cast("long")), lit(0L))
+    val one = flagged.agg(
+      cnt("__f_lang").as("lf"), uniq("__f_lang").as("lu"),
+      cnt("__f_quality").as("qf"), uniq("__f_quality").as("qu"),
+      cnt("__f_short").as("sf"), uniq("__f_short").as("su"),
+      cnt("__f_dup").as("df"), uniq("__f_dup").as("du"),
+      coalesce(sum((col("__nfails") === 0).cast("long")), lit(0L))
+        .as("kept"))
+    one.select(explode(array(
+        struct(lit("lang").as("rule"), col("lf").as("n_flagged"),
+          col("lu").as("n_unique")),
+        struct(lit("quality").as("rule"), col("qf").as("n_flagged"),
+          col("qu").as("n_unique")),
+        struct(lit("short").as("rule"), col("sf").as("n_flagged"),
+          col("su").as("n_unique")),
+        struct(lit("dup").as("rule"), col("df").as("n_flagged"),
+          col("du").as("n_unique")),
+        struct(lit("kept").as("rule"), col("kept").as("n_flagged"),
+          col("kept").as("n_unique")))).as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_flagged").as("n_flagged"),
+        col("r.n_unique").as("n_unique"))
+  }
 }

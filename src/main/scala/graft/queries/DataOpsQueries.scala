@@ -273,6 +273,14 @@ object DataOpsQueries {
       graft.ops.Curation.tokenBudgetSelect(table(s, dir, "documents"),
         "doc_id", "text", budgetTokens = 8000L)),
 
+    // Filter-ablation attribution: per curation rule, total flagged and
+    // UNIQUELY flagged docs (the rule's marginal value — 0 unique means
+    // fully shadowed). One narrow flag pass + fingerprint groupBy + a
+    // single global aggregate exploded into the 5-row report.
+    "curate_ablation" -> ((s, dir) =>
+      graft.ops.Curation.filterAblation(table(s, dir, "documents"),
+        "doc_id", "text")),
+
     // Same pipeline with TRANSITIVE near-dup removal: qualifying pairs are
     // collapsed via connected components, only each cluster's min id
     // survives (differs from greedy exactly on connected clusters).
@@ -627,6 +635,37 @@ object DataOpsQueries {
            |SELECT id AS doc_id, quality, n_tokens,
            |  CAST(cum AS BIGINT) AS cum_tokens
            |FROM c WHERE cum <= 8000""".stripMargin,
+      "curate_ablation" ->
+        s"""WITH f0 AS (SELECT doc_id AS id, text, $scoreSel FROM documents),
+           |f AS (SELECT id,
+           |  CAST(($langCase <> 'en') AS INT) AS f_lang,
+           |  CAST(($roundedQualitySql < 0.6) AS INT) AS f_quality,
+           |  CAST((len($toksSql) < 20) AS INT) AS f_short,
+           |  md5($normTextSql) AS fp
+           |  FROM f0),
+           |rep AS (SELECT fp, min(id) AS keep_id FROM f GROUP BY 1),
+           |g AS (SELECT f.*,
+           |    f_lang + f_quality + f_short +
+           |      CAST(f.id <> rep.keep_id AS INT) AS nfails,
+           |    CAST(f.id <> rep.keep_id AS INT) AS f_dup
+           |  FROM f JOIN rep ON rep.fp = f.fp),
+           |a AS (SELECT
+           |  CAST(coalesce(sum(f_lang), 0) AS BIGINT) AS lf,
+           |  CAST(coalesce(sum(CAST(f_lang = 1 AND nfails = 1 AS INT)), 0) AS BIGINT) AS lu,
+           |  CAST(coalesce(sum(f_quality), 0) AS BIGINT) AS qf,
+           |  CAST(coalesce(sum(CAST(f_quality = 1 AND nfails = 1 AS INT)), 0) AS BIGINT) AS qu,
+           |  CAST(coalesce(sum(f_short), 0) AS BIGINT) AS sf,
+           |  CAST(coalesce(sum(CAST(f_short = 1 AND nfails = 1 AS INT)), 0) AS BIGINT) AS su,
+           |  CAST(coalesce(sum(f_dup), 0) AS BIGINT) AS df,
+           |  CAST(coalesce(sum(CAST(f_dup = 1 AND nfails = 1 AS INT)), 0) AS BIGINT) AS du,
+           |  CAST(coalesce(sum(CAST(nfails = 0 AS INT)), 0) AS BIGINT) AS kept
+           |  FROM g)
+           |SELECT 'lang' AS rule, lf AS n_flagged, lu AS n_unique FROM a
+           |UNION ALL SELECT 'quality', qf, qu FROM a
+           |UNION ALL SELECT 'short', sf, su FROM a
+           |UNION ALL SELECT 'dup', df, du FROM a
+           |UNION ALL SELECT 'kept', kept, kept FROM a""".stripMargin,
+
       "text_tokens" ->
         s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
            | CAST(len(regexp_extract_all(text, '${TextOps.BpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens

@@ -35,6 +35,30 @@ class OpsSpec extends SparkSpec {
     assert(ids(Curation.curateTransitive(d, "doc_id", "text", p)) == Set(1L))
   }
 
+  test("filterAblation: per-rule totals, unique attribution, shadowed overlap") {
+    // 1: clean (kept). 2: exact copy of 1 (dup only). 3: French (lang
+    // only). 4: two tokens (short only). 5: French AND short — flagged
+    // by two rules, so it raises both totals but NEITHER unique count.
+    val d = Seq(
+      (1L, "the and of to the"),
+      (2L, "the and of to the"),
+      (3L, "le les des et le"),
+      (4L, "the and"),
+      (5L, "le et")).toDF("doc_id", "text")
+    val out = Curation.filterAblation(d, "doc_id", "text",
+      language = "en", minQuality = 0.1, minTokens = 5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == Map(
+      "lang" -> ((2L, 1L)), "quality" -> ((0L, 0L)),
+      "short" -> ((2L, 1L)), "dup" -> ((1L, 1L)), "kept" -> ((1L, 1L))))
+    // Empty corpus: the 5-row spine with all-zero counts, not nulls.
+    val empty = d.limit(0)
+    val z = Curation.filterAblation(empty, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(z.length == 5 && z.forall(_ == ((0L, 0L))))
+  }
+
   test("tokenBudgetSelect keeps exactly the in-budget quality-ranked prefix") {
     val docs = table(spark, sf("sf0.001"), "documents")
     val budget = 2000L
