@@ -483,4 +483,32 @@ object Dedup {
       .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
+
+  /** Cross-source duplicate-leakage matrix: attribute a duplicate-pair
+    * set (from ANY of the pair generators — exact, MinHash, n-gram,
+    * embedding) to the source pairs it spans. The mixing diagnostic a
+    * multi-source corpus needs before weighting: a hot off-diagonal cell
+    * says source B is largely a re-crawl of source A (down-weight or
+    * drop), a hot diagonal cell says the source self-duplicates.
+    *
+    * Two id-keyed joins of the (small) pair set against the (id, source)
+    * map, then one tiny aggregate; the matrix is at most |sources|²
+    * rows. Cells are unordered (source_a ≤ source_b lexically), so A→B
+    * and B→A leakage land in one cell.
+    *
+    * @param pairs (id_a, id_b, ...) qualifying duplicate pairs.
+    * @return (source_a, source_b, n_pairs), only non-empty cells. */
+  def crossSourceMatrix(pairs: DataFrame, docs: DataFrame, idCol: String,
+      sourceCol: String): DataFrame = {
+    val src = docs.select(col(idCol).as("__id"), col(sourceCol).as("__src"))
+    pairs
+      .join(src.select(col("__id").as("id_a"), col("__src").as("__sa")),
+        Seq("id_a"))
+      .join(src.select(col("__id").as("id_b"), col("__src").as("__sb")),
+        Seq("id_b"))
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

@@ -21,6 +21,16 @@ object DataOpsQueries {
     "dedup_exact_docs" -> ((s, dir) =>
       Dedup.exactGroups(table(s, dir, "documents"), "doc_id", "text")),
 
+    // Which sources leak into which: the n-gram near-dup pairs rolled up
+    // to an unordered source×source matrix — the pre-mixing diagnostic
+    // (hot off-diagonal cell = one source re-crawls another).
+    "dedup_source_matrix" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.ops.Dedup.crossSourceMatrix(
+        graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8),
+        docs, "doc_id", "source")
+    }),
+
     "dedup_ngram_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.8)),
@@ -465,6 +475,15 @@ object DataOpsQueries {
         s"""SELECT md5($normTextSql) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS keep_id,
            | count(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,
       "dedup_ngram_pairs" -> oraclesNgramSql,
+      "dedup_source_matrix" ->
+        s"""WITH p AS ($oraclesNgramSql),
+           |s AS (SELECT doc_id, source FROM documents),
+           |m AS (SELECT least(sa.source, sb.source) AS source_a,
+           |    greatest(sa.source, sb.source) AS source_b
+           |  FROM p JOIN s sa ON sa.doc_id = p.id_a
+           |         JOIN s sb ON sb.doc_id = p.id_b)
+           |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM m GROUP BY 1, 2""".stripMargin,
       "dedup_incremental" -> {
         def shingleCte(src: String) =
           s"""SELECT DISTINCT id, concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT)+1], toks[CAST(i AS INT)+2]) AS s

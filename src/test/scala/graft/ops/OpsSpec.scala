@@ -35,6 +35,20 @@ class OpsSpec extends SparkSpec {
     assert(ids(Curation.curateTransitive(d, "doc_id", "text", p)) == Set(1L))
   }
 
+  test("crossSourceMatrix: unordered cells, diagonal self-dups, empty pairs") {
+    val docs = Seq((1L, "A"), (2L, "B"), (3L, "A"), (4L, "B"), (5L, "C"))
+      .toDF("doc_id", "source")
+    // pairs: A-B twice (1-2, 3-4 via either order), A-A once (1-3), B-C once
+    val pairs = Seq((1L, 2L), (4L, 3L), (1L, 3L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.crossSourceMatrix(pairs, docs, "doc_id", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("A", "B") -> 2L, ("A", "A") -> 1L, ("B", "C") -> 1L))
+    assert(Dedup.crossSourceMatrix(pairs.limit(0), docs, "doc_id", "source")
+      .count() == 0L)
+  }
+
   test("filterAblation: per-rule totals, unique attribution, shadowed overlap") {
     // 1: clean (kept). 2: exact copy of 1 (dup only). 3: French (lang
     // only). 4: two tokens (short only). 5: French AND short — flagged
