@@ -99,6 +99,73 @@ object Graph {
     ranks
   }
 
+  /** Personalized (topic-sensitive) PageRank: teleport mass returns ONLY
+    * to the seed set, so rank measures proximity-weighted importance
+    * relative to the seeds — the trusted-seed quality-propagation signal
+    * (score a crawl frontier by closeness to vetted domains) rather than
+    * global centrality. Same fixed-point 64-bit integer arithmetic as
+    * [[pagerankScaled]] (order-invariant sums, bit-identical on any
+    * engine/partitioning); the only change is the teleport term:
+    * `Teleport div |S|` on seed nodes, 0 elsewhere, and rank starts as
+    * `Scale div |S|` on seeds. Nodes unreachable from the seed set hold
+    * rank 0 and are emitted (callers filter). Overflow analysis is the
+    * parent's: mass only leaks, every intermediate ≤ ~8.5e17.
+    *
+    * Scale shape per iteration: identical to [[pagerankScaled]] — one
+    * rank-onto-adjacency join, one destination aggregate, one left join
+    * to the node set; the seed flag rides the persisted node set.
+    *
+    * @param seeds one column of seed node ids (distinct; ids not in the
+    *              edge list's node set are counted in |S| but get no
+    *              edges — standard). */
+  def personalizedPagerankScaled(edges: DataFrame, srcCol: String,
+      dstCol: String, wCol: String, seeds: DataFrame, iters: Int,
+      checkpointEvery: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1")
+    require(iters <= 20 || checkpointEvery <= 10,
+      s"iters > 20 requires checkpointEvery <= 10 (got $checkpointEvery)")
+    Seq("node", "r", "__s", "__ns", "__m", "__c", "outw").foreach { c =>
+      require(!edges.columns.contains(c),
+        s"personalizedPagerankScaled uses an internal $c column; rename it")
+    }
+    val seed = seeds.toDF("node")
+      .select(col("node").cast("long").as("node")).localCheckpoint(true)
+    val nodes = edges.select(col(srcCol).cast("long").as("node"))
+      .union(edges.select(col(dstCol).cast("long").as("node")))
+      .union(seed.select(col("node")))
+      .distinct()
+      .join(seed.select(col("node"), lit(1L).as("__s")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ns1 = seed.agg(count(lit(1)).as("__ns"))
+    val eo = edges
+      .join(edges.groupBy(col(srcCol)).agg(sum(col(wCol)).as("outw")),
+        srcCol)
+      .select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"),
+        col(wCol).cast("long").as("__w"), col("outw").cast("long").as("outw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.crossJoin(broadcast(ns1))
+      .select(col("node"),
+        (col("__s") * expr(s"$Scale div __ns")).as("r"))
+    for (i <- 1 to iters) {
+      val contribs = eo
+        .join(ranks.select(col("node").as("__src"), col("r")), "__src")
+        .select(col("__dst").as("node"),
+          expr("((r * 850) div (1000 * outw)) * __w").as("__c"))
+      val inMass = contribs.groupBy(col("node")).agg(sum(col("__c")).as("__m"))
+      ranks = nodes.join(inMass, Seq("node"), "left")
+        .crossJoin(broadcast(ns1))
+        .select(col("node"),
+          (col("__s") * expr(s"$Teleport div __ns") +
+            coalesce(col("__m"), lit(0L))).as("r"))
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Exact per-node triangle counts of an undirected simple graph, by
     * degree-ordered edge orientation (the node-iterator bound): each edge
     * {u,v} is oriented from its lower-(degree, id) endpoint, wedges are

@@ -107,16 +107,34 @@ object GraphQueries {
     // the top-3 co-purchase hubs (degree desc, id asc tie-break) — the
     // seed-proximity signal used to rank a catalog/crawl by closeness
     // to a trusted set. Frontier-proportional rounds, not full-graph.
-    "graph_bfs_hubs" -> ((s, dir) => {
+    "graph_bfs_hubs" -> ((s, dir) =>
+      Graph.hopDistances(coPurchaseEdges(s, dir), "pa", "pb",
+        hubSeeds(s, dir), maxHops = 4)
+        .select(col("node").as("part"), col("dist"))),
+
+    // Trusted-seed quality propagation: personalized PageRank with
+    // teleport restricted to the top-3 co-purchase hubs — rank = mass
+    // reachable from the anchors, 0 elsewhere (filtered). Same
+    // fixed-point integer loop as graph_pagerank, seed-masked teleport.
+    "graph_ppr_hubs" -> ((s, dir) => {
       val e = coPurchaseEdges(s, dir)
-      val deg = e.select(col("pa").as("node"))
-        .union(e.select(col("pb").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val seeds = deg.orderBy(col("deg").desc, col("node").asc)
-        .limit(3).select(col("node"))
-      Graph.hopDistances(e, "pa", "pb", seeds, maxHops = 4)
-        .select(col("node").as("part"), col("dist"))
+      val sym = e.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+        .union(e.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+      Graph.personalizedPagerankScaled(sym, "src", "dst", "w",
+        hubSeeds(s, dir), Iters)
+        .filter(col("r") > 0)
+        .select(col("node").as("part"), col("r").as("pr"))
     }))
+
+  /** Top-3 co-purchase hubs (undirected degree desc, id asc) — the shared
+    * seed rule of the BFS-reach and personalized-PageRank gates. */
+  private def hubSeeds(s: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(s, dir)
+    e.select(col("pa").as("node")).union(e.select(col("pb").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("node").asc)
+      .limit(3).select(col("node"))
+  }
 
   /** Shared edge CTEs: e(src, dst, w), ow(src, outw), nodes, nn(n). */
   private val edgeCtes: String =
@@ -131,10 +149,11 @@ object GraphQueries {
       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)""".stripMargin
 
-  /** Co-purchase edge CTEs: e(pa, pb) canonical support-≥2 edges. */
+  /** Co-purchase edge CTEs: e(pa, pb, w) canonical support-≥2 edges. */
   private val coPurchaseCtes: String =
     """b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      |e AS (SELECT a.l_partkey AS pa, c.l_partkey AS pb
+      |e AS (SELECT a.l_partkey AS pa, c.l_partkey AS pb,
+      |    CAST(count(*) AS BIGINT) AS w
       |  FROM b a JOIN b c
       |    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
       |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
@@ -229,6 +248,38 @@ object GraphQueries {
          |${(0 until hops).map(hop).mkString(",\n")}
          |SELECT CAST(node AS BIGINT) AS part, CAST(d AS INT) AS dist
          |FROM v$hops""".stripMargin
+    },
+
+    "graph_ppr_hubs" -> {
+      // One unrolled seed-teleport iteration over the symmetric adjacency.
+      def iter(i: Int): String =
+        s"""c${i + 1} AS MATERIALIZED (SELECT adj.dst AS node,
+           |    CAST(sum(((r.r * 850) // (1000 * ow.outw)) * adj.w) AS BIGINT) AS m
+           |  FROM adj JOIN ow ON ow.src = adj.src
+           |  JOIN r$i r ON r.node = adj.src GROUP BY 1),
+           |r${i + 1} AS MATERIALIZED (SELECT nf.node,
+           |    nf.s * (${Graph.Teleport} // ns.n) + coalesce(c${i + 1}.m, 0) AS r
+           |  FROM nf CROSS JOIN ns
+           |  LEFT JOIN c${i + 1} ON c${i + 1}.node = nf.node)""".stripMargin
+      s"""WITH $coPurchaseCtes,
+         |adj AS MATERIALIZED (SELECT pa AS src, pb AS dst,
+         |    CAST(e.w AS BIGINT) AS w FROM e
+         |  UNION ALL SELECT pb, pa, CAST(e.w AS BIGINT) FROM e),
+         |dg AS (SELECT src AS v, count(*) AS c FROM adj GROUP BY 1),
+         |seeds AS MATERIALIZED (SELECT v AS node FROM dg
+         |  ORDER BY c DESC, v ASC LIMIT 3),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seeds),
+         |nodes AS (SELECT src AS node FROM adj UNION SELECT node FROM seeds),
+         |nf AS MATERIALIZED (SELECT node,
+         |    CASE WHEN node IN (SELECT node FROM seeds) THEN 1 ELSE 0 END AS s
+         |  FROM nodes),
+         |ow AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS outw
+         |  FROM adj GROUP BY 1),
+         |r0 AS MATERIALIZED (SELECT node, s * (${Graph.Scale} // ns.n) AS r
+         |  FROM nf CROSS JOIN ns),
+         |${(0 until Iters).map(iter).mkString(",\n")}
+         |SELECT CAST(node AS BIGINT) AS part, CAST(r AS BIGINT) AS pr
+         |FROM r$Iters WHERE r > 0""".stripMargin
     },
 
     "graph_degrees" ->

@@ -190,6 +190,33 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("personalizedPagerankScaled: seed-localized mass, zeros off-component") {
+    import spark.implicits._
+    // Symmetric pair 1↔2 plus disjoint pair 3↔4, seed {1}, 2 iterations.
+    // Hand-computed fixed point trace (Scale=1e12, damp 850/1000):
+    //   r0: 1→1e12;  r1: 1→150e9 (teleport), 2→850e9
+    //   r2: 1→150e9+722.5e9, 2→127.5e9; component {3,4} never gains mass.
+    val e = Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 4L, 1L), (4L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val out = Graph.personalizedPagerankScaled(e, "src", "dst", "w",
+      Seq(1L).toDF("node"), iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 872500000000L, 2L -> 127500000000L,
+      3L -> 0L, 4L -> 0L))
+    // Partition invariance (integer arithmetic ⇒ bit-identical).
+    val rep = Graph.personalizedPagerankScaled(e.repartition(5), "src",
+      "dst", "w", Seq(1L).toDF("node"), iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == out)
+    // Two seeds split teleport mass: totals stay ≤ Scale, both seeds hold
+    // the teleport floor.
+    val two = Graph.personalizedPagerankScaled(e, "src", "dst", "w",
+      Seq(1L, 3L).toDF("node"), iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two.values.sum <= Graph.Scale)
+    assert(two(1L) >= Graph.Teleport / 2 && two(3L) >= Graph.Teleport / 2)
+  }
+
   test("hopDistances: multi-source min distance, hop cap, unreachable excluded") {
     import spark.implicits._
     // Path 1-2-3-4-5-6 plus disjoint edge (10,11); sources {1, 5}.
