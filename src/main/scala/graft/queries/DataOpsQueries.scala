@@ -177,6 +177,31 @@ object DataOpsQueries {
         TextOps.tokenCountWhitespace(col("text")).cast("long").as("n_ws_tokens"),
         TextOps.tokenCountBpe(col("text")).cast("long").as("n_bpe_tokens"))),
 
+    // Tokenizer fertility by detected language — the "how many BPE-ish
+    // pieces per whitespace word / chars per piece" table that drives
+    // per-language token-budget planning. Exact BIGINT sums; the two
+    // ratios are single double divisions, identical in both engines.
+    "text_fertility" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(graft.ops.TextOps.languageId(col("text")).as("langid"),
+          graft.ops.TextOps.tokenCountWhitespace(col("text")).cast("long")
+            .as("ws"),
+          graft.ops.TextOps.tokenCountBpe(col("text")).cast("long").as("bpe"),
+          length(col("text")).cast("long").as("chars"))
+        .groupBy(col("langid"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("sum_ws_tokens"),
+          sum(col("bpe")).as("sum_bpe_tokens"),
+          sum(col("chars")).as("sum_chars"))
+        .select(col("langid"), col("n_docs"), col("sum_ws_tokens"),
+          col("sum_bpe_tokens"), col("sum_chars"),
+          round(col("sum_bpe_tokens").cast("double") /
+            nullif(col("sum_ws_tokens").cast("double"), lit(0.0)), 6)
+            .as("fertility"),
+          round(col("sum_chars").cast("double") /
+            nullif(col("sum_bpe_tokens").cast("double"), lit(0.0)), 6)
+            .as("chars_per_token"))),
+
     "text_fingerprint" -> ((s, dir) =>
       table(s, dir, "documents").select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fingerprint"))),
@@ -684,6 +709,27 @@ object DataOpsQueries {
            |UNION ALL SELECT 'short', sf, su FROM a
            |UNION ALL SELECT 'dup', df, du FROM a
            |UNION ALL SELECT 'kept', kept, kept FROM a""".stripMargin,
+
+      "text_fertility" -> {
+        val bpe = s"len(regexp_extract_all(text, '${TextOps.BpePattern.replace("'", "''")}'))"
+        s"""WITH f0 AS (SELECT text, $scoreSel FROM documents),
+           |f AS (SELECT $langCase AS langid,
+           |    CAST(len($toksSql) AS BIGINT) AS ws,
+           |    CAST($bpe AS BIGINT) AS bpe,
+           |    CAST(length(text) AS BIGINT) AS chars
+           |  FROM f0),
+           |a AS (SELECT langid, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(ws) AS BIGINT) AS sum_ws_tokens,
+           |    CAST(sum(bpe) AS BIGINT) AS sum_bpe_tokens,
+           |    CAST(sum(chars) AS BIGINT) AS sum_chars
+           |  FROM f GROUP BY 1)
+           |SELECT langid, n_docs, sum_ws_tokens, sum_bpe_tokens, sum_chars,
+           |  round(CAST(sum_bpe_tokens AS DOUBLE) /
+           |    nullif(CAST(sum_ws_tokens AS DOUBLE), 0.0), 6) AS fertility,
+           |  round(CAST(sum_chars AS DOUBLE) /
+           |    nullif(CAST(sum_bpe_tokens AS DOUBLE), 0.0), 6) AS chars_per_token
+           |FROM a""".stripMargin
+      },
 
       "text_tokens" ->
         s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
