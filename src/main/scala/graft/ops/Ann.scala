@@ -85,6 +85,45 @@ object Ann {
         (aggregate(col("__xs"), lit(0.0), (acc, x) => acc + x) /
           col("__n").cast("double")).as("mean"))
 
+  /** Exact covariance sufficient statistics of an embedding column — the
+    * distributed half of whitening/PCA prep: per dimension pair (i ≤ j),
+    * the pair count, per-dimension sums and the product sum, all over
+    * values QUANTIZED to integers (`floor(x · 2^quantBits)`), so every
+    * sum is 64-bit exact, order-invariant and engine-identical — the
+    * float-summed covariance drifts with reduce order and can't be
+    * hash-gated. The driver finishes with the tiny division
+    * `(s_ij − s_i·s_j/n)/n / 2^2q` per cell; what's distributed is the
+    * one pass over the data.
+    *
+    * Plan shape: one NARROW projection builds each row's D(D+1)/2
+    * quantized products in an array expression (no self-join, no
+    * per-row shuffle), then one map-side-combinable hash aggregate to
+    * D(D+1)/2 cells. Fine through D of a few hundred; for D in the
+    * thousands block the dimensions and aggregate per block pair.
+    *
+    * Overflow: needs n · 2^(2·quantBits) · max|x|² < 2^63 — at q=20 and
+    * |x| ≤ 1 that is ~8 billion rows; drop q as n grows.
+    *
+    * @return (dim_i, dim_j, n, s_i, s_j, s_ij) with 0-based dims, i ≤ j. */
+  def covarianceStats(vectors: DataFrame, vecCol: String,
+      quantBits: Int = 20): DataFrame = {
+    require(quantBits >= 1 && quantBits <= 30,
+      s"quantBits out of range (1..30): $quantBits")
+    val scale = math.pow(2.0, quantBits)
+    val q = transform(asDouble(col(vecCol)),
+      x => floor(x * lit(scale)).cast("long"))
+    val pairs = filter(
+      flatten(transform(q, (xi, i) =>
+        transform(q, (xj, j) =>
+          struct(i.as("i"), j.as("j"), (xi * xj).as("p"), xi.as("xi"),
+            xj.as("xj"))))),
+      s => s("j") >= s("i"))
+    vectors.select(explode(pairs).as("c"))
+      .groupBy(col("c.i").as("dim_i"), col("c.j").as("dim_j"))
+      .agg(count(lit(1)).as("n"), sum(col("c.xi")).as("s_i"),
+        sum(col("c.xj")).as("s_j"), sum(col("c.p")).as("s_ij"))
+  }
+
   /** Rank a (query_id, vec_id, cos) candidate set down to each query's
     * top-k via the bounded [[TopKAgg]] aggregate — partial-combining, so a
     * query's candidates never need to share one window partition (the

@@ -148,6 +148,12 @@ object DataOpsQueries {
         .select(col("vec_id"),
           posexplode(col("embedding")).as(Seq("dim", "nval")))),
 
+    // Covariance sufficient statistics of the embedding corpus: exact
+    // integer sums over 2^20-quantized values, one narrow outer-product
+    // expression + one hash aggregate to the 2080 upper-triangle cells.
+    "embed_covariance" -> ((s, dir) =>
+      Ann.covarianceStats(table(s, dir, "embeddings"), "embedding")),
+
     "embed_mean_pool" -> ((s, dir) =>
       Ann.meanPool(
         table(s, dir, "embeddings")
@@ -644,6 +650,21 @@ object DataOpsQueries {
       // The 0.0 prepend seeds the fold like Spark's aggregate(.., 0.0, ..):
       // without it an all-(-0.0) group would fold to -0.0 here but +0.0 in
       // Spark (0.0 + -0.0 = +0.0).
+      "embed_covariance" ->
+        """WITH q AS (SELECT list_transform(embedding,
+          |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS e
+          |  FROM embeddings),
+          |p AS (SELECT i.i - 1 AS dim_i, j.j - 1 AS dim_j,
+          |    e[CAST(i.i AS INT)] AS xi, e[CAST(j.j AS INT)] AS xj
+          |  FROM q, range(1, 65) i(i), range(1, 65) j(j)
+          |  WHERE j.j >= i.i)
+          |SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(xi) AS BIGINT) AS s_i,
+          |  CAST(sum(xj) AS BIGINT) AS s_j,
+          |  CAST(sum(xi * xj) AS BIGINT) AS s_ij
+          |FROM p GROUP BY 1, 2""".stripMargin,
+
       "embed_mean_pool" ->
         """WITH v AS (SELECT vec_id % 10 AS grp, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
           |ex AS (SELECT grp, CAST(i - 1 AS INT) AS dim, e[CAST(i AS INT)] AS x

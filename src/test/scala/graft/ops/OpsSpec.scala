@@ -35,6 +35,27 @@ class OpsSpec extends SparkSpec {
     assert(ids(Curation.curateTransitive(d, "doc_id", "text", p)) == Set(1L))
   }
 
+  test("covarianceStats: exact quantized sufficient statistics, partition invariant") {
+    // q=1 (scale 2): v1=[1,2]→[2,4], v2=[3,-1]→[6,-2]. Hand sums per cell.
+    val v = Seq(Tuple1(Seq(1.0f, 2.0f)), Tuple1(Seq(3.0f, -1.0f)))
+      .toDF("embedding")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val out = cells(Ann.covarianceStats(v, "embedding", quantBits = 1))
+    assert(out == Map(
+      (0, 0) -> ((2L, 8L, 8L, 40L)),
+      (0, 1) -> ((2L, 8L, 2L, -4L)),
+      (1, 1) -> ((2L, 2L, 2L, 20L))))
+    val rep = cells(Ann.covarianceStats(v.repartition(3), "embedding",
+      quantBits = 1))
+    assert(rep == out)
+    // The finalized covariance off the stats matches the direct formula:
+    // cov(0,1) = (s_ij − s_i·s_j/n)/n / 2^2 = (−4 − 8·2/2)/2 / 4 = −1.5
+    val (n, si, sj, sij) = out((0, 1))
+    assert((sij.toDouble - si.toDouble * sj / n) / n / 4.0 == -1.5)
+  }
+
   test("crossSourceMatrix: unordered cells, diagonal self-dups, empty pairs") {
     val docs = Seq((1L, "A"), (2L, "B"), (3L, "A"), (4L, "B"), (5L, "C"))
       .toDF("doc_id", "source")
