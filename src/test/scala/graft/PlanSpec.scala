@@ -320,6 +320,52 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("triangle census: every join is key-equi — no cartesian, no window") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("link prediction: wedge self-join keyed by centre, no nested loop") {
+    val p = plan("graph_linkpred")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the anti-join against the edge set stays an equi hash join
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("covariance stats: narrow generate into one partial-combining aggregate") {
+    val df = graft.ops.Ann.covarianceStats(
+      graft.core.Tables.table(spark, sf("sf0.001"), "embeddings"), "embedding")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("Join"), p) // no self-join builds the outer product
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+  }
+
+  test("filter ablation: one flag pass, fingerprint exchange, single-row final agg") {
+    val p = plan("curate_ablation")
+    assert(!p.contains("Window"), p)
+    // corpus-sized shuffles: fingerprint groupBy + the rep join; the
+    // report itself collapses through a SinglePartition exchange.
+    assert(p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sampled quantiles: window runs over collapsed counts, not raw rows") {
+    val p = plan("sketch_quantiles_sampled")
+    // the running-sum window input is the (group, value) hash aggregate
+    val wIdx = p.indexOf("Window")
+    assert(wIdx >= 0, p)
+    assert(p.indexOf("HashAggregate", wIdx) >= 0, p)
+    // sample filter is a scan-level pushdown-able predicate, no join
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("custom expressions are SQL-callable after extension registration") {
     GraftExtensions.registerOn(spark)
     val r = spark.sql("SELECT seq_ratio('grady_memorial', 'grady_memoral') AS r")
