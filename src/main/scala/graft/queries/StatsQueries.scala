@@ -59,6 +59,41 @@ object StatsQueries {
           percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
             .as("approx_p50"))),
 
+    // Grouped multiple regression (2 features) by the normal equations:
+    // exact long/decimal power sums, then Cramer's rule in double with
+    // THE SAME formula string parsed by both engines (OlsSql below) —
+    // operand order is shared by construction, so the doubles are
+    // bit-identical. price ~ b0 + b1·quantity + b2·discount per flag.
+    "agg_ols_multi" -> ((s, dir) => {
+      val d = table(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x1"),
+        col("l_discount").cast("decimal(4,2)").as("x2"),
+        col("l_extendedprice").cast("decimal(18,2)").as("y"))
+      val a = d.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("y")).as("sy"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"))
+      val c = a.select(col("l_returnflag"), col("n"),
+        col("n").cast("double").as("nd"),
+        col("s1").cast("double").as("s1d"),
+        col("s2").cast("double").as("s2d"),
+        col("s11").cast("double").as("s11d"),
+        col("s22").cast("double").as("s22d"),
+        col("s12").cast("double").as("s12d"),
+        col("sy").cast("double").as("syd"),
+        col("s1y").cast("double").as("s1yd"),
+        col("s2y").cast("double").as("s2yd"))
+      c.select(col("l_returnflag"), col("n"),
+        expr(s"round(($OlsDet0) / ($OlsDet), 6)").as("b0"),
+        expr(s"round(($OlsDet1) / ($OlsDet), 6)").as("b1"),
+        expr(s"round(($OlsDet2) / ($OlsDet), 6)").as("b2"))
+    }),
+
     // Deterministic hash-sampled quantiles — the ORACLE-CHECKABLE
     // approximate percentile (vs agg_sketch_accuracy's rows-only
     // KLL/HLL): sample membership is a pure function of the row id, so
@@ -458,6 +493,25 @@ object StatsQueries {
        |  $minS AS min_str, $maxS AS max_str FROM lineitem""".stripMargin
   }
 
+  /** 3×3 determinant by first-row cofactor expansion — ONE string parsed
+    * by both Spark (`expr`) and DuckDB, so the double operand order is
+    * shared by construction. Matrix rows (a,b,c), (d,e,f), (g,h,i). */
+  private def det3(a: String, b: String, c: String, d: String, e: String,
+      f: String, g: String, h: String, i: String): String =
+    s"$a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g) + $c * ($d * $h - $e * $g)"
+
+  /** Normal-equation system determinants for y ~ b0 + b1·x1 + b2·x2:
+    * A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], RHS (sy,s1y,s2y); OlsDetK
+    * replaces column K with the RHS. */
+  private val OlsDet: String = det3("nd", "s1d", "s2d",
+    "s1d", "s11d", "s12d", "s2d", "s12d", "s22d")
+  private val OlsDet0: String = det3("syd", "s1d", "s2d",
+    "s1yd", "s11d", "s12d", "s2yd", "s12d", "s22d")
+  private val OlsDet1: String = det3("nd", "syd", "s2d",
+    "s1d", "s1yd", "s12d", "s2d", "s2yd", "s22d")
+  private val OlsDet2: String = det3("nd", "s1d", "syd",
+    "s1d", "s11d", "s1yd", "s2d", "s12d", "s2yd")
+
   def oracles: Map[String, String] = Map(
     "feature_target_encode" ->
       """WITH a AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
@@ -493,6 +547,30 @@ object StatsQueries {
         fd("lineitem", "l_partkey", "l_suppkey"))
         .mkString("\nUNION ALL\n")
     },
+
+    "agg_ols_multi" ->
+      s"""WITH d AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS x1,
+        |    CAST(l_discount AS DECIMAL(4,2)) AS x2,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |  FROM lineitem),
+        |a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x1) AS s1, sum(x2) AS s2, sum(x1*x1) AS s11,
+        |    sum(x2*x2) AS s22, sum(x1*x2) AS s12,
+        |    sum(y) AS sy, sum(x1*y) AS s1y, sum(x2*y) AS s2y
+        |  FROM d GROUP BY 1),
+        |c AS (SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+        |    CAST(s2 AS DOUBLE) AS s2d, CAST(s11 AS DOUBLE) AS s11d,
+        |    CAST(s22 AS DOUBLE) AS s22d, CAST(s12 AS DOUBLE) AS s12d,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(s1y AS DOUBLE) AS s1yd,
+        |    CAST(s2y AS DOUBLE) AS s2yd
+        |  FROM a)
+        |SELECT l_returnflag, n,
+        |  round(($OlsDet0) / ($OlsDet), 6) AS b0,
+        |  round(($OlsDet1) / ($OlsDet), 6) AS b1,
+        |  round(($OlsDet2) / ($OlsDet), 6) AS b2
+        |FROM c""".stripMargin,
 
     "sketch_quantiles_sampled" -> {
       val id = "(l_orderkey * 8 + l_linenumber)"
