@@ -30,6 +30,33 @@ object ShapeQueries {
       Shaping.chunkDocuments(table(s, dir, "documents"), "doc_id", "text",
         ChunkTokens, ChunkOverlap)),
 
+    // Columnar-sink breadth: documents round-trip through an ORC table
+    // (the other splittable columnar format Spark ships natively) and
+    // come back row-identical — the oracle reads the ORIGINAL parquet,
+    // so any loss/coercion in the ORC writer or reader fails the hash.
+    "format_orc_roundtrip" -> ((s, dir) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_fmt/orc_docs"
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+    }),
+
+    // Partitioned-layout write + partition-pruned read: documents land
+    // partitioned by source (the 100 TB layout for per-source reads),
+    // then a two-source read must touch only those directories —
+    // PlanSpec asserts the PartitionFilters; this gate pins the rows.
+    "layout_partition_prune" -> ((s, dir) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_fmt/docs_by_source"
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("source"))
+        .write.mode("overwrite").partitionBy("source").parquet(out)
+      s.read.parquet(out)
+        .filter(col("source").isin("src1", "src7"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     "pack_sequences" -> ((s, dir) =>
       Shaping.packSequences(table(s, dir, "documents"), "doc_id", "text",
         SeqLen.toInt, PackShards)),
@@ -152,6 +179,15 @@ object ShapeQueries {
          |  CAST((start_off - start_off % $SeqLen) / $SeqLen AS BIGINT) AS seq_first,
          |  CAST(((start_off + n_tokens - 1) - (start_off + n_tokens - 1) % $SeqLen) / $SeqLen AS BIGINT) AS seq_last
          |FROM p""".stripMargin,
+
+    "format_orc_roundtrip" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents",
+
+    "layout_partition_prune" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE source IN ('src1', 'src7')
+        |GROUP BY 1""".stripMargin,
 
     "shuffle_global" ->
       s"""WITH h AS (SELECT doc_id AS id,

@@ -366,6 +366,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("partitioned layout: the source filter prunes to partition directories") {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_fmt_spec/docs_by_source"
+    graft.core.Tables.table(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("n_chars"), col("source"))
+      .write.mode("overwrite").partitionBy("source").parquet(out)
+    val read = spark.read.parquet(out)
+      .filter(col("source").isin("src1", "src7"))
+    val p = read.queryExecution.executedPlan.toString
+    // the filter became a partition-directory filter, not a data filter
+    assert("PartitionFilters: \\[source#\\d+ IN \\(src1,src7\\)\\]".r
+      .findFirstIn(p).isDefined, p)
+    assert(p.contains("DataFilters: []"), p)
+    // pruned read returns only the two sources' rows
+    assert(read.select(col("source")).distinct().count() <= 2)
+  }
+
   test("custom expressions are SQL-callable after extension registration") {
     GraftExtensions.registerOn(spark)
     val r = spark.sql("SELECT seq_ratio('grady_memorial', 'grady_memoral') AS r")
