@@ -378,6 +378,53 @@ object Graph {
     visited
   }
 
+  /** Degree assortativity (Newman 2002) of an undirected simple graph:
+    * the Pearson correlation of endpoint degrees over edges — positive
+    * when hubs link to hubs (social-network shape), negative when hubs
+    * link to leaves (hub-and-spoke). Each undirected edge contributes
+    * both orientations, the standard symmetrization. All power sums are
+    * exact 64-bit integers (degrees are integers), so only the final
+    * Pearson closure runs in double — with the operand order mirrored in
+    * the oracle, the result is bit-identical across engines.
+    *
+    * Two node-keyed joins to attach endpoint degrees + one global
+    * aggregate; nothing touches more than the edge list.
+    *
+    * Overflow: needs 2m·maxdeg² < 2^63 — beyond any real graph (a
+    * trillion edges with million-degree hubs).
+    *
+    * @return one row: (n_edges, assortativity) — null assortativity on
+    *         a degree-regular graph (zero variance), mirrored by SQL. */
+  def degreeAssortativity(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val e = edges.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val du = deg.select(col("node").as("a"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("b"), col("deg").as("dv"))
+    val oriented = e.join(du, "a").join(dv, "b")
+      .select(col("du").as("x"), col("dv").as("y"))
+    val both = oriented.union(oriented.select(col("y").as("x"),
+      col("x").as("y")))
+    val agg = both.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val (nD, sxD, sxxD, syD, syyD, sxyD) = (col("n").cast("double"),
+      col("sx").cast("double"), col("sxx").cast("double"),
+      col("sy").cast("double"), col("syy").cast("double"),
+      col("sxy").cast("double"))
+    // nullif guards the zero-variance (degree-regular) graph: both
+    // engines agree on NULL, where bare division would give engine-
+    // specific NaN/Inf semantics.
+    agg.select(expr("n div 2").as("n_edges"),
+      round((nD * sxyD - sxD * syD) /
+        nullif(sqrt((nD * sxxD - sxD * sxD) * (nD * syyD - syD * syD)),
+          lit(0.0)), 6)
+        .as("assortativity"))
+  }
+
   /** Degree profile of a weighted edge list: per node, out/in degree and
     * out/in weight (0 where absent). One aggregate per direction + a full
     * outer merge on the node id. */

@@ -124,7 +124,14 @@ object GraphQueries {
         hubSeeds(s, dir), Iters)
         .filter(col("r") > 0)
         .select(col("node").as("part"), col("r").as("pr"))
-    }))
+    }),
+
+    // Newman degree assortativity of the co-purchase graph: one number —
+    // do hub parts co-sell with other hubs (r>0) or with the long tail
+    // (r<0)? Exact integer power sums; only the Pearson closure is
+    // double, operand-order mirrored.
+    "graph_assortativity" -> ((s, dir) =>
+      Graph.degreeAssortativity(coPurchaseEdges(s, dir), "pa", "pb")))
 
   /** Top-3 co-purchase hubs (undirected degree desc, id asc) — the shared
     * seed rule of the BFS-reach and personalized-PageRank gates. */
@@ -281,6 +288,29 @@ object GraphQueries {
          |SELECT CAST(node AS BIGINT) AS part, CAST(r AS BIGINT) AS pr
          |FROM r$Iters WHERE r > 0""".stripMargin
     },
+
+    "graph_assortativity" ->
+      s"""WITH $coPurchaseCtes,
+         |dg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT pa AS v FROM e UNION ALL SELECT pb FROM e)
+         |  GROUP BY 1),
+         |o AS (SELECT du.d AS x, dv.d AS y FROM e
+         |  JOIN dg du ON du.v = e.pa JOIN dg dv ON dv.v = e.pb),
+         |bo AS (SELECT x, y FROM o UNION ALL SELECT y, x FROM o),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x*x) AS BIGINT) AS sxx,
+         |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y*y) AS BIGINT) AS syy,
+         |    CAST(sum(x*y) AS BIGINT) AS sxy
+         |  FROM bo),
+         |c AS (SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         |    CAST(sxx AS DOUBLE) AS sxxd, CAST(sy AS DOUBLE) AS syd,
+         |    CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+         |  FROM a)
+         |SELECT n // 2 AS n_edges,
+         |  round((nd * sxyd - sxd * syd) /
+         |    nullif(sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)),
+         |      0.0), 6) AS assortativity
+         |FROM c""".stripMargin,
 
     "graph_degrees" ->
       s"""WITH $edgeCtes,

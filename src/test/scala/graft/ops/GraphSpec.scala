@@ -253,6 +253,24 @@ class GraphSpec extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("degreeAssortativity: star is perfectly disassortative; regular graph null") {
+    import spark.implicits._
+    // Star K1,4: every edge joins degree 4 to degree 1 → r = −1 exactly.
+    val star = (1L to 4L).map(i => (0L, i)).toDF("a", "b")
+    val s = Graph.degreeAssortativity(star, "a", "b").head()
+    assert(s.getLong(0) == 4L && s.getDouble(1) == -1.0)
+    // 4-cycle: degree-regular → zero variance → NULL, not NaN.
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val r = Graph.degreeAssortativity(ring, "a", "b").head()
+    assert(r.getLong(0) == 4L && r.isNullAt(1))
+    // Partition invariance (integer sums close in one double expression).
+    val mixed = star.union(Seq((1L, 2L)).toDF("a", "b"))
+    val r1 = Graph.degreeAssortativity(mixed, "a", "b").head().getDouble(1)
+    val r2 = Graph.degreeAssortativity(mixed.repartition(5), "a", "b")
+      .head().getDouble(1)
+    assert(r1 == r2 && r1 < 0.0) // still hub-dominated
+  }
+
   test("histogram: clamped edge bins, exact counts and extremes") {
     import spark.implicits._
     val df = Seq(-5.0, 0.0, 9.9, 10.0, 25.0, 99.0, 250.0)
