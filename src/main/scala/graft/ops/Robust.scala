@@ -103,6 +103,44 @@ object Robust {
       .agg(pick(1, 2, "p50"), pick(9, 10, "p90"), pick(99, 100, "p99"))
   }
 
+  /** Exact symmetric trimmed mean per group: drop the ⌊n·trim⌋ smallest
+    * and largest INTEGER values by rank, average the rest — the robust
+    * location estimate between mean (trim 0) and median (trim 0.5).
+    * Rank accounting runs over COLLAPSED (group, value) counts: value v
+    * keeps `min(cum, n−k) − max(cum−c, k)` of its c copies against the
+    * kept-rank interval (k, n−k], so everything up to the final division
+    * is 64-bit-integer exact and the window partition holds the value
+    * domain, not the rows (same shape as [[sampledQuantiles]]).
+    *
+    * Output: (group, n, n_kept, trimmed_mean) — mean 6dp-rounded; groups
+    * where the trim swallows everything (n ≤ 2k... only n=0) are absent. */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+      trim: Double): DataFrame = {
+    require(trim >= 0.0 && trim < 0.5, s"trim must be in [0, 0.5), got $trim")
+    Seq("__v", "__c", "__cum", "__k", "n", "n_kept").foreach { c =>
+      require(!df.columns.contains(c),
+        s"trimmedMean uses/emits $c; rename the existing column")
+    }
+    val d = df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
+    val counts = d.groupBy(col(groupCol), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__v"))
+    val cum = counts.withColumn("__cum", sum(col("__c")).over(w))
+    val n = d.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val k = floor(col("n") * trim).cast("long")
+    val kept = greatest(lit(0L),
+      least(col("__cum"), col("n") - col("__k")) -
+        greatest(col("__cum") - col("__c"), col("__k")))
+    cum.join(n, groupCol :: Nil)
+      .withColumn("__k", k)
+      .groupBy(col(groupCol), col("n"), col("__k"))
+      .agg(sum(col("__v") * kept).as("__s"), sum(kept).as("n_kept"))
+      .select(col(groupCol), col("n"), col("n_kept"),
+        round(col("__s").cast("double") / col("n_kept").cast("double"), 6)
+          .as("trimmed_mean"))
+  }
+
   /** Robust outlier report via the MAD (median absolute deviation)
     * z-score: per group — row count, median, MAD, and how many rows fall
     * outside `z` robust standard deviations (1.4826·MAD ≈ σ for normal

@@ -94,6 +94,15 @@ object StatsQueries {
         expr(s"round(($OlsDet2) / ($OlsDet), 6)").as("b2"))
     }),
 
+    // Exact 10% symmetric trimmed mean of quantity per flag — the robust
+    // location stat between mean and median; integer rank accounting
+    // over collapsed value counts, one double division at the close.
+    "agg_trimmed_mean" -> ((s, dir) =>
+      graft.ops.Robust.trimmedMean(
+        table(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_quantity")),
+        "l_returnflag", "l_quantity", trim = 0.1)),
+
     // Deterministic hash-sampled quantiles — the ORACLE-CHECKABLE
     // approximate percentile (vs agg_sketch_accuracy's rows-only
     // KLL/HLL): sample membership is a pure function of the row id, so
@@ -571,6 +580,29 @@ object StatsQueries {
         |  round(($OlsDet1) / ($OlsDet), 6) AS b1,
         |  round(($OlsDet2) / ($OlsDet), 6) AS b2
         |FROM c""".stripMargin,
+
+    "agg_trimmed_mean" ->
+      """WITH d AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+        |  FROM lineitem),
+        |c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM d GROUP BY 1, 2),
+        |cum AS (SELECT g, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
+        |  FROM c),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |j AS (SELECT cum.g, cum.v, cum.c, cum.cum, n.n,
+        |    CAST(floor(n.n * 0.1) AS BIGINT) AS k
+        |  FROM cum JOIN n ON n.g = cum.g),
+        |s AS (SELECT g, n, k,
+        |    CAST(sum(v * greatest(0, least(cum, n - k) -
+        |      greatest(cum - c, k))) AS BIGINT) AS s,
+        |    CAST(sum(greatest(0, least(cum, n - k) -
+        |      greatest(cum - c, k))) AS BIGINT) AS n_kept
+        |  FROM j GROUP BY 1, 2, 3)
+        |SELECT g AS l_returnflag, n, n_kept,
+        |  round(CAST(s AS DOUBLE) / CAST(n_kept AS DOUBLE), 6)
+        |    AS trimmed_mean
+        |FROM s""".stripMargin,
 
     "sketch_quantiles_sampled" -> {
       val id = "(l_orderkey * 8 + l_linenumber)"

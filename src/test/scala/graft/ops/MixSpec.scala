@@ -289,6 +289,25 @@ class MixSpec extends SparkSpec {
     assert(rep == out)
   }
 
+  test("trimmedMean: exact rank trim over tied values; zero-trim is the mean") {
+    val df = ((1 to 10).map(("a", _)) ++ Seq(("b", 1), ("b", 1), ("b", 1),
+      ("b", 100))).toDF("g", "v")
+    def run(t: Double) = Robust.trimmedMean(df, "g", "v", t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    val t10 = run(0.1)
+    // a: k=1 drops {1} and {10} → mean of 2..9 = 5.5; b: k=0 → plain mean
+    assert(t10("a") == ((10L, 8L, 5.5)))
+    assert(t10("b") == ((4L, 4L, 25.75)))
+    // deeper trim on b: k=1 keeps ranks 2..3, both value 1 (tie split)
+    val t25 = run(0.25)
+    assert(t25("b") == ((4L, 2L, 1.0)))
+    // partition invariance
+    assert(Robust.trimmedMean(df.repartition(7), "g", "v", 0.1).collect()
+      .map(r => (r.getString(0), r.getDouble(3))).sorted.toSeq ==
+      t10.map { case (g, (_, _, m)) => (g, m) }.toSeq.sorted)
+  }
+
   test("madOutliers flags exactly the planted contamination") {
     // 1..101 (odd count: median/MAD exact integers) + two planted 999s.
     val df = ((1 to 101).map(i => ("a", i.toDouble)) ++
