@@ -148,6 +148,31 @@ object DataOpsQueries {
         .select(col("vec_id"),
           posexplode(col("embedding")).as(Seq("dim", "nval")))),
 
+    // Semantic eval-set decontamination: every held-out vector's max
+    // cosine against the train corpus + the ≥0.9 contamination flag —
+    // the embedding-space twin of decontaminate_report's n-gram overlap.
+    // The EVAL side broadcasts (eval sets are small by construction) and
+    // the train corpus streams once: |eval|·|train| fixed-order dot
+    // products, map-side-combined max per eval id. At larger eval sets,
+    // block with SRP buckets first (the semdedup path).
+    "decontaminate_semantic" -> ((s, dir) => {
+      val v = table(s, dir, "embeddings").select(col("vec_id"),
+        Ann.asDouble(col("embedding")).as("e"))
+      val ev = v.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("eval_id"), col("e").as("ev"))
+      val tr = v.filter(col("vec_id") % 20 =!= 0)
+        .select(col("vec_id").as("train_id"), col("e").as("tv"))
+      val cos = Ann.dot(col("ev"), col("tv")) /
+        (sqrt(Ann.dot(col("ev"), col("ev"))) *
+          sqrt(Ann.dot(col("tv"), col("tv"))))
+      tr.crossJoin(broadcast(ev))
+        .select(col("eval_id"), cos.as("cos"))
+        .groupBy(col("eval_id"))
+        .agg(max(col("cos")).as("mc"))
+        .select(col("eval_id"), round(col("mc"), 6).as("max_cos"),
+          (col("mc") >= 0.9).as("contaminated"))
+    }),
+
     // Covariance sufficient statistics of the embedding corpus: exact
     // integer sums over 2^20-quantized values, one narrow outer-product
     // expression + one hash aggregate to the 2080 upper-triangle cells.
@@ -650,6 +675,23 @@ object DataOpsQueries {
       // The 0.0 prepend seeds the fold like Spark's aggregate(.., 0.0, ..):
       // without it an all-(-0.0) group would fold to -0.0 here but +0.0 in
       // Spark (0.0 + -0.0 = +0.0).
+      "decontaminate_semantic" ->
+        s"""WITH v AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |  FROM embeddings),
+           |ev AS (SELECT vec_id AS eval_id, e AS ev FROM v
+           |  WHERE vec_id % 20 = 0),
+           |tr AS (SELECT vec_id AS train_id, e AS tv FROM v
+           |  WHERE vec_id % 20 <> 0),
+           |p AS (SELECT eval_id, ${dotSql("ev", "tv")} /
+           |    (sqrt(${dotSql("ev", "ev")}) * sqrt(${dotSql("tv", "tv")}))
+           |    AS cos
+           |  FROM tr CROSS JOIN ev),
+           |m AS (SELECT eval_id, max(cos) AS mc FROM p GROUP BY 1)
+           |SELECT eval_id, round(mc, 6) AS max_cos,
+           |  (mc >= 0.9) AS contaminated
+           |FROM m""".stripMargin,
+
       "embed_covariance" ->
         """WITH q AS (SELECT list_transform(embedding,
           |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS e
