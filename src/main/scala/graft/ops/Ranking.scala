@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.functions.{broadcast, count, expr, lit}
+import org.apache.spark.sql.functions.{broadcast, col, count, explode, expr, lit, sequence, sum}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Scalable global ranking — a dense total order over the whole dataset.
@@ -111,5 +111,67 @@ object Ranking {
       .crossJoin(broadcast(n))
       .withColumn("bin", expr(s"((rank - 1) * $k) div __n"))
       .drop("__n")
+  }
+
+  /** Cross-source quantile normalization: map each row's value onto the
+    * GLOBAL value distribution by within-source rank, so scores from
+    * sources with incomparable scales become comparable before a global
+    * threshold ("quality 0.4 from source A may beat 0.7 from source B").
+    * The classic quantile-normalization recipe, discretized to a
+    * `grid`-point quantile function (permille by default) — the
+    * discretization is what makes it scale: the global quantile function
+    * materializes as a `grid`-row broadcast table instead of a global
+    * as-of join against every distinct value.
+    *
+    * All rank arithmetic is exact 64-bit integer (cross-multiplied
+    * rationals, never a float): a row's source percentile is the
+    * inclusive tie-sharing rank `ceil(grid·r_s/n_s)`, and grid point p
+    * holds the type-1 global quantile `min{v : grid·cum_g ≥ p·n_g}` —
+    * each global value row covers the CLOSED-FORM permille interval
+    * `(⌊grid·cb/n⌋, ⌊grid·cum/n⌋]`, generated by one sequence-explode
+    * (Σ lengths = grid, no |values|×grid join). Global cumulatives come
+    * from [[prefixSum]]'s two-pass scan; per-source cumulatives window
+    * over COLLAPSED (source, value) counts (the value domain, not rows).
+    * Needs grid·n < 2^63.
+    *
+    * Output: input (source, value) keys resolved per distinct pair:
+    * (source, value, pct, value_norm) joined back onto the input rows —
+    * output = input columns + (pct, value_norm).
+    *
+    * @param valueCol integral (LongType-castable) values; scale floats
+    *                 to fixed point first (e.g. 6dp quality · 1e6). */
+  def quantileNormalize(df: DataFrame, sourceCol: String, valueCol: String,
+      grid: Int = 1000): DataFrame = {
+    require(grid >= 2, s"grid must be >= 2, got $grid")
+    Seq("__v", "__c", "__r", "__n", "pct", "value_norm").foreach { c =>
+      require(!df.columns.contains(c),
+        s"quantileNormalize uses/emits $c; rename the existing column")
+    }
+    val d = df.withColumn("__v", col(valueCol).cast("long"))
+    val counts = d.groupBy(col(sourceCol), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col("__v"))
+    val srcCum = counts.withColumn("__r", sum(col("__c")).over(ws))
+      .join(d.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n")),
+        sourceCol :: Nil)
+      // inclusive tie-sharing percentile on the grid: ceil(grid·r/n)
+      .select(col(sourceCol), col("__v"),
+        expr(s"($grid * __r + __n - 1) div __n").as("pct"))
+    val g = d.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val gcum = prefixSum(g, Seq(col("__v")), Seq("__c"))
+    val ng = broadcast(d.agg(count(lit(1)).as("__n")))
+    // grid point p maps to value v iff p ∈ (⌊grid·cb/n⌋, ⌊grid·cum/n⌋]
+    // Spark's sequence(a, b) DESCENDS when a > b — an empty permille
+    // interval must produce an empty array, not a reversed one.
+    val gridMap = gcum.crossJoin(ng)
+      .withColumn("__lo", expr(s"($grid * (cum___c - __c)) div __n + 1"))
+      .withColumn("__hi", expr(s"($grid * cum___c) div __n"))
+      .filter(col("__hi") >= col("__lo")) // empty permille interval
+      .select(col("__v").as("value_norm"),
+        explode(sequence(col("__lo"), col("__hi"))).as("pct"))
+    d.join(srcCum, Seq(sourceCol, "__v"))
+      .join(broadcast(gridMap), Seq("pct"))
+      .select(df.columns.map(col) ++ Seq(col("pct"), col("value_norm")): _*)
   }
 }

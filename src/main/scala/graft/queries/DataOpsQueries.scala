@@ -148,6 +148,19 @@ object DataOpsQueries {
         .select(col("vec_id"),
           posexplode(col("embedding")).as(Seq("dim", "nval")))),
 
+    // Cross-source quantile normalization of the quality score: each
+    // doc's score maps onto the GLOBAL score distribution by its
+    // within-source rank (permille grid), making per-source scores
+    // comparable before any global floor — all-integer rank arithmetic,
+    // grid table broadcast, global cumulatives via the two-pass scan.
+    "quality_rank_normalize" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        round(round(TextOps.qualityScore(col("text")), 6) * 1000000.0, 0)
+          .cast("long").as("q_micro"))
+      graft.ops.Ranking.quantileNormalize(docs, "source", "q_micro")
+    }),
+
     // Semantic eval-set decontamination: every held-out vector's max
     // cosine against the train corpus + the ≥0.9 contamination flag —
     // the embedding-space twin of decontaminate_report's n-gram overlap.
@@ -675,6 +688,35 @@ object DataOpsQueries {
       // The 0.0 prepend seeds the fold like Spark's aggregate(.., 0.0, ..):
       // without it an all-(-0.0) group would fold to -0.0 here but +0.0 in
       // Spark (0.0 + -0.0 = +0.0).
+      "quality_rank_normalize" ->
+        s"""WITH q AS (SELECT doc_id, source,
+           |    CAST(round($roundedQualitySql * 1000000.0) AS BIGINT)
+           |      AS q_micro
+           |  FROM documents),
+           |c AS (SELECT source, q_micro AS v, CAST(count(*) AS BIGINT) AS c
+           |  FROM q GROUP BY 1, 2),
+           |sc AS (SELECT source, v,
+           |    CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT)
+           |      AS r
+           |  FROM c),
+           |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           |  FROM q GROUP BY 1),
+           |req AS (SELECT sc.source, sc.v, (1000 * sc.r + ns.n - 1) // ns.n
+           |    AS pct
+           |  FROM sc JOIN ns ON ns.source = sc.source),
+           |g AS (SELECT q_micro AS v, CAST(count(*) AS BIGINT) AS c
+           |  FROM q GROUP BY 1),
+           |gc AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+           |  FROM g),
+           |ngt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+           |grid AS (SELECT p.p AS pct, min(gc.v) AS value_norm
+           |  FROM range(1, 1001) p(p), gc, ngt
+           |  WHERE 1000 * gc.cum >= p.p * ngt.n GROUP BY 1)
+           |SELECT q.doc_id, q.source, q.q_micro,
+           |  CAST(req.pct AS BIGINT) AS pct, grid.value_norm
+           |FROM q JOIN req ON req.source = q.source AND req.v = q.q_micro
+           |JOIN grid ON grid.pct = req.pct""".stripMargin,
+
       "decontaminate_semantic" ->
         s"""WITH v AS (SELECT vec_id,
            |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

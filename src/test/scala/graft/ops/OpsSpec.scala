@@ -35,6 +35,29 @@ class OpsSpec extends SparkSpec {
     assert(ids(Curation.curateTransitive(d, "doc_id", "text", p)) == Set(1L))
   }
 
+  test("quantileNormalize: rank-maps source scales onto the global distribution") {
+    // Source A scores {10, 20, 30, 40}; source B {1, 2, 3, 4} — same
+    // shape, incomparable scales. Global sorted: 1,2,3,4,10,20,30,40.
+    // A's rank-k and B's rank-k share pct, hence the SAME normalized
+    // value: pct 250→2, 500→4, 750→20, 1000→40 (type-1 on the grid).
+    val df = (Seq(10L, 20L, 30L, 40L).map(("A", _)) ++
+      Seq(1L, 2L, 3L, 4L).map(("B", _))).toDF("src", "score")
+    val out = Ranking.quantileNormalize(df, "src", "score").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val wantNorm = Map(1 -> 2L, 2 -> 4L, 3 -> 20L, 4 -> 40L)
+    for ((rank, a, b) <- Seq((1, 10L, 1L), (2, 20L, 2L), (3, 30L, 3L),
+      (4, 40L, 4L))) {
+      assert(out(("A", a)) == ((rank * 250L, wantNorm(rank))))
+      assert(out(("B", b)) == ((rank * 250L, wantNorm(rank))))
+    }
+    // Partition invariance (all-integer arithmetic end to end).
+    val rep = Ranking.quantileNormalize(df.repartition(5), "src", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(rep == out)
+  }
+
   test("covarianceStats: exact quantized sufficient statistics, partition invariant") {
     // q=1 (scale 2): v1=[1,2]→[2,4], v2=[3,-1]→[6,-2]. Hand sums per cell.
     val v = Seq(Tuple1(Seq(1.0f, 2.0f)), Tuple1(Seq(3.0f, -1.0f)))
