@@ -112,12 +112,14 @@ object Ann {
     val scale = math.pow(2.0, quantBits)
     val q = transform(asDouble(col(vecCol)),
       x => floor(x * lit(scale)).cast("long"))
-    val pairs = filter(
-      flatten(transform(q, (xi, i) =>
-        transform(q, (xj, j) =>
-          struct(i.as("i"), j.as("j"), (xi * xj).as("p"), xi.as("xi"),
-            xj.as("xj"))))),
-      s => s("j") >= s("i"))
+    // Generate ONLY the upper triangle: the inner transform runs over the
+    // tail slice starting at i (1-based slice start i+1), so each row
+    // builds exactly D(D+1)/2 structs — a full D² + filter doubles the
+    // hot projection's work for nothing.
+    val pairs = flatten(transform(q, (xi, i) =>
+      transform(slice(q, i + lit(1), size(q) - i), (xj, j) =>
+        struct(i.as("i"), (i + j).as("j"), (xi * xj).as("p"), xi.as("xi"),
+          xj.as("xj")))))
     vectors.select(explode(pairs).as("c"))
       .groupBy(col("c.i").as("dim_i"), col("c.j").as("dim_j"))
       .agg(count(lit(1)).as("n"), sum(col("c.xi")).as("s_i"),

@@ -129,8 +129,14 @@ object Graph {
       require(!edges.columns.contains(c),
         s"personalizedPagerankScaled uses an internal $c column; rename it")
     }
+    // distinct: a duplicated seed id would duplicate its node row through
+    // the left join below and double-count contributions every iteration.
     val seed = seeds.toDF("node")
-      .select(col("node").cast("long").as("node")).localCheckpoint(true)
+      .select(col("node").cast("long").as("node")).distinct()
+      .localCheckpoint(true)
+    require(seed.count() > 0,
+      "personalizedPagerankScaled needs a non-empty seed set " +
+        "(|S| = 0 would divide the teleport mass by zero)")
     val nodes = edges.select(col(srcCol).cast("long").as("node"))
       .union(edges.select(col(dstCol).cast("long").as("node")))
       .union(seed.select(col("node")))

@@ -148,19 +148,25 @@ object Ranking {
         s"quantileNormalize uses/emits $c; rename the existing column")
     }
     val d = df.withColumn("__v", col(valueCol).cast("long"))
+    // Domain-sized and referenced four times (per-source cum + sizes,
+    // global collapse, total) — persist so each reference reads the
+    // collapsed table instead of re-scanning the input.
     val counts = d.groupBy(col(sourceCol), col("__v"))
       .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ws = org.apache.spark.sql.expressions.Window
       .partitionBy(col(sourceCol)).orderBy(col("__v"))
+    // group/global sizes from the COLLAPSED counts — never a second
+    // full scan of the input
     val srcCum = counts.withColumn("__r", sum(col("__c")).over(ws))
-      .join(d.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n")),
+      .join(counts.groupBy(col(sourceCol)).agg(sum(col("__c")).as("__n")),
         sourceCol :: Nil)
       // inclusive tie-sharing percentile on the grid: ceil(grid·r/n)
       .select(col(sourceCol), col("__v"),
         expr(s"($grid * __r + __n - 1) div __n").as("pct"))
-    val g = d.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val g = counts.groupBy(col("__v")).agg(sum(col("__c")).as("__c"))
     val gcum = prefixSum(g, Seq(col("__v")), Seq("__c"))
-    val ng = broadcast(d.agg(count(lit(1)).as("__n")))
+    val ng = broadcast(g.agg(sum(col("__c")).as("__n")))
     // grid point p maps to value v iff p ∈ (⌊grid·cb/n⌋, ⌊grid·cum/n⌋]
     // Spark's sequence(a, b) DESCENDS when a > b — an empty permille
     // interval must produce an empty array, not a reversed one.

@@ -94,7 +94,9 @@ object Robust {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("__v"))
     val cum = counts.withColumn("__cum", sum(col("__c")).over(w))
-    val n = s.groupBy(col(groupCol)).agg(count(lit(1)).as("sample_n"))
+    // group sizes from the COLLAPSED counts — summing __c is exact and
+    // avoids a second full scan of the sampled input
+    val n = counts.groupBy(col(groupCol)).agg(sum(col("__c")).as("sample_n"))
     def pick(num: Int, den: Int, as: String) =
       min(when(col("__cum") * den >= col("sample_n") * num, col("__v")))
         .as(as)
@@ -117,7 +119,8 @@ object Robust {
   def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
       trim: Double): DataFrame = {
     require(trim >= 0.0 && trim < 0.5, s"trim must be in [0, 0.5), got $trim")
-    Seq("__v", "__c", "__cum", "__k", "n", "n_kept").foreach { c =>
+    Seq("__v", "__c", "__cum", "__k", "__s", "n", "n_kept",
+      "trimmed_mean").foreach { c =>
       require(!df.columns.contains(c),
         s"trimmedMean uses/emits $c; rename the existing column")
     }
@@ -127,7 +130,8 @@ object Robust {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("__v"))
     val cum = counts.withColumn("__cum", sum(col("__c")).over(w))
-    val n = d.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    // group sizes from the collapsed counts — no second scan of the input
+    val n = counts.groupBy(col(groupCol)).agg(sum(col("__c")).as("n"))
     val k = floor(col("n") * trim).cast("long")
     val kept = greatest(lit(0L),
       least(col("__cum"), col("n") - col("__k")) -

@@ -24,6 +24,14 @@ object ShapeQueries {
   private val CapK = 120
   private val Salts = 16
 
+  /** Per-(user, source-dir) scratch root for the format/layout gates —
+    * a fixed shared path would race a concurrent run at another scale
+    * factor (or another user on a shared host) on overwrite-vs-read. */
+  private def fmtDir(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_fmt_" +
+      s"${sys.props.getOrElse("user.name", "u")}_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "chunk_documents" -> ((s, dir) =>
@@ -35,7 +43,7 @@ object ShapeQueries {
     // come back row-identical — the oracle reads the ORIGINAL parquet,
     // so any loss/coercion in the ORC writer or reader fails the hash.
     "format_orc_roundtrip" -> ((s, dir) => {
-      val out = s"${sys.props("java.io.tmpdir")}/graft_fmt/orc_docs"
+      val out = s"${fmtDir(dir)}/orc_docs"
       table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").orc(out)
@@ -47,7 +55,7 @@ object ShapeQueries {
     // then a two-source read must touch only those directories —
     // PlanSpec asserts the PartitionFilters; this gate pins the rows.
     "layout_partition_prune" -> ((s, dir) => {
-      val out = s"${sys.props("java.io.tmpdir")}/graft_fmt/docs_by_source"
+      val out = s"${fmtDir(dir)}/docs_by_source"
       table(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"), col("source"))
         .write.mode("overwrite").partitionBy("source").parquet(out)

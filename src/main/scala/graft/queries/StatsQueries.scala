@@ -88,10 +88,12 @@ object StatsQueries {
         col("sy").cast("double").as("syd"),
         col("s1y").cast("double").as("s1yd"),
         col("s2y").cast("double").as("s2yd"))
+      // nullif: a singular system (collinear/constant features) must be
+      // NULL on both engines, not engine-specific NaN/Inf.
       c.select(col("l_returnflag"), col("n"),
-        expr(s"round(($OlsDet0) / ($OlsDet), 6)").as("b0"),
-        expr(s"round(($OlsDet1) / ($OlsDet), 6)").as("b1"),
-        expr(s"round(($OlsDet2) / ($OlsDet), 6)").as("b2"))
+        expr(s"round(($OlsDet0) / nullif(($OlsDet), 0.0), 6)").as("b0"),
+        expr(s"round(($OlsDet1) / nullif(($OlsDet), 0.0), 6)").as("b1"),
+        expr(s"round(($OlsDet2) / nullif(($OlsDet), 0.0), 6)").as("b2"))
     }),
 
     // Exact 10% symmetric trimmed mean of quantity per flag — the robust
@@ -316,10 +318,12 @@ object StatsQueries {
       val m3 = r3 - lit(3.0) * m * r2 + lit(2.0) * m * m * m
       val m4 = r4 - lit(4.0) * m * r3 + lit(6.0) * m * m * r2 -
         lit(3.0) * m * m * m * m
+      // nullif: a constant-valued group has m2 = 0 — both engines must
+      // agree on NULL instead of engine-specific NaN/Inf semantics.
       agg.select(col("l_returnflag"), col("n"),
         round(m, 6).as("mean_qty"),
-        round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
-        round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis"))
+        round(m3 / nullif(m2 * sqrt(m2), lit(0.0)), 6).as("skewness"),
+        round(m4 / nullif(m2 * m2, lit(0.0)) - lit(3.0), 6).as("kurtosis"))
     }),
 
     // Exact Gini coefficient of per-customer revenue concentration:
@@ -576,9 +580,9 @@ object StatsQueries {
         |    CAST(s2y AS DOUBLE) AS s2yd
         |  FROM a)
         |SELECT l_returnflag, n,
-        |  round(($OlsDet0) / ($OlsDet), 6) AS b0,
-        |  round(($OlsDet1) / ($OlsDet), 6) AS b1,
-        |  round(($OlsDet2) / ($OlsDet), 6) AS b2
+        |  round(($OlsDet0) / nullif(($OlsDet), 0.0), 6) AS b0,
+        |  round(($OlsDet1) / nullif(($OlsDet), 0.0), 6) AS b1,
+        |  round(($OlsDet2) / nullif(($OlsDet), 0.0), 6) AS b2
         |FROM c""".stripMargin,
 
     "agg_trimmed_mean" ->
@@ -643,8 +647,8 @@ object StatsQueries {
         |    r3 - 3.0*m*r2 + 2.0*m*m*m AS m3,
         |    r4 - 4.0*m*r3 + 6.0*m*m*r2 - 3.0*m*m*m*m AS m4 FROM g)
         |SELECT l_returnflag, n, round(m, 6) AS mean_qty,
-        |  round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
-        |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+        |  round(m3 / nullif(m2 * sqrt(m2), 0.0), 6) AS skewness,
+        |  round(m4 / nullif(m2 * m2, 0.0) - 3.0, 6) AS kurtosis
         |FROM h""".stripMargin,
 
     "agg_correlation" ->
