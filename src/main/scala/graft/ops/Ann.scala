@@ -210,8 +210,10 @@ object Ann {
   }
 
   /** Component i of hyperplane p in table t: ±1 by splitmix64 parity —
-    * deterministic, model-free, identical on every executor. */
-  private def planeVec(t: Int, p: Int, dim: Int): Seq[Double] =
+    * deterministic, model-free, identical on every executor. Visible to
+    * the query layer so the DuckDB oracle can embed the IDENTICAL
+    * literals (what upgrades the LSH gate from rows-only to hash-exact). */
+  private[graft] def planeVec(t: Int, p: Int, dim: Int): Seq[Double] =
     (0 until dim).map(i =>
       if ((splitmix64((t.toLong * 4096L + p) * 4096L + i) & 1L) == 0L) 1.0 else -1.0)
 

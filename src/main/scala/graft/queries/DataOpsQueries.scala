@@ -644,6 +644,54 @@ object DataOpsQueries {
           |  array_to_string(list_transform(e,
           |    x -> CAST(CAST(floor(x * 127.0 / scale + 0.5) AS INT) AS STRING)), ',') AS qvec
           |FROM s""".stripMargin,
+      // The SRP-LSH gate is fully mirrorable because the hyperplanes are
+      // DETERMINISTIC ±1 literals (splitmix64 parity): the oracle embeds
+      // the identical plane constants, rebuilds every table bucket, joins
+      // candidates and ranks — byte-for-byte the Spark pipeline.
+      "sim_topk_lsh" -> {
+        val (planes, tables, dim) = (6, 4, 64)
+        def planeLit(t: Int, p: Int): String =
+          graft.ops.Ann.planeVec(t, p, dim)
+            .map(x => if (x > 0) "1.0" else "-1.0")
+            .mkString("[", ",", "]")
+        def dotPlane(t: Int, p: Int, e: String): String =
+          s"list_reduce(list_transform(range(1, ${dim + 1}), i -> " +
+            s"$e[CAST(i AS INT)] * (${planeLit(t, p)})[CAST(i AS INT)]), " +
+            "(x, y) -> x + y)"
+        def bucket(t: Int, e: String): String =
+          (0 until planes).map(p =>
+            s"(CASE WHEN ${dotPlane(t, p, e)} >= 0 THEN ${1L << p} ELSE 0 END)")
+            .mkString(" + ")
+        val qb = (0 until tables).map(t =>
+          s"SELECT query_id, $t AS t, ${bucket(t, "qe")} AS b FROM q")
+          .mkString("\nUNION ALL ")
+        val cb = (0 until tables).map(t =>
+          s"SELECT vec_id, $t AS t, ${bucket(t, "e")} AS b FROM v")
+          .mkString("\nUNION ALL ")
+        s"""WITH v AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, e AS qe FROM v
+           |  WHERE vec_id < 5),
+           |qb AS ($qb),
+           |cb AS ($cb),
+           |cand AS (SELECT DISTINCT qb.query_id, cb.vec_id
+           |  FROM qb JOIN cb ON cb.t = qb.t AND cb.b = qb.b
+           |  WHERE cb.vec_id <> qb.query_id),
+           |s AS (SELECT cand.query_id, cand.vec_id,
+           |    round(${dotSql("qe", "e")} /
+           |      (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("e", "e")})), 6)
+           |      AS cos
+           |  FROM cand JOIN q ON q.query_id = cand.query_id
+           |  JOIN v ON v.vec_id = cand.vec_id),
+           |r AS (SELECT query_id, vec_id, cos,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, vec_id ASC) AS rank
+           |  FROM s)
+           |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+           |FROM r WHERE rank <= 10""".stripMargin
+      },
+
       "sim_topk_brute" ->
         s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
            |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
