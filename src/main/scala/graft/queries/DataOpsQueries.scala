@@ -63,6 +63,20 @@ object DataOpsQueries {
           n = 3, threshold = 0.8),
         "id_a", "id_b")),
 
+    // Duplicate-cluster size distribution — the release-report histogram
+    // ("how much of the corpus sits in 2-doc vs 50-doc near-dup
+    // clusters"): component sizes from the oracle-checked clustering,
+    // collapsed twice (per component, then per size). Two tiny
+    // aggregates over the component map.
+    "dedup_cluster_sizes" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.8),
+        "id_a", "id_b")
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))),
+
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(table(s, dir, "documents"), "doc_id", "text",
         maxDistance = 5)),
@@ -599,6 +613,21 @@ object DataOpsQueries {
            |SELECT id AS doc_id, min(s) AS span_start, max(e) AS span_end,
            |       max(e) - min(s) + 1 AS span_tokens
            |FROM isl GROUP BY id, island""".stripMargin,
+      "dedup_cluster_sizes" ->
+        s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($oraclesNgramSql) q),
+           |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+           |          UNION ALL SELECT id_b, id_a FROM pairs),
+           |nodes AS (SELECT DISTINCT s AS id FROM edges),
+           |walk(id, lbl) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.id),
+           |comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id),
+           |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+           |  FROM comp GROUP BY 1)
+           |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+           |FROM cs GROUP BY 1""".stripMargin,
+
       "dedup_components" ->
         s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($oraclesNgramSql) q),
            |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
