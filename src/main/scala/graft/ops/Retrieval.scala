@@ -110,4 +110,31 @@ object Retrieval {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_hits"), min(col("start")).as("first_pos"))
   }
+
+  /** Ordered proximity search — the `A NEAR/d B` operator: documents
+    * where `termB` occurs AFTER `termA` within `maxDist` token
+    * positions (1 = adjacent). The positional join is keyed by doc id
+    * (hash equi-join of the two TERM-FILTERED postings lists — the
+    * filter prunes the token stream before any shuffle) with the window
+    * test as a post-filter; per-doc cost is occ(A)·occ(B), bounded for
+    * content terms. For stopword-grade terms cap occurrences upstream
+    * (their proximity carries no ranking signal anyway).
+    *
+    * Output: (id, n_pairs, min_span) — qualifying (posA, posB) pair
+    * count and the tightest span (posB − posA). */
+  def proximitySearch(docs: DataFrame, idCol: String, textCol: String,
+      termA: String, termB: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val postings = docs.select(col(idCol).as("id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
+    val a = postings.filter(col("term") === termA)
+      .select(col("id"), col("pos").as("pa"))
+    val b = postings.filter(col("term") === termB)
+      .select(col("id"), col("pos").as("pb"))
+    a.join(b, Seq("id"))
+      .filter(col("pb") > col("pa") && col("pb") - col("pa") <= maxDist)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("pb") - col("pa")).cast("long").as("min_span"))
+  }
 }

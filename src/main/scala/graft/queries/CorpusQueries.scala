@@ -171,7 +171,15 @@ object CorpusQueries {
     "search_phrase" -> ((s, dir) =>
       Retrieval.phraseSearch(table(s, dir, "documents"), "doc_id", "text",
         PhraseQuery)
-        .select(col("id").as("doc_id"), col("n_hits"), col("first_pos"))))
+        .select(col("id").as("doc_id"), col("n_hits"), col("first_pos"))),
+
+    // Ordered proximity (`hash NEAR/4 join`): term-filtered postings
+    // equi-joined by doc, window tested as a post-filter — the slop
+    // operator between exact phrase and bag-of-words BM25.
+    "search_proximity" -> ((s, dir) =>
+      Retrieval.proximitySearch(table(s, dir, "documents"), "doc_id",
+        "text", "hash", "join", maxDist = 4)
+        .select(col("id").as("doc_id"), col("n_pairs"), col("min_span"))))
 
   // ---------------------------------------------------------------- oracles
 
@@ -318,6 +326,21 @@ object CorpusQueries {
          |    coalesce(1.0 / ($RrfK.0 + r2.rk), 0.0) AS rrf
          |  FROM r1 FULL OUTER JOIN r2 ON r1.id = r2.id)
          |SELECT id, rrf FROM f ORDER BY rrf DESC, id ASC LIMIT $RrfTopK""".stripMargin,
+
+    "search_proximity" ->
+      s"""WITH $capGuard,
+         |tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    toks[CAST(i AS INT)] AS term
+         |  FROM tk, range(1, 4096) r(i)
+         |  WHERE i <= len(toks) AND (SELECT g FROM guard) = 1),
+         |a AS (SELECT doc_id, pos AS pa FROM p WHERE term = 'hash'),
+         |b AS (SELECT doc_id, pos AS pb FROM p WHERE term = 'join')
+         |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(min(b.pb - a.pa) AS BIGINT) AS min_span
+         |FROM a JOIN b ON b.doc_id = a.doc_id
+         |WHERE b.pb > a.pa AND b.pb - a.pa <= 4
+         |GROUP BY 1""".stripMargin,
 
     "search_phrase" -> {
       val aligns = PhraseQuery.zipWithIndex.map { case (t, i) =>

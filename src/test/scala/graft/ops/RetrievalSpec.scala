@@ -64,6 +64,23 @@ class RetrievalSpec extends SparkSpec {
     assert(got == Map(1L -> ((2L, 0L)), 3L -> ((1L, 1L))))
   }
 
+  test("proximitySearch: ordered window, pair counts, tightest span") {
+    val d = docs(
+      1L -> "hash x y join",        // span 3 ≤ 4: hit
+      2L -> "hash a b c d join",    // span 5 > 4: miss
+      3L -> "join then hash",       // wrong order: miss
+      4L -> "hash join hash x join") // pairs: (0,1),(0,4✗>4? 4-0=4 ok),(2,4)
+    val got = Retrieval.proximitySearch(d, "doc_id", "text", "hash", "join",
+      maxDist = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((1L, 3L)), 4L -> ((3L, 1L))))
+    // adjacency-only window
+    val tight = Retrieval.proximitySearch(d, "doc_id", "text", "hash",
+      "join", maxDist = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(tight == Map(4L -> ((1L, 1L))))
+  }
+
   test("phraseSearch: overlapping occurrences each count") {
     val d = docs(1L -> "a a a a")
     val got = Retrieval.phraseSearch(d, "doc_id", "text", Seq("a", "a"))
