@@ -102,6 +102,24 @@ class DegenerateSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("trimmed mean, quantile normalize, proximity, assortativity on empty input") {
+    val eVals = emptyDf("g" -> StringType, "v" -> LongType)
+    assert(Robust.trimmedMean(eVals, "g", "v", 0.1).count() == 0)
+    val eSrc = emptyDf("src" -> StringType, "score" -> LongType)
+    assert(Ranking.quantileNormalize(eSrc, "src", "score").count() == 0)
+    val eDocs = emptyDf("doc_id" -> LongType, "text" -> StringType)
+    assert(Retrieval.proximitySearch(eDocs, "doc_id", "text", "a", "b", 3)
+      .count() == 0)
+    val eEdges = emptyDf("a" -> LongType, "b" -> LongType)
+    // empty graph: one row, n_edges 0, null coefficient (no variance)
+    val r = Graph.degreeAssortativity(eEdges, "a", "b").head()
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+    // covariance stats of an empty corpus: no cells at all
+    assert(Ann.covarianceStats(
+      emptyDf("embedding" -> org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)), "embedding").count() == 0)
+  }
+
   test("substring spans, prefix sums, benford, k-anon on empty/undersized input") {
     // all docs shorter than the gram: zero grams, zero spans (and no
     // descending-sequence trap from size(t) - n going negative)
