@@ -97,11 +97,18 @@ object Retrieval {
     * Output: (id, n_hits, first_pos) for documents containing the exact
     * token sequence at least once (token = [[TextOps.tokens]] semantics:
     * lowercased, whitespace-split). */
+  /** Positional postings (id, pos, term) — the shared index shape of the
+    * phrase and proximity operators ([[TextOps.tokens]] semantics:
+    * lowercased, whitespace-split, 0-based positions). */
+  private def positionalPostings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
+
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
-    val postings = docs.select(col(idCol).as("id"),
-      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
+    val postings = positionalPostings(docs, idCol, textCol)
     val aligned = phrase.zipWithIndex.map { case (t, i) =>
       postings.filter(col("term") === t)
         .select(col("id"), (col("pos") - i).cast("long").as("start"))
@@ -125,8 +132,7 @@ object Retrieval {
   def proximitySearch(docs: DataFrame, idCol: String, textCol: String,
       termA: String, termB: String, maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
-    val postings = docs.select(col(idCol).as("id"),
-      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
+    val postings = positionalPostings(docs, idCol, textCol)
     val a = postings.filter(col("term") === termA)
       .select(col("id"), col("pos").as("pa"))
     val b = postings.filter(col("term") === termB)

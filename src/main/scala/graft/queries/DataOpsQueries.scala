@@ -8,9 +8,12 @@ import graft.ops.{Ann, Dedup, Multimodal, TextOps}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * dedup family, similarity search, text analysis, multimodal plumbing.
-  * SQL-expressible ops get DuckDB oracles; sketch-based ops (MinHash/SimHash
-  * xxhash64 signatures, SRP buckets) get rows-only gates + recall/containment
-  * specs in OpsSpec.
+  * SQL-expressible ops get DuckDB oracles — including the SRP-LSH top-k,
+  * whose ±1 plane literals are deterministic and embedded verbatim in its
+  * oracle; only ops built on hashes DuckDB cannot reproduce (MinHash /
+  * SimHash xxhash64 signatures, murmur3 Count-Min) or data-dependent
+  * driver state (IVF centroids) stay rows-only + recall/containment specs
+  * in OpsSpec.
   */
 object DataOpsQueries {
 
