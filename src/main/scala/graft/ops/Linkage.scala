@@ -51,4 +51,30 @@ object Linkage {
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("entity_id"))
   }
+
+  /** Survivorship merge (the "golden record"): collapse each resolved
+    * cluster to ONE row by picking, per field independently, the value
+    * from the highest-priority record that HAS one (lower `prioCol`
+    * wins; `idCol` asc breaks priority ties) — the standard MDM rule
+    * where a sparse-but-authoritative source beats a complete-but-stale
+    * one field by field, so the merged row can mix sources.
+    *
+    * Each pick is one null-skipping struct-max — lexicographic max over
+    * (-priority, -id, value) — so the whole merge is a single map-side-
+    * combinable hash aggregate per cluster: no window, no self-join,
+    * one shuffle on the cluster key. Output: (clusterCol, n_records,
+    * fields...). */
+  def goldenRecord(records: DataFrame, clusterCol: String, idCol: String,
+      prioCol: String, fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "need at least one field to merge")
+    require(!fields.contains("n_records"),
+      "goldenRecord emits n_records; rename the conflicting field")
+    val picks = fields.map { f =>
+      max(when(col(f).isNotNull, struct(
+        (-col(prioCol)).as("a"), (-col(idCol)).as("b"), col(f).as("v"))))
+        .getField("v").as(f)
+    }
+    records.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_records"), picks: _*)
+  }
 }

@@ -78,6 +78,142 @@ object Resample {
       .drop("__bsum", "__bcnt")
   }
 
+  /** OHLC bars: per (key, hour), the first/max/min/last `valueCol` in
+    * (tsCol, idCol) order — the classic candlestick downsample that turns
+    * a raw event stream into a fixed-grid series features can window
+    * over. Open/close are picked by two row-number windows over the same
+    * (key, hour) partition (a total order via the id tiebreak — never
+    * first()/last() whose result is partition-placement dependent);
+    * high/low/count ride the closing hash aggregate. Values pass through
+    * untouched (no arithmetic), so the output is engine-exact.
+    *
+    * One shuffle on (key, hour) serves both window sorts and the final
+    * aggregate; grid cells are bounded by time × keys, not by events.
+    * Output: (keyCol, hour_sec, n_events, open, high, low, close). */
+  def ohlcBars(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    Seq("hour_sec", "n_events", "open", "high", "low", "close", "__h",
+      "__ra", "__rd").foreach { c =>
+      require(!events.columns.contains(c),
+        s"ohlcBars emits/uses a $c column; rename the existing one")
+    }
+    val hourSec = (unix_timestamp(col(tsCol)) -
+      pmod(unix_timestamp(col(tsCol)), lit(3600L)))
+    val base = events.select(col(keyCol), hourSec.as("__h"),
+      col(tsCol).as("__ts"), col(idCol).as("__id"), col(valueCol).as("__v"))
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col("__h"))
+      .orderBy(col("__ts").asc, col("__id").asc)
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col("__h"))
+      .orderBy(col("__ts").desc, col("__id").desc)
+    base
+      .withColumn("__ra", row_number().over(wa))
+      .withColumn("__rd", row_number().over(wd))
+      .groupBy(col(keyCol), col("__h"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("__ra") === 1, col("__v"))).as("open"),
+        max(col("__v")).as("high"),
+        min(col("__v")).as("low"),
+        max(when(col("__rd") === 1, col("__v"))).as("close"))
+      .withColumnRenamed("__h", "hour_sec")
+  }
+
+  /** Last-observation-carried-forward over a resampled grid (the
+    * [[hourlyPerKey]] output): silent cells (n_events = 0) inherit the
+    * most recent OBSERVED cell's value; leading gaps (no prior
+    * observation) stay null. The fill is one `last(_, ignoreNulls)`
+    * running window per key — a single key shuffle, each key's grid
+    * walked once in hour order. Output: grid + (value_filled,
+    * observed). */
+  def locfFill(cells: DataFrame, keyCol: String, hourCol: String,
+      nCol: String, valueCol: String): DataFrame = {
+    Seq("__obs", "value_filled", "observed").foreach { c =>
+      require(!cells.columns.contains(c),
+        s"locfFill emits/uses a $c column; rename the existing one")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(hourCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    cells
+      .withColumn("__obs",
+        when(col(nCol) > 0, col(valueCol)).otherwise(lit(null)))
+      .withColumn("value_filled", last(col("__obs"), ignoreNulls = true).over(w))
+      .withColumn("observed", col(nCol) > 0)
+      .drop("__obs")
+  }
+
+  /** Merge overlapping-or-touching [start, end] intervals per key into
+    * maximal disjoint spans — the islands-and-gaps coalesce (booking
+    * windows, validity ranges, coverage spans). A row opens a new island
+    * iff its start exceeds the running max end of every EARLIER row
+    * (exclusive prefix frame); the island index is the running sum of
+    * those opens, and each island closes to (min start, max end, count).
+    * Ties in (start, end) are order-safe: a tied row's start can never
+    * exceed a prefix max that already includes an interval with the same
+    * start (end ≥ start), so it never opens an island regardless of
+    * placement among its ties.
+    *
+    * One key shuffle serves both windows and the closing aggregate.
+    * Output: (keyCol, span_start, span_end, n_merged). */
+  def coalesceIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    Seq("__pmax", "__new", "__island", "span_start", "span_end",
+      "n_merged").foreach { c =>
+      require(!df.columns.contains(c),
+        s"coalesceIntervals emits/uses a $c column; rename the existing one")
+    }
+    val byStart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(startCol).asc, col(endCol).asc)
+    val prefix = byStart.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val run = byStart.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.filter(col(endCol) >= col(startCol))
+      .withColumn("__pmax", max(col(endCol)).over(prefix))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col(startCol) > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(run))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(min(col(startCol)).as("span_start"),
+        max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_merged"))
+      .drop("__island")
+  }
+
+  /** Exact rolling median of the trailing `k` values per key in
+    * (tsCol, idCol) order — the robust smoother (a mean window chases
+    * spikes; the median ignores them). The trailing frame is collected,
+    * sorted, and closed with the SAME midpoint arithmetic on both
+    * engines ((lo + hi) / 2 for even windows — never an engine's native
+    * quantile interpolation, whose FP shape differs), then 6dp-rounded.
+    * The window is k-bounded, so per-row state is O(k) — this is the
+    * small-k trailing feature, not a global quantile (see
+    * [[Robust.sampledQuantiles]] for that shape).
+    *
+    * Output: input keys + (ts/id cols, value, roll_median). */
+  def rollingMedian(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"window size must be >= 1, got $k")
+    Seq("__win", "__m", "roll_median").foreach { c =>
+      require(!df.columns.contains(c),
+        s"rollingMedian emits/uses a $c column; rename the existing one")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(idCol).asc)
+      .rowsBetween(-(k - 1).toLong, 0)
+    // Column `/` is double division; floor-cast recovers the integer
+    // midpoint indices (exact — window sizes are tiny integers).
+    val m = size(col("__win"))
+    val lo = element_at(col("__win"), floor((m + 1) / lit(2)).cast("int"))
+    val hi = element_at(col("__win"), (floor(m / lit(2)) + lit(1)).cast("int"))
+    df.select(col(keyCol), col(tsCol), col(idCol), col(valueCol))
+      .withColumn("__win", sort_array(collect_list(col(valueCol)).over(w)))
+      .withColumn("roll_median", round((lo + hi) / lit(2.0), 6))
+      .drop("__win")
+  }
+
   /** Exponentially time-decayed event mass per key — the recency-weighted
     * activity feature (each event contributes `0.5^(age / halfLife)`,
     * age measured back from the corpus's LATEST event, so yesterday's

@@ -182,4 +182,37 @@ object Robust {
         count(when(col("__dev") > (col("__mad") * 1.4826) * z, lit(1)))
           .as("n_outliers"))
   }
+
+  /** Exact LOWER weighted median per group: the smallest value whose
+    * cumulative weight reaches half the group total (2·cumW ≥ T — no
+    * interpolation, so integer weights keep the result engine-exact).
+    * Same scale shape as [[trimmedMean]]: collapse to per-(group, value)
+    * weight sums FIRST (the window then walks distinct values, not rows),
+    * one cumulative window + one whole-group total per group, closing
+    * min. Weights must be non-negative integers (cast to long). Output:
+    * (groupCol, total_weight, weighted_median). */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    Seq("__w", "__cum", "__tot", "total_weight", "weighted_median").foreach { c =>
+      require(!df.columns.contains(c),
+        s"weightedMedian uses an internal $c column; rename the existing one")
+    }
+    val collapsed = df
+      .select(col(groupCol), col(valueCol),
+        col(weightCol).cast("long").as("__w"))
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col("__w")).as("__w"))
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    collapsed
+      .withColumn("__cum", sum(col("__w")).over(cumW))
+      .withColumn("__tot", sum(col("__w")).over(totW))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__tot")).as("total_weight"),
+        min(col(valueCol)).as("weighted_median"))
+  }
 }

@@ -110,6 +110,30 @@ object SessionQueries {
           "user_id", "ts", "value"),
         "user_id", "hour_sec", "n_events", windowHours = 24, factor = 3.0)),
 
+    // OHLC candlestick bars per (user, hour): first/max/min/last value
+    // in (ts, event_id) order — values pass through untouched, so the
+    // gate is engine-exact with no rounding.
+    "resample_ohlc" -> ((s, dir) =>
+      graft.ops.Resample.ohlcBars(table(s, dir, "events"),
+        "user_id", "ts", "event_id", "value")),
+
+    // LOCF gap-fill over the hourly grid: silent hours inherit the last
+    // observed hour's value_sum; leading gaps stay null.
+    "resample_locf" -> ((s, dir) =>
+      graft.ops.Resample.locfFill(
+        graft.ops.Resample.hourlyPerKey(table(s, dir, "events"),
+          "user_id", "ts", "value"),
+        "user_id", "hour_sec", "n_events", "value_sum")),
+
+    // Exact trailing-5 rolling median per user — midpoint arithmetic
+    // mirrored token-for-token in the oracle (never an engine's native
+    // quantile interpolation). Timestamps exported as epoch seconds.
+    "agg_rolling_median" -> ((s, dir) =>
+      graft.ops.Resample.rollingMedian(table(s, dir, "events"),
+        "user_id", "ts", "event_id", "value", k = 5)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .drop("ts")),
+
     // Semi-structured extraction over the props payload, aggregated per
     // extracted key value. get_json_object (extract-then-cast) rather
     // than from_json with a typed schema: the oracle's
@@ -291,6 +315,65 @@ object SessionQueries {
         |  coalesce(n_events, 0) AS n_events,
         |  coalesce(value_sum, 0.0) AS value_sum
         |FROM grid g LEFT JOIN cells c ON g.user_id = c.user_id AND g.h = c.h""".stripMargin,
+
+    "resample_ohlc" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS h,
+        |    ts, event_id, value
+        |  FROM events),
+        |r AS (SELECT user_id, h, value,
+        |    row_number() OVER (PARTITION BY user_id, h
+        |      ORDER BY ts ASC, event_id ASC) AS ra,
+        |    row_number() OVER (PARTITION BY user_id, h
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM e)
+        |SELECT user_id, h AS hour_sec, CAST(count(*) AS BIGINT) AS n_events,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // Same grid CTEs (and 2048-hour guard) as resample_user_hours, then
+    // one LOCF running window per user.
+    "resample_locf" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS h,
+        |    value
+        |  FROM events),
+        |cells AS (SELECT user_id, h, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |  FROM e GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM e GROUP BY 1),
+        |guard AS (SELECT CASE WHEN max((h1 - h0) / 3600) > 2047
+        |    THEN error('hour grid range(0,2048) cap exceeded') ELSE 1 END AS g
+        |  FROM span),
+        |grid AS (SELECT user_id, h0 + i * 3600 AS h
+        |  FROM span, range(0, 2048) r(i)
+        |  WHERE h0 + i * 3600 <= h1 AND (SELECT g FROM guard) = 1),
+        |cell2 AS (SELECT g.user_id, g.h AS hour_sec,
+        |    coalesce(n_events, 0) AS n_events,
+        |    coalesce(value_sum, 0.0) AS value_sum
+        |  FROM grid g LEFT JOIN cells c ON g.user_id = c.user_id AND g.h = c.h)
+        |SELECT user_id, hour_sec, n_events, value_sum,
+        |  last_value(CASE WHEN n_events > 0 THEN value_sum END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY hour_sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+        |  n_events > 0 AS observed
+        |FROM cell2""".stripMargin,
+
+    "agg_rolling_median" ->
+      """WITH w AS (SELECT user_id, event_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    list_sort(list(value) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS win
+        |  FROM events)
+        |SELECT user_id, event_id, value, sec,
+        |  round((win[(len(win) + 1) // 2] + win[len(win) // 2 + 1]) / 2.0, 6)
+        |    AS roll_median
+        |FROM w""".stripMargin,
 
     "events_json_props" ->
       """SELECT event_type,

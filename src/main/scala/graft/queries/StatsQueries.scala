@@ -439,6 +439,55 @@ object StatsQueries {
         round((syD - slope * sxD) / nD, 6).as("intercept"))
     }),
 
+    // Merge overlapping delivery windows ([ship, ship + quantity days])
+    // per supplier into maximal disjoint spans — the islands-and-gaps
+    // interval coalesce; spans exported as ISO date strings.
+    "intervals_coalesce" -> ((s, dir) => {
+      val iv = table(s, dir, "lineitem").select(col("l_suppkey"),
+        to_date(col("l_shipdate")).as("__s"),
+        date_add(to_date(col("l_shipdate")),
+          col("l_quantity").cast("int")).as("__e"))
+      graft.ops.Resample.coalesceIntervals(iv, "l_suppkey", "__s", "__e")
+        .select(col("l_suppkey"),
+          date_format(col("span_start"), "yyyy-MM-dd").as("span_start"),
+          date_format(col("span_end"), "yyyy-MM-dd").as("span_end"),
+          col("n_merged"))
+    }),
+
+    // Lag-1 autocorrelation of the per-type daily value series — drift/
+    // seasonality screening. Exact decimal sums (S1, S2, Σx·x₊₁, head/
+    // tail sums) from one aggregate over the lead-joined series; closing
+    // algebra in mirrored-operand-order doubles, 6dp-rounded. Constant
+    // series (zero variance) emit null via nullif.
+    "agg_autocorr" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts")) / lit(86400.0)).cast("long")
+            .as("__day"),
+          col("value").cast("decimal(18,6)").as("__v"))
+        .groupBy(col("event_type"), col("__day"))
+        .agg(sum(col("__v")).cast("decimal(18,6)").as("__x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("__day").asc)
+      val p = daily.withColumn("__xn", lead(col("__x"), 1).over(w))
+      val agg = p.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_days"),
+        sum(col("__x")).as("__s1"),
+        sum(col("__x") * col("__x")).as("__s2"),
+        count(col("__xn")).as("__m"),
+        sum(col("__x") * col("__xn")).as("__sxy"),
+        sum(when(col("__xn").isNotNull, col("__x"))).as("__sh"),
+        sum(col("__xn")).as("__st"))
+      val (nD, mD) = (col("n_days").cast("double"), col("__m").cast("double"))
+      val (s1, s2, sxy, sh, st) = (col("__s1").cast("double"),
+        col("__s2").cast("double"), col("__sxy").cast("double"),
+        col("__sh").cast("double"), col("__st").cast("double"))
+      val xb = s1 / nD
+      val num = sxy - xb * (sh + st) + mD * xb * xb
+      val den = s2 - nD * xb * xb
+      agg.select(col("event_type"), col("n_days"),
+        round(num / nullif(den, lit(0.0)), 6).as("autocorr_lag1"))
+    }),
+
     // Leave-one-out target encoding: each order's priority encoded as the
     // mean total price of the OTHER orders in its priority — exact
     // decimal group sums, one subtraction per row, leakage-free by
@@ -704,6 +753,53 @@ object StatsQueries {
         |  FROM cum CROSS JOIN t)
         |SELECT round(d, 6) AS ks, v AS at_value FROM d
         |ORDER BY d DESC, v ASC LIMIT 1""".stripMargin,
+
+    "intervals_coalesce" ->
+      """WITH iv AS (SELECT l_suppkey, CAST(l_shipdate AS DATE) AS s,
+        |    CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS e
+        |  FROM lineitem),
+        |w AS (SELECT l_suppkey, s, e,
+        |    max(e) OVER (PARTITION BY l_suppkey ORDER BY s ASC, e ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv WHERE e >= s),
+        |n AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+        |    AS nw FROM w),
+        |i AS (SELECT *, sum(nw) OVER (PARTITION BY l_suppkey
+        |    ORDER BY s ASC, e ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM n)
+        |SELECT l_suppkey, strftime(min(s), '%Y-%m-%d') AS span_start,
+        |  strftime(max(e), '%Y-%m-%d') AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_merged
+        |FROM i GROUP BY l_suppkey, island""".stripMargin,
+
+    "agg_autocorr" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events),
+        |-- width 19 (vs Spark's 18,6): identical values, but int128
+        |-- storage so x*x multiplies at DECIMAL(38,12) instead of
+        |-- overflowing DuckDB's int64 DECIMAL(18) kernel
+        |x AS (SELECT event_type, day, CAST(sum(v) AS DECIMAL(19,6)) AS x
+        |  FROM d GROUP BY 1, 2),
+        |p AS (SELECT event_type, x,
+        |    lead(x) OVER (PARTITION BY event_type ORDER BY day) AS xn
+        |  FROM x),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    sum(x) AS s1_, sum(x * x) AS s2_,
+        |    CAST(count(xn) AS BIGINT) AS m_, sum(x * xn) AS sxy_,
+        |    sum(CASE WHEN xn IS NOT NULL THEN x END) AS sh_, sum(xn) AS st_
+        |  FROM p GROUP BY 1),
+        |f AS (SELECT event_type, n_days, CAST(n_days AS DOUBLE) AS nd,
+        |    CAST(m_ AS DOUBLE) AS md, CAST(s1_ AS DOUBLE) AS s1,
+        |    CAST(s2_ AS DOUBLE) AS s2, CAST(sxy_ AS DOUBLE) AS sxy,
+        |    CAST(sh_ AS DOUBLE) AS sh, CAST(st_ AS DOUBLE) AS st
+        |  FROM a)
+        |SELECT event_type, n_days,
+        |  round((sxy - s1 / nd * (sh + st) + md * (s1 / nd) * (s1 / nd)) /
+        |    nullif(s2 - nd * (s1 / nd) * (s1 / nd), 0.0), 6) AS autocorr_lag1
+        |FROM f""".stripMargin,
 
     "agg_incremental_update" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
