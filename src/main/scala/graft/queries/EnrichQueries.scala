@@ -52,6 +52,33 @@ object EnrichQueries {
         substring(col("name"), -3, 3), tau = 0.985)
     }),
 
+    // Survivorship merge after resolution: three planted source records
+    // per customer (prio 1 sparse-but-authoritative, prio 2 complete,
+    // prio 3 stale-complete with 'C-'/+1e6 markers) collapse to one
+    // golden row — per field independently, lowest priority with a
+    // value wins, so provenance is observable in the markers.
+    "er_golden_record" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      def rec(prio: Int, bal: org.apache.spark.sql.Column,
+          name: org.apache.spark.sql.Column,
+          seg: org.apache.spark.sql.Column) =
+        c.select(col("c_custkey").as("cluster_id"),
+          (col("c_custkey") * 10 + prio).as("rec_id"),
+          lit(prio.toLong).as("prio"),
+          bal.as("balance"), name.as("name"), seg.as("segment"))
+      val recs = rec(1,
+          when(col("c_custkey") % 3 =!= 0, col("c_acctbal")),
+          lit(null).cast("string"),
+          when(col("c_custkey") % 7 =!= 0, col("c_mktsegment")))
+        .unionAll(rec(2, lit(null).cast("double"),
+          concat(lit("B-"), col("c_name")), lit(null).cast("string")))
+        .unionAll(rec(3, col("c_acctbal") + 1000000.0,
+          concat(lit("C-"), col("c_name")),
+          concat(lit("C-"), col("c_mktsegment"))))
+      graft.ops.Linkage.goldenRecord(recs, "cluster_id", "rec_id", "prio",
+        Seq("balance", "name", "segment"))
+    }),
+
     // Jaro–Winkler record-linkage scores between each customer's name and
     // its successor's — graft's codegen'd expression vs DuckDB's NATIVE
     // jaro_winkler_similarity: two independent implementations must agree
@@ -96,6 +123,29 @@ object EnrichQueries {
          | END AS match_ratio,
          | CASE WHEN c_custkey % 10 = 0 THEN cast(c_custkey % 5 as string) END AS cms_rating
          |FROM customer""".stripMargin,
+
+    "er_golden_record" ->
+      """WITH recs AS (
+        |  SELECT c_custkey AS cluster_id, c_custkey * 10 + 1 AS rec_id,
+        |    CAST(1 AS BIGINT) AS prio,
+        |    CASE WHEN c_custkey % 3 <> 0 THEN c_acctbal END AS balance,
+        |    CAST(NULL AS VARCHAR) AS name,
+        |    CASE WHEN c_custkey % 7 <> 0 THEN c_mktsegment END AS segment
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_custkey * 10 + 2, 2, NULL,
+        |    'B-' || c_name, NULL FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_custkey * 10 + 3, 3, c_acctbal + 1000000.0,
+        |    'C-' || c_name, 'C-' || c_mktsegment FROM customer)
+        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_records,
+        |  (max(CASE WHEN balance IS NOT NULL
+        |    THEN {'a': -prio, 'b': -rec_id, 'v': balance} END)).v AS balance,
+        |  (max(CASE WHEN name IS NOT NULL
+        |    THEN {'a': -prio, 'b': -rec_id, 'v': name} END)).v AS name,
+        |  (max(CASE WHEN segment IS NOT NULL
+        |    THEN {'a': -prio, 'b': -rec_id, 'v': segment} END)).v AS segment
+        |FROM recs GROUP BY 1""".stripMargin,
 
     "text_jaro_winkler" ->
       """SELECT c.c_custkey,
