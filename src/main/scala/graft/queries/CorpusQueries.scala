@@ -96,10 +96,16 @@ object CorpusQueries {
     // Inverted index over the document corpus: per term, document
     // frequency + the sorted posting list. Per-doc dedup happens BEFORE
     // the explode, so the exchange carries distinct (term, doc) pairs.
+    // The posting list ships '|'-joined: the gate comparator hashes
+    // scalar cells, so the library's array column serializes at the gate
+    // boundary (the in-engine API still returns the typed array).
     "index_postings" -> ((s, dir) =>
       Vocab.invertedIndex(
         table(s, dir, "documents").select(col("doc_id"), col("text")),
-        "doc_id", "text")),
+        "doc_id", "text")
+        .select(col("term"), col("df"),
+          array_join(transform(col("postings"), _.cast("string")), "|")
+            .as("postings"))),
 
     // Cross-source vocabulary overlap: exact token-set Jaccard for every
     // source pair — the corpus-comparison signal behind mixing decisions.
@@ -277,7 +283,7 @@ object CorpusQueries {
          |    unnest(list_distinct($toksSql)) AS term
          |  FROM documents)
          |SELECT term, CAST(count(*) AS BIGINT) AS df,
-         |  list(doc_id ORDER BY doc_id) AS postings
+         |  string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id) AS postings
          |FROM t GROUP BY term""".stripMargin,
 
     "source_token_jaccard" ->

@@ -169,7 +169,10 @@ object SessionQueries {
     }),
 
     // Sequence features: each user's LAST 5 event types, newest first —
-    // the recency window a sequential recommender consumes.
+    // the recency window a sequential recommender consumes. Rendered as a
+    // '>'-joined string: the gate comparator hashes scalar cells, so the
+    // sequence ships serialized (same convention as collectset/session
+    // paths), not as an array column.
     "feature_last_events" -> ((s, dir) =>
       table(s, dir, "events")
         .groupBy(col("user_id"))
@@ -178,7 +181,7 @@ object SessionQueries {
             struct(col("ts"), col("event_id"), col("event_type"))))), 1, 5)
             .as("__top"))
         .select(col("user_id"), col("n_events"),
-          transform(col("__top"), e => e.getField("event_type"))
+          array_join(transform(col("__top"), e => e.getField("event_type")), ">")
             .as("last_events"))),
 
     // Session path mining: per gap-session, the first 5 event types as a
@@ -400,7 +403,7 @@ object SessionQueries {
 
     "feature_last_events" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |  (list(event_type ORDER BY ts DESC, event_id DESC))[1:5]
+        |  array_to_string((list(event_type ORDER BY ts DESC, event_id DESC))[1:5], '>')
         |    AS last_events
         |FROM events GROUP BY user_id""".stripMargin,
 

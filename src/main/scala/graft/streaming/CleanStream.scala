@@ -20,9 +20,15 @@ import graft.clean.{Cleaning, Rules}
   */
 object CleanStream {
 
-  /** Event-time hourly stats with watermark (append mode capable). */
+  /** Event-time hourly stats with watermark (append mode capable).
+    * Event time must be TIMESTAMP for the watermark: parquet fixtures
+    * written without isAdjustedToUTC surface as TIMESTAMP_NTZ, which
+    * `withWatermark` rejects — cast via the (UTC) session zone, a no-op
+    * for already-zoned inputs and identical wall-clock bucketing in the
+    * batch twin. */
   def hourlyStats(events: DataFrame): DataFrame =
     events
+      .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),

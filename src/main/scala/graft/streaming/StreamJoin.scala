@@ -26,11 +26,14 @@ object StreamJoin {
   def attribution(clicks: DataFrame, purchases: DataFrame,
       windowMinutes: Int, watermark: String = "1 hour"): DataFrame = {
     require(windowMinutes > 0, "windowMinutes must be positive")
+    // Watermarks require TIMESTAMP event time; NTZ parquet fixtures cast
+    // through the (UTC) session zone — no-op when already zoned.
     val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
-        col("ts").as("click_ts"))
+        col("ts").cast("timestamp").as("click_ts"))
       .withWatermark("click_ts", watermark)
     val p = purchases.select(col("user_id").as("__p_user"),
-        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+        col("event_id").as("purchase_id"),
+        col("ts").cast("timestamp").as("purchase_ts"))
       .withWatermark("purchase_ts", watermark)
     c.join(p, expr(
         s"""user_id = __p_user

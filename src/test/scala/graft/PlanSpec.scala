@@ -261,9 +261,11 @@ class PlanSpec extends SparkSpec {
   test("pagerank iterations never degrade to a cartesian product") {
     val p = plan("graph_pagerank")
     assert(!p.contains("CartesianProduct"), p)
-    // events scan carries only the transition columns (ts surfaces as
-    // bigint nanos at the scan; value/props never read)
-    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"), p)
+    // events scan carries only the transition columns (value/props never
+    // read); ts surfaces as bigint nanos on legacy fixtures, timestamp on
+    // current ones — accept either physical type, assert the pruning.
+    assert(("ReadSchema: struct<event_id:bigint,ts:[a-z_]+," +
+      "user_id:bigint,event_type:string>").r.findFirstIn(p).nonEmpty, p)
   }
 
   test("grouped top-k runs through the bounded TopKAgg, never a ranking window") {

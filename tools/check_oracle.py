@@ -17,18 +17,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def list_cols(df: pd.DataFrame):
+    """Columns holding list/ndarray cells. The DRIVER's comparator cannot
+    sort these (pandas lexsort raises 'unhashable type: numpy.ndarray'),
+    so an oracle-checked gate emitting an array column fails THERE even if
+    a lenient local render would pass — r7 lost feature_last_events and
+    index_postings to exactly this. Gates must serialize arrays to
+    delimited strings; this checker now mirrors the driver and hard-fails."""
+    return [c for c in df.columns
+            if df[c].dtype == object and df[c].map(
+                lambda v: isinstance(v, (list, tuple)) or hasattr(v, "tolist")
+            ).any()]
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # List-valued cells (posting lists, collect_set columns) aren't
-    # hashable/sortable as ndarrays — render them to a canonical string,
-    # as the driver renders values before hashing.
-    for c in df.columns:
-        if df[c].dtype == object and df[c].map(
-                lambda v: isinstance(v, (list, tuple)) or hasattr(v, "tolist")
-        ).any():
-            df[c] = df[c].map(
-                lambda v: str(list(v.tolist() if hasattr(v, "tolist") else v))
-                if v is not None and not isinstance(v, (str, bytes)) else v)
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
     return df.reset_index(drop=True)
 
@@ -66,6 +69,12 @@ def main(sf_dir, out_dir, only=None):
             want = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"[FAIL-sql ] {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        bad = sorted(set(list_cols(got)) | set(list_cols(want)))
+        if bad:
+            print(f"[FAIL-arr ] {name}: array-valued output column(s) {bad} "
+                  "— driver comparator cannot sort these; serialize to string")
             n_fail += 1
             continue
         g, w = canon(got), canon(want)
