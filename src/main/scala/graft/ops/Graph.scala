@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Iterative graph dataflow (extension — the reference has no graph ops;
   * its nearest neighbor is the connected-components pass in [[Dedup]]).
@@ -35,6 +36,58 @@ object Graph {
   /** Damping 0.85: teleport mass is 0.15 * Scale. */
   val Teleport = 150000000000L
 
+  /** Edge-count ceiling for the driver-local small-graph regime (same
+    * two-regime pattern as [[Dedup.connectedComponents]]): a derived
+    * graph at or below this many edges (~100 MB of longs) is solved
+    * exactly on the driver in ONE collect job, instead of paying ~5
+    * scheduled stages per bulk-synchronous round — the scheduling
+    * overhead, not the data, dominates iterative loops on graphs this
+    * small. Every step is the same 64-bit integer arithmetic as the
+    * distributed loop, so the output is bit-identical (asserted in
+    * GraphSpec by running both regimes). Above the threshold — the
+    * production regime at 100 TB, where the derived graph no longer fits
+    * a driver — the distributed loop runs untouched. */
+  val LocalEdgeThreshold: Long = 1L << 22
+
+  /** Local fixed-point (P)PR kernel over index-mapped edges — the exact
+    * integer recurrence of the distributed loop: contribution
+    * `((r*850) div (1000*outw)) * w`, teleport `T div n` (or `T div |S|`
+    * on seeds only). All operands non-negative, so Scala `/` and Spark
+    * `div` agree. */
+  private def localRankLoop(src: Array[Int], dst: Array[Int], w: Array[Long],
+      n: Int, seedFlags: Option[Array[Boolean]], nSeeds: Long,
+      iters: Int): Array[Long] = {
+    val outw = new Array[Long](n)
+    var i = 0
+    while (i < src.length) { outw(src(i)) += w(i); i += 1 }
+    val r = new Array[Long](n)
+    seedFlags match {
+      case None => java.util.Arrays.fill(r, Scale / n)
+      case Some(f) =>
+        val init = Scale / nSeeds
+        i = 0; while (i < n) { r(i) = if (f(i)) init else 0L; i += 1 }
+    }
+    var it = 0
+    while (it < iters) {
+      val m = new Array[Long](n)
+      i = 0
+      while (i < src.length) {
+        m(dst(i)) += ((r(src(i)) * 850L) / (1000L * outw(src(i)))) * w(i)
+        i += 1
+      }
+      seedFlags match {
+        case None =>
+          val tp = Teleport / n
+          i = 0; while (i < n) { r(i) = tp + m(i); i += 1 }
+        case Some(f) =>
+          val tp = Teleport / nSeeds
+          i = 0; while (i < n) { r(i) = (if (f(i)) tp else 0L) + m(i); i += 1 }
+      }
+      it += 1
+    }
+    r
+  }
+
   /** Fixed-iteration PageRank over a weighted edge list.
     *
     * @param edges  (srcCol, dstCol, wCol) rows; wCol a positive integral
@@ -47,7 +100,8 @@ object Graph {
     *         eviction or an explicit catalog clearCache.
     */
   def pagerankScaled(edges: DataFrame, srcCol: String, dstCol: String,
-      wCol: String, iters: Int, checkpointEvery: Int = 5): DataFrame = {
+      wCol: String, iters: Int, checkpointEvery: Int = 5,
+      localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1")
     // The 50-iteration cap is only safe BECAUSE lineage truncates: past
@@ -58,6 +112,35 @@ object Graph {
     Seq("node", "r", "__n", "__m", "__c", "outw").foreach { c =>
       require(!edges.columns.contains(c),
         s"pagerankScaled uses an internal $c column; rename the existing one")
+    }
+    // Small-graph regime: solve on the driver with the identical integer
+    // recurrence (see LocalEdgeThreshold). Node ids stay whatever type
+    // the caller supplied — index-mapped for the kernel, emitted back
+    // with the source column's type.
+    if (edges.count() <= localEdgeThreshold) {
+      val spark = edges.sparkSession
+      val rows = edges.select(col(srcCol), col(dstCol),
+        col(wCol).cast("long")).collect()
+      val idx = new java.util.LinkedHashMap[Any, Integer]()
+      def id(v: Any): Int = {
+        var i = idx.get(v)
+        if (i == null) { i = idx.size(); idx.put(v, i) }
+        i
+      }
+      val (srcs, dsts, ws) = (new Array[Int](rows.length),
+        new Array[Int](rows.length), new Array[Long](rows.length))
+      var i = 0
+      while (i < rows.length) {
+        srcs(i) = id(rows(i).get(0)); dsts(i) = id(rows(i).get(1))
+        ws(i) = rows(i).getLong(2); i += 1
+      }
+      val r = localRankLoop(srcs, dsts, ws, idx.size(), None, 0L, iters)
+      import scala.jdk.CollectionConverters._
+      val out = idx.entrySet().asScala.toSeq
+        .map(e => Row(e.getKey, r(e.getValue)))
+      return spark.createDataFrame(out.asJava, StructType(Seq(
+        StructField("node", edges.schema(srcCol).dataType),
+        StructField("r", LongType))))
     }
     // The adjacency (edges + out-weights) and node set are loop
     // invariants referenced by every iteration — persist them, as any
@@ -120,7 +203,8 @@ object Graph {
     *              edges — standard). */
   def personalizedPagerankScaled(edges: DataFrame, srcCol: String,
       dstCol: String, wCol: String, seeds: DataFrame, iters: Int,
-      checkpointEvery: Int = 5): DataFrame = {
+      checkpointEvery: Int = 5,
+      localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1")
     require(iters <= 20 || checkpointEvery <= 10,
@@ -137,6 +221,38 @@ object Graph {
     require(seed.count() > 0,
       "personalizedPagerankScaled needs a non-empty seed set " +
         "(|S| = 0 would divide the teleport mass by zero)")
+    // Small-graph regime (see LocalEdgeThreshold): same index-mapped
+    // integer kernel, teleport masked to the seed set. Ids are long here
+    // (both regimes cast), so the local node space is a LongMap.
+    if (edges.count() <= localEdgeThreshold) {
+      val spark = edges.sparkSession
+      val rows = edges.select(col(srcCol).cast("long"),
+        col(dstCol).cast("long"), col(wCol).cast("long")).collect()
+      val seedIds = seed.collect().map(_.getLong(0))
+      val idx = new java.util.LinkedHashMap[Long, Integer]()
+      def id(v: Long): Int = {
+        var i = idx.get(v)
+        if (i == null) { i = idx.size(); idx.put(v, i) }
+        i
+      }
+      val (srcs, dsts, ws) = (new Array[Int](rows.length),
+        new Array[Int](rows.length), new Array[Long](rows.length))
+      var i = 0
+      while (i < rows.length) {
+        srcs(i) = id(rows(i).getLong(0)); dsts(i) = id(rows(i).getLong(1))
+        ws(i) = rows(i).getLong(2); i += 1
+      }
+      seedIds.foreach(id) // seeds outside the edge set still count in |S|
+      val flags = new Array[Boolean](idx.size())
+      seedIds.foreach(s => flags(idx.get(s)) = true)
+      val r = localRankLoop(srcs, dsts, ws, idx.size(), Some(flags),
+        seedIds.length.toLong, iters)
+      import scala.jdk.CollectionConverters._
+      val out = idx.entrySet().asScala.toSeq
+        .map(e => Row(e.getKey.longValue(), r(e.getValue)))
+      return spark.createDataFrame(out.asJava, StructType(Seq(
+        StructField("node", LongType), StructField("r", LongType))))
+    }
     val nodes = edges.select(col(srcCol).cast("long").as("node"))
       .union(edges.select(col(dstCol).cast("long").as("node")))
       .union(seed.select(col("node")))
@@ -306,7 +422,8 @@ object Graph {
     *         (≥ k by construction). Empty if no k-core exists.
     */
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25,
+      localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     def degrees(e: DataFrame): DataFrame =
@@ -315,6 +432,35 @@ object Graph {
     var e = edges.select(col(aCol).cast("long").as("a"),
       col(bCol).cast("long").as("b")).localCheckpoint(true)
     var m = e.count()
+    // Small-graph regime (see LocalEdgeThreshold): peel on the driver —
+    // the fixpoint is deletion-order independent, so local sequential
+    // peeling lands on the same unique core; the maxIters guard counts
+    // bulk-synchronous rounds exactly as the distributed loop does.
+    if (m <= localEdgeThreshold) {
+      val spark = edges.sparkSession
+      var es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      var round = 0
+      var converged = es.isEmpty
+      while (!converged) {
+        round += 1
+        if (round > maxIters)
+          throw new IllegalStateException(
+            s"k-core peel did not converge within $maxIters rounds")
+        val deg = scala.collection.mutable.LongMap.empty[Long]
+        es.foreach { case (a, b) =>
+          deg(a) = deg.getOrElse(a, 0L) + 1; deg(b) = deg.getOrElse(b, 0L) + 1 }
+        val es2 = es.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+        converged = es2.length == es.length
+        es = es2
+      }
+      val deg = scala.collection.mutable.LongMap.empty[Long]
+      es.foreach { case (a, b) =>
+        deg(a) = deg.getOrElse(a, 0L) + 1; deg(b) = deg.getOrElse(b, 0L) + 1 }
+      import scala.jdk.CollectionConverters._
+      val out = deg.toSeq.sortBy(_._1).map { case (n, d) => Row(n, d) }
+      return spark.createDataFrame(out.asJava, StructType(Seq(
+        StructField("node", LongType), StructField("deg", LongType))))
+    }
     var converged = m == 0L
     var round = 0
     while (!converged) {
@@ -361,11 +507,43 @@ object Graph {
     * @return (node, dist): sources at 0, else min hops, ≤ maxHops.
     */
   def hopDistances(edges: DataFrame, aCol: String, bCol: String,
-      sources: DataFrame, maxHops: Int): DataFrame = {
+      sources: DataFrame, maxHops: Int,
+      localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
     require(maxHops >= 1 && maxHops <= 12,
       s"maxHops out of range (1..12): $maxHops")
     val e = edges.select(col(aCol).cast("long").as("v"),
       col(bCol).cast("long").as("x"))
+    // Small-graph regime (see LocalEdgeThreshold): BFS layers are unique
+    // minimum distances, so a driver-local queue walk emits the same
+    // (node, dist) set as the bulk-synchronous frontier loop.
+    if (edges.count() <= localEdgeThreshold) {
+      val spark = edges.sparkSession
+      val adjM = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.ArrayBuffer[Long]]
+      e.collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        adjM.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+        adjM.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+      }
+      val dist = scala.collection.mutable.LongMap.empty[Int]
+      var frontier = sources.toDF("node")
+        .select(col("node").cast("long")).collect().map(_.getLong(0))
+      frontier.foreach(s => dist(s) = 0)
+      var d = 1
+      while (d <= maxHops && frontier.nonEmpty) {
+        val next = scala.collection.mutable.LinkedHashSet.empty[Long]
+        frontier.foreach { v =>
+          adjM.getOrElse(v, Nil).foreach { x =>
+            if (!dist.contains(x) && !next.contains(x)) next += x } }
+        next.foreach(x => dist(x) = d)
+        frontier = next.toArray
+        d += 1
+      }
+      import scala.jdk.CollectionConverters._
+      val out = dist.toSeq.sortBy(_._1).map { case (n, dd) => Row(n, dd) }
+      return spark.createDataFrame(out.asJava, StructType(Seq(
+        StructField("node", LongType), StructField("dist", IntegerType))))
+    }
     val adj = e.union(e.select(col("x").as("v"), col("v").as("x")))
       .localCheckpoint(true)
     val seed = sources.toDF("node").select(col("node").cast("long").as("node"))

@@ -19,6 +19,21 @@ object DataOpsQueries {
 
   def family: QueryFamily = QueryFamily("dataops", queries, oracles)
 
+  /** n-gram near-dup pair table (n=3, τ=0.8) — the shared upstream of
+    * FOUR gates (ngram_pairs, source_matrix, components, cluster_sizes).
+    * Persisted + memoized per (session, dir) like the graph family's edge
+    * caches: the prefix-filtered pair pipeline is ~10 stages, so each
+    * extra consumer otherwise replays the whole derivation. */
+  private val ngramPairCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def ngramPairs(s: SparkSession, dir: String): DataFrame =
+    ngramPairCache.computeIfAbsent((s, dir), { case (sess, d) =>
+      Dedup.ngramJaccardPairs(table(sess, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "dedup_exact_docs" -> ((s, dir) =>
@@ -30,13 +45,10 @@ object DataOpsQueries {
     "dedup_source_matrix" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       graft.ops.Dedup.crossSourceMatrix(
-        graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8),
-        docs, "doc_id", "source")
+        ngramPairs(s, dir), docs, "doc_id", "source")
     }),
 
-    "dedup_ngram_pairs" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.8)),
+    "dedup_ngram_pairs" -> ((s, dir) => ngramPairs(s, dir)),
 
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashNearDupPairs(table(s, dir, "documents"), "doc_id", "text",
@@ -61,10 +73,7 @@ object DataOpsQueries {
     // propagation (iterative joins) vs a recursive-CTE oracle — pairwise
     // matches must collapse transitively even for pairs never scored.
     "dedup_components" -> ((s, dir) =>
-      Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
-          n = 3, threshold = 0.8),
-        "id_a", "id_b")),
+      Dedup.connectedComponents(ngramPairs(s, dir), "id_a", "id_b")),
 
     // Duplicate-cluster size distribution — the release-report histogram
     // ("how much of the corpus sits in 2-doc vs 50-doc near-dup
@@ -72,10 +81,7 @@ object DataOpsQueries {
     // collapsed twice (per component, then per size). Two tiny
     // aggregates over the component map.
     "dedup_cluster_sizes" -> ((s, dir) =>
-      Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
-          n = 3, threshold = 0.8),
-        "id_a", "id_b")
+      Dedup.connectedComponents(ngramPairs(s, dir), "id_a", "id_b")
         .groupBy(col("component")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"))),

@@ -259,7 +259,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("pagerank iterations never degrade to a cartesian product") {
-    val p = plan("graph_pagerank")
+    // The gate itself takes the driver-local small-graph regime; force
+    // the DISTRIBUTED loop (the 100-TB path) to assert its plan shape.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val edges = graft.core.Tables.table(spark, sf("sf0.001"), "events")
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val p = graft.ops.Graph.pagerankScaled(edges, "src", "dst", "w",
+      iters = 3, localEdgeThreshold = -1L)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     // events scan carries only the transition columns (value/props never
     // read); ts surfaces as bigint nanos on legacy fixtures, timestamp on

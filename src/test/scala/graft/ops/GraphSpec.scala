@@ -416,6 +416,37 @@ class GraphSpec extends SparkSpec {
     assert(lowBin.subsetOf(Set(4L, 8L, 12L)))
   }
 
+  test("small-graph local regime is bit-identical to the distributed loop " +
+      "(pagerank, PPR, k-core, BFS)") {
+    import spark.implicits._
+    // A graph rich enough to exercise every branch: a 5-ring with chords,
+    // a pendant chain, weighted multi-out-degree nodes, a disjoint pair.
+    val we = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 4L, 2L), (4L, 5L, 1L),
+      (5L, 1L, 2L), (1L, 3L, 1L), (2L, 5L, 4L), (6L, 1L, 1L),
+      (7L, 6L, 2L), (8L, 9L, 1L)).toDF("src", "dst", "w")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // threshold -1 forces the distributed loop; default takes local
+    assert(m(Graph.pagerankScaled(we, "src", "dst", "w", iters = 4)) ==
+      m(Graph.pagerankScaled(we, "src", "dst", "w", iters = 4,
+        localEdgeThreshold = -1L)))
+    val seeds = Seq(1L, 8L, 99L).toDF("node") // 99: seed outside the graph
+    assert(m(Graph.personalizedPagerankScaled(we, "src", "dst", "w",
+        seeds, iters = 4)) ==
+      m(Graph.personalizedPagerankScaled(we, "src", "dst", "w",
+        seeds, iters = 4, localEdgeThreshold = -1L)))
+    val ue = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 4L), (6L, 7L), (8L, 9L)).toDF("a", "b")
+    assert(m(Graph.kCore(ue, "a", "b", k = 2)) ==
+      m(Graph.kCore(ue, "a", "b", k = 2, localEdgeThreshold = -1L)))
+    def d(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val src = Seq(1L, 8L).toDF("node")
+    assert(d(Graph.hopDistances(ue, "a", "b", src, maxHops = 3)) ==
+      d(Graph.hopDistances(ue, "a", "b", src, maxHops = 3,
+        localEdgeThreshold = -1L)))
+  }
+
   test("invertedIndex: per-doc dedup, sorted postings, exact df") {
     import spark.implicits._
     val docs = Seq(
