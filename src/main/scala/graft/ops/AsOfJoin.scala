@@ -65,4 +65,64 @@ object AsOfJoin {
     val matched = if (inner) filled.filter(col("__s").isNotNull) else filled
     matched.select(lCols.map(col) ++ payloads.map(p => col(s"__s.$p").as(p)): _*)
   }
+
+  /** Forward as-of join: each left row picks the EARLIEST right row with
+    * the same key and right ts >= left ts (inclusive), optionally bounded
+    * by `toleranceSec` (match dropped when the picked right row is further
+    * than the tolerance ahead) — the "next revision / next maintenance
+    * window / next price tick" lookup, DuckDB `ASOF JOIN ON l.ts <= r.ts`.
+    *
+    * Same single-shuffle shape as [[asof]], with the window REVERSED:
+    * union both streams, order per key by (ts DESC, snapshot-first), and
+    * carry the latest-seen snapshot struct — which, scanned descending, is
+    * the earliest snapshot at-or-after each event. The matched right
+    * timestamp rides inside the struct so the tolerance is a post-window
+    * filter, never a range join.
+    *
+    * Inner semantics: left rows with no at-or-after match (or none within
+    * tolerance) drop. Right side must be unique per (key, ts). */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payloads: Seq[String],
+      toleranceSec: Option[Long] = None): DataFrame = {
+    val lCols = left.columns.toSeq
+    val clash = payloads.filter(lCols.contains)
+    require(clash.isEmpty,
+      s"asofForward: payload columns ${clash.mkString(", ")} also exist on " +
+        "the left side; rename them on one side first")
+    val reserved = Seq("__ts", "__snap", "__s", "__rts")
+    val taken = (lCols ++ right.columns).filter(reserved.contains).distinct
+    require(taken.isEmpty,
+      s"asofForward: column names ${taken.mkString(", ")} collide with the " +
+        "operator's internal columns; rename them first")
+    toleranceSec.foreach(t => require(t >= 0, s"negative tolerance: $t"))
+    val l2 = left.select(
+      lCols.map(col) ++
+        Seq(col(leftTs).as("__ts"), lit(0).as("__snap"),
+          lit(null).cast("long").as("__rts")) ++
+        payloads.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+    val r2 = right.select(
+      Seq(col(key)) ++
+        lCols.filterNot(_ == key).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col(rightTs).as("__ts"), lit(1).as("__snap"),
+          col(rightTs).cast("long").as("__rts")) ++
+        payloads.map(col): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts").desc, col("__snap").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l2.unionByName(r2)
+      .withColumn("__s", last(
+        when(col("__snap") === 1,
+          struct((Seq(col("__rts")) ++ payloads.map(col)): _*)),
+        ignoreNulls = true).over(w))
+      .filter(col("__snap") === 0)
+      .filter(col("__s").isNotNull)
+    val bounded = toleranceSec match {
+      case Some(t) =>
+        filled.filter(col("__s.__rts") - col("__ts").cast("long") <= t)
+      case None => filled
+    }
+    bounded.select(lCols.map(col) ++ payloads.map(p => col(s"__s.$p").as(p))
+      :+ col("__s.__rts").as("matched_ts"): _*)
+  }
 }

@@ -562,6 +562,75 @@ object Graph {
     visited
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) over an
+    * undirected simple graph, made DETERMINISTIC: every node starts
+    * labeled with itself; each round, ALL nodes simultaneously adopt the
+    * most frequent label among their neighbours, ties broken to the
+    * SMALLEST label. Classic async LPA is run-order dependent (its
+    * results aren't reproducible); the synchronous min-tie variant is a
+    * pure function of the graph, so an oracle can unroll the rounds and
+    * two engines agree bit-for-bit. A FIXED `rounds` count is the
+    * contract (community detection has no natural fixpoint: synchronous
+    * LPA can 2-cycle on bipartite-ish regions, so "run to convergence"
+    * is not well-defined — bounded rounds are the standard remedy).
+    *
+    * Scale shape per round: one join of labels onto the adjacency, one
+    * (node, label) count aggregate, one argmax-by-min-struct aggregate —
+    * all keyed by node; no ranking window. Small graphs take the
+    * driver-local regime (see [[LocalEdgeThreshold]]); both regimes are
+    * bit-identical (GraphSpec).
+    *
+    * @param edges canonical undirected simple edges (aCol < bCol).
+    * @return (node, community) for every non-isolated node. */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      rounds: Int,
+      localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"rounds out of range: $rounds")
+    val e = edges.select(col(aCol).cast("long").as("v"),
+      col(bCol).cast("long").as("x"))
+    if (edges.count() <= localEdgeThreshold) {
+      val spark = edges.sparkSession
+      val adjM = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.ArrayBuffer[Long]]
+      e.collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        adjM.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+        adjM.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+      }
+      var lbl = scala.collection.mutable.LongMap.empty[Long]
+      adjM.keys.foreach(n => lbl(n) = n)
+      for (_ <- 1 to rounds) {
+        val next = scala.collection.mutable.LongMap.empty[Long]
+        adjM.foreach { case (n, nbrs) =>
+          val cnt = scala.collection.mutable.LongMap.empty[Long]
+          nbrs.foreach { m => val l = lbl(m); cnt(l) = cnt.getOrElse(l, 0L) + 1 }
+          // (count desc, label asc) — the min-tie mode
+          next(n) = cnt.minBy { case (l, c) => (-c, l) }._1
+        }
+        lbl = next
+      }
+      import scala.jdk.CollectionConverters._
+      val out = lbl.toSeq.sortBy(_._1).map { case (n, l) => Row(n, l) }
+      return spark.createDataFrame(out.asJava, StructType(Seq(
+        StructField("node", LongType), StructField("community", LongType))))
+    }
+    val adj = e.union(e.select(col("x").as("v"), col("v").as("x")))
+      .localCheckpoint(true)
+    var labels = adj.select(col("v").as("node"))
+      .distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (i <- 1 to rounds) {
+      val counts = adj
+        .join(labels.select(col("node").as("x"), col("lbl")), "x")
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("__c"))
+      labels = counts.groupBy(col("v").as("node"))
+        .agg(min(struct((-col("__c")).as("nc"), col("lbl"))).as("__m"))
+        .select(col("node"), col("__m.lbl").as("lbl"))
+      if (i < rounds) labels = labels.localCheckpoint(true)
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
   /** Degree assortativity (Newman 2002) of an undirected simple graph:
     * the Pearson correlation of endpoint degrees over edges — positive
     * when hubs link to hubs (social-network shape), negative when hubs

@@ -88,4 +88,51 @@ object Quality {
       .agg(countDistinct(col(sensitiveCol)).as("l"),
         count(lit(1)).as("class_size"))
   }
+
+  /** t-closeness per QI class (Li, Li & Venkatasubramanian 2007) for a
+    * CATEGORICAL sensitive attribute: the variational distance (the
+    * categorical earth-mover's distance) between a class's sensitive-value
+    * distribution and the global one —
+    * `t = ½ Σ_v |p(v|class) − p(v)|`. A class passes k-anonymity and
+    * l-diversity yet still leaks when its distribution is skewed far from
+    * the corpus (the "99% one disease in this zip code" failure).
+    *
+    * Exactness: the sum runs over INTEGER cross products
+    * (`|n_cv·N − n_v·n_c|`, decimal(38,0) so any corpus size fits) —
+    * order-invariant, engine-exact; only the final normalization
+    * `/(2·n_c·N)` is double. Sensitive values absent from a class
+    * contribute `n_v·n_c` without materializing zero cells: the absent
+    * mass rides as `(N − Σ_present n_v)·n_c`.
+    *
+    * Scale shape: two hash aggregates keyed by (QI[, v]) + one QI-keyed
+    * join of class sizes onto cells; the |V|-row global distribution and
+    * 1-row total broadcast. Nothing touches more than the cell table.
+    *
+    * @return one row per QI class: qi..., class_size, t_dist (6dp). */
+  def tCloseness(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    val qi = qiCols.map(col)
+    val dec = "decimal(38,0)"
+    val cell = df.groupBy(qi :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("__ncv"))
+    val cls = df.groupBy(qi: _*).agg(count(lit(1)).as("class_size"))
+    val glob = df.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("__nv"))
+    val tot = df.agg(count(lit(1)).as("__N"))
+    cell
+      .join(cls, qiCols)
+      .join(broadcast(glob), Seq(sensitiveCol))
+      .crossJoin(broadcast(tot))
+      .groupBy(qi :+ col("class_size") :+ col("__N"): _*)
+      .agg(
+        sum(abs(col("__ncv").cast(dec) * col("__N").cast(dec) -
+          col("__nv").cast(dec) * col("class_size").cast(dec))).as("__sp"),
+        sum(col("__nv").cast(dec)).as("__pnv"))
+      .select(qi ++ Seq(col("class_size"),
+        round((col("__sp") +
+          (col("__N").cast(dec) - col("__pnv")) * col("class_size").cast(dec))
+          .cast("double") /
+          (lit(2.0) * col("class_size").cast("double") * col("__N").cast("double")),
+          6).as("t_dist")): _*)
+  }
 }

@@ -86,6 +86,28 @@ object DataOpsQueries {
         .groupBy(col("sz").as("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"))),
 
+    // Survivor selection — the decision the dedup pass exists to make:
+    // per near-dup cluster keep ONE canonical doc (longest, ties to the
+    // lowest id); docs in no cluster keep themselves. One argmax
+    // min-struct aggregate over the component map joined back by
+    // component — no ranking window, scales as two keyed exchanges over
+    // the (small) component table plus a doc-keyed left join.
+    "dedup_survivors" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val comp = Dedup.connectedComponents(ngramPairs(s, dir), "id_a", "id_b")
+      val labeled = docs
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"),
+          col("n_chars"))
+      val best = labeled.groupBy(col("component"))
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("b"))
+        .select(col("component"), (-col("b.nid")).as("__best"))
+      labeled.join(best, Seq("component"))
+        .select(col("doc_id"), col("component"),
+          (col("doc_id") === col("__best")).as("keep"))
+    }),
+
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(table(s, dir, "documents"), "doc_id", "text",
         maxDistance = 5)),
@@ -159,6 +181,28 @@ object DataOpsQueries {
     "sim_topk_ivf" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       Ann.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 10, dim = 64)
+    }),
+
+    // ANN quality evaluation AS a gate: per-query recall@10 of the
+    // banded-SRP path against the exact brute top-10 — the number an ANN
+    // rollout decision reads. Both sides are themselves oracle-checked
+    // gates; the report is one set-membership left join + per-query
+    // aggregate on top, so the oracle composes the two gate oracles
+    // verbatim as CTEs.
+    "sim_recall_report" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val brute = Ann.bruteTopK(q, emb, k = 10)
+        .select(col("query_id"), col("vec_id"))
+      val lsh = Ann.lshTopK(q, emb, k = 10, dim = 64, planes = 6)
+        .select(col("query_id"), col("vec_id"), lit(1L).as("__hit"))
+      brute.join(lsh, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .select(col("query_id"), col("k"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("k").cast("double"), 6)
+            .as("recall"))
     }),
 
     // Embedding ops in LONG layout (id/group, dim, value) — double columns
@@ -555,6 +599,64 @@ object DataOpsQueries {
           |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
           |WHERE CAST(m AS DOUBLE) / (ca.n + cb.n - m) >= 0.8""".stripMargin
 
+  /** Exact-cosine top-10 for the vec_id<5 query set (the sim_topk_brute
+    * oracle), shared verbatim by the recall-report oracle. */
+  private lazy val bruteTopKSql: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+       |s AS (SELECT query_id, vec_id, round(${dotSql("qe", "e")} /
+       |     (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("e", "e")})), 6) AS cos
+       | FROM v, q WHERE vec_id <> query_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM s)
+       |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10""".stripMargin
+
+  /** Banded-SRP top-10 with the deterministic plane literals (the
+    * sim_topk_lsh oracle), shared verbatim by the recall-report oracle. */
+  private lazy val lshTopKSql: String = {
+    val (planes, tables, dim) = (6, 4, 64)
+    def planeLit(t: Int, p: Int): String =
+      graft.ops.Ann.planeVec(t, p, dim)
+        .map(x => if (x > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+    def dotPlane(t: Int, p: Int, e: String): String =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> " +
+        s"$e[CAST(i AS INT)] * (${planeLit(t, p)})[CAST(i AS INT)]), " +
+        "(x, y) -> x + y)"
+    def bucket(t: Int, e: String): String =
+      (0 until planes).map(p =>
+        s"(CASE WHEN ${dotPlane(t, p, e)} >= 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+    val qb = (0 until tables).map(t =>
+      s"SELECT query_id, $t AS t, ${bucket(t, "qe")} AS b FROM q")
+      .mkString("\nUNION ALL ")
+    val cb = (0 until tables).map(t =>
+      s"SELECT vec_id, $t AS t, ${bucket(t, "e")} AS b FROM v")
+      .mkString("\nUNION ALL ")
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM v
+       |  WHERE vec_id < 5),
+       |qb AS ($qb),
+       |cb AS ($cb),
+       |cand AS (SELECT DISTINCT qb.query_id, cb.vec_id
+       |  FROM qb JOIN cb ON cb.t = qb.t AND cb.b = qb.b
+       |  WHERE cb.vec_id <> qb.query_id),
+       |s AS (SELECT cand.query_id, cand.vec_id,
+       |    round(${dotSql("qe", "e")} /
+       |      (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("e", "e")})), 6)
+       |      AS cos
+       |  FROM cand JOIN q ON q.query_id = cand.query_id
+       |  JOIN v ON v.vec_id = cand.vec_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM s)
+       |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   def oracles: Map[String, String] = {
     val (scoreSel, langCase) = OracleSql.langId(toksSql)
     Map(
@@ -647,6 +749,34 @@ object DataOpsQueries {
            |  UNION
            |  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.id)
            |SELECT id, min(lbl) AS component FROM walk GROUP BY id""".stripMargin,
+      "dedup_survivors" ->
+        s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($oraclesNgramSql) q),
+           |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+           |          UNION ALL SELECT id_b, id_a FROM pairs),
+           |nodes AS (SELECT DISTINCT s AS id FROM edges),
+           |walk(id, lbl) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.id),
+           |comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id),
+           |lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+           |    d.n_chars
+           |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+           |best AS (SELECT component, doc_id AS best_id FROM (
+           |  SELECT component, doc_id, row_number() OVER (PARTITION BY component
+           |    ORDER BY n_chars DESC, doc_id ASC) AS rn FROM lab) WHERE rn = 1)
+           |SELECT l.doc_id, l.component, l.doc_id = b.best_id AS keep
+           |FROM lab l JOIN best b USING (component)""".stripMargin,
+      "sim_recall_report" ->
+        s"""WITH b AS ($bruteTopKSql),
+           |l AS ($lshTopKSql)
+           |SELECT b.query_id, CAST(count(*) AS BIGINT) AS k,
+           |  CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_hit,
+           |  round(CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+           |FROM b LEFT JOIN l ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+           |GROUP BY 1""".stripMargin,
       "dedup_embedding_pairs" ->
         s"""WITH v AS ($plantedSql),
            |p AS (SELECT a.vec_id id_a, b.vec_id id_b, a.e ea, b.e eb FROM v a, v b WHERE a.vec_id < b.vec_id),
@@ -686,59 +816,9 @@ object DataOpsQueries {
       // DETERMINISTIC ±1 literals (splitmix64 parity): the oracle embeds
       // the identical plane constants, rebuilds every table bucket, joins
       // candidates and ranks — byte-for-byte the Spark pipeline.
-      "sim_topk_lsh" -> {
-        val (planes, tables, dim) = (6, 4, 64)
-        def planeLit(t: Int, p: Int): String =
-          graft.ops.Ann.planeVec(t, p, dim)
-            .map(x => if (x > 0) "1.0" else "-1.0")
-            .mkString("[", ",", "]")
-        def dotPlane(t: Int, p: Int, e: String): String =
-          s"list_reduce(list_transform(range(1, ${dim + 1}), i -> " +
-            s"$e[CAST(i AS INT)] * (${planeLit(t, p)})[CAST(i AS INT)]), " +
-            "(x, y) -> x + y)"
-        def bucket(t: Int, e: String): String =
-          (0 until planes).map(p =>
-            s"(CASE WHEN ${dotPlane(t, p, e)} >= 0 THEN ${1L << p} ELSE 0 END)")
-            .mkString(" + ")
-        val qb = (0 until tables).map(t =>
-          s"SELECT query_id, $t AS t, ${bucket(t, "qe")} AS b FROM q")
-          .mkString("\nUNION ALL ")
-        val cb = (0 until tables).map(t =>
-          s"SELECT vec_id, $t AS t, ${bucket(t, "e")} AS b FROM v")
-          .mkString("\nUNION ALL ")
-        s"""WITH v AS (SELECT vec_id,
-           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-           |  FROM embeddings),
-           |q AS (SELECT vec_id AS query_id, e AS qe FROM v
-           |  WHERE vec_id < 5),
-           |qb AS ($qb),
-           |cb AS ($cb),
-           |cand AS (SELECT DISTINCT qb.query_id, cb.vec_id
-           |  FROM qb JOIN cb ON cb.t = qb.t AND cb.b = qb.b
-           |  WHERE cb.vec_id <> qb.query_id),
-           |s AS (SELECT cand.query_id, cand.vec_id,
-           |    round(${dotSql("qe", "e")} /
-           |      (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("e", "e")})), 6)
-           |      AS cos
-           |  FROM cand JOIN q ON q.query_id = cand.query_id
-           |  JOIN v ON v.vec_id = cand.vec_id),
-           |r AS (SELECT query_id, vec_id, cos,
-           |    row_number() OVER (PARTITION BY query_id
-           |      ORDER BY cos DESC, vec_id ASC) AS rank
-           |  FROM s)
-           |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
-           |FROM r WHERE rank <= 10""".stripMargin
-      },
+      "sim_topk_lsh" -> lshTopKSql,
 
-      "sim_topk_brute" ->
-        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
-           |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
-           |s AS (SELECT query_id, vec_id, round(${dotSql("qe", "e")} /
-           |     (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("e", "e")})), 6) AS cos
-           | FROM v, q WHERE vec_id <> query_id),
-          |r AS (SELECT query_id, vec_id, cos,
-          |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM s)
-          |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10""".stripMargin,
+      "sim_topk_brute" -> bruteTopKSql,
       "mine_hard_negatives" ->
         s"""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
            |q AS (SELECT vec_id AS query_id, label AS qlabel, e AS qe FROM v WHERE vec_id < 5),

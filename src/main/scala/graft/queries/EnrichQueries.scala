@@ -94,6 +94,31 @@ object EnrichQueries {
             col("c_name"), col("next_name")), 6).as("jw"))
     }),
 
+    // Nearest same-block name by edit distance: for every part, the
+    // closest OTHER part name within its brand block — the blocked
+    // nearest-neighbour primitive of merge/match pipelines (block first,
+    // quadratic only inside the block; a brand caps the O(b²) term the
+    // way any production blocking key must). Ties break (distance asc,
+    // partkey asc) via one min(struct) aggregate — no ranking window, so
+    // pair generation and the argmin fold in the same keyed exchange.
+    // levenshtein is the textbook DP in both engines, so the oracle is
+    // the same expression run natively by DuckDB.
+    "er_nearest_name" -> ((s, dir) => {
+      val p = table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      val pairs = p.select(col("p_brand"), col("p_partkey").as("pa"),
+          col("p_name").as("na"))
+        .join(p.select(col("p_brand"), col("p_partkey").as("pb"),
+          col("p_name").as("nb")), Seq("p_brand"))
+        .filter(col("pa") =!= col("pb"))
+        .select(col("pa"), col("pb"),
+          levenshtein(col("na"), col("nb")).as("d"))
+      pairs.groupBy(col("pa"))
+        .agg(min(struct(col("d"), col("pb"))).as("m"))
+        .select(col("pa").as("p_partkey"),
+          col("m.pb").as("nearest_partkey"), col("m.d").as("edit_dist"))
+    }),
+
     // Promo-calendar enrichment via the plan-embedded StepLookup binary
     // search (map-side, ZERO joins/shuffles — the GeoIP shape) against a
     // pure-arithmetic oracle: two independent methods must agree. 10-day
@@ -172,6 +197,17 @@ object EnrichQueries {
         |comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)
         |SELECT r.rec_id, coalesce(c.component, r.rec_id) AS entity_id
         |FROM r LEFT JOIN comp c ON c.id = r.rec_id""".stripMargin,
+
+    "er_nearest_name" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part),
+        |d AS (SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+        |    levenshtein(a.p_name, b.p_name) AS d
+        |  FROM p a JOIN p b ON a.p_brand = b.p_brand
+        |    AND a.p_partkey <> b.p_partkey),
+        |r AS (SELECT pa, pb, d, row_number() OVER (PARTITION BY pa
+        |    ORDER BY d ASC, pb ASC) AS rn FROM d)
+        |SELECT pa AS p_partkey, pb AS nearest_partkey, d AS edit_dist
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "lookup_promo_period" ->
       s"""WITH l AS (SELECT l_orderkey, l_linenumber,

@@ -131,7 +131,15 @@ object GraphQueries {
     // (r<0)? Exact integer power sums; only the Pearson closure is
     // double, operand-order mirrored.
     "graph_assortativity" -> ((s, dir) =>
-      Graph.degreeAssortativity(coPurchaseEdges(s, dir), "pa", "pb")))
+      Graph.degreeAssortativity(coPurchaseEdges(s, dir), "pa", "pb")),
+
+    // Deterministic synchronous label propagation (3 rounds, min-tie) on
+    // the co-purchase graph: the cheap community sketch a catalog/crawl
+    // curation pass uses before anything Louvain-grade. Fixed rounds,
+    // pure function of the graph — the oracle unrolls all three.
+    "graph_lpa_communities" -> ((s, dir) =>
+      Graph.labelPropagation(coPurchaseEdges(s, dir), "pa", "pb", rounds = 3)
+        .select(col("node").as("part"), col("community"))))
 
   /** Top-3 co-purchase hubs (undirected degree desc, id asc) — the shared
     * seed rule of the BFS-reach and personalized-PageRank gates. */
@@ -311,6 +319,21 @@ object GraphQueries {
          |    nullif(sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)),
          |      0.0), 6) AS assortativity
          |FROM c""".stripMargin,
+
+    "graph_lpa_communities" -> {
+      def round(i: Int): String =
+        s"""k$i AS (SELECT a.v AS node, l.lbl, CAST(count(*) AS BIGINT) AS c
+           |  FROM adj a JOIN l${i - 1} l ON l.node = a.x GROUP BY 1, 2),
+           |l$i AS (SELECT node, lbl FROM (SELECT node, lbl,
+           |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC)
+           |      AS rn FROM k$i) WHERE rn = 1)""".stripMargin
+      s"""WITH $coPurchaseCtes,
+         |adj AS (SELECT pa AS v, pb AS x FROM e
+         |        UNION ALL SELECT pb, pa FROM e),
+         |l0 AS (SELECT DISTINCT v AS node, v AS lbl FROM adj),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT node AS part, lbl AS community FROM l3""".stripMargin
+    },
 
     "graph_degrees" ->
       s"""WITH $edgeCtes,

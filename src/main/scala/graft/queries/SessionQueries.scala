@@ -73,6 +73,24 @@ object SessionQueries {
       graft.ops.AsOfJoin.asof(ev, snaps, "user_id", "ts_sec", "snap_sec", Seq("rate"))
     }),
 
+    // FORWARD as-of with tolerance: each event picks its user's NEXT rate
+    // revision at-or-after the event, only if it lands within 14 days —
+    // the "next scheduled change" lookup. Reversed-window single-shuffle
+    // plan (ops/AsOfJoin.asofForward) vs DuckDB's native forward ASOF
+    // JOIN + tolerance filter: independent implementations, row-for-row.
+    "asof_join_forward" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_sec"))
+      val snaps = ev.select(col("user_id")).distinct()
+        .select(col("user_id"), explode(sequence(lit(0L), lit(3L))).as("k"))
+        .select(col("user_id"),
+          (lit(1704067200L) + col("k") * 604800L + (col("user_id") % 997L) * 7L)
+            .as("snap_sec"),
+          (col("user_id") * 4 + col("k")).cast("double").as("rate"))
+      graft.ops.AsOfJoin.asofForward(ev, snaps, "user_id", "ts_sec",
+        "snap_sec", Seq("rate"), toleranceSec = Some(14L * 86400L))
+    }),
+
     // Strict-order conversion funnel view → click → purchase: per-stage
     // min-aggregates chained by user-keyed joins, no per-user windows.
     "funnel_stages" -> ((s, dir) => {
@@ -238,6 +256,20 @@ object SessionQueries {
         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks)
         |SELECT e.event_id, e.user_id, e.ts_sec, s.rate
         |FROM e ASOF JOIN s ON e.user_id = s.user_id AND e.ts_sec >= s.snap_sec""".stripMargin,
+
+    "asof_join_forward" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |s AS (
+        |  SELECT user_id, 1704067200 + k * 604800 + (user_id % 997) * 7 AS snap_sec,
+        |    CAST(user_id * 4 + k AS DOUBLE) AS rate
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks)
+        |SELECT event_id, user_id, ts_sec, rate, matched_ts FROM (
+        |  SELECT e.event_id, e.user_id, e.ts_sec, s.rate,
+        |    CAST(s.snap_sec AS BIGINT) AS matched_ts
+        |  FROM e ASOF JOIN s ON e.user_id = s.user_id AND e.ts_sec <= s.snap_sec)
+        |WHERE matched_ts - ts_sec <= 14 * 86400""".stripMargin,
 
     // Mirror of session_window's exact boundary rule: a session continues
     // while ts < previous ts + gap (full-precision timestamps; the

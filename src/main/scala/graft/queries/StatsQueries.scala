@@ -203,6 +203,18 @@ object StatsQueries {
         Seq("c_nationkey", "bal_bucket"), "c_mktsegment")
         .where(col("l") < 3)),
 
+    // t-closeness audit (Li et al. 2007), same QI/sensitive layout as the
+    // l-diversity gate: classes whose market-segment distribution sits
+    // > 0.3 variational distance from the global one — skew-leak classes
+    // that k-anonymity and l-diversity both pass. Integer-exact EMD sum,
+    // double only at the final normalization.
+    "privacy_t_closeness" -> ((s, dir) =>
+      Quality.tCloseness(
+        table(s, dir, "customer")
+          .withColumn("bal_bucket", floor(col("c_acctbal") / 1000).cast("long")),
+        Seq("c_nationkey", "bal_bucket"), "c_mktsegment")
+        .where(col("t_dist") > 0.3)),
+
     // Data-contract report over a deterministically dirtied lineitem:
     // planted nulls (shifted line numbers keep keys unique), out-of-range
     // quantities, exact duplicate keys and orphan order keys — the report
@@ -981,6 +993,34 @@ object StatsQueries {
         |  count(DISTINCT c_mktsegment) AS l, count(*) AS class_size
         |FROM customer GROUP BY 1, 2
         |HAVING count(DISTINCT c_mktsegment) < 3""".stripMargin,
+
+    "privacy_t_closeness" ->
+      """WITH base AS (SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        |    c_mktsegment AS v
+        |  FROM customer),
+        |cell AS (SELECT c_nationkey, bal_bucket, v,
+        |    CAST(count(*) AS BIGINT) AS ncv
+        |  FROM base GROUP BY 1, 2, 3),
+        |cls AS (SELECT c_nationkey, bal_bucket,
+        |    CAST(count(*) AS BIGINT) AS class_size
+        |  FROM base GROUP BY 1, 2),
+        |gdist AS (SELECT v, CAST(count(*) AS BIGINT) AS nv FROM base GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS N FROM base),
+        |agg AS (SELECT c.c_nationkey, c.bal_bucket, s.class_size, t.N,
+        |    sum(abs(c.ncv * t.N - g.nv * s.class_size)) AS sp,
+        |    sum(g.nv) AS pnv
+        |  FROM cell c
+        |  JOIN cls s ON s.c_nationkey = c.c_nationkey
+        |    AND s.bal_bucket = c.bal_bucket
+        |  JOIN gdist g ON g.v = c.v
+        |  CROSS JOIN tot t
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT c_nationkey, bal_bucket, class_size,
+        |  round(CAST(sp + (N - pnv) * class_size AS DOUBLE) /
+        |    (2.0 * CAST(class_size AS DOUBLE) * CAST(N AS DOUBLE)), 6) AS t_dist
+        |FROM agg WHERE round(CAST(sp + (N - pnv) * class_size AS DOUBLE) /
+        |  (2.0 * CAST(class_size AS DOUBLE) * CAST(N AS DOUBLE)), 6) > 0.3""".stripMargin,
 
     "dq_lineitem" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity

@@ -45,4 +45,29 @@ class AsOfJoinSpec extends SparkSpec {
       s"as-of join must be a single keyed shuffle\n$p")
     assert("Exchange".r.findAllIn(p).size == 1, s"no other exchanges\n$p")
   }
+
+  test("forward as-of: earliest snapshot at-or-after, tolerance bounds the match") {
+    val out = AsOfJoin.asofForward(left, right, "user_id", "ts", "snap_ts",
+      Seq("rate"))
+      .collect().map(r => (r.getLong(0), (Option(r.get(3)), r.getLong(4)))).toMap
+    assert(out == Map(
+      1L -> ((Some(100.0), 10L)), // ts 5 picks snap 10, not 3
+      2L -> ((Some(30.0), 3L)),   // tie at ts 3 matches inclusively
+      3L -> ((Some(30.0), 3L)))) // before first snapshot → first snapshot
+    assert(!out.contains(4L)) // ts 50 is past user 2's last snapshot (45)
+    // tolerance 4: event 1 (ts 5) needs snap 10 → gap 5 > 4 drops it;
+    // events 2/3 match at gap 0/2
+    val tol = AsOfJoin.asofForward(left, right, "user_id", "ts", "snap_ts",
+      Seq("rate"), toleranceSec = Some(4L))
+      .collect().map(r => r.getLong(0)).toSet
+    assert(tol == Set(2L, 3L))
+  }
+
+  test("forward as-of plan: same single keyed shuffle as backward") {
+    val out = AsOfJoin.asofForward(left, right, "user_id", "ts", "snap_ts",
+      Seq("rate"), toleranceSec = Some(100L))
+    val p = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
 }

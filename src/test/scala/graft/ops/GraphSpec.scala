@@ -416,6 +416,24 @@ class GraphSpec extends SparkSpec {
     assert(lowBin.subsetOf(Set(4L, 8L, 12L)))
   }
 
+  test("labelPropagation: sync min-tie rounds are hand-checkable; " +
+      "bipartite pairs 2-cycle (why rounds are fixed)") {
+    import spark.implicits._
+    // Triangle {1,2,3} with pendant 4–3, plus the disjoint pair {10,11}.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a", "b")
+    def run(rounds: Int) =
+      Graph.labelPropagation(e, "a", "b", rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r1: 1←min-tie(2,3)=2, 2←1, 3←1, 4←3; the pair swaps labels
+    assert(run(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L,
+      10L -> 11L, 11L -> 10L))
+    // r3: the clique+pendant settles on 1; the bipartite pair keeps
+    // 2-cycling — deterministic, just not fixed — hence bounded rounds.
+    assert(run(3) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 11L, 11L -> 10L))
+  }
+
   test("small-graph local regime is bit-identical to the distributed loop " +
       "(pagerank, PPR, k-core, BFS)") {
     import spark.implicits._
@@ -444,6 +462,9 @@ class GraphSpec extends SparkSpec {
     val src = Seq(1L, 8L).toDF("node")
     assert(d(Graph.hopDistances(ue, "a", "b", src, maxHops = 3)) ==
       d(Graph.hopDistances(ue, "a", "b", src, maxHops = 3,
+        localEdgeThreshold = -1L)))
+    assert(m(Graph.labelPropagation(ue, "a", "b", rounds = 3)) ==
+      m(Graph.labelPropagation(ue, "a", "b", rounds = 3,
         localEdgeThreshold = -1L)))
   }
 

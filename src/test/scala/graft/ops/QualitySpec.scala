@@ -158,4 +158,20 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(got("b")._3 -
       (1.0 - math.pow(0.999, 100.0)) / (1.0 - 0.999)) < 1e-5)
   }
+
+  test("tCloseness: hand-computed variational distance, absent-value mass") {
+    import spark.implicits._
+    // Group A = [x,x,x,y], group B = [y]. Global p = (x:0.6, y:0.4).
+    // t(A) = ½(|0.75−0.6| + |0.25−0.4|) = 0.15
+    // t(B) = ½(|0−0.6| + |1−0.4|)      = 0.6  (x absent from B)
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "x"), ("A", "y"), ("B", "y"))
+      .toDF("g", "v")
+    val got = Quality.tCloseness(df, Seq("g"), "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map("A" -> ((4L, 0.15)), "B" -> ((1L, 0.6))))
+    // identical distribution ⇒ t = 0
+    val even = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y")).toDF("g", "v")
+    assert(Quality.tCloseness(even, Seq("g"), "v").collect()
+      .forall(_.getDouble(2) == 0.0))
+  }
 }
