@@ -436,6 +436,118 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: emit (a, b) when
+    * `|A∩B| / |A| ≥ τ` over n-gram shingle sets — the subset/quote
+    * detector Jaccard misses (a tweet quoted inside an article scores
+    * J ≈ |A|/|B| ≈ 0 but containment 1.0; the standard asymmetric
+    * criterion of containment-join literature, e.g. Agrawal et al.'s
+    * set-containment joins).
+    *
+    * Prefix filtering adapts to asymmetry: only the PROBE side (a)
+    * prunes to its rarest `|A| − ⌈τ|A|⌉ + 1` shingles (pigeonhole: ≥
+    * ⌈τ|A|⌉ shared shingles cannot all hide in the ⌈τ|A|⌉−1 suffix),
+    * while the index side (b) must stay FULL — B's matching shingles may
+    * be its hottest. Shuffles are keyed by shingle (candidates) and id
+    * (verify); df-ascending prefix order keeps hot shingles out of the
+    * probe stream, which is what bounds candidate fan-out on skew.
+    * Output is provably identical to the all-pairs containment scan.
+    *
+    * @return (id_a, id_b, containment): a ≠ b, containment = |A∩B|/|A|
+    *         rounded to 6dp, ≥ τ after rounding. BOTH directions can
+    *         emit for mutually-similar pairs. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold out of (0,1]: $threshold")
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ordered = sh.join(dfreq, Seq("s"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"))
+      .select(col("id"), transform(col("arr"), x => x("s")).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .withColumn("prefix", slice(col("sh"), lit(1),
+        (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = ordered
+      .select(explode(col("prefix")).as("s"), col("id").as("id_a"))
+      .join(ordered.select(explode(col("sh")).as("s"), col("id").as("id_b")),
+        Seq("s"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sets = ordered.select(col("id"), col("sh"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")).cast("double"), 6).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  // ------------------------------------------------- winnowing fingerprints
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): hash every positional token k-gram, slide a
+    * w-hash window, keep each window's MINIMUM hash; the distinct kept
+    * hashes are the document's fingerprint set. Winnowing's guarantee:
+    * any shared token run of length ≥ k + w − 1 yields at least one
+    * SHARED fingerprint, at expected density 2/(w+1) — local-minima
+    * selection is position-robust, unlike fixed-stride sampling which a
+    * one-token insertion desynchronizes.
+    *
+    * Whole selection runs INSIDE the token array (positional grams →
+    * hashes → window minima as nested transforms): one narrow projection
+    * per document, zero shuffles before the fingerprint explode. The
+    * 60-bit hash is the md5 prefix (`conv(substr(md5(g),1,15),16,10)`) —
+    * chosen over xxhash64 because every SQL engine can recompute it, so
+    * the oracle mirrors the pipeline bit-for-bit.
+    *
+    * @return (id, fp) rows, fp ∈ the doc's distinct winnowed hash set;
+    *         docs with fewer than k tokens emit nothing. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 2 && k <= 16, s"gram size k out of range (2..16): $k")
+    require(w >= 2 && w <= 64, s"window w out of range (2..64): $w")
+    val base = docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= k)
+      .withColumn("__m", (size(col("__t")) - (k - 1)).cast("int"))
+    val grams = transform(sequence(lit(0), col("__m") - 1),
+      i => array_join(slice(col("__t"), i + 1, lit(k)), " "))
+    val hashes = transform(grams,
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    // windows j = 0 .. max(1, m−w+1)−1; a doc with fewer grams than the
+    // window gets ONE window over everything (slice truncates)
+    val sel = transform(
+      sequence(lit(0), greatest(lit(1), col("__m") - (w - 1)) - 1),
+      j => array_min(slice(col("__h"), j + 1, lit(w))))
+    base.withColumn("__h", hashes)
+      .select(col("id"), explode(array_distinct(sel)).as("fp"))
+  }
+
+  /** Near-dup pairs by shared winnowed fingerprints: (a, b, n_shared)
+    * for pairs sharing ≥ `minShared` fingerprints — the MOSS match
+    * report. One fingerprint-keyed self-join + one pair aggregate; at
+    * density 2/(w+1) the shuffled stream is a small fraction of the
+    * token stream. Boilerplate-grade fingerprints (shared across
+    * thousands of docs) are the skew risk at corpus scale — the standard
+    * remedy is dropping top-document-frequency fingerprints before the
+    * join (they carry no discrimination), which callers do by filtering
+    * on a df aggregate of [[winnowFingerprints]]' output. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Int): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+    fps.select(col("fp"), col("id").as("id_a"))
+      .join(fps.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // --------------------------------------------- duplicated substring spans
 
   /** Span-level exact substring duplication (the substring-dedup criterion of

@@ -108,6 +108,34 @@ object DataOpsQueries {
           (col("doc_id") === col("__best")).as("keep"))
     }),
 
+    // Asymmetric containment pairs on a corpus with PLANTED fragments:
+    // every 20th doc's first 30 tokens reappear as a new doc (id + 2e6)
+    // — a fragment is ~fully contained in its source (containment 1.0)
+    // while its Jaccard can sit far below any symmetric threshold. The
+    // quote/subset detector of the dedup family.
+    "dedup_containment_pairs" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          array_join(slice(TextOps.tokens(col("text")), 1, 30), " ").as("text"))
+      Dedup.containmentPairs(docs.unionAll(planted), "doc_id", "text",
+        n = 3, threshold = 0.8)
+    }),
+
+    // Winnowed-fingerprint near-dup pairs (MOSS) on the same
+    // planted-fragment corpus: a 30-token fragment shares its source's
+    // early window minima, so the pair surfaces with n_shared ≥ 2 while
+    // total fingerprint volume stays at ~2/(w+1) of the gram stream.
+    // The md5-prefix hash is recomputed verbatim by the oracle.
+    "dedup_winnow_pairs" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          array_join(slice(TextOps.tokens(col("text")), 1, 30), " ").as("text"))
+      Dedup.winnowPairs(docs.unionAll(planted), "doc_id", "text",
+        k = 4, w = 8, minShared = 2)
+    }),
+
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(table(s, dir, "documents"), "doc_id", "text",
         maxDistance = 5)),
@@ -669,6 +697,55 @@ object DataOpsQueries {
         s"""SELECT md5($normTextSql) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS keep_id,
            | count(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,
       "dedup_ngram_pairs" -> oraclesNgramSql,
+      "dedup_winnow_pairs" ->
+        s"""WITH base AS (SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 2000000, array_to_string(($toksSql)[1:30], ' ')
+           |  FROM documents WHERE doc_id % 20 = 0),
+           |guard AS (SELECT CASE WHEN max(len($toksSql)) > 4097
+           |    THEN error('gram range(1,4096) cap exceeded') ELSE 1 END AS g
+           |  FROM base),
+           |tk AS (SELECT doc_id, $toksSql toks FROM base),
+           |gr AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           |    array_to_string(list_slice(toks, CAST(i AS INT),
+           |      CAST(i AS INT) + 3), ' ') AS gram
+           |  FROM tk, range(1, 4096) t(i)
+           |  WHERE i + 3 <= len(toks) AND (SELECT g FROM guard) = 1),
+           |h AS (SELECT doc_id, pos,
+           |    CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS hv,
+           |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS m
+           |  FROM gr),
+           |sel AS (SELECT doc_id,
+           |    min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS f,
+           |    pos, m
+           |  FROM h),
+           |fp AS (SELECT DISTINCT doc_id, f FROM sel
+           |  WHERE pos <= m - 8 OR (m < 8 AND pos = 0))
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(count(*) AS BIGINT) AS n_shared
+           |FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+      "dedup_containment_pairs" ->
+        s"""WITH base AS (SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 2000000, array_to_string(($toksSql)[1:30], ' ')
+           |  FROM documents WHERE doc_id % 20 = 0),
+           |guard AS (SELECT CASE WHEN max(len($toksSql)) > 4097
+           |    THEN error('shingle range(1,4096) cap exceeded') ELSE 1 END AS g
+           |  FROM base),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, concat_ws(' ', toks[CAST(i AS INT)],
+           |      toks[CAST(i AS INT)+1], toks[CAST(i AS INT)+2]) AS s
+           |  FROM (SELECT doc_id, $toksSql toks FROM base), range(1, 4096) t(i)
+           |  WHERE i + 2 <= len(toks) AND (SELECT g FROM guard) = 1),
+           |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY 1),
+           |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, CAST(count(*) AS BIGINT) m
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, round(CAST(m AS DOUBLE) / ca.n, 6) AS containment
+           |FROM inter JOIN cnt ca ON ca.doc_id = id_a
+           |WHERE round(CAST(m AS DOUBLE) / ca.n, 6) >= 0.8""".stripMargin,
       "dedup_source_matrix" ->
         s"""WITH p AS ($oraclesNgramSql),
            |s AS (SELECT doc_id, source FROM documents),

@@ -162,6 +162,67 @@ class OpsSpec extends SparkSpec {
     assert(across == wantAcross)
   }
 
+  test("containmentPairs = all-pairs containment; catches fragments Jaccard misses") {
+    import spark.implicits._
+    // doc 1: 40 tokens; doc 2: its first 12 tokens (fragment); doc 3: noise
+    val words = (1 to 40).map(i => s"w$i")
+    val d = Seq(
+      (1L, words.mkString(" ")),
+      (2L, words.take(12).mkString(" ")),
+      (3L, (1 to 30).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the fragment is fully contained in its source; nothing else matches
+    assert(got == Map((2L, 1L) -> 1.0))
+    // Jaccard at the same τ misses it (10 shared / 38 union ≈ 0.26)
+    assert(Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.8).count() == 0)
+    // prefix-filtered output = brute-force all-pairs containment
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val brute = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(sets.select(col("id").as("id_b"), col("sh").as("sh_b")))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")).cast("double"), 6).as("c"))
+      .filter(col("c") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val filtered = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(filtered == brute)
+  }
+
+  test("winnowing: insertion-robust shared fingerprints, noise isolated, " +
+      "partition invariant") {
+    import spark.implicits._
+    val words = (1 to 40).map(i => s"w$i")
+    // B = A with one token inserted mid-way: fixed-stride sampling
+    // desynchronizes here; winnowing's local minima don't.
+    val d = Seq(
+      (1L, words.mkString(" ")),
+      (2L, (words.take(20) ++ Seq("INS") ++ words.drop(20)).mkString(" ")),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(d, "doc_id", "text", k = 4, w = 8,
+      minShared = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L))) // noise doc shares nothing
+    // guarantee: shared runs of >= k+w-1 = 11 tokens flank the insertion,
+    // each must contribute >= 1 shared fingerprint
+    assert(pairs((1L, 2L)) >= 2L)
+    // fingerprint sets are a pure function of the text — partition invariant
+    val f1 = Dedup.winnowFingerprints(d, "doc_id", "text", 4, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val f2 = Dedup.winnowFingerprints(d.repartition(7), "doc_id", "text", 4, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(f1 == f2 && f1.nonEmpty)
+    // density: a doc's fingerprints never exceed its window count (m-w+1)
+    val n1 = f1.count(_._1 == 1L)
+    assert(n1 >= 1 && n1 <= 40 - 3 - 7) // m = 37 grams, 30 windows
+    // sub-k-token docs emit nothing
+    assert(Dedup.winnowFingerprints(
+      Seq((9L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", 4, 8)
+      .count() == 0)
+  }
+
   test("connected components collapse chains, stars and cliques to min-id labels") {
     // chain 1-2-3-4, star 10-{11,12,13}, clique {20,21,22}, isolated pair 30-31
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
