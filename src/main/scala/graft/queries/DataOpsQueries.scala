@@ -122,6 +122,24 @@ object DataOpsQueries {
         n = 3, threshold = 0.8)
     }),
 
+    // Near-dup-aware train/eval split — the leakage-safe split: hashing
+    // raw doc ids can strand one near-dup twin in train and one in eval
+    // (the classic contamination bug); splitting by COMPONENT id sends
+    // whole clusters to one side by construction. The split hash is the
+    // md5 60-bit prefix of the component id, so the oracle replays it
+    // exactly; ~80/20 in expectation.
+    "sample_cluster_split" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+      val comp = Dedup.connectedComponents(ngramPairs(s, dir), "id_a", "id_b")
+      docs.join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .withColumn("split",
+          when(conv(substring(md5(col("component").cast("string")), 1, 15),
+            16, 10).cast("long") % 10 < 8, lit("train"))
+            .otherwise(lit("eval")))
+    }),
+
     // Winnowed-fingerprint near-dup pairs (MOSS) on the same
     // planted-fragment corpus: a 30-token fragment shares its source's
     // early window minima, so the pair surfaces with n_shared ≥ 2 while
@@ -697,6 +715,23 @@ object DataOpsQueries {
         s"""SELECT md5($normTextSql) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS keep_id,
            | count(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,
       "dedup_ngram_pairs" -> oraclesNgramSql,
+      "sample_cluster_split" ->
+        s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($oraclesNgramSql) q),
+           |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+           |          UNION ALL SELECT id_b, id_a FROM pairs),
+           |nodes AS (SELECT DISTINCT s AS id FROM edges),
+           |walk(id, lbl) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.id),
+           |comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id),
+           |lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+           |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+           |SELECT doc_id, component,
+           |  CASE WHEN CAST(concat('0x',
+           |      substr(md5(CAST(component AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8
+           |    THEN 'train' ELSE 'eval' END AS split
+           |FROM lab""".stripMargin,
       "dedup_winnow_pairs" ->
         s"""WITH base AS (SELECT doc_id, text FROM documents
            |  UNION ALL

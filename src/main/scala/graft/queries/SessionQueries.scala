@@ -91,6 +91,48 @@ object SessionQueries {
         "snap_sec", Seq("rate"), toleranceSec = Some(14L * 86400L))
     }),
 
+    // Last-touch attribution: each purchase credits its user's LATEST
+    // click at-or-before it, only within a 7-day lookback — the backward
+    // as-of composed from the events stream itself (clicks deduped to
+    // one per (user, second), latest event_id wins, so the right side
+    // meets asof's uniqueness contract). Oracle: DuckDB's native
+    // backward ASOF JOIN + the same lookback filter.
+    "attribution_last_touch" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_sec"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_sec"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_sec").as("click_ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.ops.AsOfJoin.asof(purchases, clicks, "user_id", "ts_sec",
+        "click_ts", Seq("click_id", "click_ts"))
+        .filter(col("ts_sec") - col("click_ts") <= 7L * 86400L)
+        .select(col("purchase_id"), col("user_id"), col("ts_sec"),
+          col("click_id"), (col("ts_sec") - col("click_ts")).as("gap_sec"))
+    }),
+
+    // Trailing 24h distinct-behaviour feature: for every event, how many
+    // DISTINCT event types its user emitted in the strictly-preceding
+    // 24 hours — the leakage-safe trailing profile a ranking model
+    // consumes. One keyed range window (collect_list over the RANGE
+    // frame, distinct-counted per row); the [-86400, -1] bound excludes
+    // the current second entirely, so same-second events never see each
+    // other on either engine.
+    "feature_trailing_distinct" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+        .rangeBetween(-86400L, -1L)
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_sec"), col("event_type"))
+        .withColumn("n_types_24h",
+          size(array_distinct(collect_list(col("event_type")).over(w)))
+            .cast("long"))
+        .select(col("event_id"), col("user_id"), col("ts_sec"),
+          col("n_types_24h"))
+    }),
+
     // Strict-order conversion funnel view → click → purchase: per-stage
     // min-aggregates chained by user-keyed joins, no per-user windows.
     "funnel_stages" -> ((s, dir) => {
@@ -256,6 +298,31 @@ object SessionQueries {
         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks)
         |SELECT e.event_id, e.user_id, e.ts_sec, s.rate
         |FROM e ASOF JOIN s ON e.user_id = s.user_id AND e.ts_sec >= s.snap_sec""".stripMargin,
+
+    "attribution_last_touch" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_type
+        |  FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts_sec FROM e
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts_sec AS click_ts,
+        |    CAST(max(event_id) AS BIGINT) AS click_id
+        |  FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.purchase_id, p.user_id, p.ts_sec, c.click_id,
+        |  p.ts_sec - c.click_ts AS gap_sec
+        |FROM p ASOF JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_sec >= c.click_ts
+        |WHERE p.ts_sec - c.click_ts <= 7 * 86400""".stripMargin,
+
+    "feature_trailing_distinct" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_type
+        |  FROM events)
+        |SELECT a.event_id, a.user_id, a.ts_sec,
+        |  CAST(count(DISTINCT b.event_type) AS BIGINT) AS n_types_24h
+        |FROM e a LEFT JOIN e b ON b.user_id = a.user_id
+        |  AND b.ts_sec >= a.ts_sec - 86400 AND b.ts_sec <= a.ts_sec - 1
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "asof_join_forward" ->
       """WITH e AS (
