@@ -133,6 +133,35 @@ object SessionQueries {
           col("n_types_24h"))
     }),
 
+    // Trailing EWMA of event values (half-life = 1 event, capped at 16):
+    // ewma_i = Σ_j value_{i−j}·2^{15−j} / Σ_j 2^{15−j} over the trailing
+    // window — ORDER-INVARIANT exactness by construction: power-of-two
+    // integer weights × decimal(18,6) values sum exactly in any order,
+    // so Spark's window-frame aggregation and DuckDB's join-group
+    // aggregation agree bit-for-bit with doubles only at the final
+    // division. The newest-first ranking is pinned by sort_array desc on
+    // (ts, event_id), never by collect order.
+    "feature_ewma_value" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec").asc, col("event_id").asc)
+        .rowsBetween(-15, 0)
+      val arr = reverse(sort_array(collect_list(
+        struct(col("ts_sec"), col("event_id"),
+          col("value").cast("decimal(18,6)").as("v"))).over(w)))
+      val weights = transform(col("__a"),
+        (_, i) => pow(lit(2.0), lit(15) - i).cast("long"))
+      val num = aggregate(
+        zip_with(col("__a"), weights, (x, wt) => x.getField("v") * wt),
+        lit(0).cast("decimal(38,6)"), (acc, x) => acc + x)
+      val den = aggregate(weights, lit(0L), (acc, x) => acc + x)
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_sec"), col("value"))
+        .withColumn("__a", arr)
+        .select(col("event_id"), col("user_id"), col("ts_sec"),
+          round(num.cast("double") / den.cast("double"), 6).as("ewma"))
+    }),
+
     // Strict-order conversion funnel view → click → purchase: per-stage
     // min-aggregates chained by user-keyed joins, no per-user windows.
     "funnel_stages" -> ((s, dir) => {
@@ -298,6 +327,21 @@ object SessionQueries {
         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks)
         |SELECT e.event_id, e.user_id, e.ts_sec, s.rate
         |FROM e ASOF JOIN s ON e.user_id = s.user_id AND e.ts_sec >= s.snap_sec""".stripMargin,
+
+    "feature_ewma_value" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_sec, event_id) AS rn FROM e)
+        |SELECT a.event_id, a.user_id, a.ts_sec,
+        |  round(CAST(sum(CAST(b.value AS DECIMAL(18,6)) *
+        |      CAST(power(2, 15 - (a.rn - b.rn)) AS BIGINT)) AS DOUBLE) /
+        |    CAST(sum(CAST(power(2, 15 - (a.rn - b.rn)) AS BIGINT)) AS DOUBLE),
+        |    6) AS ewma
+        |FROM r a JOIN r b ON b.user_id = a.user_id
+        |  AND b.rn BETWEEN a.rn - 15 AND a.rn
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "attribution_last_touch" ->
       """WITH e AS (SELECT event_id, user_id,

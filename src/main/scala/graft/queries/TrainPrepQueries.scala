@@ -77,6 +77,28 @@ object TrainPrepQueries {
     "vocab_cooc_pairs" -> ((s, dir) =>
       Vocab.coocCounts(table(s, dir, "documents"), "text", window = CoocWindow)),
 
+    // Pointwise mutual information over the co-occurrence pairs — the
+    // collocation-mining score ("new york" ≫ "of the"): PMI =
+    // ln(n·T / (c1·c2)) from the pair table's own marginals, n ≥ 5
+    // support floor. Integer counts everywhere; ln only at the closure,
+    // operand order mirrored in the oracle. Two marginal aggregates +
+    // two keyed joins over the (vocab²-bounded) pair table; the 1-row
+    // total broadcasts.
+    "vocab_pmi" -> ((s, dir) => {
+      val pairs = Vocab.coocCounts(table(s, dir, "documents"), "text",
+        window = CoocWindow)
+      val t = pairs.agg(sum(col("n")).as("T"))
+      val m1 = pairs.groupBy(col("w1")).agg(sum(col("n")).as("c1"))
+      val m2 = pairs.groupBy(col("w2")).agg(sum(col("n")).as("c2"))
+      pairs.filter(col("n") >= 5)
+        .join(m1, "w1").join(m2, "w2")
+        .crossJoin(broadcast(t))
+        .select(col("w1"), col("w2"), col("n"),
+          round(log((col("n").cast("double") * col("T").cast("double")) /
+            (col("c1").cast("double") * col("c2").cast("double"))), 6)
+            .as("pmi"))
+    }),
+
     // Vocabulary coverage: token-stream share of the top-20 words and the
     // OOV rate a tokenizer with that vocab would pay.
     "vocab_coverage" -> ((s, dir) =>
@@ -206,6 +228,24 @@ object TrainPrepQueries {
          |    AND b.i > a.i AND b.i <= a.i + $CoocWindow)
          |SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
          |FROM p GROUP BY 1, 2""".stripMargin,
+
+    "vocab_pmi" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |t AS (SELECT doc_id, unnest(toks) AS tok,
+         |    generate_subscripts(toks, 1) AS i FROM tk),
+         |p AS (SELECT a.tok AS w1, b.tok AS w2
+         |  FROM t a JOIN t b ON a.doc_id = b.doc_id
+         |    AND b.i > a.i AND b.i <= a.i + $CoocWindow),
+         |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2),
+         |tt AS (SELECT CAST(sum(n) AS BIGINT) AS T FROM pc),
+         |m1 AS (SELECT w1, CAST(sum(n) AS BIGINT) AS c1 FROM pc GROUP BY 1),
+         |m2 AS (SELECT w2, CAST(sum(n) AS BIGINT) AS c2 FROM pc GROUP BY 1)
+         |SELECT pc.w1, pc.w2, pc.n,
+         |  round(ln((CAST(pc.n AS DOUBLE) * CAST(T AS DOUBLE)) /
+         |    (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
+         |FROM pc JOIN m1 ON m1.w1 = pc.w1 JOIN m2 ON m2.w2 = pc.w2
+         |CROSS JOIN tt WHERE pc.n >= 5""".stripMargin,
 
     "vocab_coverage" ->
       s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wcnt
