@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables.table
@@ -249,6 +249,34 @@ object DataOpsQueries {
         .select(col("query_id"), col("k"), col("n_hit"),
           round(col("n_hit").cast("double") / col("k").cast("double"), 6)
             .as("recall"))
+    }),
+
+    // Embedding-distribution drift: L2 shift and cosine between the MEAN
+    // vectors of two corpus snapshots (vec_id parity plays ref/cur) —
+    // the cheap first-line embedding drift monitor before anything
+    // MMD-grade. Per-dim means come from the sorted-fold meanPool
+    // (deterministic); the 64-dim closures fold in DIM ORDER on both
+    // engines, so every double sum is IEEE-identical.
+    "drift_embedding_shift" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .withColumn("grp",
+          when(col("vec_id") % 2 === 0, lit("ref")).otherwise(lit("cur")))
+      val means = Ann.meanPool(emb, "grp", "embedding")
+      val wide = means.groupBy(col("dim"))
+        .agg(max(when(col("grp") === "ref", col("mean"))).as("r"),
+          max(when(col("grp") === "cur", col("mean"))).as("c"))
+      val packed = wide.agg(sort_array(collect_list(
+        struct(col("dim"), col("r"), col("c")))).as("a"))
+      def fold(f: Column => Column): Column =
+        aggregate(transform(col("a"), x => f(x)), lit(0.0),
+          (acc, x) => acc + x)
+      packed.select(
+        round(sqrt(fold(x => (x.getField("r") - x.getField("c")) *
+          (x.getField("r") - x.getField("c")))), 6).as("l2_shift"),
+        round(fold(x => x.getField("r") * x.getField("c")) /
+          (sqrt(fold(x => x.getField("r") * x.getField("r"))) *
+            sqrt(fold(x => x.getField("c") * x.getField("c")))), 6)
+          .as("mean_cosine"))
     }),
 
     // Embedding ops in LONG layout (id/group, dim, value) — double columns
@@ -1027,6 +1055,33 @@ object DataOpsQueries {
           |  CAST(sum(xi * xj) AS BIGINT) AS s_ij
           |FROM p GROUP BY 1, 2""".stripMargin,
 
+      "drift_embedding_shift" ->
+        """WITH v AS (SELECT CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS grp,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
+          |ex AS (SELECT grp, CAST(i - 1 AS INT) AS dim, e[CAST(i AS INT)] AS x
+          |       FROM v, range(1, 65) r(i)),
+          |g AS (SELECT grp, dim, list_sort(list(x)) AS xs, count(*) AS n
+          |      FROM ex GROUP BY 1, 2),
+          |m AS (SELECT grp, dim,
+          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs), (a, b) -> a + b)
+          |      / CAST(n AS DOUBLE) AS mean
+          |  FROM g),
+          |w AS (SELECT dim, max(CASE WHEN grp = 'ref' THEN mean END) AS r,
+          |    max(CASE WHEN grp = 'cur' THEN mean END) AS c
+          |  FROM m GROUP BY 1),
+          |f AS (SELECT
+          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list((r - c) * (r - c) ORDER BY dim)), (a, b) -> a + b) AS d2,
+          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list(r * c ORDER BY dim)), (a, b) -> a + b) AS xy,
+          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list(r * r ORDER BY dim)), (a, b) -> a + b) AS xx,
+          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list(c * c ORDER BY dim)), (a, b) -> a + b) AS yy
+          |  FROM w)
+          |SELECT round(sqrt(d2), 6) AS l2_shift,
+          |  round(xy / (sqrt(xx) * sqrt(yy)), 6) AS mean_cosine
+          |FROM f""".stripMargin,
       "embed_mean_pool" ->
         """WITH v AS (SELECT vec_id % 10 AS grp, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
           |ex AS (SELECT grp, CAST(i - 1 AS INT) AS dim, e[CAST(i AS INT)] AS x

@@ -120,6 +120,31 @@ class DegenerateSpec extends SparkSpec {
         org.apache.spark.sql.types.FloatType)), "embedding").count() == 0)
   }
 
+  test("containment, winnowing, LPA, t-closeness, forward as-of on " +
+      "empty/undersized input") {
+    val eDocs = emptyDf("doc_id" -> LongType, "text" -> StringType)
+    assert(Dedup.containmentPairs(eDocs, "doc_id", "text", 3, 0.8).count() == 0)
+    assert(Dedup.winnowPairs(eDocs, "doc_id", "text", 4, 8, 1).count() == 0)
+    // one doc: no pairs; sub-k docs: no fingerprints at all
+    val one = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(one, "doc_id", "text", 3, 0.8).count() == 0)
+    assert(Dedup.winnowPairs(one, "doc_id", "text", 4, 8, 1).count() == 0)
+    val eEdges = emptyDf("a" -> LongType, "b" -> LongType)
+    assert(Graph.labelPropagation(eEdges, "a", "b", rounds = 3).count() == 0)
+    // a single edge: both endpoints adopt the partner's (then own) label
+    val lp = Graph.labelPropagation(Seq((1L, 2L)).toDF("a", "b"), "a", "b", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp == Map(1L -> 1L, 2L -> 2L)) // 2 rounds of swapping = identity
+    val eT = emptyDf("g" -> StringType, "v" -> StringType)
+    assert(Quality.tCloseness(eT, Seq("g"), "v").count() == 0)
+    // forward as-of: empty right side -> inner join drops everything
+    val l = Seq((1L, 10L, 5L)).toDF("event_id", "user_id", "ts")
+    val eR = emptyDf("user_id" -> LongType, "snap_ts" -> LongType,
+      "rate" -> DoubleType)
+    assert(AsOfJoin.asofForward(l, eR, "user_id", "ts", "snap_ts",
+      Seq("rate")).count() == 0)
+  }
+
   test("substring spans, prefix sums, benford, k-anon on empty/undersized input") {
     // all docs shorter than the gram: zero grams, zero spans (and no
     // descending-sequence trap from size(t) - n going negative)
