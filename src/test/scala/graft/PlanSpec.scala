@@ -396,6 +396,36 @@ class PlanSpec extends SparkSpec {
     assert(read.select(col("source")).distinct().count() <= 2)
   }
 
+  test("nearest-name ER: brand-blocked equi-join + min-struct aggregate, " +
+      "no cartesian, no window") {
+    val p = plan("er_nearest_name")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(!p.contains("Window"), p) // argmin folds in the aggregate
+    assert(p.contains("levenshtein"), p)
+  }
+
+  test("containment join: prefix-filtered equi-joins only — no cartesian, " +
+      "no window") {
+    val p = plan("dedup_containment_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("winnowing: fingerprint selection stays inside the token array — " +
+      "no window, no cartesian") {
+    val p = plan("dedup_winnow_pairs")
+    assert(!p.contains("Window"), p) // window minima are array transforms
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("trailing-distinct feature: ONE user-keyed exchange feeds the " +
+      "RANGE window") {
+    val p = plan("feature_trailing_distinct")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p) // no global sort
+  }
+
   test("custom expressions are SQL-callable after extension registration") {
     GraftExtensions.registerOn(spark)
     val r = spark.sql("SELECT seq_ratio('grady_memorial', 'grady_memoral') AS r")
