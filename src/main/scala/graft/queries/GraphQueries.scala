@@ -139,7 +139,40 @@ object GraphQueries {
     // pure function of the graph — the oracle unrolls all three.
     "graph_lpa_communities" -> ((s, dir) =>
       Graph.labelPropagation(coPurchaseEdges(s, dir), "pa", "pb", rounds = 3)
-        .select(col("node").as("part"), col("community"))))
+        .select(col("node").as("part"), col("community"))),
+
+    // Weighted Newman modularity OF the LPA partition — the one-number
+    // quality check on any community assignment (Q ≈ 0: no better than
+    // random; the composition every clustering eval runs). Integer-exact:
+    // Q·(2W)² = Σ_c (2·in_c·2W − S_c²) accumulates in decimal(38,0),
+    // doubles only in the final division — order-invariant, hash-gated.
+    "graph_modularity" -> ((s, dir) => {
+      val e = coPurchaseEdges(s, dir)
+      val comm = Graph.labelPropagation(e, "pa", "pb", rounds = 3)
+      val dec = "decimal(38,0)"
+      val ej = e
+        .join(comm.select(col("node").as("pa"), col("community").as("ca")), "pa")
+        .join(comm.select(col("node").as("pb"), col("community").as("cb")), "pb")
+      val twoW = e.agg((sum(col("w")) * 2).as("tw"))
+      val strength = e.select(col("pa").as("node"), col("w"))
+        .unionAll(e.select(col("pb").as("node"), col("w")))
+        .groupBy(col("node")).agg(sum(col("w")).as("s"))
+      val sC = strength.join(comm, "node")
+        .groupBy(col("community")).agg(sum(col("s")).as("sc"))
+      val inC = ej.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community"))
+        .agg((sum(col("w")) * 2).as("in2"))
+      sC.join(inC, Seq("community"), "left")
+        .select(col("community"),
+          coalesce(col("in2"), lit(0L)).as("in2"), col("sc"))
+        .crossJoin(broadcast(twoW))
+        .agg(count(lit(1)).as("n_communities"),
+          round(
+            sum(col("in2").cast(dec) * col("tw").cast(dec) -
+              col("sc").cast(dec) * col("sc").cast(dec)).cast("double") /
+              (max(col("tw")).cast("double") * max(col("tw")).cast("double")),
+            6).as("modularity"))
+    }))
 
   /** Top-3 co-purchase hubs (undirected degree desc, id asc) — the shared
     * seed rule of the BFS-reach and personalized-PageRank gates. */
@@ -319,6 +352,38 @@ object GraphQueries {
          |    nullif(sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)),
          |      0.0), 6) AS assortativity
          |FROM c""".stripMargin,
+
+    "graph_modularity" -> {
+      def round(i: Int): String =
+        s"""k$i AS (SELECT a.v AS node, l.lbl, CAST(count(*) AS BIGINT) AS c
+           |  FROM adj a JOIN l${i - 1} l ON l.node = a.x GROUP BY 1, 2),
+           |l$i AS (SELECT node, lbl FROM (SELECT node, lbl,
+           |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC)
+           |      AS rn FROM k$i) WHERE rn = 1)""".stripMargin
+      s"""WITH $coPurchaseCtes,
+         |adj AS (SELECT pa AS v, pb AS x FROM e
+         |        UNION ALL SELECT pb, pa FROM e),
+         |l0 AS (SELECT DISTINCT v AS node, v AS lbl FROM adj),
+         |${(1 to 3).map(round).mkString(",\n")},
+         |c AS (SELECT node, lbl AS community FROM l3),
+         |tw AS (SELECT CAST(2 * sum(w) AS BIGINT) AS tw FROM e),
+         |st AS (SELECT node, CAST(sum(w) AS BIGINT) AS s FROM (
+         |    SELECT pa AS node, w FROM e UNION ALL SELECT pb, w FROM e)
+         |  GROUP BY 1),
+         |sc AS (SELECT c.community, CAST(sum(st.s) AS BIGINT) AS sc
+         |  FROM st JOIN c ON c.node = st.node GROUP BY 1),
+         |inc AS (SELECT ca.community, CAST(2 * sum(e.w) AS BIGINT) AS in2
+         |  FROM e JOIN c ca ON ca.node = e.pa
+         |  JOIN c cb ON cb.node = e.pb AND cb.community = ca.community
+         |  GROUP BY 1),
+         |per AS (SELECT sc.community, coalesce(in2, 0) AS in2, sc.sc
+         |  FROM sc LEFT JOIN inc ON inc.community = sc.community)
+         |SELECT CAST(count(*) AS BIGINT) AS n_communities,
+         |  round(CAST(sum(in2 * tw - sc * sc) AS DOUBLE) /
+         |    (CAST(max(tw) AS DOUBLE) * CAST(max(tw) AS DOUBLE)), 6)
+         |    AS modularity
+         |FROM per CROSS JOIN tw""".stripMargin
+    },
 
     "graph_lpa_communities" -> {
       def round(i: Int): String =
