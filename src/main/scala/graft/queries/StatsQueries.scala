@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -284,6 +284,66 @@ object StatsQueries {
     // Exact Pearson correlation per group from one aggregate of exact
     // sums (x as LONG, y/x·y/y² as DECIMAL) — the OLS-trend pattern with
     // a sqrt closing step, operand order mirrored.
+    // 2×2 Pearson chi-square on user-level conversion (user parity plays
+    // A/B, converted = any purchase event): the experiment read-out an
+    // analytics engine runs daily. χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d))
+    // — every term an exact decimal(38,0) integer, double only at the
+    // final division; significance at the 0.05 critical value 3.841.
+    "ab_test_chi2" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val users = table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", lit(1L))
+          .otherwise(lit(0L))).as("cv"))
+        .select((col("user_id") % 2 === 0).as("ga"), col("cv"))
+      val agg = users.agg(
+        sum(when(col("ga") && col("cv") === 1L, 1L).otherwise(0L)).as("a"),
+        sum(when(col("ga") && col("cv") === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when(!col("ga") && col("cv") === 1L, 1L).otherwise(0L)).as("c"),
+        sum(when(!col("ga") && col("cv") === 0L, 1L).otherwise(0L)).as("d"))
+      def D(c: Column) = c.cast(dec)
+      val num = D(col("a") + col("b") + col("c") + col("d")) *
+        (D(col("a")) * D(col("d")) - D(col("b")) * D(col("c"))) *
+        (D(col("a")) * D(col("d")) - D(col("b")) * D(col("c")))
+      val den = D(col("a") + col("b")) * D(col("c") + col("d")) *
+        D(col("a") + col("c")) * D(col("b") + col("d"))
+      // A degenerate margin (here: EVERY user converts, b = d = 0) makes
+      // χ² undefined; define it as 0.0 — "no evidence of a difference" —
+      // on both engines. coalesce over nullif rather than a raw divide:
+      // ANSI mode would throw, and a NULL cell renders engine-specifically
+      // (None vs NaN) in the gate comparator.
+      val chi2 = coalesce(
+        num.cast("double") / nullif(den.cast("double"), lit(0.0)), lit(0.0))
+      agg.select(col("a"), col("b"), col("c"), col("d"),
+        round(chi2, 6).as("chi2"), (chi2 > 3.841).as("significant"))
+    }),
+
+    // Welch's two-sample t on event values (same parity split): exact
+    // decimal Σx / Σx² per arm, the t closure in double with mirrored
+    // operand order — the unequal-variance default every experimentation
+    // stack should use.
+    "agg_welch_ttest" -> ((s, dir) => {
+      val x = col("value").cast("decimal(18,6)")
+      val agg = table(s, dir, "events")
+        .select((col("user_id") % 2 === 0).as("ga"), x.as("__x"))
+        .agg(
+          sum(when(col("ga"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("ga"), col("__x"))).as("sx1"),
+          sum(when(col("ga"), col("__x") * col("__x"))).as("sxx1"),
+          sum(when(!col("ga"), 1L).otherwise(0L)).as("n2"),
+          sum(when(!col("ga"), col("__x"))).as("sx2"),
+          sum(when(!col("ga"), col("__x") * col("__x"))).as("sxx2"))
+      def d(c: Column) = c.cast("double")
+      val (n1, n2) = (d(col("n1")), d(col("n2")))
+      val m1 = d(col("sx1")) / n1
+      val m2 = d(col("sx2")) / n2
+      val v1 = (d(col("sxx1")) - d(col("sx1")) * d(col("sx1")) / n1) / (n1 - 1)
+      val v2 = (d(col("sxx2")) - d(col("sx2")) * d(col("sx2")) / n2) / (n2 - 1)
+      agg.select(col("n1"), col("n2"),
+        round(m1, 6).as("mean_a"), round(m2, 6).as("mean_b"),
+        round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6).as("t_stat"))
+    }),
+
     "agg_correlation" -> ((s, dir) => {
       val d = table(s, dir, "lineitem").select(col("l_returnflag"),
         col("l_quantity").cast("long").as("__x"),
@@ -993,6 +1053,49 @@ object StatsQueries {
         |  count(DISTINCT c_mktsegment) AS l, count(*) AS class_size
         |FROM customer GROUP BY 1, 2
         |HAVING count(DISTINCT c_mktsegment) < 3""".stripMargin,
+
+    "ab_test_chi2" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cv
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT (user_id % 2 = 0) AS ga, cv FROM u),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN ga AND cv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN ga AND cv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT ga AND cv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT ga AND cv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM g)
+        |SELECT a, b, c, d,
+        |  round(coalesce(CAST((a+b+c+d) * (a*d - b*c) * (a*d - b*c) AS DOUBLE) /
+        |    nullif(CAST((a+b) * (c+d) * (a+c) * (b+d) AS DOUBLE), 0.0), 0.0), 6) AS chi2,
+        |  coalesce(CAST((a+b+c+d) * (a*d - b*c) * (a*d - b*c) AS DOUBLE) /
+        |    nullif(CAST((a+b) * (c+d) * (a+c) * (b+d) AS DOUBLE), 0.0), 0.0) > 3.841 AS significant
+        |FROM t""".stripMargin,
+
+    "agg_welch_ttest" ->
+      """WITH e AS (SELECT (user_id % 2 = 0) AS ga,
+        |    CAST(value AS DECIMAL(18,6)) AS x
+        |  FROM events),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    sum(CASE WHEN ga THEN x END) AS sx1,
+        |    sum(CASE WHEN ga THEN x * x END) AS sxx1,
+        |    CAST(sum(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    sum(CASE WHEN NOT ga THEN x END) AS sx2,
+        |    sum(CASE WHEN NOT ga THEN x * x END) AS sxx2
+        |  FROM e),
+        |c AS (SELECT n1, n2,
+        |    CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |    CAST(sx1 AS DOUBLE) AS sx1d, CAST(sxx1 AS DOUBLE) AS sxx1d,
+        |    CAST(sx2 AS DOUBLE) AS sx2d, CAST(sxx2 AS DOUBLE) AS sxx2d
+        |  FROM t)
+        |SELECT n1, n2,
+        |  round(sx1d / n1d, 6) AS mean_a,
+        |  round(sx2d / n2d, 6) AS mean_b,
+        |  round((sx1d / n1d - sx2d / n2d) /
+        |    sqrt(((sxx1d - sx1d * sx1d / n1d) / (n1d - 1)) / n1d +
+        |         ((sxx2d - sx2d * sx2d / n2d) / (n2d - 1)) / n2d), 6) AS t_stat
+        |FROM c""".stripMargin,
 
     "privacy_t_closeness" ->
       """WITH base AS (SELECT c_nationkey,
