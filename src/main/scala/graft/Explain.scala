@@ -18,7 +18,10 @@ object Explain {
       "profile_join_keys", "funnel_stages", "lookup_promo_period",
       "graph_pagerank", "search_bm25", "search_rrf", "index_postings",
       "scd2_order_history", "session_paths", "outlier_mad",
-      "vocab_cooc_pairs", "agg_histogram_prices", "profile_table_stats")
+      "vocab_cooc_pairs", "agg_histogram_prices", "profile_table_stats",
+      "er_nearest_name", "dedup_containment_pairs", "dedup_winnow_pairs",
+      "asof_join_forward", "feature_trailing_distinct", "vocab_pmi",
+      "privacy_t_closeness", "graph_modularity")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

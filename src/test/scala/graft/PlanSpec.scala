@@ -426,6 +426,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p) // no global sort
   }
 
+  test("runtime bloom filter: a selective dim filter injects a bloom probe " +
+      "into the fact scan side") {
+    // The 100-TB mechanism for semi-join reduction WITHOUT broadcasting:
+    // Spark's runtime row-level bloom filter builds on the filtered dim
+    // side and prunes the fact side's shuffle input. Forced off the
+    // broadcast path (threshold -1) so the injection site is the
+    // shuffle-join shape a 100-TB fact table actually takes. RAW scans
+    // on purpose: Tables.maybeWiden's nondeterministic widening barrier
+    // (a local-fixture-only regime) suppresses InjectRuntimeFilter — at
+    // production scan widths the barrier is inert and injection behaves
+    // as asserted here (interaction recorded in SCALE.md).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val li = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+      val o = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val p = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("q"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.toLowerCase.contains("bloomfilter"),
+        s"expected a runtime bloom filter probe in the optimized plan\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("custom expressions are SQL-callable after extension registration") {
     GraftExtensions.registerOn(spark)
     val r = spark.sql("SELECT seq_ratio('grady_memorial', 'grady_memoral') AS r")
