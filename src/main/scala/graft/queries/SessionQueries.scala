@@ -133,6 +133,48 @@ object SessionQueries {
           col("n_types_24h"))
     }),
 
+    // Peak concurrent sessions per day — the capacity-planning number:
+    // gap-sessions become [start, end] second intervals, split at
+    // midnights, swept as ±1 endpoints with a per-day running sum. The
+    // (t asc, delta desc) tie rule makes every same-second open/close
+    // deterministic (+1s land before −1s, so touching sessions overlap
+    // inclusively); the running-max multiset is order-invariant within
+    // equal keys. Windows partition by DAY — never a global sweep.
+    "events_peak_concurrency" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_sec"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec").asc, col("event_id").asc)
+      val sess = ev
+        .withColumn("__prev", lag(col("ts_sec"), 1).over(w))
+        .withColumn("__new", when(col("__prev").isNull ||
+          col("ts_sec") - col("__prev") > GapMinutes * 60L, 1L).otherwise(0L))
+        .withColumn("__sid", sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("__sid"))
+        .agg(min(col("ts_sec")).as("ss"), max(col("ts_sec")).as("se"))
+      val seg = sess
+        .select(col("ss"), col("se"), explode(sequence(
+          to_date(from_unixtime(col("ss"))),
+          to_date(from_unixtime(col("se"))))).as("day"))
+        .select(col("day"),
+          greatest(col("ss"),
+            unix_timestamp(col("day").cast("timestamp"))).as("a"),
+          least(col("se"),
+            unix_timestamp(col("day").cast("timestamp")) + 86399L).as("b"))
+      val pts = seg.select(col("day"), col("a").as("t"), lit(1L).as("delta"))
+        .unionAll(seg.select(col("day"), col("b").as("t"), lit(-1L).as("delta")))
+      val w2 = Window.partitionBy(col("day"))
+        .orderBy(col("t").asc, col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pts.withColumn("__run", sum(col("delta")).over(w2))
+        .groupBy(col("day"))
+        .agg(max(col("__run")).as("peak_concurrency"),
+          (count(lit(1)) / 2).cast("long").as("n_session_segments"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("peak_concurrency"), col("n_session_segments"))
+    }),
+
     // Trailing EWMA of event values (half-life = 1 event, capped at 16):
     // ewma_i = Σ_j value_{i−j}·2^{15−j} / Σ_j 2^{15−j} over the trailing
     // window — ORDER-INVARIANT exactness by construction: power-of-two
@@ -327,6 +369,36 @@ object SessionQueries {
         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks)
         |SELECT e.event_id, e.user_id, e.ts_sec, s.rate
         |FROM e ASOF JOIN s ON e.user_id = s.user_id AND e.ts_sec >= s.snap_sec""".stripMargin,
+
+    "events_peak_concurrency" ->
+      s"""WITH e AS (SELECT user_id, event_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+         |o AS (SELECT *, lag(ts_sec) OVER (PARTITION BY user_id
+         |    ORDER BY ts_sec, event_id) AS prev FROM e),
+         |f AS (SELECT *, CASE WHEN prev IS NULL
+         |    OR ts_sec - prev > ${GapMinutes * 60} THEN 1 ELSE 0 END AS ns
+         |  FROM o),
+         |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+         |    ORDER BY ts_sec, event_id ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM f),
+         |sess AS (SELECT user_id, sid, min(ts_sec) AS ss, max(ts_sec) AS se
+         |  FROM s GROUP BY 1, 2),
+         |seg AS (SELECT CAST(d AS DATE) AS day,
+         |    greatest(ss, CAST(epoch(CAST(CAST(d AS DATE) AS TIMESTAMP)) AS BIGINT)) AS a,
+         |    least(se, CAST(epoch(CAST(CAST(d AS DATE) AS TIMESTAMP)) AS BIGINT) + 86399) AS b
+         |  FROM sess, unnest(range(
+         |    CAST(make_timestamp(ss * 1000000) AS DATE),
+         |    CAST(make_timestamp(se * 1000000) AS DATE) + 1,
+         |    INTERVAL 1 DAY)) t(d)),
+         |pts AS (SELECT day, a AS t, 1 AS delta FROM seg
+         |        UNION ALL SELECT day, b, -1 FROM seg),
+         |r AS (SELECT day, sum(delta) OVER (PARTITION BY day
+         |    ORDER BY t, delta DESC ROWS UNBOUNDED PRECEDING) AS run
+         |  FROM pts)
+         |SELECT strftime(day, '%Y-%m-%d') AS day,
+         |  CAST(max(run) AS BIGINT) AS peak_concurrency,
+         |  CAST(count(*) / 2 AS BIGINT) AS n_session_segments
+         |FROM r GROUP BY 1""".stripMargin,
 
     "feature_ewma_value" ->
       """WITH e AS (SELECT event_id, user_id,
