@@ -113,14 +113,33 @@ object Graph {
       require(!edges.columns.contains(c),
         s"pagerankScaled uses an internal $c column; rename the existing one")
     }
+    // Probe AFTER persisting: the regime-selection count would otherwise
+    // replay the caller's whole edge derivation once before either
+    // regime consumes it (the exact cost the loop-invariant persists
+    // exist to avoid). Callers that already persist (the memoized gate
+    // caches) make this a no-op.
+    val e0 = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Small-graph regime: solve on the driver with the identical integer
     // recurrence (see LocalEdgeThreshold). Node ids stay whatever type
     // the caller supplied — index-mapped for the kernel, emitted back
-    // with the source column's type.
-    if (edges.count() <= localEdgeThreshold) {
+    // with the source column's type (which must equal dstCol's type for
+    // the local emit; mixed-type edge lists take the distributed loop,
+    // whose union coerces).
+    val sameIdType =
+      edges.schema(srcCol).dataType == edges.schema(dstCol).dataType
+    if (sameIdType && e0.count() <= localEdgeThreshold) {
       val spark = edges.sparkSession
-      val rows = edges.select(col(srcCol), col(dstCol),
+      val rows = e0.select(col(srcCol), col(dstCol),
         col(wCol).cast("long")).collect()
+      if (rows.isEmpty) {
+        // empty derived graph: the distributed loop's fixpoint is an
+        // empty labeling — mirror it instead of dividing Scale by zero
+        e0.unpersist()
+        return spark.createDataFrame(
+          new java.util.ArrayList[Row](), StructType(Seq(
+            StructField("node", edges.schema(srcCol).dataType),
+            StructField("r", LongType))))
+      }
       val idx = new java.util.LinkedHashMap[Any, Integer]()
       def id(v: Any): Int = {
         var i = idx.get(v)
@@ -135,6 +154,7 @@ object Graph {
         ws(i) = rows(i).getLong(2); i += 1
       }
       val r = localRankLoop(srcs, dsts, ws, idx.size(), None, 0L, iters)
+      e0.unpersist()
       import scala.jdk.CollectionConverters._
       val out = idx.entrySet().asScala.toSeq
         .map(e => Row(e.getKey, r(e.getValue)))
@@ -147,13 +167,13 @@ object Graph {
     // iterative graph engine materializes its adjacency once. Without
     // this, each of the iters+3 references replays the caller's whole
     // edge-derivation lineage (e.g. a window over the raw event log).
-    val nodes = edges.select(col(srcCol).as("node"))
-      .union(edges.select(col(dstCol).as("node")))
+    val nodes = e0.select(col(srcCol).as("node"))
+      .union(e0.select(col(dstCol).as("node")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n1 = nodes.agg(count(lit(1)).as("__n"))
-    val eo = edges
-      .join(edges.groupBy(col(srcCol)).agg(sum(col(wCol)).as("outw")),
+    val eo = e0
+      .join(e0.groupBy(col(srcCol)).agg(sum(col(wCol)).as("outw")),
         srcCol)
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
         col(wCol).cast("long").as("__w"), col("outw").cast("long").as("outw"))
@@ -221,12 +241,15 @@ object Graph {
     require(seed.count() > 0,
       "personalizedPagerankScaled needs a non-empty seed set " +
         "(|S| = 0 would divide the teleport mass by zero)")
+    // Probe AFTER persisting (see pagerankScaled) — never an extra pass
+    // over the caller's raw edge derivation.
+    val e0 = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Small-graph regime (see LocalEdgeThreshold): same index-mapped
     // integer kernel, teleport masked to the seed set. Ids are long here
     // (both regimes cast), so the local node space is a LongMap.
-    if (edges.count() <= localEdgeThreshold) {
+    if (e0.count() <= localEdgeThreshold) {
       val spark = edges.sparkSession
-      val rows = edges.select(col(srcCol).cast("long"),
+      val rows = e0.select(col(srcCol).cast("long"),
         col(dstCol).cast("long"), col(wCol).cast("long")).collect()
       val seedIds = seed.collect().map(_.getLong(0))
       val idx = new java.util.LinkedHashMap[Long, Integer]()
@@ -247,22 +270,23 @@ object Graph {
       seedIds.foreach(s => flags(idx.get(s)) = true)
       val r = localRankLoop(srcs, dsts, ws, idx.size(), Some(flags),
         seedIds.length.toLong, iters)
+      e0.unpersist()
       import scala.jdk.CollectionConverters._
       val out = idx.entrySet().asScala.toSeq
         .map(e => Row(e.getKey.longValue(), r(e.getValue)))
       return spark.createDataFrame(out.asJava, StructType(Seq(
         StructField("node", LongType), StructField("r", LongType))))
     }
-    val nodes = edges.select(col(srcCol).cast("long").as("node"))
-      .union(edges.select(col(dstCol).cast("long").as("node")))
+    val nodes = e0.select(col(srcCol).cast("long").as("node"))
+      .union(e0.select(col(dstCol).cast("long").as("node")))
       .union(seed.select(col("node")))
       .distinct()
       .join(seed.select(col("node"), lit(1L).as("__s")), Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ns1 = seed.agg(count(lit(1)).as("__ns"))
-    val eo = edges
-      .join(edges.groupBy(col(srcCol)).agg(sum(col(wCol)).as("outw")),
+    val eo = e0
+      .join(e0.groupBy(col(srcCol)).agg(sum(col(wCol)).as("outw")),
         srcCol)
       .select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"),
@@ -513,10 +537,12 @@ object Graph {
       s"maxHops out of range (1..12): $maxHops")
     val e = edges.select(col(aCol).cast("long").as("v"),
       col(bCol).cast("long").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Small-graph regime (see LocalEdgeThreshold): BFS layers are unique
     // minimum distances, so a driver-local queue walk emits the same
-    // (node, dist) set as the bulk-synchronous frontier loop.
-    if (edges.count() <= localEdgeThreshold) {
+    // (node, dist) set as the bulk-synchronous frontier loop. The probe
+    // counts the PERSISTED projection, never the raw derivation twice.
+    if (e.count() <= localEdgeThreshold) {
       val spark = edges.sparkSession
       val adjM = scala.collection.mutable.LongMap
         .empty[scala.collection.mutable.ArrayBuffer[Long]]
@@ -541,6 +567,7 @@ object Graph {
       }
       import scala.jdk.CollectionConverters._
       val out = dist.toSeq.sortBy(_._1).map { case (n, dd) => Row(n, dd) }
+      e.unpersist()
       return spark.createDataFrame(out.asJava, StructType(Seq(
         StructField("node", LongType), StructField("dist", IntegerType))))
     }
@@ -588,7 +615,8 @@ object Graph {
     require(rounds >= 1 && rounds <= 10, s"rounds out of range: $rounds")
     val e = edges.select(col(aCol).cast("long").as("v"),
       col(bCol).cast("long").as("x"))
-    if (edges.count() <= localEdgeThreshold) {
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (e.count() <= localEdgeThreshold) {
       val spark = edges.sparkSession
       val adjM = scala.collection.mutable.LongMap
         .empty[scala.collection.mutable.ArrayBuffer[Long]]
@@ -611,6 +639,7 @@ object Graph {
       }
       import scala.jdk.CollectionConverters._
       val out = lbl.toSeq.sortBy(_._1).map { case (n, l) => Row(n, l) }
+      e.unpersist()
       return spark.createDataFrame(out.asJava, StructType(Seq(
         StructField("node", LongType), StructField("community", LongType))))
     }

@@ -104,9 +104,12 @@ object Quality {
     * contribute `n_v·n_c` without materializing zero cells: the absent
     * mass rides as `(N − Σ_present n_v)·n_c`.
     *
-    * Scale shape: two hash aggregates keyed by (QI[, v]) + one QI-keyed
-    * join of class sizes onto cells; the |V|-row global distribution and
-    * 1-row total broadcast. Nothing touches more than the cell table.
+    * Scale shape: one hash aggregate keyed by (QI, v), class sizes via a
+    * QI-keyed window over the COLLAPSED cell table (|classes|·|V| rows,
+    * not raw rows — and null-safe, where a join on QI would drop null-QI
+    * classes from the audit); the |V|-row global distribution and 1-row
+    * total broadcast. NULL sensitive values are excluded from the
+    * distributions, matching the SQL aggregate convention.
     *
     * @return one row per QI class: qi..., class_size, t_dist (6dp). */
   def tCloseness(df: DataFrame, qiCols: Seq[String],
@@ -114,13 +117,19 @@ object Quality {
     require(qiCols.nonEmpty, "need at least one quasi-identifier column")
     val qi = qiCols.map(col)
     val dec = "decimal(38,0)"
-    val cell = df.groupBy(qi :+ col(sensitiveCol): _*)
+    // NULL sensitive values are EXCLUDED from the distributions (the SQL
+    // aggregate convention — count(DISTINCT) and the oracle's joins skip
+    // them); a NULL in a QI column is a legitimate class of its own, so
+    // class sizes attach via a QI-keyed WINDOW (null-safe grouping), not
+    // a join that would silently drop null-QI classes from the audit.
+    val nn = df.filter(col(sensitiveCol).isNotNull)
+    val cell = nn.groupBy(qi :+ col(sensitiveCol): _*)
       .agg(count(lit(1)).as("__ncv"))
-    val cls = df.groupBy(qi: _*).agg(count(lit(1)).as("class_size"))
-    val glob = df.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("__nv"))
-    val tot = df.agg(count(lit(1)).as("__N"))
+      .withColumn("class_size", sum(col("__ncv")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(qi: _*)))
+    val glob = nn.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("__nv"))
+    val tot = nn.agg(count(lit(1)).as("__N"))
     cell
-      .join(cls, qiCols)
       .join(broadcast(glob), Seq(sensitiveCol))
       .crossJoin(broadcast(tot))
       .groupBy(qi :+ col("class_size") :+ col("__N"): _*)

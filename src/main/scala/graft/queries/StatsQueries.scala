@@ -309,11 +309,14 @@ object StatsQueries {
         D(col("a") + col("c")) * D(col("b") + col("d"))
       // A degenerate margin (here: EVERY user converts, b = d = 0) makes
       // χ² undefined; define it as 0.0 — "no evidence of a difference" —
-      // on both engines. coalesce over nullif rather than a raw divide:
-      // ANSI mode would throw, and a NULL cell renders engine-specifically
-      // (None vs NaN) in the gate comparator.
-      val chi2 = coalesce(
-        num.cast("double") / nullif(den.cast("double"), lit(0.0)), lit(0.0))
+      // on both engines via an explicit den = 0 branch (a NULL cell would
+      // render engine-specifically in the gate comparator, and ANSI mode
+      // would throw on the raw divide). A decimal(38,0) OVERFLOW, by
+      // contrast, propagates as null and fails the gate loudly rather
+      // than masquerading as chi2 = 0 — only the defined degenerate case
+      // maps to zero.
+      val chi2 = when(den === lit(0).cast(dec), lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double"))
       agg.select(col("a"), col("b"), col("c"), col("d"),
         round(chi2, 6).as("chi2"), (chi2 > 3.841).as("significant"))
     }),
@@ -1064,13 +1067,18 @@ object StatsQueries {
         |    CAST(sum(CASE WHEN ga AND cv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
         |    CAST(sum(CASE WHEN NOT ga AND cv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
         |    CAST(sum(CASE WHEN NOT ga AND cv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
-        |  FROM g)
-        |SELECT a, b, c, d,
-        |  round(coalesce(CAST((a+b+c+d) * (a*d - b*c) * (a*d - b*c) AS DOUBLE) /
-        |    nullif(CAST((a+b) * (c+d) * (a+c) * (b+d) AS DOUBLE), 0.0), 0.0), 6) AS chi2,
-        |  coalesce(CAST((a+b+c+d) * (a*d - b*c) * (a*d - b*c) AS DOUBLE) /
-        |    nullif(CAST((a+b) * (c+d) * (a+c) * (b+d) AS DOUBLE), 0.0), 0.0) > 3.841 AS significant
-        |FROM t""".stripMargin,
+        |  FROM g),
+        |h AS (SELECT CAST(a AS HUGEINT) AS a, CAST(b AS HUGEINT) AS b,
+        |    CAST(c AS HUGEINT) AS c, CAST(d AS HUGEINT) AS d FROM t)
+        |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |  CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+        |  round(CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) = 0 THEN 0.0
+        |    ELSE CAST((a+b+c+d) * (a*d - b*c) * (a*d - b*c) AS DOUBLE) /
+        |      CAST((a+b) * (c+d) * (a+c) * (b+d) AS DOUBLE) END, 6) AS chi2,
+        |  CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) = 0 THEN 0.0
+        |    ELSE CAST((a+b+c+d) * (a*d - b*c) * (a*d - b*c) AS DOUBLE) /
+        |      CAST((a+b) * (c+d) * (a+c) * (b+d) AS DOUBLE) END > 3.841 AS significant
+        |FROM h""".stripMargin,
 
     "agg_welch_ttest" ->
       """WITH e AS (SELECT (user_id % 2 = 0) AS ga,
@@ -1101,7 +1109,7 @@ object StatsQueries {
       """WITH base AS (SELECT c_nationkey,
         |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
         |    c_mktsegment AS v
-        |  FROM customer),
+        |  FROM customer WHERE c_mktsegment IS NOT NULL),
         |cell AS (SELECT c_nationkey, bal_bucket, v,
         |    CAST(count(*) AS BIGINT) AS ncv
         |  FROM base GROUP BY 1, 2, 3),

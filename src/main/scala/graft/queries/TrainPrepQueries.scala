@@ -85,8 +85,14 @@ object TrainPrepQueries {
     // two keyed joins over the (vocab²-bounded) pair table; the 1-row
     // total broadcasts.
     "vocab_pmi" -> ((s, dir) => {
+      // Persisted: the pair table feeds FOUR subtrees of this one plan
+      // (filtered pairs, total, both marginals) and Spark does not dedupe
+      // common subplans — unpersisted, the positional-gram explode over
+      // the whole corpus would run 4×. Same rationale as the dedup
+      // family's shared pair-table memo.
       val pairs = Vocab.coocCounts(table(s, dir, "documents"), "text",
         window = CoocWindow)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val t = pairs.agg(sum(col("n")).as("T"))
       val m1 = pairs.groupBy(col("w1")).agg(sum(col("n")).as("c1"))
       val m2 = pairs.groupBy(col("w2")).agg(sum(col("n")).as("c2"))

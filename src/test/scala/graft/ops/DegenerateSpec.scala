@@ -145,6 +145,35 @@ class DegenerateSpec extends SparkSpec {
       Seq("rate")).count() == 0)
   }
 
+  test("pagerank empty-graph local regime; trailing-distinct null parity; " +
+      "t-closeness null QI/sensitive semantics") {
+    // empty derived graph: the local regime must mirror the distributed
+    // fixpoint (empty), not divide Scale by zero
+    val eEdges = emptyDf("s" -> StringType, "d" -> StringType,
+      "w" -> LongType)
+    assert(Graph.pagerankScaled(eEdges, "s", "d", "w", iters = 3).count() == 0)
+    // collect_list SKIPS null inputs, so the trailing-distinct window
+    // matches count(DISTINCT)'s null exclusion — proven, not assumed
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, null), (1L, 3L, "b"))
+      .toDF("user_id", "ts_sec", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_sec"))
+      .rangeBetween(-86400L, -1L)
+    val got = ev.withColumn("n",
+      size(array_distinct(collect_list(col("event_type")).over(w))))
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1)) // the null row adds nothing
+    // t-closeness: a NULL QI value is a real class (window, not join);
+    // NULL sensitive values leave the distributions entirely
+    val t = Seq((null, "x"), (null, "x"), ("B", "x"), ("B", null))
+      .toDF("g", "v")
+    val rows = Quality.tCloseness(t, Seq("g"), "v").collect()
+      .map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // global = {x: 3}; both classes are pure-x after null exclusion → t=0
+    assert(rows == Map(None -> ((2L, 0.0)), Some("B") -> ((1L, 0.0))))
+  }
+
   test("substring spans, prefix sums, benford, k-anon on empty/undersized input") {
     // all docs shorter than the gram: zero grams, zero spans (and no
     // descending-sequence trap from size(t) - n going negative)
