@@ -61,6 +61,121 @@ object Multimodal {
       }
   }
 
+  /** Fabricate a 64×64 GRADIENT PNG per document — unlike the uniform
+    * fills, gradients give every image a structured, id-dependent aHash
+    * (the mod-256 wrap boundaries move with the id base), which is what
+    * perceptual-hash dedup needs to demonstrate discrimination. The
+    * pixel formula is pure integer arithmetic of (doc_id, x, y);
+    * `flipPixel` optionally perturbs ONE pixel (+1 gray at (3,3)) to
+    * fabricate a near-duplicate. */
+  def fabricateGradients(docs: DataFrame, idOffset: Long = 0L,
+      flipPixel: Boolean = false): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id0 =>
+          val dim = 64
+          val img = new BufferedImage(dim, dim, BufferedImage.TYPE_INT_RGB)
+          // id-dependent STEP sizes, not just an offset: a pure offset
+          // shifts every block mean AND the threshold equally, hashing
+          // identically — frequency changes are what move the aHash.
+          val base = (id0 % 199).toInt
+          val sx = 2 + (id0 % 7).toInt
+          val sy = 3 + (id0 % 11).toInt
+          var y = 0
+          while (y < dim) {
+            var x = 0
+            while (x < dim) {
+              var g = (base + x * sx + y * sy) % 256
+              if (flipPixel && x == 3 && y == 3) g = (g + 1) % 256
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", out)
+          MediaRecord(id0 + idOffset, "image/png", dim, dim, out.toByteArray)
+        }
+      }
+  }
+
+  /** Perceptual average-hash (aHash) over the DECODED pixels: downscale
+    * to an 8×8 grid by exact integer block averaging of the gray channel,
+    * threshold each block at the integer mean of the 64 block values —
+    * bit i set iff block i ≥ mean. Near-identical images (re-encodes,
+    * small brightness shifts, single-pixel edits) land within a few bits;
+    * the hash is a pure function of pixels, so exact re-encodes collide
+    * exactly. One mapPartitions decode pass, 64 bits per image out. */
+  final case class ImageHash(doc_id: Long, ahash: Long)
+
+  def averageHash(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val block = new Array[Long](64)
+        val cnt = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val b = math.min(7, y * 8 / h) * 8 + math.min(7, x * 8 / w)
+            block(b) += img.getRGB(x, y) & 0xff // gray: any channel
+            cnt(b) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var i = 0
+        var total = 0L
+        val means = new Array[Long](64)
+        while (i < 64) {
+          means(i) = if (cnt(i) > 0) block(i) / cnt(i) else 0L
+          total += means(i); i += 1
+        }
+        val mean = total / 64
+        var hash = 0L
+        i = 0
+        while (i < 64) {
+          if (means(i) >= mean) hash |= (1L << i)
+          i += 1
+        }
+        ImageHash(m.doc_id, hash)
+      }
+    }
+  }
+
+  /** Near-duplicate image pairs by aHash hamming distance ≤ `maxDistance`
+    * (≤ 7), using the same 8×8-bit-chunk pigeonhole blocking as SimHash:
+    * any pair within distance 7 shares an exact byte chunk, so candidate
+    * generation is 8 equi-joins' worth of (chunk, key) buckets — never
+    * all-pairs — and the exact XOR-popcount verify runs on candidates
+    * only. */
+  def ahashPairs(spark: SparkSession, hashes: Dataset[ImageHash],
+      maxDistance: Int): DataFrame = {
+    require(maxDistance >= 0 && maxDistance <= 7,
+      "8-chunk blocking only guarantees distance <= 7")
+    val h = hashes.toDF()
+    val chunked = h.select(col("doc_id"), col("ahash"),
+      posexplode(array((0 until 8).map { c =>
+        shiftrightunsigned(col("ahash"), c * 8).bitwiseAND(0xFFL)
+      }: _*)).as(Seq("chunk", "key")))
+    val a = chunked.select(col("chunk"), col("key"),
+      col("doc_id").as("id_a"), col("ahash").as("h_a"))
+    val b = chunked.select(col("chunk"), col("key"),
+      col("doc_id").as("id_b"), col("ahash").as("h_b"))
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+
   /** Resized features: dimensions and the (0,0) pixel of the REAL
     * half-scale render. */
   final case class ResizedRecord(doc_id: Long, width: Int, height: Int,

@@ -251,6 +251,26 @@ object DataOpsQueries {
             .as("recall"))
     }),
 
+    // Perceptual-hash image dedup over REAL decoded pixels: gradient
+    // PNGs (id-dependent frequency), exact re-encodes of every 10th
+    // planted at +5e6 and single-pixel edits of every 15th at +6e6;
+    // aHash (8×8 integer block means, mean-thresholded) then hamming ≤ 2
+    // pairs via the SimHash-style byte-chunk pigeonhole — never
+    // all-pairs. Rows-only (PNG decode is not SQL-expressible); OpsSpec
+    // pins exact-copy hamming 0, the near-dup pair, and blocking
+    // completeness.
+    "multimodal_image_dedup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+      val media = Multimodal.fabricateGradients(docs)
+        .union(Multimodal.fabricateGradients(
+          docs.filter(col("doc_id") % 10 === 0), idOffset = 5000000L))
+        .union(Multimodal.fabricateGradients(
+          docs.filter(col("doc_id") % 15 === 0), idOffset = 6000000L,
+          flipPixel = true))
+      Multimodal.ahashPairs(s, Multimodal.averageHash(s, media),
+        maxDistance = 2)
+    }),
+
     // Embedding-distribution drift: L2 shift and cosine between the MEAN
     // vectors of two corpus snapshots (vec_id parity plays ref/cur) —
     // the cheap first-line embedding drift monitor before anything

@@ -373,6 +373,36 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L)) // whitespace/case-normalized match, min id kept
   }
 
+  test("aHash image dedup: exact re-encodes collide at 0, one-pixel edits " +
+      "stay near, chunk blocking = brute force") {
+    import spark.implicits._
+    val ids = (1L to 24L).toDF("doc_id")
+    val media = Multimodal.fabricateGradients(ids)
+      .union(Multimodal.fabricateGradients(
+        ids.filter(col("doc_id") % 5 === 0), idOffset = 100L))
+      .union(Multimodal.fabricateGradients(
+        ids.filter(col("doc_id") === 3), idOffset = 200L, flipPixel = true))
+    val hashes = Multimodal.averageHash(spark, media)
+    val pairs = Multimodal.ahashPairs(spark, hashes, maxDistance = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // exact pixel copies hash identically — hamming 0, found for all 4
+    Seq(5L, 10L, 15L, 20L).foreach(i => assert(pairs((i, i + 100L)) == 0L))
+    // the one-pixel edit of doc 3 is within distance 2 of its source
+    assert(pairs.contains((3L, 203L)) && pairs((3L, 203L)) <= 2L)
+    // pigeonhole completeness at <= 7: blocked pairs = brute-force pairs
+    val h = hashes.toDF()
+    val brute = h.select(col("doc_id").as("id_a"), col("ahash").as("ha"))
+      .crossJoin(h.select(col("doc_id").as("id_b"), col("ahash").as("hb")))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("d"))
+      .filter(col("d") <= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val blocked = Multimodal.ahashPairs(spark, hashes, maxDistance = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(blocked == brute)
+  }
+
   test("multimodal: ImageIO decode recovers the encoded dimensions and pixels") {
     val out = Multimodal.decodeFeatures(spark,
       Multimodal.fabricateFromDocs(docs)).toDF()
