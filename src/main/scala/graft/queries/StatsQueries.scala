@@ -321,6 +321,41 @@ object StatsQueries {
         round(chi2, 6).as("chi2"), (chi2 > 3.841).as("significant"))
     }),
 
+    // Mann-Whitney U (same parity split) — the nonparametric twin of the
+    // Welch gate: values collapse to a count table, tie-averaged ranks
+    // come from DOUBLED integer rank sums (2·R₁ = Σ n1(v)·(2·cum(v) −
+    // n(v) + 1), exact in decimal), and the cumulative counts ride the
+    // library's two-pass distributed prefix sum — no single-task global
+    // window at any scale. Doubles only in the U/z closure, tie-corrected
+    // variance included, operand order mirrored.
+    "agg_mannwhitney" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val byV = table(s, dir, "events")
+        .select((col("user_id") % 2 === 0).as("ga"),
+          col("value").cast("decimal(18,6)").as("v"))
+        .groupBy(col("v"))
+        .agg(sum(when(col("ga"), 1L).otherwise(0L)).as("n1v"),
+          sum(when(!col("ga"), 1L).otherwise(0L)).as("n2v"))
+        .withColumn("nv", col("n1v") + col("n2v"))
+      val cum = graft.ops.Ranking.prefixSum(byV, Seq(col("v").asc), Seq("nv"))
+      val agg = cum.agg(
+        sum(col("n1v")).as("n1"), sum(col("n2v")).as("n2"),
+        sum(col("n1v").cast(dec) *
+          (lit(2).cast(dec) * col("cum_nv").cast(dec) -
+            col("nv").cast(dec) + lit(1).cast(dec))).as("r1x2"),
+        sum(col("nv").cast(dec) * col("nv").cast(dec) * col("nv").cast(dec) -
+          col("nv").cast(dec)).as("tie"))
+      def d(c: Column) = c.cast("double")
+      val (n1, n2) = (d(col("n1")), d(col("n2")))
+      val n = d(col("n1") + col("n2"))
+      val u1 = (d(col("r1x2")) - n1 * (n1 + 1)) / 2
+      val variance = n1 * n2 / 12.0 *
+        ((n + 1) - d(col("tie")) / (n * (n - 1)))
+      agg.select(col("n1"), col("n2"),
+        round(u1, 6).as("u1"),
+        round((u1 - n1 * n2 / 2) / sqrt(variance), 6).as("z"))
+    }),
+
     // Welch's two-sample t on event values (same parity split): exact
     // decimal Σx / Σx² per arm, the t closure in double with mirrored
     // operand order — the unequal-variance default every experimentation
@@ -1079,6 +1114,33 @@ object StatsQueries {
         |    ELSE CAST((a+b+c+d) * (a*d - b*c) * (a*d - b*c) AS DOUBLE) /
         |      CAST((a+b) * (c+d) * (a+c) * (b+d) AS DOUBLE) END > 3.841 AS significant
         |FROM h""".stripMargin,
+
+    "agg_mannwhitney" ->
+      """WITH e AS (SELECT (user_id % 2 = 0) AS ga,
+        |    CAST(value AS DECIMAL(18,6)) AS v FROM events),
+        |b AS (SELECT v,
+        |    CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS n1v,
+        |    CAST(sum(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS BIGINT) AS n2v
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT *, n1v + n2v AS nv,
+        |    sum(n1v + n2v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_nv
+        |  FROM b),
+        |t AS (SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+        |    CAST(sum(n2v) AS BIGINT) AS n2,
+        |    CAST(sum(CAST(n1v AS HUGEINT) *
+        |      (2 * CAST(cum_nv AS HUGEINT) - nv + 1)) AS HUGEINT) AS r1x2,
+        |    CAST(sum(CAST(nv AS HUGEINT) * nv * nv - nv) AS HUGEINT) AS tie
+        |  FROM c),
+        |f AS (SELECT n1, n2,
+        |    CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |    CAST(n1 + n2 AS DOUBLE) AS nd,
+        |    CAST(r1x2 AS DOUBLE) AS r1x2d, CAST(tie AS DOUBLE) AS tied
+        |  FROM t)
+        |SELECT n1, n2,
+        |  round((r1x2d - n1d * (n1d + 1)) / 2, 6) AS u1,
+        |  round(((r1x2d - n1d * (n1d + 1)) / 2 - n1d * n2d / 2) /
+        |    sqrt(n1d * n2d / 12.0 * ((nd + 1) - tied / (nd * (nd - 1)))), 6) AS z
+        |FROM f""".stripMargin,
 
     "agg_welch_ttest" ->
       """WITH e AS (SELECT (user_id % 2 = 0) AS ga,
