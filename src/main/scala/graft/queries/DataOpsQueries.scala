@@ -363,6 +363,33 @@ object DataOpsQueries {
       table(s, dir, "documents").select(col("doc_id"),
         TextOps.languageId(col("text")).as("langid"))),
 
+    // Flesch-Kincaid grade level per document — the readability signal a
+    // curation pass uses to bucket prose difficulty. Vowel-group counting
+    // as the syllable proxy (groups never span whitespace, so the whole-
+    // text regexp count equals the per-word sum); sentences = non-blank
+    // [.!?]+ segments, floored at 1 so unpunctuated docs stay defined.
+    // Integer counts on both engines; the FK closure is double with
+    // mirrored literals.
+    "text_readability" -> ((s, dir) => {
+      val words = size(TextOps.tokens(col("text"))).cast("long")
+      val sents = greatest(lit(1L),
+        size(filter(split(col("text"), "[.!?]+"),
+          seg => length(trim(seg)) > 0)).cast("long"))
+      val syl = size(regexp_extract_all(lower(col("text")),
+        lit("[aeiouy]+"), lit(0))).cast("long")
+      table(s, dir, "documents")
+        .select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
+          syl.as("n_syllables"))
+        .filter(col("n_words") > 0)
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          round(lit(0.39) *
+            (col("n_words").cast("double") / col("n_sentences").cast("double")) +
+            lit(11.8) *
+            (col("n_syllables").cast("double") / col("n_words").cast("double")) -
+            lit(15.59), 6).as("fk_grade"))
+    }),
+
     "text_quality" -> ((s, dir) =>
       table(s, dir, "documents").select(col("doc_id"),
         TextOps.qualityScore(col("text")).as("quality"))),
@@ -1113,6 +1140,20 @@ object DataOpsQueries {
           |FROM g""".stripMargin,
       "text_langid" ->
         s"WITH f AS (SELECT doc_id, $scoreSel FROM documents) SELECT doc_id, $langCase AS langid FROM f",
+      "text_readability" ->
+        s"""WITH b AS (SELECT doc_id,
+           |    CAST(len($toksSql) AS BIGINT) AS n_words,
+           |    greatest(CAST(1 AS BIGINT), CAST(len(list_filter(
+           |      regexp_split_to_array(text, '[.!?]+'),
+           |      s -> trim(s) <> '')) AS BIGINT)) AS n_sentences,
+           |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+           |      AS BIGINT) AS n_syllables
+           |  FROM documents)
+           |SELECT doc_id, n_words, n_sentences, n_syllables,
+           |  round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+           |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+           |    - 15.59, 6) AS fk_grade
+           |FROM b WHERE n_words > 0""".stripMargin,
       "text_quality" -> {
         val len = "CAST(length(text) AS DOUBLE)"
         val words = s"greatest(CAST(len($toksSql) AS DOUBLE), 1.0)"

@@ -41,6 +41,25 @@ object MixQueries {
       Sampling.weightedSample(table(s, dir, "documents"),
         "source", "doc_id", "n_chars", WeightedK)),
 
+    // Class-balanced downsampling: every label keeps exactly min-class-
+    // size rows, winners picked by a deterministic md5-prefix hash rank
+    // (tie: id) — the imbalance fix a classifier-training prep applies
+    // before anything reweighting-based. Per-label ranking window (keyed
+    // by the class — never global); the 1-row min rides as a broadcast.
+    // The hash is engine-replayable, so the oracle picks identical rows.
+    "sample_balanced_classes" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id"), col("label"))
+      val minN = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("mn"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+        .orderBy(conv(substring(md5(col("vec_id").cast("string")), 1, 15),
+          16, 10).cast("long").asc, col("vec_id").asc)
+      e.withColumn("__rk", row_number().over(w))
+        .crossJoin(broadcast(minN))
+        .filter(col("__rk") <= col("mn"))
+        .select(col("vec_id"), col("label"))
+    }),
+
     // α = 0.7 temperature rebalance of the four document sources at a 50%
     // total budget: small sources keep a larger share than natural.
     "sample_temperature" -> ((s, dir) =>
@@ -250,6 +269,17 @@ object MixQueries {
        |  FROM sc GROUP BY doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    "sample_balanced_classes" ->
+      """WITH e AS (SELECT vec_id, label FROM embeddings),
+        |mn AS (SELECT min(cnt) AS m FROM (
+        |  SELECT CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY label)),
+        |r AS (SELECT vec_id, label, row_number() OVER (PARTITION BY label
+        |    ORDER BY CAST(concat('0x',
+        |      substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+        |    vec_id ASC) AS rk
+        |  FROM e)
+        |SELECT vec_id, label FROM r, mn WHERE rk <= m""".stripMargin,
 
     "sample_weighted" ->
       s"""WITH keyed AS (

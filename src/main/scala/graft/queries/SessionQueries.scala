@@ -133,6 +133,30 @@ object SessionQueries {
           col("n_types_24h"))
     }),
 
+    // DAU / WAU / MAU: per calendar day, distinct active users over the
+    // trailing 1/7/30 days — THE product-analytics headline series.
+    // Activity collapses to distinct (day, user) pairs first, then a
+    // broadcast range join onto the (tiny) day grid feeds one grouped
+    // triple count-distinct; exact trailing distincts cannot compose
+    // from daily counts, so the pair×grid join is the honest shape and
+    // its size is |days in window| × |daily actives| — bounded.
+    "events_active_users" -> ((s, dir) => {
+      val du = table(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = du.select(col("day").as("d")).distinct()
+      broadcast(days)
+        .join(du, col("day").between(date_sub(col("d"), 29), col("d")))
+        .groupBy(col("d"))
+        .agg(
+          countDistinct(when(col("day") === col("d"), col("user_id")))
+            .as("dau"),
+          countDistinct(when(col("day") >= date_sub(col("d"), 6),
+            col("user_id"))).as("wau"),
+          countDistinct(col("user_id")).as("mau"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"), col("mau"))
+    }),
+
     // Peak concurrent sessions per day — the capacity-planning number:
     // gap-sessions become [start, end] second intervals, split at
     // midnights, swept as ±1 endpoints with a per-day running sum. The
@@ -369,6 +393,17 @@ object SessionQueries {
         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks)
         |SELECT e.event_id, e.user_id, e.ts_sec, s.rate
         |FROM e ASOF JOIN s ON e.user_id = s.user_id AND e.ts_sec >= s.snap_sec""".stripMargin,
+
+    "events_active_users" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day AS d FROM du)
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        |  count(DISTINCT CASE WHEN du.day = d THEN user_id END) AS dau,
+        |  count(DISTINCT CASE WHEN du.day >= d - 6 THEN user_id END) AS wau,
+        |  count(DISTINCT user_id) AS mau
+        |FROM days JOIN du ON du.day BETWEEN d - 29 AND d
+        |GROUP BY 1""".stripMargin,
 
     "events_peak_concurrency" ->
       s"""WITH e AS (SELECT user_id, event_id,
