@@ -372,8 +372,17 @@ object Ann {
     * The trained-clustering alternative to SRP-LSH (better cell balance on
     * clustered data; needs the small training pass). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
-      c: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
-    val centroids = kmeansCentroids(corpus, dim, c, iters)
+      c: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame =
+    ivfSearch(queries, corpus, kmeansCentroids(corpus, dim, c, iters), k, nprobe)
+
+  /** The IVF SEARCH path with the centroid table supplied by the caller —
+    * cell assignment, nprobe probing and in-cell exact ranking, independent
+    * of how the centroids were trained. [[ivfTopK]] feeds it k-means
+    * centroids; the correctness gate feeds FIXED corpus vectors so the
+    * whole search becomes SQL-mirrorable (the Lloyd loop is the only part
+    * an oracle can't express). */
+  def ivfSearch(queries: DataFrame, corpus: DataFrame,
+      centroids: Array[Array[Double]], k: Int, nprobe: Int): DataFrame = {
     val cIdx = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
       .withColumn("cell", nearestCentroid(col("cv"), centroids))
     // query → nprobe nearest cells (driver-free: explode a scored struct

@@ -89,11 +89,12 @@ object AsOfJoin {
     require(clash.isEmpty,
       s"asofForward: payload columns ${clash.mkString(", ")} also exist on " +
         "the left side; rename them on one side first")
-    val reserved = Seq("__ts", "__snap", "__s", "__rts")
+    val reserved = Seq("__ts", "__snap", "__s", "__rts", "matched_ts")
     val taken = (lCols ++ right.columns).filter(reserved.contains).distinct
     require(taken.isEmpty,
       s"asofForward: column names ${taken.mkString(", ")} collide with the " +
-        "operator's internal columns; rename them first")
+        "operator's internal/output columns (matched_ts is appended); " +
+        "rename them first")
     toleranceSec.foreach(t => require(t >= 0, s"negative tolerance: $t"))
     val l2 = left.select(
       lCols.map(col) ++

@@ -276,7 +276,8 @@ object Dedup {
     * so lineage never grows unboundedly. Fails loudly past `maxIters`
     * rather than returning an unconverged labeling. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 25, localEdgeThreshold: Long = 1L << 22): DataFrame = {
+      maxIters: Int = 25,
+      localEdgeThreshold: Long = graft.ops.Graph.LocalEdgeThreshold): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
       .unionAll(pairs.select(col(bCol).as("s"), col(aCol).as("d")))

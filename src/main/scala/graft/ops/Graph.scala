@@ -38,16 +38,22 @@ object Graph {
 
   /** Edge-count ceiling for the driver-local small-graph regime (same
     * two-regime pattern as [[Dedup.connectedComponents]]): a derived
-    * graph at or below this many edges (~100 MB of longs) is solved
-    * exactly on the driver in ONE collect job, instead of paying ~5
-    * scheduled stages per bulk-synchronous round — the scheduling
-    * overhead, not the data, dominates iterative loops on graphs this
-    * small. Every step is the same 64-bit integer arithmetic as the
-    * distributed loop, so the output is bit-identical (asserted in
-    * GraphSpec by running both regimes). Above the threshold — the
-    * production regime at 100 TB, where the derived graph no longer fits
-    * a driver — the distributed loop runs untouched. */
-  val LocalEdgeThreshold: Long = 1L << 22
+    * graph at or below this many edges is solved exactly on the driver
+    * in ONE collect job, instead of paying ~5 scheduled stages per
+    * bulk-synchronous round — the scheduling overhead, not the data,
+    * dominates iterative loops on graphs this small. Every step is the
+    * same 64-bit integer arithmetic as the distributed loop, so the
+    * output is bit-identical (asserted in GraphSpec by running both
+    * regimes). Above the threshold — the production regime at 100 TB,
+    * where the derived graph no longer fits a driver — the distributed
+    * loop runs untouched.
+    *
+    * Sizing: the collect lands GenericRow-wrapped, boxed (Any-typed id)
+    * edges before the kernel packs them into primitive arrays — budget
+    * ~150-300 bytes per collected edge, not 16 bytes of raw longs. At
+    * the 1M default that is ≤ ~300 MB transient driver heap, safe on a
+    * stock 1g driver; raise it only alongside `spark.driver.memory`. */
+  val LocalEdgeThreshold: Long = 1L << 20
 
   /** Local fixed-point (P)PR kernel over index-mapped edges — the exact
     * integer recurrence of the distributed loop: contribution

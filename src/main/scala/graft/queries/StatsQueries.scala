@@ -351,9 +351,13 @@ object StatsQueries {
       val u1 = (d(col("r1x2")) - n1 * (n1 + 1)) / 2
       val variance = n1 * n2 / 12.0 *
         ((n + 1) - d(col("tie")) / (n * (n - 1)))
+      // All-tied input (or an empty arm) makes the tie-corrected variance
+      // exactly 0 — define z := 0 explicitly on both engines instead of
+      // leaking engine-specific 0/0 semantics (same pattern as chi2's den=0).
       agg.select(col("n1"), col("n2"),
         round(u1, 6).as("u1"),
-        round((u1 - n1 * n2 / 2) / sqrt(variance), 6).as("z"))
+        when(!(variance > 0.0), lit(0.0)) // NaN-safe: n<2 makes variance NaN
+          .otherwise(round((u1 - n1 * n2 / 2) / sqrt(variance), 6)).as("z"))
     }),
 
     // Welch's two-sample t on event values (same parity split): exact
@@ -377,9 +381,13 @@ object StatsQueries {
       val m2 = d(col("sx2")) / n2
       val v1 = (d(col("sxx1")) - d(col("sx1")) * d(col("sx1")) / n1) / (n1 - 1)
       val v2 = (d(col("sxx2")) - d(col("sx2")) * d(col("sx2")) / n2) / (n2 - 1)
+      val se2 = v1 / n1 + v2 / n2
       agg.select(col("n1"), col("n2"),
         round(m1, 6).as("mean_a"), round(m2, 6).as("mean_b"),
-        round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6).as("t_stat"))
+        // Zero pooled variance (both arms constant) → t := 0 explicitly on
+        // both engines, like chi2's den=0 branch (NaN-safe: n<2 → NaN se2).
+        when(!(se2 > 0.0), lit(0.0))
+          .otherwise(round((m1 - m2) / sqrt(se2), 6)).as("t_stat"))
     }),
 
     "agg_correlation" -> ((s, dir) => {
@@ -1138,8 +1146,11 @@ object StatsQueries {
         |  FROM t)
         |SELECT n1, n2,
         |  round((r1x2d - n1d * (n1d + 1)) / 2, 6) AS u1,
-        |  round(((r1x2d - n1d * (n1d + 1)) / 2 - n1d * n2d / 2) /
-        |    sqrt(n1d * n2d / 12.0 * ((nd + 1) - tied / (nd * (nd - 1)))), 6) AS z
+        |  CASE WHEN NOT (n1d * n2d / 12.0 * ((nd + 1) - tied / (nd * (nd - 1))) > 0)
+        |    THEN 0.0
+        |    ELSE round(((r1x2d - n1d * (n1d + 1)) / 2 - n1d * n2d / 2) /
+        |      sqrt(n1d * n2d / 12.0 * ((nd + 1) - tied / (nd * (nd - 1)))), 6)
+        |  END AS z
         |FROM f""".stripMargin,
 
     "agg_welch_ttest" ->
@@ -1162,9 +1173,12 @@ object StatsQueries {
         |SELECT n1, n2,
         |  round(sx1d / n1d, 6) AS mean_a,
         |  round(sx2d / n2d, 6) AS mean_b,
-        |  round((sx1d / n1d - sx2d / n2d) /
+        |  CASE WHEN NOT (((sxx1d - sx1d * sx1d / n1d) / (n1d - 1)) / n1d +
+        |         ((sxx2d - sx2d * sx2d / n2d) / (n2d - 1)) / n2d > 0) THEN 0.0
+        |  ELSE round((sx1d / n1d - sx2d / n2d) /
         |    sqrt(((sxx1d - sx1d * sx1d / n1d) / (n1d - 1)) / n1d +
-        |         ((sxx2d - sx2d * sx2d / n2d) / (n2d - 1)) / n2d), 6) AS t_stat
+        |         ((sxx2d - sx2d * sx2d / n2d) / (n2d - 1)) / n2d), 6)
+        |  END AS t_stat
         |FROM c""".stripMargin,
 
     "privacy_t_closeness" ->
@@ -1184,8 +1198,8 @@ object StatsQueries {
         |    sum(abs(c.ncv * t.N - g.nv * s.class_size)) AS sp,
         |    sum(g.nv) AS pnv
         |  FROM cell c
-        |  JOIN cls s ON s.c_nationkey = c.c_nationkey
-        |    AND s.bal_bucket = c.bal_bucket
+        |  JOIN cls s ON s.c_nationkey IS NOT DISTINCT FROM c.c_nationkey
+        |    AND s.bal_bucket IS NOT DISTINCT FROM c.bal_bucket
         |  JOIN gdist g ON g.v = c.v
         |  CROSS JOIN tot t
         |  GROUP BY 1, 2, 3, 4)

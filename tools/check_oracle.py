@@ -11,6 +11,7 @@ and a hash over column-name-sorted, row-sorted values.
 """
 import sys, os, json, glob
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -26,7 +27,7 @@ def list_cols(df: pd.DataFrame):
     delimited strings; this checker now mirrors the driver and hard-fails."""
     return [c for c in df.columns
             if df[c].dtype == object and df[c].map(
-                lambda v: isinstance(v, (list, tuple)) or hasattr(v, "tolist")
+                lambda v: isinstance(v, (list, tuple, np.ndarray))
             ).any()]
 
 
