@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale-canary data generator: replicates the behavior-bearing tables
+  * (`documents`, `embeddings`, `events`, `lineitem`) `reps`-fold with
+  * structure-preserving transforms, so every per-replica workload is an
+  * EXACT copy of the source scale and totals must scale linearly — any
+  * super-linear runtime is an engine defect, not a data artifact:
+  *
+  *  - documents: every token gets a replica-tag prefix — a bijection on the
+  *    token alphabet, so shingle/minhash/dup structure inside a replica is
+  *    identical to the source while shingles across replicas are DISJOINT
+  *    (no cross-replica near-dup pairs, pair tables scale exactly ×reps).
+  *  - embeddings: per-replica deterministic ±1 sign flip per dimension — an
+  *    orthogonal transform, so all within-replica cosines/norms are
+  *    bit-preserved and cross-replica cosines collapse to ≈0 (no spurious
+  *    ≥0.9 pairs).
+  *  - events / lineitem: key-offset replicas (disjoint users, orders,
+  *    parts) — sessions and co-purchase subgraphs scale ×reps; the derived
+  *    co-purchase graph crosses the LocalEdgeThreshold, forcing the
+  *    DISTRIBUTED graph regime the small scales never exercise.
+  *
+  * Small dimensions (region…orders) are copied verbatim. Output layout
+  * matches testdata (`<out>/<name>.parquet`), so every SparkEntry query and
+  * BenchOne run against it unchanged.
+  */
+object ScaleCanary {
+
+  private def signs(rep: Int, dim: Int): Seq[Float] = {
+    // splitmix64 parity per (rep, dim) — replica 0 is the identity so the
+    // source corpus embeds verbatim.
+    def mix(seed: Long): Long = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (0 until dim).map(d =>
+      if (rep == 0 || (mix(rep.toLong * 4096L + d) & 1L) == 0L) 1.0f else -1.0f)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (src, out, reps) = (args(0), args(1), args(2).toInt)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def tbl(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
+    def write(df: DataFrame, n: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$n.parquet")
+
+    def replicate(n: String)(f: (DataFrame, Int) => DataFrame): Unit =
+      write((0 until reps).map(r => f(tbl(n), r)).reduce(_ unionAll _), n)
+
+    replicate("documents") { (d, r) =>
+      val text = if (r == 0) col("text")
+        else array_join(transform(split(col("text"), " "),
+          t => concat(lit(s"r$r"), t)), " ")
+      val nChars = if (r == 0) col("n_chars") else length(text)
+      d.select((col("doc_id") + lit(r * 100000L)).as("doc_id"), text.as("text"),
+        col("lang"), col("source"), nChars.as("n_chars"))
+    }
+    replicate("embeddings") { (e, r) =>
+      e.select((col("vec_id") + lit(r * 100000L)).as("vec_id"),
+        zip_with(col("embedding"), typedLit(signs(r, 64)),
+          (x, s) => x * s).as("embedding"),
+        col("label"))
+    }
+    replicate("events") { (e, r) =>
+      e.select((col("event_id") + lit(r * 1000000L)).as("event_id"), col("ts"),
+        (col("user_id") + lit(r * 10000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    replicate("lineitem") { (l, r) =>
+      l.select(Seq(
+        (col("l_orderkey") + lit(r * 1000000L)).as("l_orderkey"),
+        (col("l_partkey") + lit(r * 100000L)).as("l_partkey"),
+        (col("l_suppkey") + lit(r * 10000L)).as("l_suppkey")) ++
+        l.columns.filterNot(Set("l_orderkey", "l_partkey", "l_suppkey")).map(col): _*)
+    }
+    Seq("region", "nation", "customer", "supplier", "part", "orders")
+      .foreach(n => write(tbl(n), n))
+    spark.stop()
+  }
+}

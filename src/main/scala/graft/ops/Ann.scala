@@ -355,6 +355,18 @@ object Ann {
     centroids
   }
 
+  /** Centroids = the corpus vectors at `ids`, ordered by vec_id (bounded
+    * collect — |ids| rows). The deterministic, training-free centroid
+    * source the IVF gate shares with its DuckDB oracle. */
+  def fixedCentroids(corpus: DataFrame, ids: Seq[Long]): Array[Array[Double]] = {
+    val rows = corpus.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .collect().sortBy(_.getLong(0))
+    require(rows.length == ids.distinct.length,
+      s"fixedCentroids: expected ${ids.distinct.length} ids, found ${rows.length}")
+    rows.map(_.getSeq[Double](1).toArray)
+  }
+
   /** Index of the nearest centroid by squared L2 (argmin via array_min over
     * (dist, idx) structs — deterministic tiebreak on idx). */
   def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column = {

@@ -99,6 +99,37 @@ object CleanQueries {
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
       finally walked.close()
       s.createDataFrame(rows.asJava, schema)
+    }),
+
+    // §3.1 flagship trace — the reference's whole per-hospital run as ONE
+    // composed plan: JSON MRF fixture file → extract (3-level explode) →
+    // clean → rules → summary/score → devlog entry → registry coalesce.
+    // Every phase is gated alone elsewhere; this row proves they COMPOSE
+    // (the oracle is a single CTE chain over the same `part`-derived
+    // fixture, ending in the updated registry).
+    "etl_flagship_trace" -> ((s, dir) => {
+      import graft.meta.Devlog
+      val path = JsonMrfFixture.writeFixture(s, dir)
+      val canonical = graft.extract.JsonExtractor.extractFile(
+        s, path, JsonMrfFixture.HospitalName, JsonMrfFixture.Zip)
+      val t = Rules.tagViolations(Cleaning.cleanAll(canonical))
+      val row = Rules.summarize(t).head()
+      // duplicatesDropped rides the devlog only — it does not reach the
+      // registry columns this gate emits, so 0L keeps the plan one-pass
+      // (the real dup accounting is gated by devlog_roundtrip).
+      val meta = Devlog.metadataFromSummary(row, duplicatesDropped = 0L)
+      val entry = Devlog.DevlogEntry("C1", "Georgia", "v2.0", "2024-01-01",
+        meta.final_transparency_score, seq = 1L, meta)
+      import s.implicits._
+      val latest = Seq(entry).toDS().toDF()
+      val registry = graft.core.Tables.table(s, dir, "region").select(
+        concat(lit("C"), col("r_regionkey").cast("string")).as("campus_id"),
+        lit("raw").as("etl_status"), lit("").as("processed_by"),
+        lit("").as("last_processed_on"),
+        lit("2023-01-01").as("last_updated_on"),
+        lit("v0").as("version"), lit(0.0).as("transparency_score"))
+      Devlog.updateRegistry(registry, latest, "C1", "graft-engine",
+        "2024-02-02 00:00:00")
     }))
 
   // ---------------------------------------------------------------- oracle --
@@ -212,6 +243,25 @@ object CleanQueries {
            |  CAST($droppedExpr AS BIGINT) AS total_rows_dropped_due_to_rule_violations,
            |  total_algorithm_format_violations, ${RuleNames.mkString(", ")}
            |FROM s, pre, ded""".stripMargin
+      },
+      "etl_flagship_trace" -> {
+        val score =
+          s"""CASE WHEN total_rows_cleaned + ($droppedExpr) = 0 THEN 0.0
+             |  ELSE greatest(0.0, 1.0 - CAST($droppedExpr AS DOUBLE) / (CAST(total_rows_cleaned + ($droppedExpr) AS DOUBLE) * 10.0)) END""".stripMargin
+        s"""${pipelineCteFrom(JsonMrfFixture.canonicalSql)},
+           |s AS (SELECT $summaryInner FROM ruled),
+           |reg AS (SELECT concat('C', cast(r_regionkey as string)) AS campus_id,
+           |    'raw' AS etl_status, '' AS processed_by, '' AS last_processed_on,
+           |    '2023-01-01' AS last_updated_on, 'v0' AS version,
+           |    CAST(0.0 AS DOUBLE) AS transparency_score FROM region)
+           |SELECT reg.campus_id,
+           |  CASE WHEN reg.campus_id = 'C1' THEN 'cleaned' ELSE reg.etl_status END AS etl_status,
+           |  CASE WHEN reg.campus_id = 'C1' THEN 'graft-engine' ELSE reg.processed_by END AS processed_by,
+           |  CASE WHEN reg.campus_id = 'C1' THEN '2024-02-02 00:00:00' ELSE reg.last_processed_on END AS last_processed_on,
+           |  CASE WHEN reg.campus_id = 'C1' THEN '2024-01-01' ELSE reg.last_updated_on END AS last_updated_on,
+           |  CASE WHEN reg.campus_id = 'C1' THEN 'v2.0' ELSE reg.version END AS version,
+           |  CASE WHEN reg.campus_id = 'C1' THEN round($score, 4) ELSE reg.transparency_score END AS transparency_score
+           |FROM reg CROSS JOIN s""".stripMargin
       })
   }
 }

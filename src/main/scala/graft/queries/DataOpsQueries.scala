@@ -251,6 +251,29 @@ object DataOpsQueries {
             .as("recall"))
     }),
 
+    // ANN recall AS a gate for the IVF family — the ivf sibling of
+    // sim_recall_report: the SEARCH path (cell assignment, nprobe probing,
+    // in-cell exact rank) runs with FIXED centroids (eight corpus vectors
+    // at pinned vec_ids), making the whole pipeline SQL-expressible; only
+    // the Lloyd training loop (OpsSpec recall floor) stays out of the
+    // oracle. sim_topk_ivf itself remains the trained, rows-only variant.
+    "ivf_recall_report" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val cents = Ann.fixedCentroids(emb, IvfGateCentroidIds)
+      val brute = Ann.bruteTopK(q, emb, k = 10)
+        .select(col("query_id"), col("vec_id"))
+      val ivf = Ann.ivfSearch(q, emb, cents, k = 10, nprobe = 3)
+        .select(col("query_id"), col("vec_id"), lit(1L).as("__hit"))
+      brute.join(ivf, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .select(col("query_id"), col("k"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("k").cast("double"), 6)
+            .as("recall"))
+    }),
+
     // Perceptual-hash image dedup over REAL decoded pixels: gradient
     // PNGs (id-dependent frequency), exact re-encodes of every 10th
     // planted at +5e6 and single-pixel edits of every 15th at +6e6;
@@ -778,6 +801,50 @@ object DataOpsQueries {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
+  /** Fixed centroid vec_ids for the IVF gate — spread across the corpus,
+    * present at every sf (embeddings has ≥500 rows at sf0.001). */
+  private val IvfGateCentroidIds: Seq[Long] =
+    Seq(7L, 63L, 119L, 175L, 231L, 287L, 343L, 399L)
+
+  /** Squared-L2 distance as the same 0.0-seeded left fold Spark's
+    * aggregate(zip_with(...)) runs (list_reduce starts at element 1;
+    * 0.0+x ≡ x, so the float order is identical). */
+  private def sqDistSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)])" +
+      s" * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)])), (x, y) -> x + y)"
+
+  /** Fixed-centroid IVF top-10 (cell assignment → nprobe=3 probe → in-cell
+    * exact rank), the SQL mirror of Ann.ivfSearch over
+    * [[IvfGateCentroidIds]] — shared by the ivf_recall_report oracle. */
+  private lazy val ivfFixedTopKSql: String = {
+    val ids = IvfGateCentroidIds.mkString(", ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
+       |cen AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS ci, e AS ce
+       |  FROM v WHERE vec_id IN ($ids)),
+       |asg AS (SELECT vec_id, ci AS cell FROM (
+       |  SELECT v.vec_id, cen.ci,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${sqDistSql("e", "ce")} ASC, cen.ci ASC) AS rn
+       |  FROM v, cen) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+       |pr AS (SELECT query_id, ci AS cell FROM (
+       |  SELECT q.query_id, cen.ci,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${sqDistSql("qe", "ce")} ASC, cen.ci ASC) AS rn
+       |  FROM q, cen) WHERE rn <= 3),
+       |s AS (SELECT pr.query_id, a.vec_id,
+       |    round(${dotSql("qe", "e")} /
+       |      (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("e", "e")})), 6) AS cos
+       |  FROM pr JOIN asg a ON a.cell = pr.cell
+       |  JOIN v ON v.vec_id = a.vec_id
+       |  JOIN q ON q.query_id = pr.query_id
+       |  WHERE a.vec_id <> pr.query_id),
+       |r AS (SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id ASC) AS rank FROM s)
+       |SELECT query_id, vec_id FROM r WHERE rank <= 10""".stripMargin
+  }
+
   def oracles: Map[String, String] = {
     val (scoreSel, langCase) = OracleSql.langId(toksSql)
     Map(
@@ -954,6 +1021,16 @@ object DataOpsQueries {
            |    ORDER BY n_chars DESC, doc_id ASC) AS rn FROM lab) WHERE rn = 1)
            |SELECT l.doc_id, l.component, l.doc_id = b.best_id AS keep
            |FROM lab l JOIN best b USING (component)""".stripMargin,
+      "ivf_recall_report" ->
+        s"""WITH b AS ($bruteTopKSql),
+           |l AS ($ivfFixedTopKSql)
+           |SELECT b.query_id, CAST(count(*) AS BIGINT) AS k,
+           |  CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_hit,
+           |  round(CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+           |FROM b LEFT JOIN l ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+           |GROUP BY 1""".stripMargin,
       "sim_recall_report" ->
         s"""WITH b AS ($bruteTopKSql),
            |l AS ($lshTopKSql)

@@ -89,7 +89,31 @@ object ExtractQueries {
     // fixture presents {CPT, DRG, HCPCS} ⇒ missing {ICD, CDT, NDC, APC}.
     "extract_missing_code_types" -> ((s, dir) =>
       graft.extract.CodePairs.missingCodeTypes(
-        graft.extract.CodePairs.explodePairs(tallBody(s, dir)))))
+        graft.extract.CodePairs.explodePairs(tallBody(s, dir)))),
+
+    // S4 — the JSON MRF extractor end-to-end THROUGH A REAL FILE: the
+    // nested fixture is fabricated from `part`, written as JSON, multiLine-
+    // read back, and run through the three-level explode to the canonical
+    // 22 columns (empty-code skip, unknown-type reject, MS-DRG→DRG
+    // normalization, payer bracket split, payerless explode_outer row all
+    // exercised). The oracle re-derives the same rows relationally.
+    "extract_json_canonical" -> ((s, dir) => {
+      val path = JsonMrfFixture.writeFixture(s, dir)
+      val out = graft.extract.JsonExtractor.extractFile(
+        s, path, JsonMrfFixture.HospitalName, JsonMrfFixture.Zip)
+      out.select(ChargesFixture.fabricated.map { case (u, _) =>
+        col(ChargesFixture.toCanonical(u)).as(u) }: _*)
+    }),
+
+    // S5 — SchemaExplorer (key path, type) rows over the SAME fixture
+    // file, schema INFERRED from the written JSON (not the extractor's
+    // pinned contract schema) — the explorer + inference path the
+    // reference streams ijson events for; oracle is the literal expected
+    // path table.
+    "schema_key_paths" -> ((s, dir) => {
+      val path = JsonMrfFixture.writeFixture(s, dir)
+      graft.util.SchemaExplorer.exploreJsonFile(s, path)
+    }))
 
   def oracles: Map[String, String] = {
     val norm = "CASE upper(ct) WHEN 'CPT' THEN 'CPT' WHEN 'MS-DRG' THEN 'DRG'" +
@@ -153,6 +177,44 @@ object ExtractQueries {
            |present AS (SELECT DISTINCT $normed AS code_type FROM pairs WHERE $normed IS NOT NULL)
            |SELECT code_type FROM (VALUES ('CPT'),('HCPCS'),('ICD'),('DRG'),('CDT'),('NDC'),('APC')) t(code_type)
            |EXCEPT SELECT code_type FROM present""".stripMargin
+      },
+      "extract_json_canonical" -> JsonMrfFixture.canonicalSql,
+      "schema_key_paths" -> {
+        val sci = "standard_charge_information"
+        val sc = s"$sci.item.standard_charges"
+        val pi = s"$sc.item.payers_information"
+        val rows: Seq[(String, String)] = Seq(
+          "hospital_address" -> "string",
+          "hospital_location" -> "string",
+          "hospital_name" -> "string",
+          "last_updated_on" -> "string",
+          sci -> "array",
+          s"$sci.item.code_information" -> "array",
+          s"$sci.item.code_information.item.code" -> "string",
+          s"$sci.item.code_information.item.type" -> "string",
+          s"$sci.item.description" -> "string",
+          s"$sci.item.drug_information" -> "map",
+          s"$sci.item.drug_information.type" -> "string",
+          s"$sci.item.drug_information.unit" -> "string",
+          sc -> "array",
+          s"$sc.item.discounted_cash" -> "string",
+          s"$sc.item.gross_charge" -> "string",
+          s"$sc.item.maximum" -> "string",
+          s"$sc.item.minimum" -> "string",
+          pi -> "array",
+          s"$pi.item.additional_payer_notes" -> "string",
+          s"$pi.item.estimated_amount" -> "string",
+          s"$pi.item.methodology" -> "string",
+          s"$pi.item.modifiers" -> "string",
+          s"$pi.item.payer_name" -> "string",
+          s"$pi.item.plan_name" -> "string",
+          s"$pi.item.standard_charge_algorithm" -> "string",
+          s"$pi.item.standard_charge_dollar" -> "string",
+          s"$pi.item.standard_charge_percentage" -> "string",
+          s"$sc.item.setting" -> "string",
+          "version" -> "string")
+        rows.map { case (p, t) => s"('$p', '$t')" }
+          .mkString("SELECT * FROM (VALUES ", ", ", ") t(path, type)")
       })
   }
 }

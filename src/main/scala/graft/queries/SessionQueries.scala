@@ -55,6 +55,40 @@ object SessionQueries {
             "yyyy-MM-dd HH:mm:ss").as("session_end"),
           col("n_events"), col("total_value"))),
 
+    // The STREAMING sessionizer as a gate: the flatMapGroupsWithState
+    // operator (streaming/Sessionize) runs over the events table fed
+    // through a real file stream, one far-future sentinel per user closing
+    // every real session inline (the sentinels' own sessions stay in state
+    // unemitted). Feed is second-truncated so the ms gap rule matches the
+    // batch gate's unix_timestamp arithmetic; total_value is omitted (the
+    // stream folds doubles in arrival order — equal only to 1e-6, spec-
+    // asserted — while the hash gate needs exactness). Oracle = the same
+    // session CTEs as sessionize_events.
+    "streaming_sessionize" -> ((s, dir) => {
+      import graft.streaming.Sessionize
+      val ev = table(s, dir, "events").select(col("user_id"),
+        date_trunc("second", col("ts")).as("ts"), col("event_type"), col("value"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val flush = ev.select(col("user_id")).distinct()
+        .select(col("user_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + (GapMinutes + 1) * 60000L)).as("ts"),
+          lit("flush").as("event_type"), lit(0.0).as("value"))
+      val feedDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-stream-sess-" + new java.io.File(dir).getName).getAbsolutePath
+      ev.unionByName(flush).write.mode("overwrite").parquet(feedDir)
+      import s.implicits._
+      val stream = s.readStream.schema(ev.schema).parquet(feedDir)
+        .as[Sessionize.Event]
+      val q = Sessionize.sessionize(s, stream, gapMs = GapMinutes * 60000L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("gate_stream_sess").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("gate_stream_sess").select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+    }),
+
     // As-of join of each event to its user's latest rate snapshot
     // (ops/AsOfJoin: union + one keyed window — no range-join explosion).
     // Snapshots are fabricated weekly-per-user from integer formulas; the
@@ -383,6 +417,24 @@ object SessionQueries {
          |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
          |FROM s GROUP BY 1, 2""".stripMargin,
+    "streaming_sessionize" ->
+      s"""WITH o AS (
+         |  SELECT user_id, event_id, ts,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |f AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |      OR date_diff('second', prev_ts, ts) > ${GapMinutes * 60} THEN 1 ELSE 0 END AS new_session
+         |  FROM o),
+         |s AS (
+         |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         |  FROM f)
+         |SELECT user_id,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+         |  count(*) AS n_events
+         |FROM s GROUP BY user_id, session_idx""".stripMargin,
     "asof_join_rates" ->
       """WITH e AS (
         |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
