@@ -49,8 +49,12 @@ object ScaleCanary {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def tbl(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
+    // Single output file per table, matching the testdata layout — the
+    // canary must change DATA VOLUME only, not scan parallelism (testdata
+    // tables are one row group; a 32-file replica would hand the sf1 run
+    // free parallelism the sf0.1 baseline doesn't get).
     def write(df: DataFrame, n: String): Unit =
-      df.write.mode("overwrite").parquet(s"$out/$n.parquet")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$out/$n.parquet")
 
     def replicate(n: String)(f: (DataFrame, Int) => DataFrame): Unit =
       write((0 until reps).map(r => f(tbl(n), r)).reduce(_ unionAll _), n)

@@ -101,6 +101,28 @@ object CleanQueries {
       s.createDataFrame(rows.asJava, schema)
     }),
 
+    // S8/S9 — the canonical CSV sink as a LOSSLESS round trip: the
+    // oracle-gated clean_rows frame is written through the pipeline's CSV
+    // sink shape (header, standard quoting — the documented F13
+    // divergence) and read back with the typed clean schema. ''-vs-NULL
+    // survives only with a DISTINCT nullValue sentinel on both sides
+    // (default encodes both as the bare empty field, and the reader even
+    // nulls a quoted "" — measured, not assumed); doubles re-parse
+    // exactly (all fixture prices are dyadic), embedded commas/quotes
+    // round-trip — so the clean_rows oracle applies verbatim.
+    "clean_csv_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+      val (clean, _) = Rules.split(tagged(s, dir))
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-clean-csv-" + new java.io.File(dir).getName).getAbsolutePath
+      clean.write.mode("overwrite").option("header", "true")
+        .option("nullValue", "\\N").csv(out)
+      val schema = StructType(allU.map(n => StructField(toCanonical(n),
+        if (priceU.contains(n)) DoubleType else StringType)))
+      renamedToUnderscore(s.read.option("header", "true")
+        .option("nullValue", "\\N").schema(schema).csv(out))
+    }),
+
     // §3.1 flagship trace — the reference's whole per-hospital run as ONE
     // composed plan: JSON MRF fixture file → extract (3-level explode) →
     // clean → rules → summary/score → devlog entry → registry coalesce.
@@ -218,6 +240,8 @@ object CleanQueries {
     val droppedExpr = RuleNames.mkString(" + ")
     Map(
       "clean_rows" ->
+        s"$pipelineCte SELECT ${allU.mkString(", ")} FROM ruled WHERE NOT $anyRule",
+      "clean_csv_roundtrip" ->
         s"$pipelineCte SELECT ${allU.mkString(", ")} FROM ruled WHERE NOT $anyRule",
       "clean_violations" ->
         s"""$pipelineCte SELECT ${allU.mkString(", ")}, negotiated_algorithm_invalid, $tagExpr AS rules_violated FROM ruled WHERE $anyRule""",

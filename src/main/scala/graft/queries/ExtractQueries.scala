@@ -113,31 +113,90 @@ object ExtractQueries {
     "schema_key_paths" -> ((s, dir) => {
       val path = JsonMrfFixture.writeFixture(s, dir)
       graft.util.SchemaExplorer.exploreJsonFile(s, path)
+    }),
+
+    // S2/S3/U4 — the tall CSV path through a REAL MRF FILE: 2 metadata
+    // lines (with a quoted, comma-bearing value exercising the RFC-4180
+    // splitter) + header + body rows, read back via MrfCsv.readMetadata
+    // (transposed to constants on every row) and MrfCsv.readBody
+    // (per-file 2-line drop, all-string) into TallExtractor. Same body
+    // fixture ⇒ the extract_tall_canonical oracle applies, plus the
+    // metadata constants.
+    "extract_tall_csv_file" -> ((s, dir) => {
+      val path = writeTallCsvFixture(s, dir)
+      val meta = graft.extract.MrfCsv.readMetadata(s, path)
+      val can = TallExtractor.extract(
+        graft.extract.MrfCsv.readBody(s, path), "General", "30303")
+      can.select(col("code"), col("code type").as("code_type"),
+          col("description"),
+          col("insurance payer name").as("payer_name"),
+          col("insurance payer id").as("payer_id"),
+          col("negotiated price").as("negotiated_price"),
+          col("gross charge").as("gross_charge"))
+        .withColumn("mrf_version", lit(meta.getOrElse("version", "")))
+        .withColumn("mrf_updated", lit(meta.getOrElse("last_updated_on", "")))
+        .withColumn("mrf_location", lit(meta.getOrElse("hospital_location", "")))
     }))
+
+  /** Write the tall-MRF CSV fixture file: metadata keys/values lines, then
+    * the header+body CSV Spark wrote, streamed into ONE physical file (the
+    * reference's file shape). Deterministic path per sf, overwritten. */
+  private def writeTallCsvFixture(s: SparkSession, dir: String): String = {
+    import java.io.{BufferedOutputStream, File, FileOutputStream}
+    import java.nio.charset.StandardCharsets.UTF_8
+    val root = new File(sys.props("java.io.tmpdir"),
+      "graft-tall-csv-" + new File(dir).getName)
+    val bodyDir = new File(root, "body")
+    tallBody(s, dir).coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(bodyDir.toString)
+    val bodyPart = bodyDir.listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .head
+    val out = new File(root, "mrf_tall.csv")
+    val w = new BufferedOutputStream(new FileOutputStream(out))
+    try {
+      w.write(("hospital_name,last_updated_on,version,hospital_location,hospital_address\n" +
+        "Gate Tall,2024-03-01,v3.1,\"5 Gate Way, Atlanta\",Georgia\n").getBytes(UTF_8))
+      java.nio.file.Files.copy(bodyPart.toPath, w)
+    } finally w.close()
+    out.getAbsolutePath
+  }
+
+  /** DuckDB mirror of the tall-path canonical extract over [[tallBody]] —
+    * shared by the in-memory gate and the CSV-file round-trip gate (the
+    * file adds only metadata constants on top of the identical rows). */
+  private lazy val tallCanonicalSql: String = {
+    val norm = "CASE upper(ct) WHEN 'CPT' THEN 'CPT' WHEN 'MS-DRG' THEN 'DRG'" +
+      " WHEN 'DRG' THEN 'DRG' WHEN 'HCPCS' THEN 'HCPCS' WHEN 'ICD' THEN 'ICD'" +
+      " WHEN 'CDT' THEN 'CDT' WHEN 'NDC' THEN 'NDC' WHEN 'APC' THEN 'APC' END"
+    val base = s"SELECT p_name AS description, $codeE AS code1, $ctE AS ct1," +
+      s" $code2E AS code2, $ct2E AS ct2, $payerE AS payer," +
+      s" $aetnaDollarE AS dollar, $grossE AS gross FROM part"
+    val arm = (c: String, t: String) =>
+      s"""SELECT $c AS code, ${norm.replace("upper(ct)", s"upper($t)")} AS code_type,
+         | description, payer, dollar, gross FROM f
+         | WHERE $c <> '' AND $t <> '' AND ${norm.replace("upper(ct)", s"upper($t)")} IS NOT NULL""".stripMargin
+    s"""WITH f AS ($base),
+       |pairs AS ((${arm("code1", "ct1")}) UNION ALL (${arm("code2", "ct2")}))
+       |SELECT code, code_type, description,
+       | CASE WHEN regexp_matches(payer, '(.*)\\[(.*?)\\]')
+       |   THEN trim(regexp_extract(payer, '(.*)\\[(.*?)\\]', 1)) ELSE payer END AS payer_name,
+       | CASE WHEN regexp_matches(payer, '(.*)\\[(.*?)\\]')
+       |   THEN trim(regexp_extract(payer, '(.*)\\[(.*?)\\]', 2)) ELSE '' END AS payer_id,
+       | dollar AS negotiated_price, gross AS gross_charge
+       |FROM pairs""".stripMargin
+  }
 
   def oracles: Map[String, String] = {
     val norm = "CASE upper(ct) WHEN 'CPT' THEN 'CPT' WHEN 'MS-DRG' THEN 'DRG'" +
       " WHEN 'DRG' THEN 'DRG' WHEN 'HCPCS' THEN 'HCPCS' WHEN 'ICD' THEN 'ICD'" +
       " WHEN 'CDT' THEN 'CDT' WHEN 'NDC' THEN 'NDC' WHEN 'APC' THEN 'APC' END"
     Map(
-      "extract_tall_canonical" -> {
-        val base = s"SELECT p_name AS description, $codeE AS code1, $ctE AS ct1," +
-          s" $code2E AS code2, $ct2E AS ct2, $payerE AS payer," +
-          s" $aetnaDollarE AS dollar, $grossE AS gross FROM part"
-        val arm = (c: String, t: String) =>
-          s"""SELECT $c AS code, ${norm.replace("upper(ct)", s"upper($t)")} AS code_type,
-             | description, payer, dollar, gross FROM f
-             | WHERE $c <> '' AND $t <> '' AND ${norm.replace("upper(ct)", s"upper($t)")} IS NOT NULL""".stripMargin
-        s"""WITH f AS ($base),
-           |pairs AS ((${arm("code1", "ct1")}) UNION ALL (${arm("code2", "ct2")}))
-           |SELECT code, code_type, description,
-           | CASE WHEN regexp_matches(payer, '(.*)\\[(.*?)\\]')
-           |   THEN trim(regexp_extract(payer, '(.*)\\[(.*?)\\]', 1)) ELSE payer END AS payer_name,
-           | CASE WHEN regexp_matches(payer, '(.*)\\[(.*?)\\]')
-           |   THEN trim(regexp_extract(payer, '(.*)\\[(.*?)\\]', 2)) ELSE '' END AS payer_id,
-           | dollar AS negotiated_price, gross AS gross_charge
-           |FROM pairs""".stripMargin
-      },
+      "extract_tall_canonical" -> tallCanonicalSql,
+      "extract_tall_csv_file" ->
+        s"""SELECT t.*, 'v3.1' AS mrf_version, '2024-03-01' AS mrf_updated,
+           |  '5 Gate Way, Atlanta' AS mrf_location
+           |FROM ($tallCanonicalSql) t""".stripMargin,
       "extract_wide_canonical" -> {
         val base = s"SELECT $codeE AS code1, $ctE AS ct1, $grossE AS gross," +
           s" $genericNotesE AS gnotes, $aetnaDollarE AS a_dollar, $aetnaMethE AS a_meth," +
