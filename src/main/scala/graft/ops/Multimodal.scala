@@ -150,31 +150,14 @@ object Multimodal {
   }
 
   /** Near-duplicate image pairs by aHash hamming distance ≤ `maxDistance`
-    * (≤ 7), using the same 8×8-bit-chunk pigeonhole blocking as SimHash:
-    * any pair within distance 7 shares an exact byte chunk, so candidate
-    * generation is 8 equi-joins' worth of (chunk, key) buckets — never
-    * all-pairs — and the exact XOR-popcount verify runs on candidates
-    * only. */
+    * via [[graft.ops.Dedup.hammingPairs64]]'s width-scaled pigeonhole
+    * blocking: maxDistance+1 chunks, each ⌈64/(d+1)⌉ bits — never
+    * all-pairs, and never the fixed-2048-bucket saturation that made byte
+    * chunks quadratic at corpus scale; the exact XOR-popcount verify runs
+    * on candidates only. */
   def ahashPairs(spark: SparkSession, hashes: Dataset[ImageHash],
-      maxDistance: Int): DataFrame = {
-    require(maxDistance >= 0 && maxDistance <= 7,
-      "8-chunk blocking only guarantees distance <= 7")
-    val h = hashes.toDF()
-    val chunked = h.select(col("doc_id"), col("ahash"),
-      posexplode(array((0 until 8).map { c =>
-        shiftrightunsigned(col("ahash"), c * 8).bitwiseAND(0xFFL)
-      }: _*)).as(Seq("chunk", "key")))
-    val a = chunked.select(col("chunk"), col("key"),
-      col("doc_id").as("id_a"), col("ahash").as("h_a"))
-    val b = chunked.select(col("chunk"), col("key"),
-      col("doc_id").as("id_b"), col("ahash").as("h_b"))
-    a.join(b, Seq("chunk", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxDistance)
-  }
+      maxDistance: Int): DataFrame =
+    graft.ops.Dedup.hammingPairs64(hashes.toDF(), "doc_id", "ahash", maxDistance)
 
   /** Resized features: dimensions and the (0,0) pixel of the REAL
     * half-scale render. */

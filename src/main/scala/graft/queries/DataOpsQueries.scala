@@ -50,6 +50,13 @@ object DataOpsQueries {
 
     "dedup_ngram_pairs" -> ((s, dir) => ngramPairs(s, dir)),
 
+    // Per-document n-gram novelty (memorization-risk profile): fraction
+    // of a doc's distinct 3-gram shingles found in no other document —
+    // two keyed hash aggregates over the inverted shingle index, no
+    // pairwise join anywhere.
+    "text_ngram_novelty" -> ((s, dir) =>
+      Dedup.ngramNoveltyScores(table(s, dir, "documents"), "doc_id", "text")),
+
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashNearDupPairs(table(s, dir, "documents"), "doc_id", "text",
         n = 3, k = 12, bands = 4, threshold = 0.8)),
@@ -857,6 +864,18 @@ object DataOpsQueries {
         s"""SELECT md5($normTextSql) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS keep_id,
            | count(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,
       "dedup_ngram_pairs" -> oraclesNgramSql,
+      "text_ngram_novelty" ->
+        s"""WITH $shingleCapGuard,
+           |sh AS (
+           |  SELECT DISTINCT doc_id, concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT)+1], toks[CAST(i AS INT)+2]) AS s
+           |  FROM (SELECT doc_id, $toksSql toks FROM documents), range(1, 4096) t(i)
+           |  WHERE i + 2 <= len(toks) AND (SELECT g FROM guard) = 1),
+           |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+           |SELECT sh.doc_id AS id, CAST(count(*) AS BIGINT) AS n_shingles,
+           |  CAST(sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           |  round(1.0 - CAST(sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+           |    CAST(count(*) AS DOUBLE), 6) AS novelty
+           |FROM sh JOIN dfreq USING (s) GROUP BY sh.doc_id""".stripMargin,
       "sample_cluster_split" ->
         s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($oraclesNgramSql) q),
            |edges AS (SELECT id_a AS s, id_b AS d FROM pairs

@@ -34,6 +34,16 @@ object MixQueries {
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
 
+    // RLHF/DPO preference-pair construction: per prompt group (user_id
+    // plays the prompt, events its scored candidate completions), the
+    // highest- vs lowest-scored candidate with id-asc tiebreaks — one
+    // bounded TopKAgg pass in each direction, never a per-prompt window,
+    // so a hot prompt with 10⁵ sampled completions costs map-side k=1
+    // buffers. All-tied groups (chosen = rejected) drop.
+    "preference_pairs" -> ((s, dir) =>
+      graft.ops.Preference.pairs(table(s, dir, "events"),
+        "user_id", "event_id", "value")),
+
     // Weight-proportional sample without replacement: 40 docs per source,
     // weight = n_chars (longer docs proportionally likelier). Winners are
     // ranked by the bounded TopKAgg, not a window.
@@ -269,6 +279,19 @@ object MixQueries {
        |  FROM sc GROUP BY doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    "preference_pairs" ->
+      """WITH r AS (SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rb,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS rw,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |b AS (SELECT user_id, event_id AS chosen_id, v AS cs FROM r WHERE rb = 1 AND n >= 2),
+        |w AS (SELECT user_id, event_id AS rejected_id, v AS rs FROM r WHERE rw = 1)
+        |SELECT b.user_id AS grp, chosen_id, rejected_id,
+        |  round(cs, 6) AS chosen_score, round(rs, 6) AS rejected_score,
+        |  round(cs - rs, 6) AS margin
+        |FROM b JOIN w USING (user_id) WHERE chosen_id <> rejected_id""".stripMargin,
 
     "sample_balanced_classes" ->
       """WITH e AS (SELECT vec_id, label FROM embeddings),
