@@ -141,6 +141,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p) // segment subtree persisted once
   }
 
+  test("hamming pigeonhole pairing: width-scaled chunk equi-join, no cartesian") {
+    val df = SparkEntry.queries("multimodal_image_dedup")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // candidate generation is a (chunk, key) equi-join; d=2 → 3 chunks of
+    // ~21 bits, visible as the shiftrightunsigned chunk projection
+    assert(p.toLowerCase.contains("shiftrightunsigned"), p)
+  }
+
+  test("preference pairs: one bounded TopKAgg pass, no per-group window") {
+    val df = SparkEntry.queries("preference_pairs")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(p.toLowerCase.contains("partial_topkagg") ||
+      "objecthashaggregate.*topkagg".r.findFirstIn(p.toLowerCase).isDefined, p)
+  }
+
   test("count-min sketch aggregates map-side (partial) before the merge") {
     val df = SparkEntry.queries("profile_cm_topk")(spark, sf("sf0.001"))
     val p = df.queryExecution.executedPlan.toString
