@@ -34,6 +34,18 @@ object MixQueries {
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
 
+    // Water-filling token-budget allocation (the mixing planner): per
+    // source, alloc = min(avail, t·w) with the level t at its closed
+    // order-statistics form — ONE window over the |sources| aggregate
+    // rows, no driver fixed-point loop. Budget = 60% of corpus tokens;
+    // integer weights fabricated from the source name so small sources
+    // saturate and their leftover redistributes.
+    "mix_water_fill" -> ((s, dir) =>
+      graft.ops.Mixture.waterFillTokens(s, table(s, dir, "documents"),
+        "source", "text",
+        weight = (length(col("grp")) % 3 + 1).cast("long"),
+        budgetFrac = 0.6)),
+
     // RLHF/DPO preference-pair construction: per prompt group (user_id
     // plays the prompt, events its scored candidate completions), the
     // highest- vs lowest-scored candidate with id-asc tiebreaks — one
@@ -279,6 +291,30 @@ object MixQueries {
        |  FROM sc GROUP BY doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    "mix_water_fill" ->
+      """WITH ps AS (SELECT source AS grp,
+        |    CAST(sum(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))) AS BIGINT) AS avail
+        |  FROM documents GROUP BY 1),
+        |base AS (SELECT grp, avail, CAST(length(grp) % 3 + 1 AS BIGINT) AS w FROM ps),
+        |tot AS (SELECT CAST(sum(avail) AS BIGINT) AS tot_a, CAST(sum(w) AS BIGINT) AS tot_w FROM base),
+        |run AS (SELECT grp, avail, w,
+        |    CAST(floor(0.6 * CAST(tot_a AS DOUBLE)) AS BIGINT) AS B,
+        |    CAST(avail AS DOUBLE) / CAST(w AS DOUBLE) AS c,
+        |    CAST(sum(avail) OVER o AS BIGINT) AS prefA,
+        |    CAST(sum(w) OVER o AS BIGINT) AS prefW,
+        |    tot_w
+        |  FROM base CROSS JOIN tot
+        |  WINDOW o AS (ORDER BY CAST(avail AS DOUBLE) / CAST(w AS DOUBLE) ASC, grp ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |cand AS (SELECT *, CAST(B - (prefA - avail) AS DOUBLE) /
+        |    CAST(tot_w - (prefW - w) AS DOUBLE) AS t FROM run),
+        |lvl AS (SELECT t AS level FROM cand WHERE c >= t ORDER BY c ASC, grp ASC LIMIT 1)
+        |SELECT grp, avail, w AS weight,
+        |  least(avail, CAST(floor(level * CAST(w AS DOUBLE)) AS BIGINT)) AS alloc,
+        |  round(CAST(least(avail, CAST(floor(level * CAST(w AS DOUBLE)) AS BIGINT)) AS DOUBLE) /
+        |    CAST(avail AS DOUBLE), 6) AS sampling_rate
+        |FROM cand CROSS JOIN lvl""".stripMargin,
 
     "preference_pairs" ->
       """WITH r AS (SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,

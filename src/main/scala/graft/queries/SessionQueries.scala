@@ -89,6 +89,18 @@ object SessionQueries {
         col("n_events"))
     }),
 
+    // SFT conversation flattening: the events log as a dialogue corpus
+    // (user_id = conversation, event_type = role, a key-derived utterance)
+    // → per-turn (context, response) training rows with a BOUNDED rolling
+    // context (3 previous turns) — one conversation-keyed exchange, state
+    // capped per row no matter how long a conversation runs.
+    "sft_turn_examples" -> ((s, dir) =>
+      graft.ops.Sft.turnExamples(
+        table(s, dir, "events").withColumn("utt",
+          concat(col("event_type"), lit("#"),
+            (col("event_id") % 100).cast("string"))),
+        "user_id", "ts", "event_id", "event_type", "utt", contextTurns = 3)),
+
     // As-of join of each event to its user's latest rate snapshot
     // (ops/AsOfJoin: union + one keyed window — no range-join explosion).
     // Snapshots are fabricated weekly-per-user from integer formulas; the
@@ -435,6 +447,19 @@ object SessionQueries {
          |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
          |  count(*) AS n_events
          |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    "sft_turn_examples" ->
+      """WITH u AS (
+        |  SELECT user_id AS conv_id, ts, event_id, event_type AS role,
+        |    concat(event_type, '#', cast(event_id % 100 as string)) AS utt
+        |  FROM events)
+        |SELECT conv_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS turn_idx, role,
+        |  coalesce(string_agg(utt, ' | ') OVER
+        |    (PARTITION BY conv_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS context,
+        |  utt AS response
+        |FROM u WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)""".stripMargin,
+
     "asof_join_rates" ->
       """WITH e AS (
         |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),

@@ -195,4 +195,25 @@ class DegenerateSpec extends SparkSpec {
     assert(Quality.lDiversity(one, Seq("c1"), "c2").collect()
       .head.getLong(1) == 1L)
   }
+
+  test("round-9 ops: empty/degenerate inputs are well-defined") {
+    // hamming pairing at d=0: one 64-bit chunk (mask -1), exact-equal join
+    val h = Seq((1L, 42L), (2L, 42L), (3L, 43L)).toDF("id", "h")
+    val p0 = Dedup.hammingPairs64(h, "id", "h", 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(p0.toSeq == Seq((1L, 2L, 0L)))
+    // empty corpus → no pairs, no novelty rows
+    val eDocs = emptyDf("doc_id" -> LongType, "text" -> StringType)
+    assert(Dedup.ngramNoveltyScores(eDocs, "doc_id", "text").count() == 0)
+    // a lone 2-token doc has no 3-gram shingles → no row (never 0/0)
+    val short = Seq((1L, "two tokens")).toDF("doc_id", "text")
+    assert(Dedup.ngramNoveltyScores(short, "doc_id", "text").count() == 0)
+    // preference pairs on empty input
+    val eCand = emptyDf("g" -> LongType, "id" -> LongType, "s" -> DoubleType)
+    assert(Preference.pairs(eCand, "g", "id", "s").count() == 0)
+    // water-fill with a single source: alloc = floor(frac * avail)
+    val lone = Seq(("a", 1000L, 2L)).toDF("grp", "avail", "w")
+    val wf = Mixture.waterFill(lone, "grp", "avail", "w", 0.5).collect()
+    assert(wf.length == 1 && wf.head.getLong(3) == 500L)
+  }
 }
