@@ -103,16 +103,24 @@ object JsonMrfFixture {
         col("standard_charge_information"))
   }
 
+  /** One write per (session, sf): three gates read the fixture file, and
+    * re-fabricating it per gate would triple the bench cost for no extra
+    * proof (the write→read round trip is exercised once either way). */
+  private val written =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
   /** Write the fixture as a real JSON file under the system tmpdir (one
-    * deterministic dir per sf, overwritten each run) and return the path.
-    * The write→multiLine-read round trip IS part of what the gate proves. */
-  def writeFixture(spark: SparkSession, sfDir: String): String = {
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-json-mrf-" + new java.io.File(sfDir).getName).getAbsolutePath
-    mrfFrame(Tables.table(spark, sfDir, "part"))
-      .coalesce(1).write.mode("overwrite").json(dir)
-    dir
-  }
+    * deterministic dir per sf, overwritten once per session) and return
+    * the path. The write→multiLine-read round trip IS part of what the
+    * gate proves. */
+  def writeFixture(spark: SparkSession, sfDir: String): String =
+    written.computeIfAbsent((spark, sfDir), { case (s, d) =>
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-json-mrf-" + new java.io.File(d).getName).getAbsolutePath
+      mrfFrame(Tables.table(s, d, "part"))
+        .coalesce(1).write.mode("overwrite").json(dir)
+      dir
+    })
 
   // ------------------------------------------------------ oracle side (SQL)
 

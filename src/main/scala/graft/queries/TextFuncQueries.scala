@@ -30,7 +30,9 @@ object TextFuncQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // F8/F9/F11/F15 — key derivation over fabricated hospital names/addresses.
+    // F8/F9/F10/F11/F15 — key derivation over fabricated hospital
+    // names/addresses (F10 fed a padded variant so the collapse has
+    // real runs to normalize).
     "text_campus_keys" -> ((s, dir) => {
       table(s, dir, "customer")
         .withColumn("hname", expr(fabName))
@@ -39,7 +41,9 @@ object TextFuncQueries {
           Naming.campusId(col("hname")).as("campus_id"),
           Naming.extractZip(col("haddress")).as("zip"),
           Naming.alnumSquash(col("hname")).as("squash"),
-          Naming.systemSlug(col("hname")).as("system_slug"))
+          Naming.systemSlug(col("hname")).as("system_slug"),
+          Naming.collapseWhitespace(
+            concat(lit("  "), col("hname"), lit("   x "))).as("ws_collapsed"))
     }),
 
     // F1 — payer `Name [ID]` bracket split.
@@ -91,7 +95,8 @@ object TextFuncQueries {
            |   t -> t <> '' AND NOT list_contains($stop, t)), '_') AS campus_id,
            | regexp_extract(haddress, '(\\d{5})(?:-\\d{4})?$$', 1) AS zip,
            | regexp_replace(lower(trim(hname)), '[^\\w]', '', 'g') AS squash,
-           | replace(lower(hname), ' ', '_') AS system_slug
+           | replace(lower(hname), ' ', '_') AS system_slug,
+           | trim(regexp_replace(concat('  ', hname, '   x '), '\\s+', ' ', 'g')) AS ws_collapsed
            |FROM f""".stripMargin,
       "text_payer_split" ->
         s"""WITH f AS (SELECT c_custkey, $fabPayer AS payer FROM customer)
