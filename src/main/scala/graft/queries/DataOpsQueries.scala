@@ -50,6 +50,15 @@ object DataOpsQueries {
 
     "dedup_ngram_pairs" -> ((s, dir) => ngramPairs(s, dir)),
 
+    // ROUGE-2 overlap audit of the near-dup pair table (fifth consumer of
+    // the memoized pair cache): clipped-multiset bigram P/R/F1 per pair —
+    // the human-auditable "how much does b actually quote a" report
+    // attached to near-dup survivors. Gram rows are semi-join-restricted
+    // to paired docs, all joins keyed on (pair id, gram).
+    "eval_rouge_pairs" -> ((s, dir) =>
+      graft.ops.Eval.rougeBigramOverlap(ngramPairs(s, dir),
+        table(s, dir, "documents"), "doc_id", "text")),
+
     // Per-document n-gram novelty (memorization-risk profile): fraction
     // of a doc's distinct 3-gram shingles found in no other document —
     // two keyed hash aggregates over the inverted shingle index, no
@@ -864,6 +873,35 @@ object DataOpsQueries {
         s"""SELECT md5($normTextSql) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS keep_id,
            | count(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,
       "dedup_ngram_pairs" -> oraclesNgramSql,
+      // Bigram starts reach len-1, range covers i ≤ 4095 ⇒ safe through
+      // len 4096 — own guard (the trigram guard admits 4097).
+      "eval_rouge_pairs" ->
+        s"""WITH guard2 AS (SELECT CASE WHEN max(len($toksSql)) > 4096
+           |    THEN error('bigram range(1,4096) cap exceeded') ELSE 1 END AS g
+           |  FROM documents),
+           |pairs AS (SELECT id_a, id_b FROM ($oraclesNgramSql) q),
+           |g2 AS (SELECT doc_id, concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT)+1]) AS gram
+           |  FROM (SELECT doc_id, $toksSql toks FROM documents), range(1, 4096) t(i)
+           |  WHERE i + 1 <= len(toks) AND (SELECT g FROM guard2) = 1),
+           |gc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c FROM g2 GROUP BY 1, 2),
+           |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot FROM gc GROUP BY 1),
+           |m AS (SELECT p.id_a, p.id_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS matched
+           |  FROM pairs p
+           |  JOIN gc a ON a.doc_id = p.id_a
+           |  JOIN gc b ON b.doc_id = p.id_b AND b.gram = a.gram
+           |  GROUP BY 1, 2),
+           |j AS (SELECT p.id_a, p.id_b, coalesce(m.matched, 0) AS matched,
+           |    CAST(coalesce(m.matched, 0) AS DOUBLE) / CAST(ta.tot AS DOUBLE) AS p,
+           |    CAST(coalesce(m.matched, 0) AS DOUBLE) / CAST(tb.tot AS DOUBLE) AS r
+           |  FROM pairs p
+           |  LEFT JOIN m ON m.id_a = p.id_a AND m.id_b = p.id_b
+           |  JOIN tot ta ON ta.doc_id = p.id_a
+           |  JOIN tot tb ON tb.doc_id = p.id_b
+           |  WHERE ta.tot > 0 AND tb.tot > 0)
+           |SELECT id_a, id_b, matched,
+           |  round(p, 6) AS rouge2_p, round(r, 6) AS rouge2_r,
+           |  round(CASE WHEN p + r > 0.0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS rouge2_f1
+           |FROM j""".stripMargin,
       "text_ngram_novelty" ->
         s"""WITH $shingleCapGuard,
            |sh AS (

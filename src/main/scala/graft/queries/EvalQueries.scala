@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.table
+import graft.ops.{Eval, TextOps}
+
+/** Evaluation-metric gates, round 9: the audit layer a pipeline runs over
+  * its own heuristic labelers before trusting them at corpus scale. The
+  * language-ID heuristic (`TextOps.languageId`, itself oracle-gated by
+  * `text_langid`) plays the model under evaluation against the fixture's
+  * ground-truth `lang`; the quality score (oracle-gated by `text_quality`)
+  * plays the scored binary classifier for "is English".
+  *
+  * Every metric is a constant number of hash aggregates over collapsed
+  * counts — |classes|²-row closures, per-score-value rank sums over the
+  * distributed prefix scan, fixed-width integer bins — so each gate's cost
+  * at 100 TB is one shuffle of the scored rows, never a global window or a
+  * driver loop.
+  */
+object EvalQueries {
+
+  def family: QueryFamily = QueryFamily("eval", queries, oracles)
+
+  private val CalibBins = 10
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Confusion matrix of predicted-vs-true language: one hash aggregate.
+    "eval_confusion_langid" -> ((s, dir) =>
+      Eval.confusionMatrix(table(s, dir, "documents"),
+        col("lang"), TextOps.languageId(col("text")))),
+
+    // Per-class precision/recall/F1 + support. Union-of-labels class list:
+    // 'zh' (never predicted — recall side only) and 'und' (never true —
+    // precision side only) both appear with explicit zeros.
+    "eval_prf_langid" -> ((s, dir) =>
+      Eval.classMetrics(table(s, dir, "documents"),
+        col("lang"), TextOps.languageId(col("text")))),
+
+    // Observed/chance agreement + Cohen's kappa of the langid labeler
+    // against ground truth, one row.
+    "eval_cohens_kappa" -> ((s, dir) =>
+      Eval.cohensKappa(table(s, dir, "documents"),
+        col("lang"), TextOps.languageId(col("text")))),
+
+    // Tie-corrected ROC AUC + Brier of the quality score as an
+    // is-English classifier — exact integer micro-unit sums, rank form
+    // over the two-pass distributed prefix sum.
+    "eval_score_report" -> ((s, dir) =>
+      Eval.scoreReport(table(s, dir, "documents"),
+        col("lang") === "en", TextOps.qualityScore(col("text")))),
+
+    // Reliability diagram: 10 fixed-width bins over the quality score,
+    // per-bin mean prediction vs empirical positive rate.
+    "eval_calibration_bins" -> ((s, dir) =>
+      Eval.calibrationBins(table(s, dir, "documents"),
+        col("lang") === "en", TextOps.qualityScore(col("text")), CalibBins)))
+
+  // ---------------------------------------------------------------- oracle
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+  private def markerSql(ws: Seq[String]) =
+    s"len(list_filter($toksSql, t -> list_contains(${ws.map(w => s"'$w'").mkString("[", ",", "]")}, t)))"
+
+  /** Raw (un-rounded) quality score — the same formula `text_quality`
+    * proves bit-identical across engines. */
+  private val qualitySql: String = {
+    val len = "CAST(length(text) AS DOUBLE)"
+    val words = s"greatest(CAST(len($toksSql) AS DOUBLE), 1.0)"
+    val punct = s"($len - CAST(length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE))"
+    val stop = s"CAST(${markerSql(TextOps.LangMarkers.flatMap(_._2))} AS DOUBLE)"
+    s"(least(1.0, $len / 500.0) * 0.3 + (1.0 - least(1.0, $punct / $words)) * 0.3 +" +
+      s" least(1.0, $stop * 5.0 / $words) * 0.2 + least(1.0, $words / 100.0) * 0.2)"
+  }
+
+  private lazy val (scoreSel, langCase) = OracleSql.langId(toksSql)
+
+  /** Confusion CTE shared by the three agreement oracles. */
+  private lazy val cmCte =
+    s"""f AS (SELECT lang, $scoreSel FROM documents),
+       |cm AS (SELECT lang AS actual, $langCase AS predicted,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM f GROUP BY 1, 2)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+
+    "eval_confusion_langid" ->
+      s"""WITH $cmCte
+         |SELECT actual, predicted, n FROM cm""".stripMargin,
+
+    "eval_prf_langid" ->
+      s"""WITH $cmCte,
+         |act AS (SELECT actual AS cls, CAST(sum(n) AS BIGINT) AS support
+         |  FROM cm GROUP BY 1),
+         |prd AS (SELECT predicted AS cls, CAST(sum(n) AS BIGINT) AS predicted_n
+         |  FROM cm GROUP BY 1),
+         |tp AS (SELECT actual AS cls, n AS tp FROM cm WHERE actual = predicted),
+         |j AS (SELECT coalesce(act.cls, prd.cls) AS cls,
+         |    coalesce(support, 0) AS support,
+         |    coalesce(predicted_n, 0) AS predicted_n
+         |  FROM act FULL OUTER JOIN prd ON act.cls = prd.cls),
+         |k AS (SELECT j.cls, support, predicted_n, coalesce(tp.tp, 0) AS tp,
+         |    CASE WHEN predicted_n > 0
+         |      THEN CAST(coalesce(tp.tp, 0) AS DOUBLE) / CAST(predicted_n AS DOUBLE)
+         |      ELSE 0.0 END AS p,
+         |    CASE WHEN support > 0
+         |      THEN CAST(coalesce(tp.tp, 0) AS DOUBLE) / CAST(support AS DOUBLE)
+         |      ELSE 0.0 END AS r
+         |  FROM j LEFT JOIN tp ON j.cls = tp.cls)
+         |SELECT cls, support, predicted_n, tp,
+         |  round(p, 6) AS "precision", round(r, 6) AS recall,
+         |  round(CASE WHEN p + r > 0.0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS f1
+         |FROM k""".stripMargin,
+
+    "eval_cohens_kappa" ->
+      s"""WITH $cmCte,
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+         |    CAST(sum(CASE WHEN actual = predicted THEN n ELSE 0 END) AS BIGINT) AS n_agree
+         |  FROM cm),
+         |act AS (SELECT actual AS cls, CAST(sum(n) AS BIGINT) AS na FROM cm GROUP BY 1),
+         |prd AS (SELECT predicted AS cls, CAST(sum(n) AS BIGINT) AS np FROM cm GROUP BY 1),
+         |pen AS (SELECT CAST(coalesce(sum(CAST(na AS HUGEINT) * np), 0) AS HUGEINT) AS pe_num
+         |  FROM act JOIN prd USING (cls)),
+         |c AS (SELECT n_total,
+         |    CASE WHEN n_total > 0
+         |      THEN CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE) ELSE 0.0 END AS po,
+         |    CASE WHEN n_total > 0
+         |      THEN CAST(pe_num AS DOUBLE) / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE))
+         |      ELSE 0.0 END AS pe
+         |  FROM tot, pen)
+         |SELECT n_total, round(po, 6) AS po, round(pe, 6) AS pe,
+         |  CASE WHEN NOT (pe < 1.0) THEN 0.0
+         |    ELSE round((po - pe) / (1.0 - pe), 6) END AS kappa
+         |FROM c""".stripMargin,
+
+    "eval_score_report" ->
+      s"""WITH s AS (SELECT (lang = 'en') AS pos,
+         |    CAST(round($qualitySql * 1000000, 0) AS BIGINT) AS v6 FROM documents),
+         |g AS (SELECT v6,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS npv,
+         |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS nnv
+         |  FROM s GROUP BY 1),
+         |c AS (SELECT *, npv + nnv AS nv,
+         |    sum(npv + nnv) OVER (ORDER BY v6 ROWS UNBOUNDED PRECEDING) AS cum_nv
+         |  FROM g),
+         |t AS (SELECT CAST(sum(npv) AS BIGINT) AS n1, CAST(sum(nnv) AS BIGINT) AS n2,
+         |    CAST(sum(CAST(npv AS HUGEINT) *
+         |      (2 * CAST(cum_nv AS HUGEINT) - nv + 1)) AS HUGEINT) AS r1x2,
+         |    CAST(sum(CAST(npv AS HUGEINT) * ((1000000 - v6) * (1000000 - v6)) +
+         |      CAST(nnv AS HUGEINT) * (v6 * v6)) AS HUGEINT) AS bsum
+         |  FROM c),
+         |f AS (SELECT coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2,
+         |    CAST(coalesce(n1, 0) AS DOUBLE) AS n1d,
+         |    CAST(coalesce(n2, 0) AS DOUBLE) AS n2d,
+         |    CAST(r1x2 AS DOUBLE) AS r1x2d, CAST(bsum AS DOUBLE) AS bsumd
+         |  FROM t)
+         |SELECT n1 AS n_pos, n2 AS n_neg,
+         |  CASE WHEN NOT (n1d * n2d > 0.0) THEN 0.5
+         |    ELSE round((r1x2d - n1d * (n1d + 1)) / 2 / (n1d * n2d), 6) END AS auc,
+         |  CASE WHEN NOT (n1d + n2d > 0.0) THEN 0.0
+         |    ELSE round(bsumd / ((n1d + n2d) * 1e12), 6) END AS brier
+         |FROM f""".stripMargin,
+
+    "eval_calibration_bins" -> {
+      val width = 1000 / CalibBins
+      s"""WITH s AS (SELECT (lang = 'en') AS pos,
+         |    CAST(round($qualitySql * 1000, 0) AS BIGINT) AS m FROM documents),
+         |b AS (SELECT pos, m,
+         |    CAST(least(m // $width, ${CalibBins - 1}) AS INT) AS bin FROM s),
+         |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(sum(m) AS BIGINT) AS sm
+         |  FROM b GROUP BY 1)
+         |SELECT bin, n, n_pos,
+         |  round(CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0), 6) AS mean_score,
+         |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+         |  round(abs(round(CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0), 6) -
+         |    round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)), 6) AS gap
+         |FROM g""".stripMargin
+    })
+}
