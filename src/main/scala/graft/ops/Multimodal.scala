@@ -194,15 +194,17 @@ object Multimodal {
     }
   }
 
-  /** Fabricate a per-doc "video": `doc_id % 5 + 1` uniform-fill PNG frames
+  /** Fabricate a per-doc "video": `doc_id % 3 + 1` uniform-fill PNG frames
     * whose colors are integer formulas of (doc_id, frame index) — the
-    * DuckDB-predictable stand-in for a real container format. */
+    * DuckDB-predictable stand-in for a real container format. (Capped at 3
+    * frames: fabrication is the dominant bench cost of the frames gate and
+    * the sampling semantics are already exercised at n ∈ {1,2,3}.) */
   def fabricateVideos(docs: DataFrame): Dataset[VideoRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
       it.map { id =>
-        val n = (id % 5 + 1).toInt
+        val n = (id % 3 + 1).toInt
         val w = (id % 16 + 1).toInt
         val h = (id % 12 + 1).toInt
         val frames = (0 until n).map { k =>

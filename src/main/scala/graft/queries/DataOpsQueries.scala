@@ -547,7 +547,7 @@ object DataOpsQueries {
         .select(col("doc_id"), col("width"), col("height"),
           col("r"), col("g"), col("b"))),
 
-    // Fabricated multi-frame "videos" (doc_id % 5 + 1 frames), every 2nd
+    // Fabricated multi-frame "videos" (doc_id % 3 + 1 frames), every 2nd
     // frame decoded; un-sampled frames are never decoded.
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(s,
@@ -1472,8 +1472,8 @@ object DataOpsQueries {
           | CAST((doc_id + 11 * k) % 256 AS INT) AS r,
           | CAST((doc_id * 7 + 11 * k) % 256 AS INT) AS g,
           | CAST((doc_id * 13 + 11 * k) % 256 AS INT) AS b
-          |FROM documents, range(0, 5) t(k)
-          |WHERE k % 2 = 0 AND k < doc_id % 5 + 1""".stripMargin,
+          |FROM documents, range(0, 3) t(k)
+          |WHERE k % 2 = 0 AND k < doc_id % 3 + 1""".stripMargin,
       // Waveform sum capped by formula (n ≤ 439 < 440), so the constant
       // range needs no data guard.
       "multimodal_audio" ->
