@@ -97,6 +97,65 @@ object LangModel {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated form) — the smoothing a production
+    * perplexity filter actually ships, vs [[scoreDocs]]'s add-k baseline:
+    *
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *              + D·N1+(w1,·)/c(w1·) · Pcont(w2)
+    *   Pcont(w2) = (N1+(·,w2) + k) / (N1+(·,·) + k·(V+1))
+    *
+    * with discount D and the continuation distribution add-k smoothed so
+    * unseen words keep a finite log (the +1 slot is the OOV mass); an
+    * unseen CONTEXT backs off to Pcont entirely. Same relational shape as
+    * [[scoreDocs]]: the three model views (bigram counts, per-context
+    * totals + continuation fan-out, per-word fan-in) all derive from ONE
+    * collapsed bigram-count aggregate — the raw stream is touched once —
+    * and scoring is keyed equi-joins plus the order-pinned per-document
+    * fold. Output: (id, n_bigrams, nll), nll 6dp, null when < 2 tokens. */
+  def kneserNeyScore(docs: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75, contK: Double = 0.5,
+      cache: Boolean = true): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1), got $discount")
+    require(contK > 0.0, s"contK must be positive, got $contK")
+    val model0 = bigrams(corpus, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
+    val model = if (cache) model0.persist() else model0
+    // N1+(w1,·) = rows per w1 in the collapsed model; c(w1·) = Σ c2
+    val context = model.groupBy(col("w1"))
+      .agg(sum(col("__c2")).as("__c1"), count(lit(1)).as("__n1f"))
+    val cont = model.groupBy(col("w2")).agg(count(lit(1)).as("__n1b"))
+    val tot = model.agg(count(lit(1)).as("__ntot"))
+    val vocab = corpus
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .agg(count_distinct(col("w")).as("__v"))
+    val d = lit(discount)
+    val c2d = coalesce(col("__c2"), lit(0L)).cast("double")
+    val c1d = coalesce(col("__c1"), lit(0L)).cast("double")
+    val n1fd = coalesce(col("__n1f"), lit(0L)).cast("double")
+    val n1bd = coalesce(col("__n1b"), lit(0L)).cast("double")
+    val pcont = (n1bd + lit(contK)) /
+      (col("__ntot").cast("double") + lit(contK) * (col("__v").cast("double") + 1.0))
+    val p = when(c1d > 0.0,
+      greatest(c2d - d, lit(0.0)) / c1d + d * n1fd / c1d * pcont).otherwise(pcont)
+    val scored = bigrams(docs, idCol, textCol)
+      .join(model, Seq("w1", "w2"), "left")
+      .join(context, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tot.crossJoin(vocab)))
+      .select(col(idCol), col("pos"), log(p).as("__lp"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("__lp")))).as("__ps"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"),
+        round(-aggregate(col("__ps"), lit(0.0), (acc, x) => acc + x("__lp")) /
+          col("n_bigrams").cast("double"), 6).as("nll"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("nll"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection via
     * Importance Resampling"): score every document by the log-likelihood
     * RATIO between a target-domain unigram model and the raw-corpus

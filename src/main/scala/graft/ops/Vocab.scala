@@ -244,4 +244,61 @@ object Vocab {
         col("cum_n_tokens").as("cum_tokens"),
         col("cum_new_types").as("cum_types"))
   }
+
+  /** Zipf rank–frequency fit over the top-k vocabulary: OLS slope and
+    * intercept of ln(freq) on ln(rank) — the one-row corpus-health signal
+    * (natural text sits near slope −1; template/boilerplate corpora
+    * flatten, spam steepens). Ranks come from a row_number over the ≤k-row
+    * TakeOrdered result (a bounded single-partition window over collapsed
+    * counts, same regime as the sampled-quantiles gate — never raw rows);
+    * the OLS moments are 6dp-decimal-exact sums, the closure double.
+    * Degenerate input (k = 1 or an empty corpus) reports slope = 0
+    * explicitly. Output: (n_vocab, slope, intercept). */
+  def zipfSlope(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val top = wordCounts(docs, textCol)
+      .orderBy(col("wcnt").desc, col("w").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("wcnt").desc, col("w").asc)
+    val xy = top.withColumn("rank", row_number().over(w))
+      .select(
+        round(log(col("rank").cast("double")), 6).cast("decimal(18,6)").as("x"),
+        round(log(col("wcnt").cast("double")), 6).cast("decimal(18,6)").as("y"))
+    val agg = xy.agg(count(lit(1)).as("n_vocab"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    def d(c: Column) = c.cast("double")
+    val nd = d(col("n_vocab"))
+    val den = nd * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val slope = (nd * d(col("sxy")) - d(col("sx")) * d(col("sy"))) / den
+    agg.select(col("n_vocab"),
+      when(!(den > 0.0), lit(0.0)).otherwise(round(slope, 6)).as("slope"),
+      when(!(den > 0.0), lit(0.0))
+        .otherwise(round((d(col("sy")) - slope * d(col("sx"))) / nd, 6))
+        .as("intercept"))
+  }
+
+  /** word2vec/SGNS negative-sampling distribution table (Mikolov et al.
+    * 2013): the top-k vocabulary with sampling mass ∝ count^0.75 — the
+    * table a skip-gram trainer draws negatives from. Weights are
+    * 6dp-rounded decimals so the normalizer Z is an exact sum; per-token
+    * mass is emitted as the integer floor(w/Z · 10⁶) (micro-units, the
+    * cross-engine-safe form a hash-threshold sampler consumes directly —
+    * cf. the temperature-mix gate). Output: (rank, w, wcnt, p_micro). */
+  def negativeSamplingTable(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val top = wordCounts(docs, textCol)
+      .orderBy(col("wcnt").desc, col("w").asc).limit(k)
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("wcnt").desc, col("w").asc)
+    val weighted = top.select(col("w"), col("wcnt"),
+      round(pow(col("wcnt").cast("double"), 0.75), 6)
+        .cast("decimal(18,6)").as("w75"))
+    val z = weighted.agg(sum(col("w75")).as("z"))
+    def d(c: Column) = c.cast("double")
+    weighted.crossJoin(broadcast(z))
+      .withColumn("rank", row_number().over(win))
+      .select(col("rank"), col("w"), col("wcnt"),
+        floor(d(col("w75")) / d(col("z")) * 1000000.0).cast("long").as("p_micro"))
+  }
 }

@@ -97,6 +97,15 @@ object MixQueries {
       LangModel.scoreDocs(docs, docs, "doc_id", "text", LmAddK)
     }),
 
+    // Interpolated Kneser–Ney bigram scoring (D = 0.75, add-0.5-smoothed
+    // continuation) — the production-grade smoothing next to the add-k
+    // baseline above; all three model views derive from ONE collapsed
+    // bigram-count aggregate.
+    "text_lm_kneser_ney" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      LangModel.kneserNeyScore(docs, docs, "doc_id", "text")
+    }),
+
     // DSIR importance selection: target = the English slice, raw = the
     // whole corpus; per-doc unigram log-likelihood ratio (add-1 smoothing
     // over the raw vocabulary, 6dp decimal-summed), keep the top 150 by
@@ -365,6 +374,43 @@ object MixQueries {
 
     "text_lm_score" ->
       s"""WITH $lmCtes
+         |SELECT t.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_bigrams,
+         |  round(-s / CAST(n AS DOUBLE), 6) AS nll
+         |FROM t LEFT JOIN lmg USING (doc_id)""".stripMargin,
+
+    "text_lm_kneser_ney" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |guard AS (SELECT CASE WHEN max(len(toks)) > 4096
+         |    THEN error('bigram range(1,4096) cap exceeded') ELSE 1 END AS g
+         |  FROM t),
+         |bg AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |    toks[CAST(i AS INT)] AS w1, toks[CAST(i + 1 AS INT)] AS w2
+         |  FROM t, range(1, 4096) r(i)
+         |  WHERE i + 1 <= len(toks) AND (SELECT g FROM guard) = 1),
+         |m2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+         |    CAST(count(*) AS BIGINT) AS n1f FROM m2 GROUP BY 1),
+         |cnt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM m2 GROUP BY 1),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM m2),
+         |v AS (SELECT CAST(count(DISTINCT u) AS DOUBLE) AS vsz
+         |  FROM (SELECT unnest(toks) AS u FROM t)),
+         |sc AS (SELECT bg.doc_id, bg.pos, ln(
+         |    CASE WHEN CAST(coalesce(c1, 0) AS DOUBLE) > 0.0 THEN
+         |      greatest(CAST(coalesce(c2, 0) AS DOUBLE) - 0.75, 0.0) /
+         |        CAST(coalesce(c1, 0) AS DOUBLE) +
+         |      0.75 * CAST(coalesce(n1f, 0) AS DOUBLE) /
+         |        CAST(coalesce(c1, 0) AS DOUBLE) *
+         |        ((CAST(coalesce(n1b, 0) AS DOUBLE) + 0.5) /
+         |         (CAST(ntot AS DOUBLE) + 0.5 * (vsz + 1.0)))
+         |    ELSE (CAST(coalesce(n1b, 0) AS DOUBLE) + 0.5) /
+         |         (CAST(ntot AS DOUBLE) + 0.5 * (vsz + 1.0)) END) AS lp
+         |  FROM bg LEFT JOIN m2 USING (w1, w2) LEFT JOIN ctx USING (w1)
+         |  LEFT JOIN cnt USING (w2) CROSS JOIN tt CROSS JOIN v),
+         |lmg AS (SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(lp ORDER BY pos)), (a, b) -> a + b) AS s,
+         |    count(*) AS n
+         |  FROM sc GROUP BY doc_id)
          |SELECT t.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_bigrams,
          |  round(-s / CAST(n AS DOUBLE), 6) AS nll
          |FROM t LEFT JOIN lmg USING (doc_id)""".stripMargin,

@@ -89,6 +89,39 @@ object SessionQueries {
         col("n_events"))
     }),
 
+    // Watermarked tumbling-window rollup through a REAL file stream: the
+    // canonical readStream → withWatermark → window-groupBy → append-sink
+    // shape, fed by the events fixture plus a sentinel 2h past max(ts) so
+    // the watermark closes every real window; decimal value sums make the
+    // streaming emission bit-identical to the batch rollup no matter how
+    // the micro-batches split. Oracle = the batch hourly CTE.
+    "streaming_hourly_stats" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        // date_trunc coerces the fixture's NTZ event time to session-TZ
+        // (UTC) timestamps — wall-clock-identical, and hourly windows are
+        // second-truncation-invariant (same device as streaming_sessionize)
+        .select(date_trunc("second", col("ts")).as("ts"),
+          col("event_type"), col("value"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinel = s.range(1).select(
+        lit(new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)).as("ts"),
+        lit("__flush").as("event_type"), lit(0.0).as("value"))
+      val feedDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-stream-hourly-" + new java.io.File(dir).getName).getAbsolutePath
+      ev.unionByName(sentinel).write.mode("overwrite").parquet(feedDir)
+      val stream = s.readStream.schema(ev.schema).parquet(feedDir)
+      val q = graft.streaming.WindowStats.tumblingStats(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("gate_stream_hourly").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("gate_stream_hourly")
+        .filter(col("event_type") =!= "__flush")
+        .select(
+          date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n_events"),
+          col("sum_value").cast("double").as("sum_value"))
+    }),
+
     // SFT conversation flattening: the events log as a dialogue corpus
     // (user_id = conversation, event_type = role, a key-derived utterance)
     // → per-turn (context, response) training rows with a BOUNDED rolling
@@ -429,6 +462,11 @@ object SessionQueries {
          |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
          |FROM s GROUP BY 1, 2""".stripMargin,
+    "streaming_hourly_stats" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "streaming_sessionize" ->
       s"""WITH o AS (
          |  SELECT user_id, event_id, ts,

@@ -30,6 +30,8 @@ object TrainPrepQueries {
   private val BpeMerges = 6
   private val CoocWindow = 3
   private val CoverageK = 20
+  private val ZipfK = 200
+  private val NegTableK = 150
 
   /** Un-normalized suffix planted on every doc: decomposed `é` (e +
     * U+0301), a BEL control, decomposed `ï` (i + U+0308). NFC must compose
@@ -109,6 +111,17 @@ object TrainPrepQueries {
     // OOV rate a tokenizer with that vocab would pay.
     "vocab_coverage" -> ((s, dir) =>
       Vocab.coverage(table(s, dir, "documents"), "text", k = CoverageK)),
+
+    // Zipf rank–frequency OLS over the top-200 vocabulary: the one-row
+    // corpus-health signal (natural text ≈ slope −1).
+    "vocab_zipf_slope" -> ((s, dir) =>
+      Vocab.zipfSlope(table(s, dir, "documents"), "text", k = ZipfK)),
+
+    // word2vec/SGNS negative-sampling distribution table: top-150 tokens,
+    // mass ∝ count^0.75 in integer micro-units.
+    "vocab_negative_table" -> ((s, dir) =>
+      Vocab.negativeSamplingTable(table(s, dir, "documents"), "text",
+        k = NegTableK)),
 
     // Length-bucketed curriculum batching (32-token buckets, batch 16,
     // 4 trainer shards).
@@ -252,6 +265,45 @@ object TrainPrepQueries {
          |    (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
          |FROM pc JOIN m1 ON m1.w1 = pc.w1 JOIN m2 ON m2.w2 = pc.w2
          |CROSS JOIN tt WHERE pc.n >= 5""".stripMargin,
+
+    "vocab_zipf_slope" ->
+      s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wcnt
+         |  FROM (SELECT unnest($toksSql) AS w FROM documents) GROUP BY 1),
+         |top AS (SELECT *, row_number() OVER (ORDER BY wcnt DESC, w ASC) AS rank
+         |  FROM wc ORDER BY wcnt DESC, w ASC LIMIT $ZipfK),
+         |xy AS (SELECT
+         |    CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+         |    CAST(round(ln(CAST(wcnt AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+         |  FROM top),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+         |    sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * x) AS sxx, sum(x * y) AS sxy FROM xy),
+         |f AS (SELECT n_vocab, CAST(n_vocab AS DOUBLE) AS nd,
+         |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         |    CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd FROM a)
+         |SELECT n_vocab,
+         |  CASE WHEN NOT (nd * sxxd - sxd * sxd > 0.0) THEN 0.0
+         |    ELSE round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+         |  END AS slope,
+         |  CASE WHEN NOT (nd * sxxd - sxd * sxd > 0.0) THEN 0.0
+         |    ELSE round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+         |      * sxd) / nd, 6)
+         |  END AS intercept
+         |FROM f""".stripMargin,
+
+    "vocab_negative_table" ->
+      s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wcnt
+         |  FROM (SELECT unnest($toksSql) AS w FROM documents) GROUP BY 1),
+         |top AS (SELECT *, row_number() OVER (ORDER BY wcnt DESC, w ASC) AS rank
+         |  FROM wc ORDER BY wcnt DESC, w ASC LIMIT $NegTableK),
+         |wt AS (SELECT rank, w, wcnt,
+         |    CAST(round(pow(CAST(wcnt AS DOUBLE), 0.75), 6) AS DECIMAL(18,6)) AS w75
+         |  FROM top),
+         |z AS (SELECT sum(w75) AS z FROM wt)
+         |SELECT CAST(rank AS INT) AS rank, w, wcnt,
+         |  CAST(floor(CAST(w75 AS DOUBLE) / CAST(z AS DOUBLE) * 1000000.0)
+         |    AS BIGINT) AS p_micro
+         |FROM wt, z""".stripMargin,
 
     "vocab_coverage" ->
       s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wcnt

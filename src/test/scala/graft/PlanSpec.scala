@@ -443,6 +443,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p) // no global sort
   }
 
+  test("score report (AUC+Brier): rank sums ride the prefix-sum plan — " +
+      "no Window node, no single-partition exchange of raw rows") {
+    val p = plan("eval_score_report")
+    assert(!p.contains("Window"), p)
+    // the two-pass prefix sum runs over per-value collapsed counts; the
+    // only SinglePartition exchange is the |distinct scores|-row final agg
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("ROUGE pair audit: every gram join is key-equi — no cartesian, " +
+      "no nested loop") {
+    val p = plan("eval_rouge_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("runtime bloom filter: a selective dim filter injects a bloom probe " +
       "into the fact scan side") {
     // The 100-TB mechanism for semi-join reduction WITHOUT broadcasting:
