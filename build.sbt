@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the bench/verify JVM accumulates ~230 queries' memoized
+  // caches (pair tables, edge caches, persisted gram frames); at 8g the
+  // codec-bound tail ran 5-9x slower from old-gen GC thrash (measured:
+  // multimodal_frames 12.6s -> 1.4s at 24g, same host). The driver hosts
+  // have 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
