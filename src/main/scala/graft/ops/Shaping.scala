@@ -272,4 +272,51 @@ object Shaping {
       }
       .toDF()
   }
+
+  /** T5-style span-corruption example construction (Raffel et al. 2020):
+    * replace deterministic token spans with numbered sentinels in the
+    * input and emit the masked spans (each prefixed by its sentinel, plus
+    * the terminal sentinel) as the target.
+    *
+    * The mask schedule is the closed form `p mod W ∈ [S, W)` with
+    * `W = spanLen·period`, `S = spanLen·(period−1)` — one length-spanLen
+    * span every W tokens (mask rate 1/period, defaults 3/21 ≈ 14%), span
+    * k covering positions `[kW+S, kW+W)`. A deterministic schedule instead
+    * of T5's sampled one keeps the builder replayable and oracle-checkable;
+    * the example SHAPE (sentinel numbering, span splicing, terminal
+    * sentinel) is exactly the paper's.
+    *
+    * Pure narrow per-document array expressions — tokenize once, two
+    * transform/filter/join chains, zero shuffles at any corpus size.
+    * Output: (id, n_tokens, n_spans, input_text, target_text). */
+  def spanCorruption(docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 3, period: Int = 7): DataFrame = {
+    require(spanLen >= 1 && period >= 2,
+      s"need spanLen >= 1 and period >= 2, got ($spanLen, $period)")
+    require(!docs.columns.contains("__toks"),
+      "spanCorruption uses an internal __toks column; rename the existing one")
+    val W = spanLen * period
+    val S = spanLen * (period - 1)
+    val seq = s"slice(sequence(0, size(__toks)), 1, size(__toks))"
+    val inputExpr =
+      s"""array_join(filter(transform($seq, p -> CASE
+         |  WHEN p % $W < $S THEN element_at(__toks, p + 1)
+         |  WHEN p % $W = $S THEN concat('<extra_id_', CAST(p div $W AS STRING), '>')
+         |  ELSE CAST(NULL AS STRING) END), x -> x IS NOT NULL), ' ')""".stripMargin
+    val targetCore =
+      s"""array_join(filter(transform($seq, p -> CASE
+         |  WHEN p % $W = $S THEN concat('<extra_id_', CAST(p div $W AS STRING), '> ',
+         |    element_at(__toks, p + 1))
+         |  WHEN p % $W > $S THEN element_at(__toks, p + 1)
+         |  ELSE CAST(NULL AS STRING) END), x -> x IS NOT NULL), ' ')""".stripMargin
+    val nSpans = s"size(filter($seq, p -> p % $W = $S))"
+    docs
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("id"),
+        expr("size(__toks)").cast("long").as("n_tokens"),
+        expr(nSpans).cast("long").as("n_spans"),
+        expr(inputExpr).as("input_text"),
+        expr(s"concat($targetCore, CASE WHEN $targetCore = '' THEN '' ELSE ' ' END, " +
+          s"'<extra_id_', CAST($nSpans AS STRING), '>')").as("target_text"))
+  }
 }

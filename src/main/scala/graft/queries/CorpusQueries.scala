@@ -24,6 +24,7 @@ object CorpusQueries {
     * cut sizes. */
   private val BmQuery = Seq("join", "vector", "merge")
   private val BmTopK = 25
+  private val NdcgK = 10
   private val RrfK = 60
   private val RrfTopK = 20
   private val PhraseQuery = Seq("slow", "hash", "batch")
@@ -153,6 +154,47 @@ object CorpusQueries {
       Retrieval.bm25Scores(table(s, dir, "documents"), "doc_id", "text",
         BmQuery)
         .orderBy(col("score").desc, col("id").asc).limit(BmTopK)),
+
+    // Graded-relevance ranking evaluation of the BM25 searcher: relevance
+    // = query-term coverage (0..3), NDCG@10 with the log2(rank+1)
+    // discount (expressed as ln/ln2 — bit-identical on both engines),
+    // MRR and P@10 — one row. Contributions are 6dp-decimal-summed over
+    // the BOUNDED top-k frame; the ideal ranking is a TakeOrdered over
+    // the relevance table, never a global sort.
+    "eval_ndcg_bm25" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val toks = TextOps.tokens(col("text"))
+      val rel = docs.select(col("doc_id").as("id"),
+        BmQuery.map(t => when(array_contains(toks, t), 1L).otherwise(0L))
+          .reduce(_ + _).as("rel"))
+      def d(c: Column) = c.cast("double")
+      def contrib = round(
+        (pow(lit(2.0), d(col("rel"))) - 1.0) /
+          (log(d(col("rank")) + 1.0) / log(lit(2.0))), 6)
+        .cast("decimal(18,6)")
+      val wTop = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("id").asc)
+      val ranked = Retrieval.bm25Scores(docs, "doc_id", "text", BmQuery)
+        .orderBy(col("score").desc, col("id").asc).limit(NdcgK)
+        .withColumn("rank", row_number().over(wTop))
+        .join(rel, Seq("id"), "left").na.fill(0L, Seq("rel"))
+      val dcgAgg = ranked.agg(sum(contrib).as("dcg"),
+        min(when(col("rel") > 0, col("rank"))).as("first_rel"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel"))
+      val wIdeal = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rel").desc, col("id").asc)
+      val idcgAgg = rel.orderBy(col("rel").desc, col("id").asc).limit(NdcgK)
+        .withColumn("rank", row_number().over(wIdeal))
+        .agg(sum(contrib).as("idcg"))
+      dcgAgg.crossJoin(broadcast(idcgAgg)).select(
+        lit(NdcgK).as("k"),
+        round(d(col("dcg")), 6).as("dcg"),
+        round(d(col("idcg")), 6).as("idcg"),
+        when(!(d(col("idcg")) > 0.0), lit(0.0))
+          .otherwise(round(d(col("dcg")) / d(col("idcg")), 6)).as("ndcg"),
+        coalesce(round(lit(1.0) / d(col("first_rel")), 6), lit(0.0)).as("mrr"),
+        round(d(col("n_rel")) / NdcgK, 6).as("p_at_k"))
+    }),
 
     // Hybrid fusion: BM25 ranking ⊕ document-length prior via
     // reciprocal-rank fusion (k=60), top 20.
@@ -319,6 +361,37 @@ object CorpusQueries {
       s"""WITH $bm25Ctes
          |SELECT id, score FROM bm
          |ORDER BY score DESC, id ASC LIMIT $BmTopK""".stripMargin,
+
+    "eval_ndcg_bm25" -> {
+      val relSql = BmQuery.map(t =>
+        s"(CASE WHEN list_contains($toksSql, '$t') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      def contribSql(relC: String, rankC: String) =
+        s"CAST(round((pow(2.0, CAST($relC AS DOUBLE)) - 1.0) / " +
+          s"(ln(CAST($rankC AS DOUBLE) + 1.0) / ln(2.0)), 6) AS DECIMAL(18,6))"
+      s"""WITH $bm25Ctes,
+         |rel AS (SELECT doc_id AS id, CAST($relSql AS BIGINT) AS rel FROM documents),
+         |rk AS (SELECT id, rank FROM (SELECT id,
+         |    row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM bm)
+         |  WHERE rank <= $NdcgK),
+         |dj AS (SELECT rank, coalesce(rel, 0) AS rel
+         |  FROM rk LEFT JOIN rel USING (id)),
+         |dcg AS (SELECT sum(${contribSql("rel", "rank")}) AS dcg,
+         |    min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+         |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+         |  FROM dj),
+         |idl AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, id ASC) AS rank
+         |  FROM rel ORDER BY rel DESC, id ASC LIMIT $NdcgK),
+         |icg AS (SELECT sum(${contribSql("rel", "rank")}) AS idcg FROM idl)
+         |SELECT $NdcgK AS k,
+         |  round(CAST(dcg AS DOUBLE), 6) AS dcg,
+         |  round(CAST(idcg AS DOUBLE), 6) AS idcg,
+         |  CASE WHEN NOT (CAST(idcg AS DOUBLE) > 0.0) THEN 0.0
+         |    ELSE round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) END AS ndcg,
+         |  coalesce(round(1.0 / CAST(first_rel AS DOUBLE), 6), 0.0) AS mrr,
+         |  round(CAST(n_rel AS DOUBLE) / $NdcgK, 6) AS p_at_k
+         |FROM dcg, icg""".stripMargin
+    },
 
     "search_rrf" ->
       s"""WITH $bm25Ctes,

@@ -69,6 +69,26 @@ object ShapeQueries {
       Shaping.packSequences(table(s, dir, "documents"), "doc_id", "text",
         SeqLen.toInt, PackShards)),
 
+    // Padding-waste report over the packed layout: per trainer shard, the
+    // sequence count, token utilization of the allocated capacity and how
+    // many documents straddle a sequence boundary — the number a packing
+    // strategy is judged by. One aggregate over the pack map.
+    "pack_efficiency" -> ((s, dir) => {
+      val p = Shaping.packSequences(table(s, dir, "documents"), "doc_id",
+        "text", SeqLen.toInt, PackShards)
+      p.groupBy(col("shard")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          (max(col("seq_last")) + lit(1L)).as("n_sequences"),
+          sum(when(col("seq_first") =!= col("seq_last"), 1L).otherwise(0L))
+            .as("n_straddlers"))
+        .select(col("shard"), col("n_docs"), col("sum_tokens"),
+          col("n_sequences"), (col("n_sequences") * SeqLen).as("capacity"),
+          round(col("sum_tokens").cast("double") /
+            (col("n_sequences") * SeqLen).cast("double"), 6).as("utilization"),
+          col("n_straddlers"))
+    }),
+
     // FFD whole-document bin packing (no straddling) — rows-only gate
     // (the greedy is per-shard sequential, not SQL-expressible);
     // ShapeSpec asserts capacity, conservation, determinism and the
@@ -154,6 +174,23 @@ object ShapeQueries {
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
 
+  /** The greedy-sequential pack map — shared by the pack_sequences gate
+    * and the pack_efficiency report so the layout can never desync from
+    * the metric computed over it. */
+  private lazy val packCtes: String =
+    s"""t AS (
+       |  SELECT CAST(doc_id % $PackShards AS BIGINT) AS shard, doc_id AS id,
+       |         CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE len($toksSql) > 0),
+       |p0 AS (SELECT shard, id, n_tokens,
+       |        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+       |      FROM t),
+       |packed AS (SELECT shard, id, n_tokens, start_off,
+       |  CAST((start_off - start_off % $SeqLen) / $SeqLen AS BIGINT) AS seq_first,
+       |  CAST(((start_off + n_tokens - 1) - (start_off + n_tokens - 1) % $SeqLen) / $SeqLen AS BIGINT) AS seq_last
+       |FROM p0)""".stripMargin
+
   /** DuckDB 1.0 can't correlate a lateral range on len(toks), so chunk
     * starts come from a constant range(1, 4096, step) — the guard poisons
     * the oracle if any document could need a start beyond the cap. */
@@ -175,18 +212,24 @@ object ShapeQueries {
          |FROM c""".stripMargin,
 
     "pack_sequences" ->
-      s"""WITH t AS (
-         |  SELECT CAST(doc_id % $PackShards AS BIGINT) AS shard, doc_id AS id,
-         |         CAST(len($toksSql) AS BIGINT) AS n_tokens
-         |  FROM documents WHERE len($toksSql) > 0),
-         |p AS (SELECT shard, id, n_tokens,
-         |        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
-         |      FROM t)
-         |SELECT shard, id, n_tokens, start_off,
-         |  CAST((start_off - start_off % $SeqLen) / $SeqLen AS BIGINT) AS seq_first,
-         |  CAST(((start_off + n_tokens - 1) - (start_off + n_tokens - 1) % $SeqLen) / $SeqLen AS BIGINT) AS seq_last
-         |FROM p""".stripMargin,
+      s"""WITH $packCtes
+         |SELECT shard, id, n_tokens, start_off, seq_first, seq_last
+         |FROM packed""".stripMargin,
+
+    "pack_efficiency" ->
+      s"""WITH $packCtes,
+         |agg AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |    CAST(max(seq_last) + 1 AS BIGINT) AS n_sequences,
+         |    CAST(sum(CASE WHEN seq_first <> seq_last THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_straddlers
+         |  FROM packed GROUP BY 1)
+         |SELECT shard, n_docs, sum_tokens, n_sequences,
+         |  n_sequences * $SeqLen AS capacity,
+         |  round(CAST(sum_tokens AS DOUBLE) /
+         |    CAST(n_sequences * $SeqLen AS DOUBLE), 6) AS utilization,
+         |  n_straddlers
+         |FROM agg""".stripMargin,
 
     "format_orc_roundtrip" ->
       "SELECT doc_id, lang, source, n_chars FROM documents",

@@ -112,6 +112,13 @@ object TrainPrepQueries {
     "vocab_coverage" -> ((s, dir) =>
       Vocab.coverage(table(s, dir, "documents"), "text", k = CoverageK)),
 
+    // T5-style span corruption (deterministic 3-token span every 21 →
+    // ~14% mask rate): numbered sentinels in the input, sentinel-prefixed
+    // spans + terminal sentinel in the target — the pretraining-objective
+    // example builder, pure narrow per-doc array expressions.
+    "pretrain_span_corruption" -> ((s, dir) =>
+      Shaping.spanCorruption(table(s, dir, "documents"), "doc_id", "text")),
+
     // Zipf rank–frequency OLS over the top-200 vocabulary: the one-row
     // corpus-health signal (natural text ≈ slope −1).
     "vocab_zipf_slope" -> ((s, dir) =>
@@ -265,6 +272,29 @@ object TrainPrepQueries {
          |    (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
          |FROM pc JOIN m1 ON m1.w1 = pc.w1 JOIN m2 ON m2.w2 = pc.w2
          |CROSS JOIN tt WHERE pc.n >= 5""".stripMargin,
+
+    "pretrain_span_corruption" ->
+      s"""WITH t AS (SELECT doc_id AS id, $toksSql AS toks FROM documents),
+         |b AS (SELECT id, toks, range(0, len(toks)) AS seq FROM t),
+         |c AS (SELECT id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(seq, p -> p % 21 = 18)) AS BIGINT) AS n_spans,
+         |    array_to_string(list_filter(list_transform(seq, p -> CASE
+         |      WHEN p % 21 < 18 THEN toks[CAST(p + 1 AS INT)]
+         |      WHEN p % 21 = 18 THEN concat('<extra_id_', CAST(p // 21 AS VARCHAR), '>')
+         |      ELSE NULL END), x -> x IS NOT NULL), ' ') AS input_text,
+         |    array_to_string(list_filter(list_transform(seq, p -> CASE
+         |      WHEN p % 21 = 18 THEN concat('<extra_id_', CAST(p // 21 AS VARCHAR), '> ',
+         |        toks[CAST(p + 1 AS INT)])
+         |      WHEN p % 21 > 18 THEN toks[CAST(p + 1 AS INT)]
+         |      ELSE NULL END), x -> x IS NOT NULL), ' ') AS core0
+         |  FROM b),
+         |cc AS (SELECT id, n_tokens, n_spans, coalesce(input_text, '') AS input_text,
+         |    coalesce(core0, '') AS core FROM c)
+         |SELECT id, n_tokens, n_spans, input_text,
+         |  concat(core, CASE WHEN core = '' THEN '' ELSE ' ' END,
+         |    '<extra_id_', CAST(n_spans AS VARCHAR), '>') AS target_text
+         |FROM cc""".stripMargin,
 
     "vocab_zipf_slope" ->
       s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wcnt

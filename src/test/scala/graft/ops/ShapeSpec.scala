@@ -279,4 +279,62 @@ class ShapeSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("rank"))).toSet
     assert(again == rows.map(r => (r.getAs[Long]("id"), r.getAs[Long]("rank"))).toSet)
   }
+
+  test("spanCorruption: sentinel splicing matches the closed-form schedule") {
+    import spark.implicits._
+    // 25 tokens w0..w24: the only span is positions 18..20.
+    val t25 = (0 until 25).map(i => s"w$i").mkString(" ")
+    val r = Shaping.spanCorruption(Seq((1L, t25)).toDF("id", "text"), "id", "text")
+      .collect().head
+    assert(r.getAs[Long]("n_tokens") === 25L && r.getAs[Long]("n_spans") === 1L)
+    val expIn = ((0 until 18).map(i => s"w$i") ++ Seq("<extra_id_0>") ++
+      (21 until 25).map(i => s"w$i")).mkString(" ")
+    assert(r.getAs[String]("input_text") === expIn)
+    assert(r.getAs[String]("target_text") === "<extra_id_0> w18 w19 w20 <extra_id_1>")
+  }
+
+  test("spanCorruption: short and empty docs yield no spans, terminal sentinel only") {
+    import spark.implicits._
+    val rows = Shaping.spanCorruption(
+      Seq((1L, "a b c"), (2L, "")).toDF("id", "text"), "id", "text")
+      .orderBy(col("id")).collect()
+    assert(rows(0).getAs[String]("input_text") === "a b c")
+    assert(rows(0).getAs[String]("target_text") === "<extra_id_0>")
+    assert(rows(1).getAs[Long]("n_tokens") === 0L)
+    assert(rows(1).getAs[String]("input_text") === "")
+    assert(rows(1).getAs[String]("target_text") === "<extra_id_0>")
+  }
+
+  test("spanCorruption: multiple spans number sentinels consecutively and " +
+      "input+target token multisets reconstruct the document") {
+    import spark.implicits._
+    val t45 = (0 until 45).map(i => s"w$i").mkString(" ")
+    val r = Shaping.spanCorruption(Seq((1L, t45)).toDF("id", "text"), "id", "text")
+      .collect().head
+    assert(r.getAs[Long]("n_spans") === 2L)
+    assert(r.getAs[String]("target_text") ===
+      "<extra_id_0> w18 w19 w20 <extra_id_1> w39 w40 w41 <extra_id_2>")
+    // splice check: replacing sentinels in input with target spans gives the doc
+    val spans = Map(0 -> Seq("w18", "w19", "w20"), 1 -> Seq("w39", "w40", "w41"))
+    val rebuilt = r.getAs[String]("input_text").split(" ").toSeq.flatMap { t =>
+      if (t.startsWith("<extra_id_")) spans(t.stripPrefix("<extra_id_").stripSuffix(">").toInt)
+      else Seq(t)
+    }
+    assert(rebuilt === (0 until 45).map(i => s"w$i"))
+  }
+
+  test("pack_efficiency invariants: capacity bounds tokens, straddlers consistent") {
+    val rep = graft.queries.ShapeQueries.queries("pack_efficiency")(spark, sf("sf0.001"))
+      .collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val (tok, cap) = (r.getAs[Long]("sum_tokens"), r.getAs[Long]("capacity"))
+      // contiguous packed stream ⇒ capacity is the minimal whole-sequence
+      // cover of sum_tokens: sum ≤ cap < sum + seqLen
+      assert(tok <= cap && cap < tok + 256,
+        s"capacity should be the minimal whole-sequence cover: $r")
+      val u = r.getAs[Double]("utilization")
+      assert(u > 0.0 && u <= 1.0)
+    }
+  }
 }
