@@ -328,6 +328,86 @@ object StatsQueries {
     // library's two-pass distributed prefix sum — no single-task global
     // window at any scale. Doubles only in the U/z closure, tie-corrected
     // variance included, operand order mirrored.
+    // CUPED variance reduction (Deng et al. 2013): pre-period per-user
+    // value mass as the covariate, θ = cov(x,y)/var(x) from exact decimal
+    // moments, per-arm adjusted means. The period boundary is the integer
+    // midpoint of the event-time range (computed in-plan, broadcast as one
+    // row); one user-keyed aggregate builds (x, y), one moment aggregate
+    // builds θ, the arm rollup is a 2-row closure. Output: one row per arm
+    // with the shared θ / ρ² columns repeated (grain: arm).
+    "ab_cuped_adjust" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("user_id"),
+        unix_timestamp(col("ts")).as("sec"),
+        col("value").cast("decimal(18,6)").as("v"))
+      val bound = ev.agg(((min(col("sec")) + max(col("sec"))) / 2)
+        .cast("long").as("mid"))
+      val xy = ev.crossJoin(broadcast(bound))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("sec") < col("mid"), col("v"))).as("__x0"),
+          sum(when(col("sec") >= col("mid"), col("v"))).as("__y0"))
+        .select(col("user_id"), (col("user_id") % 2 === 0).as("ga"),
+          coalesce(col("__x0"), lit(0).cast("decimal(18,6)")).as("x"),
+          coalesce(col("__y0"), lit(0).cast("decimal(18,6)")).as("y"))
+      val mom = xy.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      def d(c: Column) = c.cast("double")
+      val nD = d(col("n"))
+      val varX = d(col("sxx")) - d(col("sx")) * d(col("sx")) / nD
+      val varY = d(col("syy")) - d(col("sy")) * d(col("sy")) / nD
+      val covXY = d(col("sxy")) - d(col("sx")) * d(col("sy")) / nD
+      val thetaC = when(!(varX > 0.0), lit(0.0)).otherwise(covXY / varX)
+      val rho2C = when(!(varX > 0.0) || !(varY > 0.0), lit(0.0))
+        .otherwise((covXY / varX) * (covXY / varY))
+      val stats = mom.select(thetaC.as("theta"), rho2C.as("rho2"),
+        (d(col("sx")) / nD).as("mean_x_all"))
+      val arms = xy.groupBy(col("ga")).agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("asx"), sum(col("y")).as("asy"))
+      arms.crossJoin(broadcast(stats))
+        .select(col("ga").as("arm_a"), col("n_users"),
+          round(d(col("asy")) / d(col("n_users")), 6).as("mean_y"),
+          round(d(col("asx")) / d(col("n_users")), 6).as("mean_x"),
+          round(d(col("asy")) / d(col("n_users")) -
+            col("theta") * (d(col("asx")) / d(col("n_users")) - col("mean_x_all")),
+            6).as("mean_adjusted"),
+          round(col("theta"), 6).as("theta"),
+          round(col("rho2"), 6).as("rho2"))
+    }),
+
+    // Difference-in-differences over the same arm × period grid: the 2×2
+    // cell means (exact decimal sums / integer counts) and the DiD
+    // estimate in one closure — the guardrail read-out when assignment
+    // isn't randomized. Single row.
+    "ab_diff_in_diff" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("user_id"),
+        unix_timestamp(col("ts")).as("sec"),
+        col("value").cast("decimal(18,6)").as("v"))
+      val bound = ev.agg(((min(col("sec")) + max(col("sec"))) / 2)
+        .cast("long").as("mid"))
+      val cells = ev.crossJoin(broadcast(bound))
+        .select((col("user_id") % 2 === 0).as("t"),
+          (col("sec") >= col("mid")).as("post"), col("v"))
+        .groupBy(col("t"), col("post"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      def d(c: Column) = c.cast("double")
+      val m = cells.select(col("t"), col("post"),
+        (d(col("sv")) / d(col("n"))).as("m"))
+      def cell(t: Boolean, post: Boolean, name: String) =
+        m.filter(col("t") === t && col("post") === post)
+          .select(col("m").as(name))
+      cell(true, false, "m_t_pre")
+        .crossJoin(broadcast(cell(true, true, "m_t_post")))
+        .crossJoin(broadcast(cell(false, false, "m_c_pre")))
+        .crossJoin(broadcast(cell(false, true, "m_c_post")))
+        .select(round(col("m_t_pre"), 6).as("mean_treat_pre"),
+          round(col("m_t_post"), 6).as("mean_treat_post"),
+          round(col("m_c_pre"), 6).as("mean_ctrl_pre"),
+          round(col("m_c_post"), 6).as("mean_ctrl_post"),
+          round((col("m_t_post") - col("m_t_pre")) -
+            (col("m_c_post") - col("m_c_pre")), 6).as("did"))
+    }),
+
     "agg_mannwhitney" -> ((s, dir) => {
       val dec = "decimal(38,0)"
       val byV = table(s, dir, "events")
@@ -1099,6 +1179,63 @@ object StatsQueries {
         |  count(DISTINCT c_mktsegment) AS l, count(*) AS class_size
         |FROM customer GROUP BY 1, 2
         |HAVING count(DISTINCT c_mktsegment) < 3""".stripMargin,
+
+    "ab_cuped_adjust" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(value AS DECIMAL(18,6)) AS v FROM events),
+        |b AS (SELECT (min(sec) + max(sec)) // 2 AS mid FROM e),
+        |xy AS (SELECT user_id, (user_id % 2 = 0) AS ga,
+        |    coalesce(sum(CASE WHEN sec < mid THEN v END),
+        |      CAST(0 AS DECIMAL(18,6))) AS x,
+        |    coalesce(sum(CASE WHEN sec >= mid THEN v END),
+        |      CAST(0 AS DECIMAL(18,6))) AS y
+        |  FROM e, b GROUP BY 1, 2),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy FROM xy),
+        |st AS (SELECT CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
+        |    CAST(syy AS DOUBLE) AS syyd FROM mom),
+        |th AS (SELECT
+        |    CASE WHEN NOT (sxxd - sxd * sxd / nd > 0.0) THEN 0.0
+        |      ELSE (sxyd - sxd * syd / nd) / (sxxd - sxd * sxd / nd) END AS theta,
+        |    CASE WHEN NOT (sxxd - sxd * sxd / nd > 0.0)
+        |        OR NOT (syyd - syd * syd / nd > 0.0) THEN 0.0
+        |      ELSE ((sxyd - sxd * syd / nd) / (sxxd - sxd * sxd / nd)) *
+        |           ((sxyd - sxd * syd / nd) / (syyd - syd * syd / nd)) END AS rho2,
+        |    sxd / nd AS mean_x_all
+        |  FROM st),
+        |arms AS (SELECT ga, CAST(count(*) AS BIGINT) AS n_users,
+        |    sum(x) AS asx, sum(y) AS asy FROM xy GROUP BY 1)
+        |SELECT ga AS arm_a, n_users,
+        |  round(CAST(asy AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean_y,
+        |  round(CAST(asx AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean_x,
+        |  round(CAST(asy AS DOUBLE) / CAST(n_users AS DOUBLE) -
+        |    theta * (CAST(asx AS DOUBLE) / CAST(n_users AS DOUBLE) - mean_x_all),
+        |    6) AS mean_adjusted,
+        |  round(theta, 6) AS theta, round(rho2, 6) AS rho2
+        |FROM arms, th""".stripMargin,
+
+    "ab_diff_in_diff" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(value AS DECIMAL(18,6)) AS v FROM events),
+        |b AS (SELECT (min(sec) + max(sec)) // 2 AS mid FROM e),
+        |cells AS (SELECT (user_id % 2 = 0) AS t, (sec >= mid) AS post,
+        |    CAST(count(*) AS BIGINT) AS n, sum(v) AS sv
+        |  FROM e, b GROUP BY 1, 2),
+        |m AS (SELECT t, post, CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS m
+        |  FROM cells)
+        |SELECT
+        |  round((SELECT m FROM m WHERE t AND NOT post), 6) AS mean_treat_pre,
+        |  round((SELECT m FROM m WHERE t AND post), 6) AS mean_treat_post,
+        |  round((SELECT m FROM m WHERE NOT t AND NOT post), 6) AS mean_ctrl_pre,
+        |  round((SELECT m FROM m WHERE NOT t AND post), 6) AS mean_ctrl_post,
+        |  round(((SELECT m FROM m WHERE t AND post) - (SELECT m FROM m WHERE t AND NOT post)) -
+        |    ((SELECT m FROM m WHERE NOT t AND post) - (SELECT m FROM m WHERE NOT t AND NOT post)),
+        |    6) AS did""".stripMargin,
 
     "ab_test_chi2" ->
       """WITH u AS (SELECT user_id,
