@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,6 +19,9 @@ import graft.core.Tables.table
 object RelationalQueries {
 
   def family: QueryFamily = QueryFamily("relational", queries, oracles)
+
+  private val RuleMinSupp = 5
+  private val RuleTopK = 25
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -180,6 +183,39 @@ object RelationalQueries {
         .limit(50)
     }),
 
+    // Association rules over the co-purchase baskets: directed (a→b)
+    // pair support with confidence and lift, support floor 5, top 25 by
+    // lift — the classic market-basket read-out on top of the same
+    // co-partitioned self-join as basket_pair_counts (never a cross
+    // join); N and the item supports ride as broadcasts.
+    "basket_association_rules" -> ((s, dir) => {
+      val b = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val nOrders = b.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val supp = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
+      val pairs = b.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+        .join(b.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+          Seq("l_orderkey"))
+        .filter(col("part_a") =!= col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("supp_ab"))
+        .filter(col("supp_ab") >= RuleMinSupp)
+      def d(c: Column) = c.cast("double")
+      val conf = d(col("supp_ab")) / d(col("supp_a"))
+      val lift = conf / (d(col("supp_b")) / d(col("n_orders")))
+      pairs
+        .join(supp.select(col("l_partkey").as("part_a"), col("supp").as("supp_a")),
+          Seq("part_a"))
+        .join(supp.select(col("l_partkey").as("part_b"), col("supp").as("supp_b")),
+          Seq("part_b"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("part_a"), col("part_b"), col("supp_ab"),
+          round(conf, 6).as("confidence"), round(lift, 6).as("lift"))
+        .orderBy(col("lift").desc, col("part_a").asc, col("part_b").asc)
+        .limit(RuleTopK)
+    }),
+
     // L2/L3 — deterministic global sort + limit.
     "topk_orders_by_price" -> ((s, dir) => {
       table(s, dir, "orders")
@@ -263,6 +299,27 @@ object RelationalQueries {
           |  ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
           |GROUP BY 1, 2
           |ORDER BY n_orders DESC, part_a ASC, part_b ASC LIMIT 50""".stripMargin,
+
+      "basket_association_rules" ->
+        s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |nn AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),
+           |supp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS supp FROM b GROUP BY 1),
+           |p AS (SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+           |    CAST(count(*) AS BIGINT) AS supp_ab
+           |  FROM b a JOIN b c
+           |    ON a.l_orderkey = c.l_orderkey AND a.l_partkey <> c.l_partkey
+           |  GROUP BY 1, 2 HAVING count(*) >= $RuleMinSupp),
+           |j AS (SELECT part_a, part_b, supp_ab,
+           |    CAST(supp_ab AS DOUBLE) / CAST(sa.supp AS DOUBLE) AS conf,
+           |    (CAST(supp_ab AS DOUBLE) / CAST(sa.supp AS DOUBLE)) /
+           |      (CAST(sb.supp AS DOUBLE) / CAST(n_orders AS DOUBLE)) AS lift
+           |  FROM p JOIN supp sa ON sa.l_partkey = part_a
+           |  JOIN supp sb ON sb.l_partkey = part_b, nn)
+           |SELECT part_a, part_b, supp_ab,
+           |  round(conf, 6) AS confidence, round(lift, 6) AS lift
+           |FROM j
+           |ORDER BY round(lift, 6) DESC, part_a ASC, part_b ASC
+           |LIMIT $RuleTopK""".stripMargin,
 
       "agg_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

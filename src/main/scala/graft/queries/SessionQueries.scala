@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -120,6 +120,48 @@ object SessionQueries {
           date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("n_events"),
           col("sum_value").cast("double").as("sum_value"))
+    }),
+
+    // Kaplan–Meier survival of user lifetimes (days from first to last
+    // event; users still active in the final 7 days are right-censored):
+    // per-day death/censor counts, at-risk sets from a prefix over the
+    // COLLAPSED day rows (bounded by distinct lifetime days, never raw
+    // users), and the product-limit curve in log space — 6dp-rounded
+    // ln factors decimal-summed (exact, order-free), exp at the end; a
+    // zero factor (everyone remaining dies) pins survival to exactly 0
+    // from that day on, on both engines.
+    "survival_kaplan_meier" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("user_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      val glob = ev.agg(max(col("sec")).as("gmax"))
+      val users = ev.groupBy(col("user_id"))
+        .agg(min(col("sec")).as("fst"), max(col("sec")).as("lst"))
+        .crossJoin(broadcast(glob))
+        .select(((col("lst") - col("fst")) / 86400L).cast("long").as("t"),
+          (col("lst") >= col("gmax") - lit(7L) * 86400L).as("cen"))
+      val byT = users.groupBy(col("t")).agg(
+        sum(when(!col("cen"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("cen"), 1L).otherwise(0L)).as("c"))
+      val nAll = users.agg(count(lit(1)).as("nn"))
+      val w = Window.orderBy(col("t").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def dd(c: Column) = c.cast("double")
+      val withRisk = byT.withColumn("tot", col("d") + col("c"))
+        .withColumn("cumtot", sum(col("tot")).over(w))
+        .crossJoin(broadcast(nAll))
+        .withColumn("n_at_risk", col("nn") - col("cumtot") + col("tot"))
+      val factor = lit(1.0) - dd(col("d")) / dd(col("n_at_risk"))
+      withRisk
+        .withColumn("lf", when(factor > 0.0,
+          round(log(factor), 6).cast("decimal(18,6)"))
+          .otherwise(lit(0).cast("decimal(18,6)")))
+        .withColumn("z", when(factor <= 0.0, 1).otherwise(0))
+        .withColumn("zero", max(col("z")).over(w))
+        .withColumn("ls", sum(col("lf")).over(w))
+        .select(col("t").as("t_days"), col("n_at_risk"),
+          col("d").as("n_deaths"), col("c").as("n_censored"),
+          when(col("zero") === 1, 0.0)
+            .otherwise(round(exp(col("ls").cast("double")), 6)).as("survival"))
     }),
 
     // SFT conversation flattening: the events log as a dialogue corpus
@@ -462,6 +504,35 @@ object SessionQueries {
          |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
          |FROM s GROUP BY 1, 2""".stripMargin,
+    "survival_kaplan_meier" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |g AS (SELECT max(sec) AS gmax FROM e),
+        |u AS (SELECT user_id, min(sec) AS fst, max(sec) AS lst FROM e GROUP BY 1),
+        |uu AS (SELECT (lst - fst) // 86400 AS t,
+        |    (lst >= gmax - 7 * 86400) AS cen FROM u, g),
+        |bt AS (SELECT t,
+        |    CAST(sum(CASE WHEN NOT cen THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN cen THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM uu GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uu),
+        |cumt AS (SELECT *, d + c AS tot,
+        |    CAST(sum(d + c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumtot
+        |  FROM bt),
+        |cr AS (SELECT t, d, c, n - cumtot + tot AS n_at_risk FROM cumt, nn),
+        |lf AS (SELECT *,
+        |    1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS factor FROM cr),
+        |l2 AS (SELECT t, d, c, n_at_risk,
+        |    CASE WHEN factor > 0.0 THEN CAST(round(ln(factor), 6) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END AS lfv,
+        |    CASE WHEN factor <= 0.0 THEN 1 ELSE 0 END AS z FROM lf),
+        |l3 AS (SELECT *, max(z) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS zero,
+        |    sum(lfv) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS ls FROM l2)
+        |SELECT t AS t_days, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        |  d AS n_deaths, c AS n_censored,
+        |  CASE WHEN zero = 1 THEN 0.0
+        |    ELSE round(exp(CAST(ls AS DOUBLE)), 6) END AS survival
+        |FROM l3""".stripMargin,
+
     "streaming_hourly_stats" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, CAST(count(*) AS BIGINT) AS n_events,

@@ -328,6 +328,59 @@ object StatsQueries {
     // library's two-pass distributed prefix sum — no single-task global
     // window at any scale. Doubles only in the U/z closure, tie-corrected
     // variance included, operand order mirrored.
+    // Offline CUSUM changepoint (Page/Pettitt estimator): the day
+    // maximizing |Σ_{d≤t} x_d − t·S/D| over the daily event-count series,
+    // kept integer-exact as |D·P_t − t·S| (no float prefix accumulation
+    // anywhere). Prefix sums ride a window over the COLLAPSED day rows.
+    // Single row: series length, the argmax day, the raw and normalized
+    // statistic.
+    "anomaly_cusum" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val tot = daily.agg(count(lit(1)).as("dcnt"), sum(col("x")).as("sx"))
+      val w = Window.orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("p", sum(col("x")).over(w))
+        .withColumn("idx", row_number().over(Window.orderBy(col("day").asc))
+          .cast("long"))
+        .crossJoin(broadcast(tot))
+        .withColumn("dev", abs(col("dcnt") * col("p") - col("idx") * col("sx")))
+        .orderBy(col("dev").desc, col("day").asc).limit(1)
+        .select(col("dcnt").as("n_days"), col("day").as("change_day"),
+          col("idx").as("change_idx"), col("dev").as("max_dev"),
+          round(col("dev").cast("double") / col("dcnt").cast("double"), 6)
+            .as("cusum_stat"))
+    }),
+
+    // Delete-one-bucket jackknife standard error of the mean event value:
+    // 32 hash buckets, leave-one-out means 6dp-rounded to decimals so the
+    // jackknife moments are exact sums, SE from the closed moment form.
+    // Distribution-free inference in two hash aggregates + a 32-row
+    // closure — no resampling pass over the data.
+    "agg_jackknife_se" -> ((s, dir) => {
+      val byB = table(s, dir, "events")
+        .select(pmod(col("user_id"), lit(32L)).as("b"),
+          col("value").cast("decimal(18,6)").as("v"))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("nb"), sum(col("v")).as("sb"))
+      val tot = byB.agg(sum(col("nb")).as("n"), sum(col("sb")).as("s"))
+      def d(c: Column) = c.cast("double")
+      val loo = byB.crossJoin(broadcast(tot))
+        .select(round((d(col("s")) - d(col("sb"))) / (d(col("n")) - d(col("nb"))), 6)
+          .cast("decimal(18,6)").as("q"))
+      val mom = loo.agg(count(lit(1)).as("nB"),
+        sum(col("q")).as("sq"), sum(col("q") * col("q")).as("sqq"))
+      val bD = d(col("nB"))
+      val inner = d(col("sqq")) - d(col("sq")) * d(col("sq")) / bD
+      mom.crossJoin(broadcast(tot)).select(
+        col("n"), col("nB").as("n_buckets"),
+        round(d(col("s")) / d(col("n")), 6).as("mean"),
+        when(!(inner > 0.0), lit(0.0))
+          .otherwise(round(sqrt((bD - 1.0) / bD * inner), 6)).as("se_jackknife"))
+    }),
+
     // CUPED variance reduction (Deng et al. 2013): pre-period per-user
     // value mass as the covariate, θ = cov(x,y)/var(x) from exact decimal
     // moments, per-arm adjusted means. The period boundary is the integer
@@ -1179,6 +1232,44 @@ object StatsQueries {
         |  count(DISTINCT c_mktsegment) AS l, count(*) AS class_size
         |FROM customer GROUP BY 1, 2
         |HAVING count(DISTINCT c_mktsegment) < 3""".stripMargin,
+
+    "anomaly_cusum" ->
+      """WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS dcnt,
+        |    CAST(sum(x) AS BIGINT) AS sx FROM daily),
+        |c AS (SELECT day, x,
+        |    CAST(sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx
+        |  FROM daily),
+        |dv AS (SELECT day, idx, dcnt, abs(dcnt * p - idx * sx) AS dev FROM c, tot)
+        |SELECT dcnt AS n_days, day AS change_day, idx AS change_idx,
+        |  CAST(dev AS BIGINT) AS max_dev,
+        |  round(CAST(dev AS DOUBLE) / CAST(dcnt AS DOUBLE), 6) AS cusum_stat
+        |FROM dv ORDER BY dev DESC, day ASC LIMIT 1""".stripMargin,
+
+    "agg_jackknife_se" ->
+      """WITH e AS (SELECT ((user_id % 32) + 32) % 32 AS b,
+        |    CAST(value AS DECIMAL(18,6)) AS v FROM events),
+        |byb AS (SELECT b, CAST(count(*) AS BIGINT) AS nb, sum(v) AS sb
+        |  FROM e GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n, sum(sb) AS s FROM byb),
+        |loo AS (SELECT CAST(round(
+        |    (CAST(s AS DOUBLE) - CAST(sb AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) - CAST(nb AS DOUBLE)), 6) AS DECIMAL(18,6)) AS q
+        |  FROM byb, tot),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS nB,
+        |    sum(q) AS sq, sum(q * q) AS sqq FROM loo)
+        |SELECT n, nB AS n_buckets,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+        |  CASE WHEN NOT (CAST(sqq AS DOUBLE) -
+        |      CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(nB AS DOUBLE) > 0.0)
+        |    THEN 0.0
+        |    ELSE round(sqrt((CAST(nB AS DOUBLE) - 1.0) / CAST(nB AS DOUBLE) *
+        |      (CAST(sqq AS DOUBLE) -
+        |       CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(nB AS DOUBLE))), 6)
+        |  END AS se_jackknife
+        |FROM mom, tot""".stripMargin,
 
     "ab_cuped_adjust" ->
       """WITH e AS (SELECT user_id,
