@@ -84,6 +84,30 @@ object TextOps {
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  /** Luhn-validated card-number detection — the governance upgrade over a
+    * bare `\d{16}` regex: a digit run is only a REAL card candidate if its
+    * Luhn checksum closes, which kills ~90% of the false positives a regex
+    * alone would quarantine. One narrow pass: extract 16-digit runs,
+    * validate the checksum in a single array-fold expression (pure per-row
+    * integer arithmetic — codegen-friendly, engine-mirrorable), emit the
+    * masked tail. Output: (id, card_masked, luhn_valid), one row per
+    * detected digit run. */
+  def luhnCards(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    require(!docs.columns.contains("__card"),
+      "luhnCards uses an internal __card column; rename the existing one")
+    val dig = "CAST(substring(__card, length(__card) - i + 1, 1) AS INT)"
+    docs
+      .select(col(idCol),
+        explode(expr(s"regexp_extract_all($textCol, '\\\\d{16}', 0)")).as("__card"))
+      .select(col(idCol),
+        concat(lit("************"), substring(col("__card"), 13, 4)).as("card_masked"),
+        expr(s"""aggregate(sequence(1, length(__card)), 0, (acc, i) ->
+          acc + (CASE WHEN i % 2 = 0
+            THEN (CASE WHEN 2 * $dig > 9 THEN 2 * $dig - 9 ELSE 2 * $dig END)
+            ELSE $dig END)) % 10 = 0""").as("luhn_valid"))
+  }
+
   /** Word n-gram multiplicity stats `struct(total, n_distinct, max_count)`
     * in one pass per document — the raw counts behind repetition-based
     * quality rules (duplicate n-gram fraction, top n-gram fraction). */

@@ -527,6 +527,19 @@ object DataOpsQueries {
         }: _*)
     }),
 
+    // Luhn-validated card detection: plant a 16-digit run per document
+    // (integer formula of doc_id — ~10% close the checksum by
+    // construction), extract and checksum-validate in one narrow pass.
+    // The governance upgrade over the bare regex count above: only
+    // checksum-closing runs are real card candidates.
+    "pii_luhn_cards" -> ((s, dir) => {
+      val planted = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" card "),
+          lpad(((col("doc_id") * 1000000007L + 123456789L) %
+            10000000000000000L).cast("string"), 16, "0")).as("ptext"))
+      graft.ops.TextOps.luhnCards(planted, "doc_id", "ptext")
+    }),
+
     // Real encode→decode round trip: fabricate actual PNG streams from
     // integer formulas of (doc_id, n_chars), decode them with ImageIO, and
     // emit the DECODED dimensions/pixels. The oracle predicts them from the
@@ -1446,6 +1459,22 @@ object DataOpsQueries {
            |  round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS mean_quality,
            |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups
            |FROM d GROUP BY 1""".stripMargin,
+      "pii_luhn_cards" -> {
+        val dig = "CAST(substr(card, length(card) - CAST(i AS INT) + 1, 1) AS INT)"
+        s"""WITH f AS (SELECT doc_id, concat(text, ' card ',
+           |    lpad(CAST((doc_id * 1000000007 + 123456789) % 10000000000000000
+           |      AS VARCHAR), 16, '0')) AS ptext FROM documents),
+           |c AS (SELECT doc_id, unnest(regexp_extract_all(ptext, '\\d{16}')) AS card
+           |  FROM f)
+           |SELECT doc_id,
+           |  concat('************', substr(card, 13, 4)) AS card_masked,
+           |  (list_reduce(list_prepend(0, list_transform(range(1, length(card) + 1),
+           |    i -> CASE WHEN i % 2 = 0
+           |      THEN (CASE WHEN 2 * $dig > 9 THEN 2 * $dig - 9 ELSE 2 * $dig END)
+           |      ELSE $dig END)), (a, b) -> a + b) % 10 = 0) AS luhn_valid
+           |FROM c""".stripMargin
+      },
+
       "text_pii_redact" -> {
         val pats = TextOps.PiiPatterns
         val redacted = pats.foldLeft("ptext") { case (e, (_, p, r)) =>

@@ -122,6 +122,27 @@ object SessionQueries {
           col("sum_value").cast("double").as("sum_value"))
     }),
 
+    // Day-of-week seasonal decomposition of the daily event series:
+    // per-dow means as the seasonal component, per-day residuals as the
+    // deseasonalized signal — the adjustment step before any trend or
+    // anomaly read-out. The dow label is the engine-neutral integer form
+    // (epoch_day + 4) mod 7 (0 = Monday), never a locale/dialect dow
+    // function. Two hash aggregates + a 7-row broadcast join.
+    "resample_seasonal_dow" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          pmod(datediff(col("ts").cast("date"),
+            lit("1970-01-01").cast("date")) + 4, lit(7)).as("dow"))
+        .groupBy(col("day"), col("dow")).agg(count(lit(1)).as("x"))
+      val dowMean = daily.groupBy(col("dow"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("nd"))
+      def d(c: Column) = c.cast("double")
+      daily.join(broadcast(dowMean), Seq("dow"))
+        .select(col("day"), col("dow"), col("x"),
+          round(d(col("sx")) / d(col("nd")), 6).as("dow_mean"),
+          round(d(col("x")) - d(col("sx")) / d(col("nd")), 6).as("residual"))
+    }),
+
     // Kaplan–Meier survival of user lifetimes (days from first to last
     // event; users still active in the final 7 days are right-censored):
     // per-day death/censor counts, at-risk sets from a prefix over the
@@ -504,6 +525,20 @@ object SessionQueries {
          |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
          |FROM s GROUP BY 1, 2""".stripMargin,
+    "resample_seasonal_dow" ->
+      """WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST((((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7)
+        |      + 7) % 7 AS INT) AS dow,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |dm AS (SELECT dow, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(count(*) AS BIGINT) AS nd FROM daily GROUP BY 1)
+        |SELECT day, dow, x,
+        |  round(CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE), 6) AS dow_mean,
+        |  round(CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE), 6)
+        |    AS residual
+        |FROM daily JOIN dm USING (dow)""".stripMargin,
+
     "survival_kaplan_meier" ->
       """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
         |g AS (SELECT max(sec) AS gmax FROM e),

@@ -66,6 +66,20 @@ class VocabEvalSpec extends SparkSpec {
     assert(math.abs(r2.getDouble(2) - (-math.log(0.2))) < 1e-6, r2)
   }
 
+  test("luhnCards validates known Luhn vectors and masks the tail") {
+    // 4532015112830366 is a standard Luhn-valid test PAN; bumping the
+    // check digit by one must fail.
+    val docs = Seq(
+      (1L, "pay with 4532015112830366 now"),
+      (2L, "pay with 4532015112830367 now"),
+      (3L, "no digits here")).toDF("id", "text")
+    val rows = TextOps.luhnCards(docs, "id", "text")
+      .orderBy(col("id")).collect()
+    assert(rows.length === 2)
+    assert(rows(0).getString(1) === "************0366" && rows(0).getBoolean(2))
+    assert(rows(1).getString(1) === "************0367" && !rows(1).getBoolean(2))
+  }
+
   test("kneserNeyScore: short docs carry n_bigrams = 0 and null nll") {
     val corpus = Seq((1L, "a b c")).toDF("id", "text")
     val docs = Seq((2L, "solo"), (3L, "")).toDF("id", "text")
