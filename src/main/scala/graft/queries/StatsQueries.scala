@@ -461,6 +461,158 @@ object StatsQueries {
             (col("m_c_post") - col("m_c_pre")), 6).as("did"))
     }),
 
+    // Poisson bootstrap CI of the mean event value (Chamandy et al.,
+    // "Estimating Uncertainty for Massive Data Streams" — the resampling
+    // scheme that distributes: each row independently draws a Poisson(1)
+    // replication weight per replicate, so no global N or sampling pass is
+    // needed). Weights are DETERMINISTIC: the engine-neutral Knuth hash of
+    // (event_id·B + r) folded to 32 bits and inverted through the exact
+    // integer-threshold Poisson(1) CDF. One explode(×64) feeding a 64-group
+    // hash aggregate (map-side combine ⇒ shuffle is 64 rows/partition),
+    // then a 64-row percentile closure — no per-replicate data passes.
+    "agg_bootstrap_ci" -> ((s, dir) => {
+      val B = 64
+      // floor(CDF_Poisson(1)(k) · 2^32), k = 0..8; h >= last ⇒ weight 9.
+      val ths = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+        4279248373L, 4292415291L, 4294609777L, 4294923276L, 4294962463L)
+      def kn32(x: Column): Column =
+        pmod(pmod(x, lit(1000000007L)) * lit(2654435761L), lit(4294967296L))
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("value").cast("decimal(18,6)").as("v"))
+      val rep = ev
+        .select(col("event_id"), col("v"),
+          explode(sequence(lit(0), lit(B - 1))).as("r"))
+        .withColumn("h", kn32(col("event_id") * B + col("r")))
+        .withColumn("w", ths.zipWithIndex.foldRight(lit(9)) {
+          case ((t, k), rest) => when(col("h") < t, k).otherwise(rest)
+        }.cast("long"))
+        .groupBy(col("r"))
+        .agg(sum(col("w")).as("nw"),
+          sum(col("w").cast("decimal(2,0)") * col("v")).as("sv"))
+        .select(col("r"), when(col("nw") > 0L,
+          round(col("sv").cast("double") / col("nw").cast("double"), 6))
+          .otherwise(lit(0.0)).as("m"))
+      val rk = rep.withColumn("rk",
+        row_number().over(Window.orderBy(col("m").asc, col("r").asc)))
+      // percentile index ⌈α·B⌉: 2.5% → 2nd smallest, 97.5% → 63rd.
+      val ci = rk.agg(count(lit(1)).as("n_boot"),
+        max(when(col("rk") === 2, col("m"))).as("ci_lo"),
+        max(when(col("rk") === 63, col("m"))).as("ci_hi"))
+      val full = ev.agg(count(lit(1)).as("n"),
+        round(sum(col("v")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean"))
+      full.crossJoin(broadcast(ci))
+        .select(col("n"), col("mean"), col("n_boot"), col("ci_lo"), col("ci_hi"))
+    }),
+
+    // Mutual information (nats) between return flag and line status, plus
+    // marginal entropies and NMI — the feature-redundancy probe. Per-cell
+    // log-ratios are rounded to integer NANO-units the moment they leave
+    // libm (the AUC/negative-table device), so every downstream sum is
+    // exact integer arithmetic — no double accumulation order, and no
+    // decimal-precision-38 product truncation. One contingency aggregate
+    // (6 cells), marginals derived FROM the cells — a single fact pass.
+    "agg_mutual_info" -> ((s, dir) => {
+      val cells = table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("x"), col("l_linestatus").as("y"))
+        .agg(count(lit(1)).as("nxy"))
+      val mx = cells.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+      val my = cells.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+      val tot = cells.agg(sum(col("nxy")).as("n"))
+      def d(c: Column) = c.cast("double")
+      def nano(c: Column) = round(c * 1.0e9, 0).cast("long")
+      val joined = cells.join(broadcast(mx), "x").join(broadcast(my), "y")
+        .crossJoin(broadcast(tot))
+      val terms = joined.select(col("n"),
+        (col("nxy") * nano(log(d(col("n")) * d(col("nxy")) /
+          (d(col("nx")) * d(col("ny")))))).cast("decimal(38,0)").as("mi_t"))
+      val hx = mx.crossJoin(broadcast(tot)).agg(
+        sum((col("nx") * nano(log(d(col("nx")) / d(col("n")))))
+          .cast("decimal(38,0)")).as("hx_s"), count(lit(1)).as("k_x"))
+      val hy = my.crossJoin(broadcast(tot)).agg(
+        sum((col("ny") * nano(log(d(col("ny")) / d(col("n")))))
+          .cast("decimal(38,0)")).as("hy_s"), count(lit(1)).as("k_y"))
+      val mi = terms.groupBy(col("n")).agg(sum(col("mi_t")).as("mi_s"))
+      val out = mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      val den = d(col("n")) * 1.0e9
+      val miV = d(col("mi_s")) / den
+      val hxV = -d(col("hx_s")) / den
+      val hyV = -d(col("hy_s")) / den
+      out.select(col("n"), col("k_x"), col("k_y"),
+        round(miV, 6).as("mi_nats"),
+        round(hxV, 6).as("h_x"), round(hyV, 6).as("h_y"),
+        when(!(hxV * hyV > 0.0), lit(0.0))
+          .otherwise(round(miV / sqrt(hxV * hyV), 6)).as("nmi"))
+    }),
+
+    // Always-valid sequential two-proportion monitor: the daily cumulative
+    // GLR (log generalized-likelihood ratio) trace for purchase-rate
+    // difference between arms — the "peek every day without inflating α"
+    // readout (Wald SPRT boundary ln(1/α)). Every statistic is computed
+    // per-row from CUMULATIVE INTEGER counts (prefix sums over collapsed
+    // day rows), so there is no floating accumulation: same day → same
+    // llr, bit-for-bit, on any engine. xln(0) terms are zero-guarded.
+    "ab_sequential_glr" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          (col("user_id") % 2 === 0).as("ga"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+        .groupBy(col("day"))
+        .agg(sum(when(col("ga"), 1L).otherwise(0L)).as("dt1"),
+          sum(when(col("ga"), col("conv"))).as("ds1"),
+          sum(when(!col("ga"), 1L).otherwise(0L)).as("dt2"),
+          sum(when(!col("ga"), col("conv"))).as("ds2"))
+      val w = Window.orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = daily
+        .withColumn("t1", sum(col("dt1")).over(w))
+        .withColumn("s1", sum(col("ds1")).over(w))
+        .withColumn("t2", sum(col("dt2")).over(w))
+        .withColumn("s2", sum(col("ds2")).over(w))
+      def d(c: Column) = c.cast("double")
+      // xln-ratio with the x = 0 arm zeroed: s·ln((s/t)/p) over p pooled.
+      def xlnr(x: Column, t: Column, p: Column): Column =
+        when(x > 0L, d(x) * log(d(x) / d(t) / p)).otherwise(lit(0.0))
+      val p = (d(col("s1")) + d(col("s2"))) / (d(col("t1")) + d(col("t2")))
+      val llr =
+        xlnr(col("s1"), col("t1"), p) +
+        xlnr(col("t1") - col("s1"), col("t1"), lit(1.0) - p) +
+        xlnr(col("s2"), col("t2"), p) +
+        xlnr(col("t2") - col("s2"), col("t2"), lit(1.0) - p)
+      cum.select(col("day"), col("t1"), col("s1"), col("t2"), col("s2"),
+        round(llr, 6).as("llr"),
+        (round(llr, 6) >= 2.995732).as("crossed"))
+    }),
+
+    // Neyman optimal allocation of a 1000-unit sample across market
+    // segments: n_h ∝ N_h·σ_h (exact decimal moments; σ rounded to 6dp
+    // decimal BEFORE the weight products so the allocation denominator is
+    // an exact decimal sum, not an order-dependent double fold). Output is
+    // one row per stratum with the proportional allocation alongside — the
+    // design table a stratified sampling pass consumes.
+    "sample_neyman_alloc" -> ((s, dir) => {
+      val byH = table(s, dir, "customer")
+        .select(col("c_mktsegment").as("segment"),
+          col("c_acctbal").cast("decimal(18,6)").as("v"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_pop"), sum(col("v")).as("sv"),
+          sum(col("v") * col("v")).as("svv"))
+      def d(c: Column) = c.cast("double")
+      val nD = d(col("n_pop"))
+      val varH = (d(col("svv")) - d(col("sv")) * d(col("sv")) / nD) / (nD - 1.0)
+      val sd = byH.select(col("segment"), col("n_pop"),
+        when(!(varH > 0.0), lit(0.0)).otherwise(round(sqrt(varH), 6))
+          .cast("decimal(18,6)").as("sd"))
+        .withColumn("wgt", col("n_pop").cast("decimal(18,6)") * col("sd"))
+      val tot = sd.agg(sum(col("wgt")).as("wtot"), sum(col("n_pop")).as("ntot"))
+      sd.crossJoin(broadcast(tot))
+        .select(col("segment"), col("n_pop"), col("sd").cast("double").as("sd"),
+          round(lit(1000.0) * d(col("wgt")) / d(col("wtot")), 0).cast("long")
+            .as("alloc_neyman"),
+          round(lit(1000.0) * d(col("n_pop")) / d(col("ntot")), 0).cast("long")
+            .as("alloc_prop"))
+    }),
+
     "agg_mannwhitney" -> ((s, dir) => {
       val dec = "decimal(38,0)"
       val byV = table(s, dir, "events")
@@ -826,6 +978,119 @@ object StatsQueries {
     "s1d", "s11d", "s1yd", "s2d", "s12d", "s2yd")
 
   def oracles: Map[String, String] = Map(
+    "agg_bootstrap_ci" -> {
+      val h = OracleSql.knuth32("ev.event_id * 64 + t.r")
+      s"""WITH ev AS (SELECT event_id, CAST(value AS DECIMAL(18,6)) AS v FROM events),
+         |ex AS (SELECT t.r, ev.v, $h AS h FROM ev, range(0, 64) t(r)),
+         |wt AS (SELECT r, v,
+         |    CASE WHEN h < 1580030168 THEN 0 WHEN h < 3160060337 THEN 1
+         |      WHEN h < 3950075421 THEN 2 WHEN h < 4213413783 THEN 3
+         |      WHEN h < 4279248373 THEN 4 WHEN h < 4292415291 THEN 5
+         |      WHEN h < 4294609777 THEN 6 WHEN h < 4294923276 THEN 7
+         |      WHEN h < 4294962463 THEN 8 ELSE 9 END AS w
+         |  FROM ex),
+         |rep AS (SELECT r, CAST(sum(w) AS BIGINT) AS nw,
+         |    sum(CAST(w AS DECIMAL(2,0)) * v) AS sv FROM wt GROUP BY 1),
+         |ms AS (SELECT r, CASE WHEN nw > 0
+         |    THEN round(CAST(sv AS DOUBLE) / CAST(nw AS DOUBLE), 6)
+         |    ELSE 0.0 END AS m FROM rep),
+         |rk AS (SELECT m, row_number() OVER (ORDER BY m ASC, r ASC) AS rk FROM ms),
+         |ci AS (SELECT CAST(count(*) AS BIGINT) AS n_boot,
+         |    max(CASE WHEN rk = 2 THEN m END) AS ci_lo,
+         |    max(CASE WHEN rk = 63 THEN m END) AS ci_hi FROM rk),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean
+         |  FROM ev)
+         |SELECT n, mean, n_boot, ci_lo, ci_hi FROM f, ci""".stripMargin
+    },
+
+    "agg_mutual_info" ->
+      """WITH cells AS (SELECT l_returnflag AS x, l_linestatus AS y,
+        |    CAST(count(*) AS BIGINT) AS nxy FROM lineitem GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM cells GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells),
+        |terms AS (SELECT n, CAST(nxy * CAST(round(ln(CAST(n AS DOUBLE) *
+        |      CAST(nxy AS DOUBLE) / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+        |      * 1000000000.0, 0) AS BIGINT) AS DECIMAL(38,0)) AS mi_t
+        |  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot),
+        |mi AS (SELECT n, sum(mi_t) AS mi_s FROM terms GROUP BY 1),
+        |hx AS (SELECT sum(CAST(nx * CAST(round(ln(CAST(nx AS DOUBLE) /
+        |      CAST(n AS DOUBLE)) * 1000000000.0, 0) AS BIGINT) AS DECIMAL(38,0)))
+        |    AS hx_s, CAST(count(*) AS BIGINT) AS k_x FROM mx, tot),
+        |hy AS (SELECT sum(CAST(ny * CAST(round(ln(CAST(ny AS DOUBLE) /
+        |      CAST(n AS DOUBLE)) * 1000000000.0, 0) AS BIGINT) AS DECIMAL(38,0)))
+        |    AS hy_s, CAST(count(*) AS BIGINT) AS k_y FROM my, tot),
+        |f AS (SELECT n, k_x, k_y,
+        |    CAST(mi_s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0) AS miv,
+        |    -CAST(hx_s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0) AS hxv,
+        |    -CAST(hy_s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0) AS hyv
+        |  FROM mi, hx, hy)
+        |SELECT n, k_x, k_y, round(miv, 6) AS mi_nats,
+        |  round(hxv, 6) AS h_x, round(hyv, 6) AS h_y,
+        |  CASE WHEN NOT (hxv * hyv > 0.0) THEN 0.0
+        |    ELSE round(miv / sqrt(hxv * hyv), 6) END AS nmi
+        |FROM f""".stripMargin,
+
+    "ab_sequential_glr" ->
+      """WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dt1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ds1,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS dt2,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ds2
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT day,
+        |    CAST(sum(dt1) OVER w AS BIGINT) AS t1,
+        |    CAST(sum(ds1) OVER w AS BIGINT) AS s1,
+        |    CAST(sum(dt2) OVER w AS BIGINT) AS t2,
+        |    CAST(sum(ds2) OVER w AS BIGINT) AS s2
+        |  FROM daily WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (SELECT *, (CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE)) /
+        |    (CAST(t1 AS DOUBLE) + CAST(t2 AS DOUBLE)) AS pp FROM c),
+        |l AS (SELECT day, t1, s1, t2, s2,
+        |    (CASE WHEN s1 > 0 THEN CAST(s1 AS DOUBLE) *
+        |       ln(CAST(s1 AS DOUBLE) / CAST(t1 AS DOUBLE) / pp) ELSE 0.0 END)
+        |    + (CASE WHEN t1 - s1 > 0 THEN CAST(t1 - s1 AS DOUBLE) *
+        |       ln(CAST(t1 - s1 AS DOUBLE) / CAST(t1 AS DOUBLE) / (1.0 - pp))
+        |       ELSE 0.0 END)
+        |    + (CASE WHEN s2 > 0 THEN CAST(s2 AS DOUBLE) *
+        |       ln(CAST(s2 AS DOUBLE) / CAST(t2 AS DOUBLE) / pp) ELSE 0.0 END)
+        |    + (CASE WHEN t2 - s2 > 0 THEN CAST(t2 - s2 AS DOUBLE) *
+        |       ln(CAST(t2 - s2 AS DOUBLE) / CAST(t2 AS DOUBLE) / (1.0 - pp))
+        |       ELSE 0.0 END) AS llr0
+        |  FROM p)
+        |SELECT day, t1, s1, t2, s2, round(llr0, 6) AS llr,
+        |  round(llr0, 6) >= 2.995732 AS crossed
+        |FROM l""".stripMargin,
+
+    "sample_neyman_alloc" ->
+      """WITH byh AS (SELECT c_mktsegment AS segment,
+        |    CAST(count(*) AS BIGINT) AS n_pop,
+        |    sum(CAST(c_acctbal AS DECIMAL(18,6))) AS sv,
+        |    sum(CAST(c_acctbal AS DECIMAL(19,6)) *
+        |        CAST(c_acctbal AS DECIMAL(19,6))) AS svv
+        |  FROM customer GROUP BY 1),
+        |sd AS (SELECT segment, n_pop,
+        |    CAST(CASE WHEN NOT ((CAST(svv AS DOUBLE) -
+        |        CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n_pop AS DOUBLE)) /
+        |        (CAST(n_pop AS DOUBLE) - 1.0) > 0.0) THEN 0.0
+        |      ELSE round(sqrt((CAST(svv AS DOUBLE) -
+        |        CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n_pop AS DOUBLE)) /
+        |        (CAST(n_pop AS DOUBLE) - 1.0)), 6) END AS DECIMAL(18,6)) AS sd
+        |  FROM byh),
+        |w AS (SELECT segment, n_pop, sd,
+        |    CAST(n_pop AS DECIMAL(19,6)) * sd AS wgt FROM sd),
+        |tot AS (SELECT sum(wgt) AS wtot, CAST(sum(n_pop) AS BIGINT) AS ntot FROM w)
+        |SELECT segment, n_pop, CAST(sd AS DOUBLE) AS sd,
+        |  CAST(round(1000.0 * CAST(wgt AS DOUBLE) / CAST(wtot AS DOUBLE), 0)
+        |    AS BIGINT) AS alloc_neyman,
+        |  CAST(round(1000.0 * CAST(n_pop AS DOUBLE) / CAST(ntot AS DOUBLE), 0)
+        |    AS BIGINT) AS alloc_prop
+        |FROM w, tot""".stripMargin,
+
     "feature_target_encode" ->
       """WITH a AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s

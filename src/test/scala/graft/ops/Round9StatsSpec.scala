@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.queries.StatsQueries
+
+/** Semantic floors for the round-9 stats gates (the hash-exact oracle runs
+  * in the driver harness; these pin the statistical invariants that a
+  * hash match alone would not explain to a reader). */
+class Round9StatsSpec extends SparkSpec {
+
+  private def run(name: String) =
+    StatsQueries.queries(name)(spark, sf("sf0.001"))
+
+  test("poisson bootstrap CI brackets the mean and is deterministic") {
+    val r = run("agg_bootstrap_ci").collect().head
+    val (mean, nBoot) = (r.getAs[Double]("mean"), r.getAs[Long]("n_boot"))
+    val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(nBoot == 64L)
+    assert(lo <= hi)
+    // Poisson(1) weights resample ~every row once: the replicate spread
+    // straddles the point estimate on any non-adversarial sample.
+    assert(lo <= mean && mean <= hi)
+    // CI width is a real resampling spread, not a degenerate zero.
+    assert(hi - lo > 0.0)
+    val r2 = run("agg_bootstrap_ci").collect().head
+    assert(r == r2) // hash-derived weights: bit-stable across runs
+  }
+
+  test("mutual information is non-negative and NMI normalized") {
+    val r = run("agg_mutual_info").collect().head
+    val mi = r.getAs[Double]("mi_nats")
+    val nmi = r.getAs[Double]("nmi")
+    assert(mi >= -1e-6) // >= 0 up to the 6dp rounding of the nano-units
+    assert(r.getAs[Double]("h_x") > 0.0 && r.getAs[Double]("h_y") > 0.0)
+    assert(nmi >= -1e-6 && nmi <= 1.0 + 1e-6)
+    // MI is bounded by both marginal entropies.
+    assert(mi <= math.min(r.getAs[Double]("h_x"), r.getAs[Double]("h_y")) + 1e-6)
+  }
+
+  test("sequential GLR trace: non-negative llr over monotone cumulative counts") {
+    val rows = run("ab_sequential_glr").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("llr") >= 0.0) // GLR maximizes the alt likelihood
+      assert(r.getAs[Long]("s1") <= r.getAs[Long]("t1"))
+      assert(r.getAs[Long]("s2") <= r.getAs[Long]("t2"))
+    }
+    val t1s = rows.sortBy(_.getAs[String]("day")).map(_.getAs[Long]("t1"))
+    assert(t1s.zip(t1s.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("neyman allocation sums to the budget up to per-stratum rounding") {
+    val rows = run("sample_neyman_alloc").collect()
+    assert(rows.length == 5) // TPC-H market segments
+    val tot = rows.map(_.getAs[Long]("alloc_neyman")).sum
+    assert(math.abs(tot - 1000L) <= rows.length / 2 + 1)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc_neyman") > 0L)
+      assert(r.getAs[Double]("sd") > 0.0)
+    }
+  }
+}
