@@ -158,6 +158,57 @@ object Eval {
     * the gram join is proportional to the pair set, not the corpus. All
     * joins are keyed (pair id, gram) — never a cross product.
     */
+  /** Split conformal prediction audit (Vovk; Lei et al.): calibrate a
+    * nonconformity threshold on one half of the data, measure empirical
+    * coverage on the other — the distribution-free guarantee check before
+    * shipping a predictor's intervals.
+    *
+    * The "model" is the group-mean predictor fit on the CALIBRATION half
+    * only (no test leakage); nonconformity is |y − ŷ| as exact 6dp
+    * decimals. The threshold is the ⌈(n_cal+1)(1−α)⌉-th smallest
+    * calibration score — located by the two-pass distributed prefix sum
+    * over per-value collapsed counts (the Mann-Whitney/AUC device), never
+    * a global single-task window. Rows whose group never appears in
+    * calibration have no prediction and are excluded (inner join).
+    *
+    * Output (one row): n_cal, n_test, k_rank, tau, coverage, target —
+    * split conformal guarantees coverage ≥ target in expectation. */
+  def conformalCoverage(df: DataFrame, group: Column, value: Column,
+      splitKey: Column, alphaPermille: Int = 100): DataFrame = {
+    require(alphaPermille > 0 && alphaPermille < 1000,
+      s"alphaPermille in (0,1000), got $alphaPermille")
+    val rows = df.select(group.as("g"), value.cast("decimal(18,6)").as("v"),
+      (splitKey % 2 === 0).as("cal"))
+    val mu = rows.filter(col("cal"))
+      .groupBy(col("g"))
+      .agg(round(sum(col("v")).cast("double") / count(lit(1)).cast("double"), 6)
+        .cast("decimal(18,6)").as("mu"))
+    val scored = rows.join(broadcast(mu), "g")
+      .select(col("cal"), abs(col("v") - col("mu")).as("s"))
+    val calScores = scored.filter(col("cal"))
+      .groupBy(col("s")).agg(count(lit(1)).as("cnt"))
+    val n = scored.agg(
+      sum(when(col("cal"), 1L).otherwise(0L)).as("n_cal"),
+      sum(when(!col("cal"), 1L).otherwise(0L)).as("n_test"))
+    // k = ceil((n_cal + 1) · (1 − α)) in pure integer arithmetic.
+    val kExpr = ((col("n_cal") + 1L) * (1000L - alphaPermille) + 999L) / 1000L
+    val kRow = n.select(col("n_cal"), col("n_test"),
+      kExpr.cast("long").as("k_rank"))
+    val cum = Ranking.prefixSum(calScores, Seq(col("s").asc), Seq("cnt"))
+    val tau = cum.crossJoin(broadcast(kRow))
+      .filter(col("cum_cnt") >= col("k_rank"))
+      .agg(min(col("s")).as("tau"))
+    val test = scored.filter(!col("cal"))
+      .crossJoin(broadcast(tau))
+      .agg(sum(when(col("s") <= col("tau"), 1L).otherwise(0L)).as("n_cov"))
+    def d(c: Column) = c.cast("double")
+    kRow.crossJoin(broadcast(tau)).crossJoin(broadcast(test))
+      .select(col("n_cal"), col("n_test"), col("k_rank"),
+        d(col("tau")).as("tau"),
+        round(d(col("n_cov")) / d(col("n_test")), 6).as("coverage"),
+        lit((1000 - alphaPermille) / 1000.0).as("target"))
+  }
+
   def rougeBigramOverlap(pairs: DataFrame, docs: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val grams = docs.select(col(idCol).as("id"),

@@ -319,4 +319,50 @@ object Shaping {
         expr(s"concat($targetCore, CASE WHEN $targetCore = '' THEN '' ELSE ' ' END, " +
           s"'<extra_id_', CAST($nSpans AS STRING), '>')").as("target_text"))
   }
+
+  /** Fill-in-the-middle example builder (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): ~90% of documents
+    * are rearranged into the PSM layout — `<fim_prefix> P <fim_suffix> S
+    * <fim_middle> M` — the rest pass through unchanged (the paper's AR
+    * fraction, which preserves left-to-right competence).
+    *
+    * The FIM coin and both token split points come from the engine-neutral
+    * Knuth hash of the id (high-bits range reduction, the [[shardOf]]
+    * device — NOT `mod`, whose low bits the multiplicative constant leaves
+    * unmixed), so the transform is a pure deterministic per-row map:
+    * tokenize once, three `slice`s, one concat — zero shuffles, replayable
+    * on any engine.
+    *
+    * Split schedule: p1 uniform on [0, n], middle length uniform on
+    * [0, n - p1] — every (prefix, middle, suffix) composition with empty
+    * parts included, matching the paper's uniform character-split applied
+    * at token granularity.
+    *
+    * Output: (id, n_tokens, mode, split_at, mid_len, text_fim). */
+  def fillInMiddle(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    require(!docs.columns.contains("__toks"),
+      "fillInMiddle uses an internal __toks column; rename the existing one")
+    docs
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("__h1", knuth32(col(idCol).cast("long")))
+      .withColumn("__h2", knuth32(col(idCol).cast("long") + lit(1000003L)))
+      .withColumn("__fim", shiftright(col("__h1") * lit(10L), 32) < 9L)
+      .withColumn("__p1", shiftright(col("__h1") * (col("__n") + 1L), 32))
+      .withColumn("__l",
+        shiftright(col("__h2") * (col("__n") - col("__p1") + 1L), 32))
+      .select(col(idCol).as("id"), col("__n").as("n_tokens"),
+        when(col("__fim"), lit("psm")).otherwise(lit("ar")).as("mode"),
+        when(col("__fim"), col("__p1")).otherwise(lit(-1L)).as("split_at"),
+        when(col("__fim"), col("__l")).otherwise(lit(-1L)).as("mid_len"),
+        when(col("__fim"), array_join(concat(
+            array(lit("<fim_prefix>")),
+            expr("slice(__toks, 1, CAST(__p1 AS INT))"),
+            array(lit("<fim_suffix>")),
+            expr("slice(__toks, CAST(__p1 + __l + 1 AS INT), " +
+              "CAST(__n - __p1 - __l AS INT))"),
+            array(lit("<fim_middle>")),
+            expr("slice(__toks, CAST(__p1 + 1 AS INT), CAST(__l AS INT))")), " "))
+          .otherwise(array_join(col("__toks"), " ")).as("text_fim"))
+  }
 }

@@ -56,7 +56,15 @@ object EvalQueries {
     // per-bin mean prediction vs empirical positive rate.
     "eval_calibration_bins" -> ((s, dir) =>
       Eval.calibrationBins(table(s, dir, "documents"),
-        col("lang") === "en", TextOps.qualityScore(col("text")), CalibBins)))
+        col("lang") === "en", TextOps.qualityScore(col("text")), CalibBins)),
+
+    // Split conformal coverage audit at α = 0.1: per-type mean predictor
+    // fit on the even-id calibration half, |y − ŷ| threshold at the
+    // ⌈(n+1)·0.9⌉-th smallest calibration score (distributed prefix sum),
+    // empirical coverage on the odd-id test half.
+    "eval_conformal_coverage" -> ((s, dir) =>
+      Eval.conformalCoverage(table(s, dir, "events"),
+        col("event_type"), col("value"), col("event_id"))))
 
   // ---------------------------------------------------------------- oracle
 
@@ -87,6 +95,31 @@ object EvalQueries {
        |  FROM f GROUP BY 1, 2)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    "eval_conformal_coverage" ->
+      """WITH rows_ AS (SELECT event_type AS g,
+        |    CAST(value AS DECIMAL(18,6)) AS v, event_id % 2 = 0 AS cal
+        |  FROM events),
+        |mu AS (SELECT g, CAST(round(CAST(sum(v) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS mu
+        |  FROM rows_ WHERE cal GROUP BY 1),
+        |scored AS (SELECT cal, abs(v - mu) AS s FROM rows_ JOIN mu USING (g)),
+        |n AS (SELECT CAST(sum(CASE WHEN cal THEN 1 ELSE 0 END) AS BIGINT) AS n_cal,
+        |    CAST(sum(CASE WHEN NOT cal THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        |  FROM scored),
+        |k AS (SELECT n_cal, n_test,
+        |    CAST(((n_cal + 1) * 900 + 999) // 1000 AS BIGINT) AS k_rank FROM n),
+        |cs AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM scored WHERE cal GROUP BY 1),
+        |cum AS (SELECT s, sum(cnt) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt FROM cs),
+        |tau AS (SELECT min(s) AS tau FROM cum, k WHERE cum_cnt >= k_rank),
+        |cov AS (SELECT CAST(sum(CASE WHEN s <= tau THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cov FROM scored, tau WHERE NOT cal)
+        |SELECT n_cal, n_test, k_rank, CAST(tau AS DOUBLE) AS tau,
+        |  round(CAST(n_cov AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS coverage,
+        |  0.9 AS target
+        |FROM k, tau, cov""".stripMargin,
 
     "eval_confusion_langid" ->
       s"""WITH $cmCte

@@ -255,6 +255,39 @@ object SessionQueries {
           col("click_id"), (col("ts_sec") - col("click_ts")).as("gap_sec"))
     }),
 
+    // Position-based (U-shaped) multi-touch attribution: each user's
+    // click/view touches in the 7 days before their LAST purchase share
+    // that conversion 40% first / 40% last / 20% split across the middle
+    // (1-touch → 100%, 2-touch → 50/50). Per-touch credits are rounded to
+    // 9dp decimals so the per-channel rollup is an exact decimal sum.
+    // One user-keyed exchange serves the join AND the position window.
+    "attribution_position_based" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_sec"), col("event_type"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(max(col("ts_sec")).as("conv_ts"))
+      val touches = ev
+        .filter(col("event_type") === "click" || col("event_type") === "view")
+        .join(conv, "user_id")
+        .filter(col("ts_sec") < col("conv_ts") &&
+          col("conv_ts") - col("ts_sec") <= 7L * 86400L)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec").asc, col("event_id").asc)
+      val wAll = Window.partitionBy(col("user_id"))
+      val pos = touches
+        .withColumn("idx", row_number().over(w).cast("long"))
+        .withColumn("k", count(lit(1)).over(wAll))
+      val credit = when(col("k") === 1L, lit(1.0))
+        .when(col("k") === 2L, lit(0.5))
+        .when(col("idx") === 1L || col("idx") === col("k"), lit(0.4))
+        .otherwise(round(lit(0.2) / (col("k") - 2L).cast("double"), 9))
+        .cast("decimal(18,9)")
+      pos.withColumn("credit", credit)
+        .groupBy(col("event_type").as("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum(col("credit")).cast("double"), 6).as("credit"))
+    }),
+
     // Trailing 24h distinct-behaviour feature: for every event, how many
     // DISTINCT event types its user emitted in the strictly-preceding
     // 24 hours — the leakage-safe trailing profile a ranking model
@@ -685,6 +718,31 @@ object SessionQueries {
         |FROM p ASOF JOIN c
         |  ON p.user_id = c.user_id AND p.ts_sec >= c.click_ts
         |WHERE p.ts_sec - c.click_ts <= 7 * 86400""".stripMargin,
+
+    "attribution_position_based" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_type
+        |  FROM events),
+        |conv AS (SELECT user_id, CAST(max(ts_sec) AS BIGINT) AS conv_ts
+        |  FROM e WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (SELECT e.event_id, e.user_id, e.ts_sec, e.event_type
+        |  FROM e JOIN conv USING (user_id)
+        |  WHERE event_type IN ('click', 'view') AND ts_sec < conv_ts
+        |    AND conv_ts - ts_sec <= 7 * 86400),
+        |p AS (SELECT event_type,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec ASC, event_id ASC) AS BIGINT) AS idx,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS k
+        |  FROM t),
+        |c AS (SELECT event_type,
+        |    CAST(CASE WHEN k = 1 THEN 1.0 WHEN k = 2 THEN 0.5
+        |      WHEN idx = 1 OR idx = k THEN 0.4
+        |      ELSE round(0.2 / CAST(k - 2 AS DOUBLE), 9)
+        |    END AS DECIMAL(18,9)) AS credit
+        |  FROM p)
+        |SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |  round(CAST(sum(credit) AS DOUBLE), 6) AS credit
+        |FROM c GROUP BY 1""".stripMargin,
 
     "feature_trailing_distinct" ->
       """WITH e AS (SELECT event_id, user_id,

@@ -119,6 +119,13 @@ object TrainPrepQueries {
     "pretrain_span_corruption" -> ((s, dir) =>
       Shaping.spanCorruption(table(s, dir, "documents"), "doc_id", "text")),
 
+    // Fill-in-the-middle builder (Bavarian et al. 2022): ~90% of docs to
+    // the PSM sentinel layout, 10% kept autoregressive, split points from
+    // the high bits of the engine-neutral Knuth hash — deterministic,
+    // zero-shuffle per-row rearrangement.
+    "pretrain_fim" -> ((s, dir) =>
+      Shaping.fillInMiddle(table(s, dir, "documents"), "doc_id", "text")),
+
     // Zipf rank–frequency OLS over the top-200 vocabulary: the one-row
     // corpus-health signal (natural text ≈ slope −1).
     "vocab_zipf_slope" -> ((s, dir) =>
@@ -295,6 +302,28 @@ object TrainPrepQueries {
          |  concat(core, CASE WHEN core = '' THEN '' ELSE ' ' END,
          |    '<extra_id_', CAST(n_spans AS VARCHAR), '>') AS target_text
          |FROM cc""".stripMargin,
+
+    "pretrain_fim" -> {
+      val h1 = OracleSql.knuth32("id")
+      val h2 = OracleSql.knuth32("id + 1000003")
+      s"""WITH t AS (SELECT doc_id AS id, $toksSql AS toks FROM documents),
+         |b AS (SELECT id, toks, CAST(len(toks) AS BIGINT) AS n,
+         |    CAST($h1 AS BIGINT) AS h1, CAST($h2 AS BIGINT) AS h2 FROM t),
+         |c AS (SELECT id, toks, n, h2,
+         |    (h1 * 10) // 4294967296 < 9 AS fim,
+         |    (h1 * (n + 1)) // 4294967296 AS p1 FROM b),
+         |d AS (SELECT *, (h2 * (n - p1 + 1)) // 4294967296 AS l FROM c)
+         |SELECT id, n AS n_tokens,
+         |  CASE WHEN fim THEN 'psm' ELSE 'ar' END AS mode,
+         |  CAST(CASE WHEN fim THEN p1 ELSE -1 END AS BIGINT) AS split_at,
+         |  CAST(CASE WHEN fim THEN l ELSE -1 END AS BIGINT) AS mid_len,
+         |  CASE WHEN fim THEN array_to_string(
+         |      ['<fim_prefix>'] || toks[1:CAST(p1 AS INT)] || ['<fim_suffix>'] ||
+         |      toks[CAST(p1 + l + 1 AS INT):CAST(n AS INT)] || ['<fim_middle>'] ||
+         |      toks[CAST(p1 + 1 AS INT):CAST(p1 + l AS INT)], ' ')
+         |    ELSE array_to_string(toks, ' ') END AS text_fim
+         |FROM d""".stripMargin
+    },
 
     "vocab_zipf_slope" ->
       s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wcnt
