@@ -39,6 +39,27 @@ object DataOpsQueries {
     "dedup_exact_docs" -> ((s, dir) =>
       Dedup.exactGroups(table(s, dir, "documents"), "doc_id", "text")),
 
+    // Streaming exact dedup through a REAL file stream: the documents
+    // fixture fed to flatMapGroupsWithState keep-first; with one initial
+    // batch the surviving representative is the batch operator's min-id,
+    // so the exact-group oracle applies verbatim. State = one boolean per
+    // distinct fingerprint (the online twin of dedup_exact_docs).
+    "streaming_dedup" -> ((s, dir) => {
+      import graft.streaming.StreamDedup
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val feedDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-stream-dedup-" + new java.io.File(dir).getName).getAbsolutePath
+      docs.write.mode("overwrite").parquet(feedDir)
+      import s.implicits._
+      val stream = s.readStream.schema(docs.schema).parquet(feedDir)
+        .as[StreamDedup.Doc]
+      val q = StreamDedup.keepFirst(s, stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("gate_stream_dedup").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("gate_stream_dedup").select(col("doc_id"), col("fingerprint"))
+    }),
+
     // Which sources leak into which: the n-gram near-dup pairs rolled up
     // to an unordered source×source matrix — the pre-mixing diagnostic
     // (hot off-diagonal cell = one source re-crawls another).
@@ -885,6 +906,11 @@ object DataOpsQueries {
       "dedup_exact_docs" ->
         s"""SELECT md5($normTextSql) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS keep_id,
            | count(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,
+
+      "streaming_dedup" ->
+        s"""SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+           |  md5($normTextSql) AS fingerprint
+           |FROM documents GROUP BY 2""".stripMargin,
       "dedup_ngram_pairs" -> oraclesNgramSql,
       // Bigram starts reach len-1, range covers i ≤ 4095 ⇒ safe through
       // len 4096 — own guard (the trigram guard admits 4097).

@@ -89,6 +89,37 @@ object SessionQueries {
         col("n_events"))
     }),
 
+    // Stream-stream interval join through REAL file streams: clicks and
+    // purchases from the events fixture as two independent watermarked
+    // streams, purchases matched to the clicks they follow within 60
+    // minutes. Inner-join matches emit without waiting on the watermark,
+    // so a single processAllAvailable drains every pair; the watermark
+    // bound is what lets Spark EVICT join state at scale. Oracle = the
+    // equivalent batch interval join.
+    "streaming_interval_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val feedBase = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-stream-ij-" + new java.io.File(dir).getName).getAbsolutePath
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      clicks.write.mode("overwrite").parquet(feedBase + "-c")
+      purchases.write.mode("overwrite").parquet(feedBase + "-p")
+      val cs = s.readStream.schema(clicks.schema).parquet(feedBase + "-c")
+      val ps = s.readStream.schema(purchases.schema).parquet(feedBase + "-p")
+      val q = graft.streaming.StreamJoin.attribution(cs, ps,
+        windowMinutes = 60, watermark = "10 minutes")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("gate_stream_ij").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("gate_stream_ij").select(col("user_id"), col("click_id"),
+        col("purchase_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+    }),
+
     // Watermarked tumbling-window rollup through a REAL file stream: the
     // canonical readStream → withWatermark → window-groupBy → append-sink
     // shape, fed by the events fixture plus a sentinel 2h past max(ts) so
@@ -600,6 +631,18 @@ object SessionQueries {
         |  CASE WHEN zero = 1 THEN 0.0
         |    ELSE round(exp(CAST(ls AS DOUBLE)), 6) END AS survival
         |FROM l3""".stripMargin,
+
+    "streaming_interval_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, click_id, purchase_id,
+        |  strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  strftime(purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+        |FROM c JOIN p ON p.user_id = c.user_id
+        |  AND purchase_ts > click_ts
+        |  AND purchase_ts <= click_ts + INTERVAL 60 MINUTE""".stripMargin,
 
     "streaming_hourly_stats" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
