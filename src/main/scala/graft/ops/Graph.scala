@@ -208,6 +208,147 @@ object Graph {
     ranks
   }
 
+  /** Local HITS kernel over index-mapped edges — the exact integer
+    * recurrence of the distributed loop, BigInt partials mirroring the
+    * DECIMAL(38,0) sums (all operands non-negative, so BigInt `/`,
+    * Scala floor division, and Spark/DuckDB `div`/`//` agree). */
+  private def localHitsLoop(src: Array[Int], dst: Array[Int], w: Array[Long],
+      n: Int, iters: Int): (Array[Long], Array[Long]) = {
+    val h = new Array[Long](n)
+    val a = new Array[Long](n)
+    java.util.Arrays.fill(h, Scale / n)
+    var it = 0
+    while (it < iters) {
+      val aRaw = Array.fill(n)(BigInt(0))
+      var i = 0
+      while (i < src.length) {
+        aRaw(dst(i)) += BigInt(h(src(i))) * w(i); i += 1
+      }
+      val sa = aRaw.sum
+      i = 0
+      while (i < n) {
+        a(i) = if (sa > 0) ((aRaw(i) * Scale) / sa).toLong else 0L
+        i += 1
+      }
+      val hRaw = Array.fill(n)(BigInt(0))
+      i = 0
+      while (i < src.length) {
+        hRaw(src(i)) += BigInt(a(dst(i))) * w(i); i += 1
+      }
+      val sh = hRaw.sum
+      i = 0
+      while (i < n) {
+        h(i) = if (sh > 0) ((hRaw(i) * Scale) / sh).toLong else 0L
+        i += 1
+      }
+      it += 1
+    }
+    (h, a)
+  }
+
+  /** HITS hubs & authorities (Kleinberg) over a weighted directed edge
+    * list, in the same fixed-point integer arithmetic as
+    * [[pagerankScaled]]: per round, authority mass is the weighted sum of
+    * in-neighbour hub scores and vice versa, each re-normalized to sum to
+    * [[Scale]] by exact integer division against the round's DECIMAL(38,0)
+    * total — order-invariant sums, bit-identical on any engine or
+    * partitioning (ℓ₁ normalization replaces the classical ℓ₂, which no
+    * integer arithmetic can reproduce exactly).
+    *
+    * Two regimes like every iterative op here: a driver BigInt kernel at
+    * or below `localEdgeThreshold` edges (one collect job), the
+    * distributed loop above it — 2 joins + 2 aggregates + 2 one-row
+    * normalization broadcasts per round. Overflow headroom is honest
+    * ANSI: raw sums stay ≤ Scale·W (W = total edge weight), and the
+    * normalization product ≤ Scale²·W ≤ 10³⁸ for W up to ~10¹⁴.
+    *
+    * Output: (node, hub, auth) in [[Scale]] units; isolated sides
+    * (no out-edges / no in-edges) hold exact 0. */
+  def hitsScaled(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, iters: Int,
+      localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    Seq("node", "h", "a", "__ar", "__hr", "__sa", "__sh").foreach { c =>
+      require(!edges.columns.contains(c),
+        s"hitsScaled uses an internal $c column; rename the existing one")
+    }
+    val e0 = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sameIdType =
+      edges.schema(srcCol).dataType == edges.schema(dstCol).dataType
+    if (sameIdType && e0.count() <= localEdgeThreshold) {
+      val spark = edges.sparkSession
+      val rows = e0.select(col(srcCol), col(dstCol),
+        col(wCol).cast("long")).collect()
+      e0.unpersist()
+      if (rows.isEmpty)
+        return spark.createDataFrame(
+          new java.util.ArrayList[Row](), StructType(Seq(
+            StructField("node", edges.schema(srcCol).dataType),
+            StructField("hub", LongType), StructField("auth", LongType))))
+      val idx = new java.util.LinkedHashMap[Any, Integer]()
+      def id(v: Any): Int = {
+        var i = idx.get(v)
+        if (i == null) { i = idx.size(); idx.put(v, i) }
+        i
+      }
+      val (srcs, dsts, ws) = (new Array[Int](rows.length),
+        new Array[Int](rows.length), new Array[Long](rows.length))
+      var i = 0
+      while (i < rows.length) {
+        srcs(i) = id(rows(i).get(0)); dsts(i) = id(rows(i).get(1))
+        ws(i) = rows(i).getLong(2); i += 1
+      }
+      val (h, a) = localHitsLoop(srcs, dsts, ws, idx.size(), iters)
+      import scala.jdk.CollectionConverters._
+      val out = idx.entrySet().asScala.toSeq
+        .map(e => Row(e.getKey, h(e.getValue), a(e.getValue)))
+      return spark.createDataFrame(out.asJava, StructType(Seq(
+        StructField("node", edges.schema(srcCol).dataType),
+        StructField("hub", LongType), StructField("auth", LongType))))
+    }
+    val nodes = e0.select(col(srcCol).as("node"))
+      .union(e0.select(col(dstCol).as("node")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n1 = nodes.agg(count(lit(1)).as("__n"))
+    val eo = e0.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        col(wCol).cast("long").as("__w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var hubs = nodes.crossJoin(broadcast(n1))
+      .select(col("node"), expr(s"$Scale div __n").as("h"))
+    var auths: DataFrame = null
+    for (i <- 1 to iters) {
+      val aRaw = eo
+        .join(hubs.select(col("node").as("__src"), col("h")), "__src")
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("h").cast("decimal(38,0)") * col("__w")).as("__ar"))
+      val sa = aRaw.agg(sum(col("__ar")).as("__sa"))
+      auths = nodes.join(aRaw, Seq("node"), "left")
+        .crossJoin(broadcast(sa))
+        .select(col("node"),
+          when(col("__sa") > 0,
+            expr(s"(coalesce(__ar, CAST(0 AS DECIMAL(38,0))) * $Scale) div __sa"))
+            .otherwise(lit(0L)).cast("long").as("a"))
+      val hRaw = eo
+        .join(auths.select(col("node").as("__dst"), col("a")), "__dst")
+        .groupBy(col("__src").as("node"))
+        .agg(sum(col("a").cast("decimal(38,0)") * col("__w")).as("__hr"))
+      val sh = hRaw.agg(sum(col("__hr")).as("__sh"))
+      hubs = nodes.join(hRaw, Seq("node"), "left")
+        .crossJoin(broadcast(sh))
+        .select(col("node"),
+          when(col("__sh") > 0,
+            expr(s"(coalesce(__hr, CAST(0 AS DECIMAL(38,0))) * $Scale) div __sh"))
+            .otherwise(lit(0L)).cast("long").as("h"))
+      if (i % 5 == 0 && i < iters) {
+        hubs = hubs.localCheckpoint(true)
+        auths = auths.localCheckpoint(true)
+      }
+    }
+    hubs.join(auths, "node")
+      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+  }
+
   /** Personalized (topic-sensitive) PageRank: teleport mass returns ONLY
     * to the seed set, so rank measures proximity-weighted importance
     * relative to the seeds — the trusted-seed quality-propagation signal

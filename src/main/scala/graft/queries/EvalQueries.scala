@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables.table
@@ -58,6 +58,33 @@ object EvalQueries {
       Eval.calibrationBins(table(s, dir, "documents"),
         col("lang") === "en", TextOps.qualityScore(col("text")), CalibBins)),
 
+    // Average precision (area under the uninterpolated PR curve) of the
+    // quality score as an is-English ranker: AP = mean over positives of
+    // precision@rank under the deterministic total order (score desc,
+    // id asc). Per-positive precision terms are rounded to integer
+    // nano-units, ranks come from the two-pass distributed prefix sum —
+    // the PR-curve companion to eval_score_report's ROC AUC.
+    "eval_avg_precision" -> ((s, dir) => {
+      val scored = table(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+          TextOps.qualityScore(col("text")).as("s"))
+        .withColumn("one", lit(1L))
+      val pre = graft.ops.Ranking.prefixSum(scored,
+        Seq(col("s").desc, col("doc_id").asc), Seq("pos", "one"))
+      def d(c: Column) = c.cast("double")
+      val terms = pre.filter(col("pos") === 1L)
+        .select(round(d(col("cum_pos")) / d(col("cum_one")) * 1.0e9, 0)
+          .cast("long").as("p9"))
+        .agg(sum(col("p9")).as("sp9"), count(lit(1)).as("n_pos"))
+      val n = scored.agg(count(lit(1)).as("n"))
+      n.crossJoin(broadcast(terms))
+        .select(col("n"), col("n_pos"),
+          when(col("n_pos") > 0L,
+            round(d(col("sp9")) / (d(col("n_pos")) * 1.0e9), 6))
+            .otherwise(lit(0.0)).as("avg_precision"))
+    }),
+
     // Split conformal coverage audit at α = 0.1: per-type mean predictor
     // fit on the even-id calibration half, |y − ŷ| threshold at the
     // ⌈(n+1)·0.9⌉-th smallest calibration score (distributed prefix sum),
@@ -95,6 +122,27 @@ object EvalQueries {
        |  FROM f GROUP BY 1, 2)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    "eval_avg_precision" ->
+      s"""WITH sc AS (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         |    $qualitySql AS s
+         |  FROM documents),
+         |c AS (SELECT pos,
+         |    CAST(sum(pos) OVER w AS BIGINT) AS cum_pos,
+         |    CAST(count(*) OVER w AS BIGINT) AS cum_one
+         |  FROM sc WINDOW w AS (ORDER BY s DESC, doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |t AS (SELECT CAST(sum(CAST(round(CAST(cum_pos AS DOUBLE) /
+         |      CAST(cum_one AS DOUBLE) * 1000000000.0, 0) AS BIGINT)) AS BIGINT)
+         |    AS sp9, CAST(count(*) AS BIGINT) AS n_pos
+         |  FROM c WHERE pos = 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc)
+         |SELECT n, n_pos,
+         |  CASE WHEN n_pos > 0 THEN round(CAST(sp9 AS DOUBLE) /
+         |    (CAST(n_pos AS DOUBLE) * 1000000000.0), 6) ELSE 0.0 END
+         |    AS avg_precision
+         |FROM n, t""".stripMargin,
 
     "eval_conformal_coverage" ->
       """WITH rows_ AS (SELECT event_type AS g,

@@ -76,6 +76,13 @@ object GraphQueries {
     "graph_degrees" -> ((s, dir) =>
       Graph.degrees(transitionEdges(s, dir), "src", "dst", "w")),
 
+    // HITS hubs/authorities over the transition graph — the complementary
+    // centrality to PageRank (a node can be a strong pointer without
+    // being pointed at). Fixed-point integer loop with ℓ₁ renormalization
+    // per round; oracle = the same 3 iterations unrolled in HUGEINT.
+    "graph_hits" -> ((s, dir) =>
+      Graph.hitsScaled(transitionEdges(s, dir), "src", "dst", "w", Iters)),
+
     // Exact triangle census of the co-purchase graph. Degree-ordered
     // orientation inside triangleCounts bounds wedge generation on hub
     // parts; the oracle is the naive three-way join.
@@ -218,6 +225,30 @@ object GraphQueries {
        |  LEFT JOIN c${i + 1} ON c${i + 1}.node = nodes.node)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    "graph_hits" -> {
+      def hitsIter(i: Int): String =
+        s"""ar$i AS (SELECT e.dst AS node, sum(CAST(h AS HUGEINT) * e.w) AS araw
+           |  FROM e JOIN h${i - 1} ON h${i - 1}.node = e.src GROUP BY 1),
+           |sa$i AS (SELECT sum(araw) AS s FROM ar$i),
+           |a$i AS (SELECT nodes.node,
+           |    CAST(CASE WHEN s > 0 THEN (coalesce(araw, 0) * ${Graph.Scale}) // s
+           |      ELSE 0 END AS BIGINT) AS a
+           |  FROM nodes LEFT JOIN ar$i ON ar$i.node = nodes.node CROSS JOIN sa$i),
+           |hr$i AS (SELECT e.src AS node, sum(CAST(a AS HUGEINT) * e.w) AS hraw
+           |  FROM e JOIN a$i ON a$i.node = e.dst GROUP BY 1),
+           |sh$i AS (SELECT sum(hraw) AS s FROM hr$i),
+           |h$i AS (SELECT nodes.node,
+           |    CAST(CASE WHEN s > 0 THEN (coalesce(hraw, 0) * ${Graph.Scale}) // s
+           |      ELSE 0 END AS BIGINT) AS h
+           |  FROM nodes LEFT JOIN hr$i ON hr$i.node = nodes.node CROSS JOIN sh$i)"""
+          .stripMargin
+      s"""WITH $edgeCtes,
+         |h0 AS (SELECT node, ${Graph.Scale} // n AS h FROM nodes CROSS JOIN nn),
+         |${(1 to Iters).map(hitsIter).mkString(",\n")}
+         |SELECT h$Iters.node, h$Iters.h AS hub, a$Iters.a AS auth
+         |FROM h$Iters JOIN a$Iters ON a$Iters.node = h$Iters.node""".stripMargin
+    },
 
     "graph_pagerank" ->
       s"""WITH $edgeCtes,

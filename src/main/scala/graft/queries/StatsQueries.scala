@@ -584,6 +584,44 @@ object StatsQueries {
         (round(llr, 6) >= 2.995732).as("crossed"))
     }),
 
+    // Theil T inequality index of order values with the within/between
+    // decomposition over order priorities — the inequality read-out that
+    // (unlike Gini) decomposes additively, so a mixing pipeline can see
+    // WHERE concentration lives. Per-row x·ln(x) terms are rounded to
+    // integer micro-units at the libm boundary (exact integer sums);
+    // the 5-group between-component closure rounds each group term to
+    // 9dp decimal before the exact decimal fold. Guards: x > 0 rows only
+    // (Theil's domain), ln via shared doubles.
+    "agg_theil_decomp" -> ((s, dir) => {
+      def d(c: Column) = c.cast("double")
+      val rows = table(s, dir, "orders")
+        .filter(col("o_totalprice") > 0.0)
+        .select(col("o_orderpriority").as("g"),
+          col("o_totalprice").cast("decimal(18,6)").as("x"))
+      val byG = rows.groupBy(col("g")).agg(
+        count(lit(1)).as("ng"), sum(col("x")).as("sg"),
+        sum(round(d(col("x")) * log(d(col("x"))) * 1.0e6, 0)
+          .cast("long").cast("decimal(38,0)")).as("xlg"))
+      val tot = byG.agg(sum(col("ng")).as("n"), sum(col("sg")).as("sx"),
+        sum(col("xlg")).as("xl"))
+      val mu = d(col("sx")) / d(col("n"))
+      val tTotal = (d(col("xl")) / 1.0e6) / (d(col("n")) * mu) - log(mu)
+      val totRow = tot.select(col("n"),
+        round(mu, 6).as("mean"), round(tTotal, 6).as("theil_total"),
+        col("sx").as("__sx"), col("n").as("__n"))
+      val between = byG.crossJoin(broadcast(totRow.select(
+          col("__sx"), col("__n"))))
+        .select((round((d(col("sg")) / d(col("__sx"))) *
+          log((d(col("sg")) / d(col("ng"))) /
+            (d(col("__sx")) / d(col("__n")))), 9))
+          .cast("decimal(18,9)").as("tb"))
+        .agg(sum(col("tb")).as("tbs"), count(lit(1)).as("k_groups"))
+      totRow.crossJoin(broadcast(between))
+        .select(col("n"), col("k_groups"), col("mean"), col("theil_total"),
+          round(d(col("tbs")), 6).as("theil_between"),
+          round(col("theil_total") - d(col("tbs")), 6).as("theil_within"))
+    }),
+
     // Neyman optimal allocation of a 1000-unit sample across market
     // segments: n_h ∝ N_h·σ_h (exact decimal moments; σ rounded to 6dp
     // decimal BEFORE the weight products so the allocation denominator is
@@ -1065,6 +1103,34 @@ object StatsQueries {
         |SELECT day, t1, s1, t2, s2, round(llr0, 6) AS llr,
         |  round(llr0, 6) >= 2.995732 AS crossed
         |FROM l""".stripMargin,
+
+    "agg_theil_decomp" ->
+      """WITH r AS (SELECT o_orderpriority AS g,
+        |    CAST(o_totalprice AS DECIMAL(18,6)) AS x
+        |  FROM orders WHERE o_totalprice > 0.0),
+        |byg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng, sum(x) AS sg,
+        |    sum(CAST(CAST(round(CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE))
+        |      * 1000000.0, 0) AS BIGINT) AS DECIMAL(38,0))) AS xlg
+        |  FROM r GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n, sum(sg) AS sx,
+        |    sum(xlg) AS xl FROM byg),
+        |t AS (SELECT n, sx,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    (CAST(xl AS DOUBLE) / 1000000.0) /
+        |      (CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      - ln(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS tt FROM tot),
+        |btw AS (SELECT sum(CAST(round(
+        |      (CAST(sg AS DOUBLE) / CAST(sx AS DOUBLE)) *
+        |      ln((CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)) /
+        |        (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 9)
+        |      AS DECIMAL(18,9))) AS tbs,
+        |    CAST(count(*) AS BIGINT) AS k_groups
+        |  FROM byg, tot)
+        |SELECT n, k_groups, round(mu, 6) AS mean,
+        |  round(tt, 6) AS theil_total,
+        |  round(CAST(tbs AS DOUBLE), 6) AS theil_between,
+        |  round(round(tt, 6) - CAST(tbs AS DOUBLE), 6) AS theil_within
+        |FROM t, btw""".stripMargin,
 
     "sample_neyman_alloc" ->
       """WITH byh AS (SELECT c_mktsegment AS segment,

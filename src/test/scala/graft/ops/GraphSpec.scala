@@ -466,6 +466,28 @@ class GraphSpec extends SparkSpec {
     assert(m(Graph.labelPropagation(ue, "a", "b", rounds = 3)) ==
       m(Graph.labelPropagation(ue, "a", "b", rounds = 3,
         localEdgeThreshold = -1L)))
+    def ha(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ha(Graph.hitsScaled(we, "src", "dst", "w", iters = 4)) ==
+      ha(Graph.hitsScaled(we, "src", "dst", "w", iters = 4,
+        localEdgeThreshold = -1L)))
+  }
+
+  test("hitsScaled: star graph separates hubs from authorities") {
+    // 3 leaves point at the hub: leaves are pure hubs (auth 0), the
+    // centre is the pure authority (hub 0); ℓ₁ mass = Scale per side.
+    val e = edges(("l1", "h", 1L), ("l2", "h", 1L), ("l3", "h", 1L))
+    val out = Graph.hitsScaled(e, "src", "dst", "w", iters = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("h")._1 == 0L) // no out-edges: zero hub score
+    assert(out("h")._2 == Graph.Scale) // the only authority
+    assert(out("l1")._2 == 0L && out("l2")._2 == 0L)
+    // symmetric leaves tie exactly; hub mass sums to Scale up to div floor
+    assert(out("l1")._1 == out("l2")._1 && out("l2")._1 == out("l3")._1)
+    assert(Seq("l1", "l2", "l3").map(out(_)._1).sum <= Graph.Scale)
+    assert(Seq("l1", "l2", "l3").map(out(_)._1).sum > Graph.Scale - 10L)
+    // empty edge list: empty output, no division by zero
+    assert(Graph.hitsScaled(edges(), "src", "dst", "w", iters = 2).count() == 0L)
   }
 
   test("invertedIndex: per-doc dedup, sorted postings, exact df") {

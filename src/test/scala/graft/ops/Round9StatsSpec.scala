@@ -49,6 +49,27 @@ class Round9StatsSpec extends SparkSpec {
     assert(t1s.zip(t1s.tail).forall { case (a, b) => a <= b })
   }
 
+  test("theil decomposition: total = within + between, all non-negative") {
+    val r = run("agg_theil_decomp").collect().head
+    val (t, b, w) = (r.getAs[Double]("theil_total"),
+      r.getAs[Double]("theil_between"), r.getAs[Double]("theil_within"))
+    assert(t >= 0.0 && b >= -1e-6 && w >= -1e-6)
+    assert(math.abs(t - (b + w)) < 2e-6) // additive decomposition, 6dp
+    assert(r.getAs[Long]("k_groups") == 5L) // order priorities
+    assert(b <= t + 1e-6) // between cannot exceed total
+  }
+
+  test("average precision lies in [prevalence-floor, 1]") {
+    val r = graft.queries.EvalQueries.queries("eval_avg_precision")(
+      spark, sf("sf0.001")).collect().head
+    val ap = r.getAs[Double]("avg_precision")
+    val prevalence = r.getAs[Long]("n_pos").toDouble / r.getAs[Long]("n")
+    assert(r.getAs[Long]("n_pos") > 0L)
+    assert(ap >= 0.0 && ap <= 1.0)
+    // a better-than-random ranker beats the random-baseline AP (= prevalence)
+    assert(ap > prevalence * 0.9)
+  }
+
   test("neyman allocation sums to the budget up to per-stratum rounding") {
     val rows = run("sample_neyman_alloc").collect()
     assert(rows.length == 5) // TPC-H market segments
