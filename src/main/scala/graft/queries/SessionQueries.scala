@@ -568,6 +568,35 @@ object SessionQueries {
       pairs.select(col("from_type"), col("to_type"), col("n"),
         round(col("n").cast("double") / sum(col("n")).over(w2).cast("double"), 6)
           .as("p"))
+    }),
+
+    // Entropy rate of the event-transition Markov chain: H(next | cur) =
+    // (1/N)·Σ_{s,t} n_st·ln(n_s/n_st) over the same transition counts as
+    // event_transitions, plus the branching perplexity e^H — the sequence-
+    // predictability health metric for a behavioural stream. Per-cell log
+    // terms in integer nano-units (exact sums); 25-cell closure.
+    "events_transition_entropy" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val cells = table(s, dir, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("nst"))
+      val marg = cells.groupBy(col("src")).agg(sum(col("nst")).as("ns"))
+      def d(c: Column) = c.cast("double")
+      val terms = cells.join(broadcast(marg), "src")
+        .select((col("nst") *
+          round(log(d(col("ns")) / d(col("nst"))) * 1.0e9, 0).cast("long"))
+          .cast("decimal(38,0)").as("t"))
+        .agg(sum(col("t")).as("st"), count(lit(1)).as("k_cells"))
+      val tot = cells.agg(sum(col("nst")).as("n_transitions"),
+        countDistinct(col("src")).as("k_states"))
+      val h = d(col("st")) / (d(col("n_transitions")) * 1.0e9)
+      tot.crossJoin(broadcast(terms))
+        .select(col("n_transitions"), col("k_states"), col("k_cells"),
+          round(h, 6).as("entropy_nats"),
+          round(exp(h), 6).as("perplexity"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -1037,5 +1066,28 @@ object SessionQueries {
         |SELECT from_type, to_type, n,
         |  round(CAST(n AS DOUBLE) /
         |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+
+    "events_transition_entropy" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type AS src, next_type AS dst,
+        |    CAST(count(*) AS BIGINT) AS nst
+        |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT src, CAST(sum(nst) AS BIGINT) AS ns FROM c GROUP BY 1),
+        |t AS (SELECT sum(CAST(nst * CAST(round(ln(CAST(ns AS DOUBLE) /
+        |      CAST(nst AS DOUBLE)) * 1000000000.0, 0) AS BIGINT)
+        |      AS DECIMAL(38,0))) AS st,
+        |    CAST(count(*) AS BIGINT) AS k_cells
+        |  FROM c JOIN m USING (src)),
+        |tot AS (SELECT CAST(sum(nst) AS BIGINT) AS n_transitions,
+        |    CAST(count(DISTINCT src) AS BIGINT) AS k_states FROM c)
+        |SELECT n_transitions, k_states, k_cells,
+        |  round(CAST(st AS DOUBLE) /
+        |    (CAST(n_transitions AS DOUBLE) * 1000000000.0), 6) AS entropy_nats,
+        |  round(exp(CAST(st AS DOUBLE) /
+        |    (CAST(n_transitions AS DOUBLE) * 1000000000.0)), 6) AS perplexity
+        |FROM tot, t""".stripMargin)
 }

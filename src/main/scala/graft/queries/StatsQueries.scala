@@ -584,6 +584,51 @@ object StatsQueries {
         (round(llr, 6) >= 2.995732).as("crossed"))
     }),
 
+    // Sample-ratio-mismatch guardrail: the FIRST check any A/B readout
+    // must pass — do the assignment counts match the designed 50/50
+    // split? χ²(1df) over distinct assigned users reduces to the exact
+    // integer form (n1−n2)²/(n1+n2); flag at the 95% quantile. A failed
+    // SRM invalidates every downstream metric, which is why this ships
+    // as its own gate rather than a footnote on the t-test.
+    "ab_srm_check" -> ((s, dir) => {
+      val arms = table(s, dir, "events")
+        .select(col("user_id")).distinct()
+        .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("user_id") % 2 =!= 0, 1L).otherwise(0L)).as("n2"))
+      def d(c: Column) = c.cast("double")
+      val diff = col("n1") - col("n2")
+      val chi2 = d(diff * diff) / d(col("n1") + col("n2"))
+      arms.select(col("n1"), col("n2"),
+        round(chi2, 6).as("chi2"),
+        (round(chi2, 6) > 3.841459).as("srm_detected"))
+    }),
+
+    // Weight-of-evidence / information-value table of quantity buckets
+    // against the return flag — the credit-scoring-style predictive-power
+    // screen for a candidate feature. WoE_b = ln((good_b/G)/(bad_b/B))
+    // from integer counts (deterministic per bucket); IV terms rounded to
+    // 9dp decimals so the total is an exact decimal sum. One-sided empty
+    // buckets take the documented WoE := 0 guard (no smoothing).
+    "feature_woe_iv" -> ((s, dir) => {
+      val byB = table(s, dir, "lineitem")
+        .select(expr("CAST(l_quantity AS BIGINT) div 10").as("bucket"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("bad"))
+        .groupBy(col("bucket"))
+        .agg(sum(lit(1L) - col("bad")).as("n_good"), sum(col("bad")).as("n_bad"))
+      val tot = byB.agg(sum(col("n_good")).as("tg"), sum(col("n_bad")).as("tb"))
+      def d(c: Column) = c.cast("double")
+      val shareG = d(col("n_good")) / d(col("tg"))
+      val shareB = d(col("n_bad")) / d(col("tb"))
+      val woe = when(col("n_good") === 0L || col("n_bad") === 0L, lit(0.0))
+        .otherwise(round(log(shareG / shareB), 6))
+      byB.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_good"), col("n_bad"),
+          woe.as("woe"),
+          when(col("n_good") === 0L || col("n_bad") === 0L, lit(0.0))
+            .otherwise(round((shareG - shareB) * log(shareG / shareB), 9))
+            .as("iv_term"))
+    }),
+
     // Theil T inequality index of order values with the within/between
     // decomposition over order priorities — the inequality read-out that
     // (unlike Gini) decomposes additively, so a mixing pipeline can see
@@ -1103,6 +1148,38 @@ object StatsQueries {
         |SELECT day, t1, s1, t2, s2, round(llr0, 6) AS llr,
         |  round(llr0, 6) >= 2.995732 AS crossed
         |FROM l""".stripMargin,
+
+    "ab_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM u)
+        |SELECT n1, n2,
+        |  round(CAST((n1 - n2) * (n1 - n2) AS DOUBLE) /
+        |    CAST(n1 + n2 AS DOUBLE), 6) AS chi2,
+        |  round(CAST((n1 - n2) * (n1 - n2) AS DOUBLE) /
+        |    CAST(n1 + n2 AS DOUBLE), 6) > 3.841459 AS srm_detected
+        |FROM a""".stripMargin,
+
+    "feature_woe_iv" ->
+      """WITH r AS (SELECT CAST(l_quantity AS BIGINT) // 10 AS bucket,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+        |  FROM lineitem),
+        |byb AS (SELECT bucket, CAST(sum(1 - bad) AS BIGINT) AS n_good,
+        |    CAST(sum(bad) AS BIGINT) AS n_bad FROM r GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_good) AS BIGINT) AS tg,
+        |    CAST(sum(n_bad) AS BIGINT) AS tb FROM byb)
+        |SELECT bucket, n_good, n_bad,
+        |  CASE WHEN n_good = 0 OR n_bad = 0 THEN 0.0
+        |    ELSE round(ln((CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE)) /
+        |      (CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE))), 6) END AS woe,
+        |  CASE WHEN n_good = 0 OR n_bad = 0 THEN 0.0
+        |    ELSE round((CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE) -
+        |      CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE)) *
+        |      ln((CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE)) /
+        |        (CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE))), 9) END AS iv_term
+        |FROM byb, tot""".stripMargin,
 
     "agg_theil_decomp" ->
       """WITH r AS (SELECT o_orderpriority AS g,

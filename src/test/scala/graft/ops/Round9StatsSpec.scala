@@ -70,6 +70,36 @@ class Round9StatsSpec extends SparkSpec {
     assert(ap > prevalence * 0.9)
   }
 
+  test("srm check: balanced hash assignment does not trip the guardrail") {
+    val r = run("ab_srm_check").collect().head
+    assert(r.getAs[Long]("n1") > 0L && r.getAs[Long]("n2") > 0L)
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    // parity assignment of sequential user ids is as balanced as it gets
+    assert(!r.getAs[Boolean]("srm_detected"))
+  }
+
+  test("transition entropy bounded by ln(k); perplexity = exp(H)") {
+    val r = graft.queries.SessionQueries.queries("events_transition_entropy")(
+      spark, sf("sf0.001")).collect().head
+    val h = r.getAs[Double]("entropy_nats")
+    val k = r.getAs[Long]("k_states")
+    assert(h >= 0.0 && h <= math.log(k.toDouble) + 1e-6)
+    assert(math.abs(r.getAs[Double]("perplexity") - math.exp(h)) < 1e-4)
+    assert(r.getAs[Long]("k_cells") <= k * k)
+  }
+
+  test("woe/iv: shares reconcile and iv terms are non-negative") {
+    val rows = run("feature_woe_iv").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // (shareG - shareB) and ln(shareG/shareB) always share a sign
+      assert(r.getAs[Double]("iv_term") >= 0.0)
+      if (r.getAs[Double]("woe") == 0.0 &&
+          (r.getAs[Long]("n_good") == 0L || r.getAs[Long]("n_bad") == 0L))
+        assert(r.getAs[Double]("iv_term") == 0.0)
+    }
+  }
+
   test("neyman allocation sums to the budget up to per-stratum rounding") {
     val rows = run("sample_neyman_alloc").collect()
     assert(rows.length == 5) // TPC-H market segments
