@@ -459,6 +459,53 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("bootstrap CI: replicate explode feeds a partial-combining aggregate — " +
+      "the shuffle carries 64 groups per partition, not 64× the data") {
+    val p = plan("agg_bootstrap_ci")
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p) // no global sort
+  }
+
+  test("FIM builder is a pure narrow plan — zero exchanges") {
+    val p = plan("pretrain_fim")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("average precision: no ranking window — terms ride the prefix-sum plan") {
+    val p = plan("eval_avg_precision")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("position-based attribution: user-keyed exchanges only, no global sort") {
+    val p = plan("attribution_position_based")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("MI / transition entropy: fact aggregates + broadcast closures — " +
+      "no sort-merge join anywhere") {
+    assert(!plan("agg_mutual_info").contains("SortMergeJoin"))
+    assert(!plan("events_transition_entropy").contains("SortMergeJoin"))
+  }
+
+  test("HITS distributed loop: key-equi joins only on the 100-TB path") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val edges = graft.core.Tables.table(spark, sf("sf0.001"), "events")
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val p = graft.ops.Graph.hitsScaled(edges, "src", "dst", "w",
+      iters = 2, localEdgeThreshold = -1L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("runtime bloom filter: a selective dim filter injects a bloom probe " +
       "into the fact scan side") {
     // The 100-TB mechanism for semi-join reduction WITHOUT broadcasting:
