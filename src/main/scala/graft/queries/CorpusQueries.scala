@@ -150,6 +150,63 @@ object CorpusQueries {
 
     // Okapi BM25 top-25 for a fixed 3-term query — 6dp-rounded
     // contributions decimal-summed per doc (order-invariant).
+    // Gopher-style rule-bundle quality report (Rae et al. 2021,
+    // MassiveText §A.1): the published heuristic filter battery —
+    // word count, mean word length, symbol-to-word ratio, bullet /
+    // ellipsis / non-alphabetic line ratios, stopword presence — as
+    // per-row flag expressions rolled into one aggregate. Output is the
+    // per-rule violation census plus the surviving-document count, the
+    // clean_summary shape applied to an LLM corpus. All ratios derive
+    // from integer counts (char-count differences, membership probes of
+    // the fixed 8-stopword list), so flags are engine-exact.
+    "corpus_gopher_rules" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("__lines", split(col("text"), "\n"))
+        .withColumn("__wc", size(col("__toks")).cast("long"))
+        .withColumn("__nl", size(col("__lines")).cast("long"))
+        .withColumn("__chars", length(array_join(col("__toks"), "")).cast("long"))
+        .withColumn("__hash",
+          (length(col("text")) - length(expr("replace(text, '#', '')"))).cast("long"))
+        .withColumn("__ell", expr(
+          "CAST((length(text) - length(replace(text, '...', ''))) AS BIGINT) div 3"))
+        .withColumn("__bullets", expr("CAST(size(filter(__lines, " +
+          "l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS BIGINT)"))
+        .withColumn("__ellLines", expr("CAST(size(filter(__lines, " +
+          "l -> right(rtrim(l), 3) = '...' OR right(rtrim(l), 1) = '…')) AS BIGINT)"))
+        .withColumn("__alphaLines", expr("CAST(size(filter(__lines, " +
+          "l -> l rlike '[A-Za-z]')) AS BIGINT)"))
+        .withColumn("__stops", expr("CAST(size(filter(" +
+          "array('the','be','to','of','and','that','have','with'), " +
+          "w -> array_contains(__toks, w))) AS BIGINT)"))
+      def dd(c: Column) = c.cast("double")
+      val mwl = dd(col("__chars")) / dd(col("__wc"))
+      val flags = d.select(
+        (col("__wc") < 50L || col("__wc") > 100000L).as("f_wc"),
+        when(col("__wc") > 0L, mwl < 3.0 || mwl > 10.0).otherwise(lit(true))
+          .as("f_mwl"),
+        when(col("__wc") > 0L,
+          dd(col("__hash") + col("__ell")) / dd(col("__wc")) > 0.1)
+          .otherwise(lit(false)).as("f_sym"),
+        (dd(col("__bullets")) / dd(col("__nl")) > 0.9).as("f_bullet"),
+        (dd(col("__ellLines")) / dd(col("__nl")) > 0.3).as("f_ellipsis"),
+        (dd(col("__alphaLines")) / dd(col("__nl")) < 0.8).as("f_alpha"),
+        (col("__stops") < 2L).as("f_stop"))
+      def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L))
+      flags.agg(cnt("f_wc").as("v_wc"), cnt("f_mwl").as("v_mwl"),
+          cnt("f_sym").as("v_sym"), cnt("f_bullet").as("v_bullet"),
+          cnt("f_ellipsis").as("v_ellipsis"), cnt("f_alpha").as("v_alpha"),
+          cnt("f_stop").as("v_stop"),
+          sum(when(!col("f_wc") && !col("f_mwl") && !col("f_sym") &&
+            !col("f_bullet") && !col("f_ellipsis") && !col("f_alpha") &&
+            !col("f_stop"), 1L).otherwise(0L)).as("v_pass"))
+        .selectExpr("stack(8, " +
+          "'word_count', v_wc, 'mean_word_length', v_mwl, " +
+          "'symbol_ratio', v_sym, 'bullet_lines', v_bullet, " +
+          "'ellipsis_lines', v_ellipsis, 'alpha_lines', v_alpha, " +
+          "'stopwords', v_stop, 'pass_all', v_pass) AS (rule, n)")
+    }),
+
     "search_bm25" -> ((s, dir) =>
       Retrieval.bm25Scores(table(s, dir, "documents"), "doc_id", "text",
         BmQuery)
@@ -265,6 +322,58 @@ object CorpusQueries {
     if (off == 0) "toks[CAST(i AS INT)]" else s"toks[CAST(i AS INT) + $off]"
 
   def oracles: Map[String, String] = Map(
+
+    "corpus_gopher_rules" ->
+      s"""WITH d AS (SELECT text, $toksSql AS toks,
+         |    string_split(text, chr(10)) AS lines FROM documents),
+         |e AS (SELECT
+         |    CAST(len(toks) AS BIGINT) AS wc,
+         |    CAST(len(lines) AS BIGINT) AS nl,
+         |    CAST(length(array_to_string(toks, '')) AS BIGINT) AS chars,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hsh,
+         |    CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) // 3 AS ell,
+         |    CAST(len(list_filter(lines, l ->
+         |      left(ltrim(l), 1) IN ('-', '*', '•'))) AS BIGINT) AS bullets,
+         |    CAST(len(list_filter(lines, l -> right(rtrim(l), 3) = '...'
+         |      OR right(rtrim(l), 1) = '…')) AS BIGINT) AS elll,
+         |    CAST(len(list_filter(lines, l ->
+         |      regexp_matches(l, '[A-Za-z]'))) AS BIGINT) AS alphal,
+         |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+         |      w -> list_contains(toks, w))) AS BIGINT) AS stops
+         |  FROM d),
+         |f AS (SELECT
+         |    (wc < 50 OR wc > 100000) AS f_wc,
+         |    CASE WHEN wc > 0 THEN (CAST(chars AS DOUBLE) / CAST(wc AS DOUBLE) < 3.0
+         |      OR CAST(chars AS DOUBLE) / CAST(wc AS DOUBLE) > 10.0)
+         |      ELSE true END AS f_mwl,
+         |    CASE WHEN wc > 0
+         |      THEN CAST(hsh + ell AS DOUBLE) / CAST(wc AS DOUBLE) > 0.1
+         |      ELSE false END AS f_sym,
+         |    CAST(bullets AS DOUBLE) / CAST(nl AS DOUBLE) > 0.9 AS f_bullet,
+         |    CAST(elll AS DOUBLE) / CAST(nl AS DOUBLE) > 0.3 AS f_ellipsis,
+         |    CAST(alphal AS DOUBLE) / CAST(nl AS DOUBLE) < 0.8 AS f_alpha,
+         |    stops < 2 AS f_stop
+         |  FROM e),
+         |a AS (SELECT
+         |    CAST(sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) AS v_wc,
+         |    CAST(sum(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS v_mwl,
+         |    CAST(sum(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT) AS v_sym,
+         |    CAST(sum(CASE WHEN f_bullet THEN 1 ELSE 0 END) AS BIGINT) AS v_bullet,
+         |    CAST(sum(CASE WHEN f_ellipsis THEN 1 ELSE 0 END) AS BIGINT) AS v_ellipsis,
+         |    CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS v_alpha,
+         |    CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS v_stop,
+         |    CAST(sum(CASE WHEN NOT f_wc AND NOT f_mwl AND NOT f_sym
+         |      AND NOT f_bullet AND NOT f_ellipsis AND NOT f_alpha
+         |      AND NOT f_stop THEN 1 ELSE 0 END) AS BIGINT) AS v_pass
+         |  FROM f)
+         |SELECT 'word_count' AS rule, v_wc AS n FROM a
+         |UNION ALL SELECT 'mean_word_length', v_mwl FROM a
+         |UNION ALL SELECT 'symbol_ratio', v_sym FROM a
+         |UNION ALL SELECT 'bullet_lines', v_bullet FROM a
+         |UNION ALL SELECT 'ellipsis_lines', v_ellipsis FROM a
+         |UNION ALL SELECT 'alpha_lines', v_alpha FROM a
+         |UNION ALL SELECT 'stopwords', v_stop FROM a
+         |UNION ALL SELECT 'pass_all', v_pass FROM a""".stripMargin,
 
     "decontaminate_report" ->
       s"""WITH $contamGuard,

@@ -26,6 +26,45 @@ object RelationalQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A2/A7-style grouped aggregation (TPC-H Q1 shape); exact decimal sums.
+    // RFM customer segmentation: recency / frequency / monetary quintile
+    // scores (the classic CRM value model) over the per-customer order
+    // rollup, binned by the two-pass global-rank quantile device (exact
+    // integer `((rank-1)·5) div n` — no ntile window, no single-task
+    // sort), with the conventional champion/new/at-risk/lost labels.
+    // Customers with zero orders have no RFM by definition (inner rollup).
+    "customer_rfm_segments" -> ((s, dir) => {
+      import graft.ops.Ranking
+      val ords = table(s, dir, "orders")
+      val maxD = ords.agg(max(col("o_orderdate")).as("dmax"))
+      val cust = ords.groupBy(col("o_custkey").as("custkey"))
+        .agg(max(col("o_orderdate")).as("last_date"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("mon"))
+        .crossJoin(broadcast(maxD))
+        .select(col("custkey"),
+          datediff(col("dmax").cast("date"), col("last_date").cast("date"))
+            .cast("long").as("recency_days"),
+          col("frequency"), col("mon"))
+      val r1 = Ranking.quantileBins(cust,
+          Seq(col("recency_days").desc, col("custkey").asc), 5)
+        .withColumn("r_score", col("bin") + 1L).drop("bin", "rank")
+      val r2 = Ranking.quantileBins(r1,
+          Seq(col("frequency").asc, col("custkey").asc), 5)
+        .withColumn("f_score", col("bin") + 1L).drop("bin", "rank")
+      val r3 = Ranking.quantileBins(r2,
+          Seq(col("mon").asc, col("custkey").asc), 5)
+        .withColumn("m_score", col("bin") + 1L).drop("bin", "rank")
+      val seg = when(col("r_score") >= 4L && col("f_score") >= 4L &&
+          col("m_score") >= 4L, "champion")
+        .when(col("r_score") >= 4L && col("f_score") <= 2L, "new")
+        .when(col("r_score") <= 2L && col("f_score") >= 4L, "at_risk")
+        .when(col("r_score") <= 2L && col("f_score") <= 2L, "lost")
+        .otherwise("regular")
+      r3.select(col("custkey"), col("recency_days"), col("frequency"),
+        col("mon").cast("double").as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"), seg.as("segment"))
+    }),
+
     "agg_pricing_summary" -> ((s, dir) => {
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -291,6 +330,39 @@ object RelationalQueries {
       " WHEN 'HCPCS' THEN 'HCPCS' WHEN 'ICD' THEN 'ICD' WHEN 'DRG' THEN 'DRG'" +
       " WHEN 'CDT' THEN 'CDT' WHEN 'NDC' THEN 'NDC' WHEN 'APC' THEN 'APC' END"
     Map(
+      "customer_rfm_segments" ->
+        """WITH c AS (SELECT o_custkey AS custkey,
+          |    max(o_orderdate) AS last_date,
+          |    CAST(count(*) AS BIGINT) AS frequency,
+          |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+          |  FROM orders GROUP BY 1),
+          |d AS (SELECT max(o_orderdate) AS dmax FROM orders),
+          |b AS (SELECT custkey,
+          |    CAST(date_diff('day', CAST(last_date AS DATE),
+          |      CAST(dmax AS DATE)) AS BIGINT) AS recency_days,
+          |    frequency, mon FROM c, d),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+          |r AS (SELECT b.*,
+          |    ((row_number() OVER (ORDER BY recency_days DESC, custkey ASC) - 1)
+          |      * 5) // n + 1 AS r_score,
+          |    ((row_number() OVER (ORDER BY frequency ASC, custkey ASC) - 1)
+          |      * 5) // n + 1 AS f_score,
+          |    ((row_number() OVER (ORDER BY mon ASC, custkey ASC) - 1)
+          |      * 5) // n + 1 AS m_score
+          |  FROM b, nn)
+          |SELECT custkey, recency_days, frequency,
+          |  CAST(mon AS DOUBLE) AS monetary,
+          |  CAST(r_score AS BIGINT) AS r_score,
+          |  CAST(f_score AS BIGINT) AS f_score,
+          |  CAST(m_score AS BIGINT) AS m_score,
+          |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+          |      THEN 'champion'
+          |    WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+          |    WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+          |    WHEN r_score <= 2 AND f_score <= 2 THEN 'lost'
+          |    ELSE 'regular' END AS segment
+          |FROM r""".stripMargin,
+
       "basket_pair_counts" ->
         """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
           |SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
