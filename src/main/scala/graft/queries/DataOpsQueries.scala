@@ -91,6 +91,40 @@ object DataOpsQueries {
       Dedup.minhashNearDupPairs(table(s, dir, "documents"), "doc_id", "text",
         n = 3, k = 12, bands = 4, threshold = 0.8)),
 
+    // MinHash estimator calibration (sixth consumer of the memoized pair
+    // cache): for every exact near-dup pair, the k=16 signature-agreement
+    // estimate m/k against the true shingle Jaccard — the report that
+    // justifies the production signature width. This gate's signatures use
+    // the DIALECT-NEUTRAL md5 hash family (hex-prefix cast, the
+    // sample_balanced_classes device) so the estimator itself is
+    // oracle-exact; the production path keeps xxhash64 for speed, and the
+    // estimator error distribution is hash-family-agnostic (k-min of a
+    // uniform permutation). Signatures are built ONLY for paired docs
+    // (semi-join-restricted), 16 min-aggregates over the shingle rows.
+    "dedup_minhash_calibration" -> ((s, dir) => {
+      val K = 16
+      val pairs = ngramPairs(s, dir)
+      val ids = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+      val sh = table(s, dir, "documents").join(ids, "doc_id")
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("s"))
+      val sigAggs = (0 until K).map(i => min(expr(
+        s"CAST(conv(substr(md5(concat('$i:', s)), 1, 15), 16, 10) AS BIGINT)"))
+        .as(s"h$i"))
+      val sigs = sh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+      def side(p: String, idName: String) = sigs.select(
+        col("doc_id").as(idName) +:
+          (0 until K).map(i => col(s"h$i").as(s"${p}_h$i")): _*)
+      val matches = (0 until K).map(i =>
+        when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      pairs.join(side("a", "id_a"), "id_a").join(side("b", "id_b"), "id_b")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          (matches.cast("double") / K).as("est_jaccard"))
+        .withColumn("abs_err",
+          round(abs(col("est_jaccard") - col("jaccard")), 6))
+    }),
+
     // Incremental (delta) dedup: the doc_id % 5 == 0 slice plays the NEW
     // batch, the rest the existing corpus — plus planted exact twins
     // (id + 1e6, same text) of every 15th doc so dup_exact actually fires.
@@ -903,6 +937,30 @@ object DataOpsQueries {
       // recall is 100% (asserted in OpsSpec), so the exact-pair oracle
       // applies verbatim.
       "dedup_minhash_pairs" -> oraclesNgramSql,
+      "dedup_minhash_calibration" -> {
+        val K = 16
+        def h(i: Int) =
+          s"min(CAST(concat('0x', substr(md5(concat('$i:', s)), 1, 15)) AS BIGINT)) AS h$i"
+        val sigCols = (0 until K).map(h).mkString(",\n          |    ")
+        val matches = (0 until K)
+          .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH p AS (SELECT id_a, id_b, jaccard FROM ($oraclesNgramSql) q),
+           |ids AS (SELECT id_a AS doc_id FROM p UNION SELECT id_b FROM p),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT)+1], toks[CAST(i AS INT)+2]) AS s
+           |  FROM (SELECT d.doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') toks
+           |        FROM documents d JOIN ids USING (doc_id)), range(1, 4096) t(i)
+           |  WHERE i + 2 <= len(toks)),
+           |sg AS (SELECT doc_id,
+           |    $sigCols
+           |  FROM sh GROUP BY 1)
+           |SELECT p.id_a, p.id_b, p.jaccard,
+           |  CAST($matches AS DOUBLE) / $K AS est_jaccard,
+           |  round(abs(CAST($matches AS DOUBLE) / $K - p.jaccard), 6) AS abs_err
+           |FROM p JOIN sg a ON a.doc_id = p.id_a JOIN sg b ON b.doc_id = p.id_b"""
+          .stripMargin
+      },
       "dedup_exact_docs" ->
         s"""SELECT md5($normTextSql) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS keep_id,
            | count(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,

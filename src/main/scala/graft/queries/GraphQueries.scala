@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -75,6 +75,25 @@ object GraphQueries {
 
     "graph_degrees" -> ((s, dir) =>
       Graph.degrees(transitionEdges(s, dir), "src", "dst", "w")),
+
+    // Edge reciprocity of the transition graph — what fraction of
+    // directed transitions also flow the other way (count form and the
+    // weighted min(w_uv, w_vu) form). One self-join on the reversed edge
+    // list, one-row report. Self-loops are reciprocal by definition.
+    "graph_reciprocity" -> ((s, dir) => {
+      val e = transitionEdges(s, dir)
+      val rev = e.select(col("dst").as("src"), col("src").as("dst"),
+        col("w").as("w_rev"))
+      val j = e.join(rev, Seq("src", "dst"), "left")
+      def d(c: Column) = c.cast("double")
+      j.agg(count(lit(1)).as("n_edges"), sum(col("w")).as("tot_w"),
+          sum(when(col("w_rev").isNotNull, 1L).otherwise(0L)).as("n_recip"),
+          sum(when(col("w_rev").isNotNull, least(col("w"), col("w_rev")))
+            .otherwise(0L)).as("w_recip"))
+        .select(col("n_edges"), col("n_recip"),
+          round(d(col("n_recip")) / d(col("n_edges")), 6).as("reciprocity"),
+          round(d(col("w_recip")) / d(col("tot_w")), 6).as("w_reciprocity"))
+    }),
 
     // HITS hubs/authorities over the transition graph — the complementary
     // centrality to PageRank (a node can be a strong pointer without
@@ -225,6 +244,20 @@ object GraphQueries {
        |  LEFT JOIN c${i + 1} ON c${i + 1}.node = nodes.node)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    "graph_reciprocity" ->
+      s"""WITH $edgeCtes,
+         |j AS (SELECT e.w, r.w AS w_rev FROM e
+         |  LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src)
+         |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         |  CAST(sum(CASE WHEN w_rev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_recip,
+         |  round(CAST(sum(CASE WHEN w_rev IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS reciprocity,
+         |  round(CAST(sum(CASE WHEN w_rev IS NOT NULL
+         |      THEN least(w, w_rev) ELSE 0 END) AS DOUBLE) /
+         |    CAST(sum(w) AS DOUBLE), 6) AS w_reciprocity
+         |FROM j""".stripMargin,
 
     "graph_hits" -> {
       def hitsIter(i: Int): String =

@@ -264,6 +264,69 @@ object SessionQueries {
         "snap_sec", Seq("rate"), toleranceSec = Some(14L * 86400L))
     }),
 
+    // Nearest-snapshot as-of join: each event takes whichever side's
+    // snapshot is closer in time — backward as the base, forward as the
+    // challenger, ties to backward (the conventional rule: the state that
+    // WAS in effect). Forward is the backward operator on negated
+    // timestamps, so both sides reuse the same single-exchange union
+    // device; unmatched-on-both rows drop. Oracle = DuckDB's native
+    // backward + forward ASOF LEFT JOINs with the same tie rule.
+    "asof_join_nearest" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_sec"))
+      val snaps = ev.select(col("user_id")).distinct()
+        .select(col("user_id"), explode(sequence(lit(0L), lit(3L))).as("k"))
+        .select(col("user_id"),
+          (lit(1704067200L) + col("k") * 604800L + (col("user_id") % 997L) * 7L)
+            .as("snap_sec"),
+          (col("user_id") * 4 + col("k")).cast("double").as("rate"))
+      val b = graft.ops.AsOfJoin.asof(ev,
+        snaps.select(col("user_id"), col("snap_sec"),
+          col("snap_sec").as("bts"), col("rate").as("rate_b")),
+        "user_id", "ts_sec", "snap_sec", Seq("bts", "rate_b"), inner = false)
+        .select(col("event_id"), col("bts"), col("rate_b"))
+      val f = graft.ops.AsOfJoin.asof(
+        ev.select(col("event_id"), col("user_id"),
+          (-col("ts_sec")).as("neg_ts")),
+        snaps.select(col("user_id"), (-col("snap_sec")).as("neg_snap"),
+          col("snap_sec").as("fts"), col("rate").as("rate_f")),
+        "user_id", "neg_ts", "neg_snap", Seq("fts", "rate_f"), inner = false)
+        .select(col("event_id"), col("fts"), col("rate_f"))
+      val backNearer = col("fts").isNull ||
+        (col("bts").isNotNull &&
+          col("ts_sec") - col("bts") <= col("fts") - col("ts_sec"))
+      ev.join(b, "event_id").join(f, "event_id")
+        .filter(col("bts").isNotNull || col("fts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts_sec"),
+          when(backNearer, lit("backward")).otherwise(lit("forward")).as("side"),
+          when(backNearer, col("bts")).otherwise(col("fts")).as("matched_snap"),
+          when(backNearer, col("rate_b")).otherwise(col("rate_f")).as("rate"),
+          when(backNearer, col("ts_sec") - col("bts"))
+            .otherwise(col("fts") - col("ts_sec")).as("gap_sec"))
+    }),
+
+    // Pareto concentration of the event stream: how few users generate
+    // 80% of events. Per-user counts ranked desc ride the two-pass
+    // distributed prefix sum (cum events + cum users), the 80% line is
+    // exact integer arithmetic ceil(0.8·N) = (4N+4) div 5 — never a
+    // global window, never a driver sort.
+    "events_pareto_share" -> ((s, dir) => {
+      val perUser = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt")).withColumn("one", lit(1L))
+      val pre = graft.ops.Ranking.prefixSum(perUser,
+        Seq(col("cnt").desc, col("user_id").asc), Seq("cnt", "one"))
+      val tot = perUser.agg(sum(col("cnt")).as("n_events"),
+        count(lit(1)).as("n_users"))
+      val k = pre.crossJoin(broadcast(tot))
+        .filter(col("cum_cnt") >= expr("(n_events * 4 + 4) div 5"))
+        .agg(min(col("cum_one")).as("users_for_80pct"))
+      def d(c: Column) = c.cast("double")
+      tot.crossJoin(broadcast(k))
+        .select(col("n_users"), col("n_events"), col("users_for_80pct"),
+          round(d(col("users_for_80pct")) / d(col("n_users")), 6)
+            .as("user_share"))
+    }),
+
     // Last-touch attribution: each purchase credits its user's LATEST
     // click at-or-before it, only within a 7-day lookback — the backward
     // as-of composed from the events stream itself (clicks deduped to
@@ -825,6 +888,57 @@ object SessionQueries {
         |FROM e a LEFT JOIN e b ON b.user_id = a.user_id
         |  AND b.ts_sec >= a.ts_sec - 86400 AND b.ts_sec <= a.ts_sec - 1
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "asof_join_nearest" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, 1704067200 + k * 604800 + (user_id % 997) * 7 AS snap_sec,
+        |    CAST(user_id * 4 + k AS DOUBLE) AS rate
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks),
+        |b AS (SELECT e.event_id, CAST(s.snap_sec AS BIGINT) AS bts,
+        |    s.rate AS rate_b
+        |  FROM e ASOF LEFT JOIN s
+        |    ON e.user_id = s.user_id AND e.ts_sec >= s.snap_sec),
+        |f AS (SELECT e.event_id, CAST(s.snap_sec AS BIGINT) AS fts,
+        |    s.rate AS rate_f
+        |  FROM e ASOF LEFT JOIN s
+        |    ON e.user_id = s.user_id AND e.ts_sec <= s.snap_sec)
+        |SELECT e.event_id, e.user_id, e.ts_sec,
+        |  CASE WHEN fts IS NULL OR (bts IS NOT NULL
+        |      AND e.ts_sec - bts <= fts - e.ts_sec)
+        |    THEN 'backward' ELSE 'forward' END AS side,
+        |  CAST(CASE WHEN fts IS NULL OR (bts IS NOT NULL
+        |      AND e.ts_sec - bts <= fts - e.ts_sec)
+        |    THEN bts ELSE fts END AS BIGINT) AS matched_snap,
+        |  CASE WHEN fts IS NULL OR (bts IS NOT NULL
+        |      AND e.ts_sec - bts <= fts - e.ts_sec)
+        |    THEN rate_b ELSE rate_f END AS rate,
+        |  CAST(CASE WHEN fts IS NULL OR (bts IS NOT NULL
+        |      AND e.ts_sec - bts <= fts - e.ts_sec)
+        |    THEN e.ts_sec - bts ELSE fts - e.ts_sec END AS BIGINT) AS gap_sec
+        |FROM e JOIN b USING (event_id) JOIN f USING (event_id)
+        |WHERE bts IS NOT NULL OR fts IS NOT NULL""".stripMargin,
+
+    "events_pareto_share" ->
+      """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_events,
+        |    CAST(count(*) AS BIGINT) AS n_users FROM pu),
+        |c AS (SELECT cnt,
+        |    CAST(sum(cnt) OVER w AS BIGINT) AS cum_cnt,
+        |    CAST(count(*) OVER w AS BIGINT) AS cum_one
+        |  FROM pu WINDOW w AS (ORDER BY cnt DESC, user_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |k AS (SELECT min(cum_one) AS users_for_80pct
+        |  FROM c, tot WHERE cum_cnt >= (n_events * 4 + 4) // 5)
+        |SELECT n_users, n_events,
+        |  CAST(users_for_80pct AS BIGINT) AS users_for_80pct,
+        |  round(CAST(users_for_80pct AS DOUBLE) /
+        |    CAST(n_users AS DOUBLE), 6) AS user_share
+        |FROM tot, k""".stripMargin,
 
     "asof_join_forward" ->
       """WITH e AS (
