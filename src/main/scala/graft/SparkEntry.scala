@@ -8,7 +8,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val families: Seq[QueryFamily] = Seq(CleanQueries.family, RelationalQueries.family, TextFuncQueries.family, ExtractQueries.family, EnrichQueries.family, DataOpsQueries.family, SessionQueries.family, StatsQueries.family, ShapeQueries.family, CorpusQueries.family, TrainPrepQueries.family, MixQueries.family, GraphQueries.family, EvalQueries.family)
+  private val families: Seq[QueryFamily] = Seq(CleanQueries.family, RelationalQueries.family, TextFuncQueries.family, ExtractQueries.family, EnrichQueries.family, DataOpsQueries.family, SessionQueries.family, StatsQueries.family, ShapeQueries.family, CorpusQueries.family, TrainPrepQueries.family, MixQueries.family, GraphQueries.family, EvalQueries.family, RecsysQueries.family)
 
   /** Flagship: full clean+rules pipeline over the charges fixture at
     * sf=0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.table
+
+/** Item-item collaborative filtering over the order/lineitem baskets — the
+  * recommendation surface a catalog pipeline derives from co-purchase
+  * signals. Everything is count-based cosine over EXACT integer
+  * co-occurrence counts (no floating accumulation across the shuffle):
+  * scores are single double divisions of those longs, per-candidate sums
+  * fold 6dp-rounded decimals, and every ranking window is keyed by the
+  * item/user — never global. The pair generation is the co-partitioned
+  * basket self-join (basket_pair_counts' plan), so at 100 TB it shuffles
+  * each order's bounded item list once and never goes cartesian.
+  */
+object RecsysQueries {
+
+  def family: QueryFamily = QueryFamily("recsys", queries, oracles)
+
+  private val NeighborsK = 5
+  private val RecsK = 3
+
+  /** Distinct (order, part) basket rows. */
+  private def baskets(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+
+  /** Directed co-occurrence neighbor lists with cosine scores, top-K per
+    * source item (keyed window; ties broken by neighbor id). */
+  private def itemNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val b = baskets(s, dir)
+    val deg = b.groupBy(col("part")).agg(count(lit(1)).as("deg"))
+    val cooc = b.join(b.select(col("okey"), col("part").as("part_j")), "okey")
+      .filter(col("part") =!= col("part_j"))
+      .groupBy(col("part"), col("part_j"))
+      .agg(count(lit(1)).as("cooc"))
+    def d(c: Column) = c.cast("double")
+    val scored = cooc
+      .join(deg.select(col("part"), col("deg").as("deg_i")), "part")
+      .join(deg.select(col("part").as("part_j"), col("deg").as("deg_j")),
+        "part_j")
+      .withColumn("score",
+        round(d(col("cooc")) / sqrt(d(col("deg_i")) * d(col("deg_j"))), 6))
+    val w = Window.partitionBy(col("part"))
+      .orderBy(col("score").desc, col("part_j").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= NeighborsK)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Top-5 co-purchase neighbors per part: cosine = cooc/√(deg_i·deg_j)
+    // over distinct basket memberships.
+    "recsys_item_item" -> ((s, dir) =>
+      itemNeighbors(s, dir).select(col("part").as("part_i"), col("part_j"),
+        col("cooc"), col("score"), col("rank").cast("long").as("rank"))),
+
+    // User recommendations: each customer's purchase history votes for its
+    // items' neighbors; candidate score = Σ neighbor scores (exact decimal
+    // fold of the 6dp terms); already-purchased items are anti-joined out;
+    // top-3 per customer. History→neighbor join is keyed on the item;
+    // ranking is customer-keyed — both shuffle-bounded at any scale.
+    "recsys_user_recs" -> ((s, dir) => {
+      val hist = table(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_custkey").as("cust"))
+        .join(baskets(s, dir), "okey")
+        .select(col("cust"), col("part")).distinct()
+      val cand = hist.join(itemNeighbors(s, dir), "part")
+        .groupBy(col("cust"), col("part_j"))
+        .agg(sum(col("score").cast("decimal(18,6)")).as("s"),
+          count(lit(1)).as("n_voters"))
+      val fresh = cand.join(
+        hist.select(col("cust"), col("part").as("part_j")),
+        Seq("cust", "part_j"), "left_anti")
+      val w = Window.partitionBy(col("cust"))
+        .orderBy(col("s").desc, col("part_j").asc)
+      fresh.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= RecsK)
+        .select(col("cust").as("c_custkey"), col("part_j").as("rec_part"),
+          round(col("s").cast("double"), 6).as("rec_score"),
+          col("n_voters"), col("rank").cast("long").as("rank"))
+    }))
+
+  // ---------------------------------------------------------------- oracle
+
+  private val basketsSql =
+    "SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem"
+
+  private val neighborsSql =
+    s"""b AS ($basketsSql),
+       |deg AS (SELECT part, CAST(count(*) AS BIGINT) AS deg FROM b GROUP BY 1),
+       |cooc AS (SELECT a.part, c.part AS part_j,
+       |    CAST(count(*) AS BIGINT) AS cooc
+       |  FROM b a JOIN b c ON a.okey = c.okey AND a.part <> c.part
+       |  GROUP BY 1, 2),
+       |sc AS (SELECT cooc.part, part_j, cooc,
+       |    round(CAST(cooc AS DOUBLE) /
+       |      sqrt(CAST(di.deg AS DOUBLE) * CAST(dj.deg AS DOUBLE)), 6) AS score
+       |  FROM cooc JOIN deg di ON di.part = cooc.part
+       |  JOIN deg dj ON dj.part = part_j),
+       |nb AS (SELECT *, CAST(row_number() OVER (PARTITION BY part
+       |    ORDER BY score DESC, part_j ASC) AS BIGINT) AS rank FROM sc)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+
+    "recsys_item_item" ->
+      s"""WITH $neighborsSql
+         |SELECT part AS part_i, part_j, cooc, score, rank
+         |FROM nb WHERE rank <= $NeighborsK""".stripMargin,
+
+    "recsys_user_recs" ->
+      s"""WITH $neighborsSql,
+         |hist AS (SELECT DISTINCT o_custkey AS cust, part
+         |  FROM orders JOIN b ON okey = o_orderkey),
+         |cand AS (SELECT cust, part_j,
+         |    sum(CAST(score AS DECIMAL(18,6))) AS s,
+         |    CAST(count(*) AS BIGINT) AS n_voters
+         |  FROM hist JOIN nb USING (part) WHERE rank <= $NeighborsK
+         |  GROUP BY 1, 2),
+         |fresh AS (SELECT c.* FROM cand c
+         |  WHERE NOT EXISTS (SELECT 1 FROM hist h
+         |    WHERE h.cust = c.cust AND h.part = c.part_j)),
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY cust
+         |    ORDER BY s DESC, part_j ASC) AS BIGINT) AS rank FROM fresh)
+         |SELECT cust AS c_custkey, part_j AS rec_part,
+         |  round(CAST(s AS DOUBLE), 6) AS rec_score, n_voters, rank
+         |FROM rk WHERE rank <= $RecsK""".stripMargin)
+}

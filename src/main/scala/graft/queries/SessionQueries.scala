@@ -216,6 +216,103 @@ object SessionQueries {
             .otherwise(round(exp(col("ls").cast("double")), 6)).as("survival"))
     }),
 
+    // Nelson–Aalen cumulative hazard over the same user-lifetime fabric as
+    // survival_kaplan_meier: H(t) = Σ d_i/n_i with Greenwood-style variance
+    // Σ d_i/n_i². Per-time increments are rounded to fixed decimals BEFORE
+    // the cumulative sum, so the running totals are exact decimal adds —
+    // order-free on any engine — and the window walks the collapsed
+    // distinct-lifetime-day rows, never raw users.
+    "survival_nelson_aalen" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("user_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      val glob = ev.agg(max(col("sec")).as("gmax"))
+      val users = ev.groupBy(col("user_id"))
+        .agg(min(col("sec")).as("fst"), max(col("sec")).as("lst"))
+        .crossJoin(broadcast(glob))
+        .select(((col("lst") - col("fst")) / 86400L).cast("long").as("t"),
+          (col("lst") >= col("gmax") - lit(7L) * 86400L).as("cen"))
+      val byT = users.groupBy(col("t")).agg(
+        sum(when(!col("cen"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("cen"), 1L).otherwise(0L)).as("c"))
+      val nAll = users.agg(count(lit(1)).as("nn"))
+      val w = Window.orderBy(col("t").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def dd(c: Column) = c.cast("double")
+      byT.withColumn("tot", col("d") + col("c"))
+        .withColumn("cumtot", sum(col("tot")).over(w))
+        .crossJoin(broadcast(nAll))
+        .withColumn("n_at_risk", col("nn") - col("cumtot") + col("tot"))
+        .withColumn("hz",
+          round(dd(col("d")) / dd(col("n_at_risk")), 9)
+            .cast("decimal(18,9)"))
+        .withColumn("vz",
+          round(dd(col("d")) /
+            (dd(col("n_at_risk")) * dd(col("n_at_risk"))), 12)
+            .cast("decimal(22,12)"))
+        .select(col("t").as("t_days"), col("n_at_risk"),
+          col("d").as("n_deaths"), col("c").as("n_censored"),
+          round(sum(col("hz")).over(w).cast("double"), 6).as("cum_hazard"),
+          round(sum(col("vz")).over(w).cast("double"), 6).as("cum_var"))
+    }),
+
+    // Two-group log-rank test (even vs odd user_id) on the lifetime fabric:
+    // at each death time the even group's observed deaths vs its
+    // hypergeometric expectation d·n₀/n and variance
+    // d·(n₀/n)·(n₁/n)·(n−d)/(n−1); χ² = (O−E)²/V. At-risk counts per group
+    // come from the same collapsed-day prefix as the KM curve; E and V
+    // terms are 9dp-rounded decimals so the final sums are exact and
+    // order-free. Single-row verdict the experimenter reads.
+    "survival_logrank" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("user_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      val glob = ev.agg(max(col("sec")).as("gmax"))
+      val users = ev.groupBy(col("user_id"))
+        .agg(min(col("sec")).as("fst"), max(col("sec")).as("lst"))
+        .crossJoin(broadcast(glob))
+        .select(((col("lst") - col("fst")) / 86400L).cast("long").as("t"),
+          (col("lst") >= col("gmax") - lit(7L) * 86400L).as("cen"),
+          (col("user_id") % 2 === 0).as("even"))
+      val byT = users.groupBy(col("t")).agg(
+        sum(when(!col("cen") && col("even"), 1L).otherwise(0L)).as("d0"),
+        sum(when(col("cen") && col("even"), 1L).otherwise(0L)).as("c0"),
+        sum(when(!col("cen") && !col("even"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("cen") && !col("even"), 1L).otherwise(0L)).as("c1"))
+      val nAll = users.agg(
+        sum(when(col("even"), 1L).otherwise(0L)).as("n0all"),
+        sum(when(!col("even"), 1L).otherwise(0L)).as("n1all"))
+      val w = Window.orderBy(col("t").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def dd(c: Column) = c.cast("double")
+      val risk = byT
+        .withColumn("tot0", col("d0") + col("c0"))
+        .withColumn("tot1", col("d1") + col("c1"))
+        .withColumn("cum0", sum(col("tot0")).over(w))
+        .withColumn("cum1", sum(col("tot1")).over(w))
+        .crossJoin(broadcast(nAll))
+        .withColumn("n0", col("n0all") - col("cum0") + col("tot0"))
+        .withColumn("n1", col("n1all") - col("cum1") + col("tot1"))
+        .withColumn("d", col("d0") + col("d1"))
+        .withColumn("n", col("n0") + col("n1"))
+        .filter(col("d") > 0L && col("n") >= 2L)
+      val terms = risk.select(col("d0"),
+        round(dd(col("d")) * dd(col("n0")) / dd(col("n")), 9)
+          .cast("decimal(18,9)").as("e0"),
+        round(dd(col("d")) * (dd(col("n0")) / dd(col("n"))) *
+          (dd(col("n1")) / dd(col("n"))) *
+          (dd(col("n")) - dd(col("d"))) / (dd(col("n")) - 1.0), 9)
+          .cast("decimal(18,9)").as("v"))
+      terms.agg(count(lit(1)).as("n_death_times"),
+          sum(col("d0")).as("__o"), sum(col("e0")).as("__e"),
+          sum(col("v")).as("__v"))
+        .select(col("n_death_times"),
+          col("__o").as("observed_even"),
+          round(col("__e").cast("double"), 6).as("expected_even"),
+          round(col("__v").cast("double"), 6).as("variance"),
+          when(col("__v").cast("double") > 0.0,
+            round(pow(dd(col("__o")) - col("__e").cast("double"), 2) /
+              col("__v").cast("double"), 6)).otherwise(lit(0.0)).as("chi2"))
+    }),
+
     // SFT conversation flattening: the events log as a dialogue corpus
     // (user_id = conversation, event_type = role, a key-derived utterance)
     // → per-turn (context, response) training rows with a BOUNDED rolling
@@ -380,6 +477,20 @@ object SessionQueries {
         .groupBy(col("event_type").as("channel"))
         .agg(count(lit(1)).as("n_touches"),
           round(sum(col("credit")).cast("double"), 6).as("credit"))
+    }),
+
+    // Markov removal-effect attribution — the data-driven multi-touch
+    // model: per-user journeys truncated at the first purchase feed a
+    // first-order transition matrix (distributed: one user-keyed window +
+    // hash aggregates); the K=16-step absorption probabilities and the
+    // per-channel removal effects run on the collected DOMAIN-bounded
+    // matrix with exact 12dp decimal recurrences (ops/Markov), which the
+    // DuckDB oracle unrolls as 16 chained CTEs — engine-exact agreement,
+    // not tolerance. Credits = positive removal effects normalized.
+    "attribution_markov" -> ((s, dir) => {
+      val trans = graft.ops.Markov.transitions(table(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", convType = "purchase")
+      graft.ops.Markov.removalEffects(s, trans)
     }),
 
     // Trailing 24h distinct-behaviour feature: for every event, how many
@@ -662,6 +773,72 @@ object SessionQueries {
           round(exp(h), 6).as("perplexity"))
     }))
 
+  /** Markov attribution oracle: the SAME journey truncation + transition
+    * matrix as ops/Markov, then the K-step absorption recurrence unrolled
+    * as [[graft.ops.Markov.Steps]] chained CTEs (p1..pK) — each step a
+    * 12dp-rounded exact-decimal matrix-vector product, identical to the
+    * driver-local BigDecimal loop. */
+  private lazy val attributionMarkovSql: String = {
+    val steps = (1 to graft.ops.Markov.Steps).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT * FROM (
+         |    SELECT sx.scen, sx.src AS state,
+         |      CAST(round(sum(sx.prob * q.p), 12) AS DECIMAL(18,12)) AS p
+         |    FROM sx JOIN p${i - 1} q ON q.scen = sx.scen AND q.state = sx.dst
+         |    GROUP BY 1, 2)
+         |  UNION ALL SELECT scen, '__conv', CAST(1 AS DECIMAL(18,12)) FROM sc)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH r AS (SELECT user_id, event_id, event_type,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS BIGINT) AS rk
+       |  FROM events),
+       |fp AS (SELECT user_id, min(rk) AS rp FROM r
+       |  WHERE event_type = 'purchase' GROUP BY 1),
+       |kp AS (SELECT r.user_id, r.rk,
+       |    CASE WHEN r.event_type = 'purchase' THEN '__conv'
+       |      ELSE r.event_type END AS st
+       |  FROM r LEFT JOIN fp USING (user_id) WHERE rp IS NULL OR r.rk <= rp),
+       |sq AS (SELECT *, lead(st) OVER (PARTITION BY user_id ORDER BY rk) AS nxt
+       |  FROM kp),
+       |tr AS (SELECT st AS src, coalesce(nxt, '__null') AS dst FROM sq
+       |    WHERE st <> '__conv'
+       |  UNION ALL SELECT '__start', st FROM sq WHERE rk = 1),
+       |cnt AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+       |  FROM tr GROUP BY 1, 2),
+       |tt AS (SELECT src, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+       |trans AS MATERIALIZED (SELECT src, dst,
+       |    CAST(round(CAST(c AS DOUBLE) / CAST(t AS DOUBLE), 12)
+       |      AS DECIMAL(18,12)) AS prob
+       |  FROM cnt JOIN tt USING (src)),
+       |chan AS (SELECT DISTINCT src AS ch FROM trans
+       |  WHERE src NOT IN ('__start', '__conv', '__null')),
+       |sc AS MATERIALIZED (SELECT '__full' AS scen UNION ALL SELECT ch FROM chan),
+       |sx AS MATERIALIZED (SELECT s.scen, t.src,
+       |    CASE WHEN t.dst = s.scen THEN '__null' ELSE t.dst END AS dst,
+       |    CAST(sum(prob) AS DECIMAL(18,12)) AS prob
+       |  FROM sc s JOIN trans t ON t.src <> s.scen GROUP BY 1, 2, 3),
+       |p0 AS MATERIALIZED (SELECT scen, '__conv' AS state, CAST(1 AS DECIMAL(18,12)) AS p
+       |  FROM sc),
+       |$steps,
+       |pf AS (SELECT scen, p FROM p${graft.ops.Markov.Steps}
+       |  WHERE state = '__start'),
+       |fl AS (SELECT CAST(p AS DOUBLE) AS pfull FROM pf WHERE scen = '__full'),
+       |re AS (SELECT c.ch AS channel, CAST(pf.p AS DOUBLE) AS prem, fl.pfull
+       |  FROM chan c JOIN pf ON pf.scen = c.ch, fl),
+       |r6 AS (SELECT channel, round(pfull, 6) AS p_conv_full,
+       |    round(prem, 6) AS p_conv_removed,
+       |    CASE WHEN pfull > 0 THEN round(1.0 - prem / pfull, 6)
+       |      ELSE 0.0 END AS removal_effect
+       |  FROM re),
+       |ps AS (SELECT *, CAST(greatest(removal_effect, 0.0) AS DECIMAL(18,6))
+       |    AS rep FROM r6),
+       |t2 AS (SELECT sum(rep) AS s FROM ps)
+       |SELECT channel, p_conv_full, p_conv_removed, removal_effect,
+       |  CASE WHEN CAST(s AS DOUBLE) > 0
+       |    THEN round(CAST(rep AS DOUBLE) / CAST(s AS DOUBLE), 6)
+       |    ELSE 0.0 END AS attribution
+       |FROM ps, t2""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "sessionize_events" ->
       s"""WITH o AS (
@@ -723,6 +900,80 @@ object SessionQueries {
         |  CASE WHEN zero = 1 THEN 0.0
         |    ELSE round(exp(CAST(ls AS DOUBLE)), 6) END AS survival
         |FROM l3""".stripMargin,
+
+    "survival_nelson_aalen" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |g AS (SELECT max(sec) AS gmax FROM e),
+        |u AS (SELECT user_id, min(sec) AS fst, max(sec) AS lst FROM e GROUP BY 1),
+        |uu AS (SELECT (lst - fst) // 86400 AS t,
+        |    (lst >= gmax - 7 * 86400) AS cen FROM u, g),
+        |bt AS (SELECT t,
+        |    CAST(sum(CASE WHEN NOT cen THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN cen THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM uu GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uu),
+        |cumt AS (SELECT *, d + c AS tot,
+        |    CAST(sum(d + c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumtot
+        |  FROM bt),
+        |cr AS (SELECT t, d, c, n - cumtot + tot AS n_at_risk FROM cumt, nn),
+        |tm AS (SELECT *,
+        |    CAST(round(CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 9)
+        |      AS DECIMAL(18,9)) AS hz,
+        |    CAST(round(CAST(d AS DOUBLE) /
+        |      (CAST(n_at_risk AS DOUBLE) * CAST(n_at_risk AS DOUBLE)), 12)
+        |      AS DECIMAL(22,12)) AS vz
+        |  FROM cr)
+        |SELECT t AS t_days, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        |  d AS n_deaths, c AS n_censored,
+        |  round(CAST(sum(hz) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |    AS DOUBLE), 6) AS cum_hazard,
+        |  round(CAST(sum(vz) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |    AS DOUBLE), 6) AS cum_var
+        |FROM tm""".stripMargin,
+
+    "survival_logrank" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |g AS (SELECT max(sec) AS gmax FROM e),
+        |u AS (SELECT user_id, min(sec) AS fst, max(sec) AS lst FROM e GROUP BY 1),
+        |uu AS (SELECT (lst - fst) // 86400 AS t,
+        |    (lst >= gmax - 7 * 86400) AS cen,
+        |    (user_id % 2 = 0) AS even FROM u, g),
+        |bt AS (SELECT t,
+        |    CAST(sum(CASE WHEN NOT cen AND even THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+        |    CAST(sum(CASE WHEN cen AND even THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN NOT cen AND NOT even THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN cen AND NOT even THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM uu GROUP BY 1),
+        |nn AS (SELECT
+        |    CAST(sum(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT) AS n0all,
+        |    CAST(sum(CASE WHEN NOT even THEN 1 ELSE 0 END) AS BIGINT) AS n1all
+        |  FROM uu),
+        |cumt AS (SELECT *, d0 + c0 AS tot0, d1 + c1 AS tot1,
+        |    CAST(sum(d0 + c0) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum0,
+        |    CAST(sum(d1 + c1) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1
+        |  FROM bt),
+        |risk AS (SELECT *, n0all - cum0 + tot0 AS n0, n1all - cum1 + tot1 AS n1,
+        |    d0 + d1 AS d FROM cumt, nn),
+        |rf AS (SELECT *, n0 + n1 AS n FROM risk WHERE d0 + d1 > 0
+        |    AND n0 + n1 >= 2),
+        |tm AS (SELECT d0,
+        |    CAST(round(CAST(d AS DOUBLE) * CAST(n0 AS DOUBLE) /
+        |      CAST(n AS DOUBLE), 9) AS DECIMAL(18,9)) AS e0,
+        |    CAST(round(CAST(d AS DOUBLE) *
+        |      (CAST(n0 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(n AS DOUBLE) - CAST(d AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) - 1.0), 9) AS DECIMAL(18,9)) AS v
+        |  FROM rf)
+        |SELECT CAST(count(*) AS BIGINT) AS n_death_times,
+        |  CAST(sum(d0) AS BIGINT) AS observed_even,
+        |  round(CAST(sum(e0) AS DOUBLE), 6) AS expected_even,
+        |  round(CAST(sum(v) AS DOUBLE), 6) AS variance,
+        |  CASE WHEN CAST(sum(v) AS DOUBLE) > 0.0
+        |    THEN round(pow(CAST(sum(d0) AS DOUBLE) - CAST(sum(e0) AS DOUBLE), 2)
+        |      / CAST(sum(v) AS DOUBLE), 6)
+        |    ELSE 0.0 END AS chi2
+        |FROM tm""".stripMargin,
 
     "streaming_interval_join" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
@@ -878,6 +1129,8 @@ object SessionQueries {
         |SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS n_touches,
         |  round(CAST(sum(credit) AS DOUBLE), 6) AS credit
         |FROM c GROUP BY 1""".stripMargin,
+
+    "attribution_markov" -> attributionMarkovSql,
 
     "feature_trailing_distinct" ->
       """WITH e AS (SELECT event_id, user_id,

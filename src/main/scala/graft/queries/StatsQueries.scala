@@ -603,6 +603,47 @@ object StatsQueries {
         (round(chi2, 6) > 3.841459).as("srm_detected"))
     }),
 
+    // Benjamini–Hochberg FDR correction (q = 0.10) over the per-nation
+    // one-sample z-tests of customer balance against the global mean —
+    // the multiple-testing guardrail an experimentation platform applies
+    // before reporting 25 simultaneous "significant" segments. Moments are
+    // exact decimal sums; the p-value evaluates the shared A&S erf
+    // approximation (ops/Gauss — one constant set feeds both engines) and
+    // is 6dp-rounded BEFORE the step-up comparison so the accept/reject
+    // frontier is engine-identical. The rank/step-up windows walk the
+    // 25-row collapsed table, never raw customers.
+    "ab_fdr_bh" -> ((s, dir) => {
+      val cust = table(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_acctbal").cast("decimal(18,2)").as("b"))
+      val glob = cust.agg(count(lit(1)).as("na"), sum(col("b")).as("sx"),
+        sum(col("b") * col("b")).as("sxx"),
+        countDistinct(col("c_nationkey")).as("m"))
+      def d(c: Column) = c.cast("double")
+      val scored = cust.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("b")).as("sg"))
+        .crossJoin(broadcast(glob))
+        .withColumn("mean_all", d(col("sx")) / d(col("na")))
+        .withColumn("var_all",
+          (d(col("sxx")) - d(col("sx")) * d(col("sx")) / d(col("na"))) /
+            (d(col("na")) - 1.0))
+        .withColumn("z",
+          (d(col("sg")) / d(col("n")) - col("mean_all")) /
+            sqrt(col("var_all") / d(col("n"))))
+        .withColumn("p", round(graft.ops.Gauss.twoSidedP(col("z")), 6))
+      val wOrd = Window.orderBy(col("p").asc, col("c_nationkey").asc)
+      val wAll = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val thresh = d(col("k")) * 0.1 / d(col("m"))
+      scored.withColumn("k", row_number().over(wOrd))
+        .withColumn("kstar",
+          max(when(col("p") <= thresh, col("k")).otherwise(0)).over(wAll))
+        .select(col("c_nationkey"), col("n"),
+          round(col("z"), 6).as("z"), col("p").as("p_value"),
+          col("k").cast("long").as("k"),
+          round(thresh, 6).as("bh_thresh"),
+          (col("k") <= col("kstar")).as("rejected"))
+    }),
+
     // Weight-of-evidence / information-value table of quantity buckets
     // against the return flag — the credit-scoring-style predictive-power
     // screen for a candidate feature. WoE_b = ln((good_b/G)/(bad_b/B))
@@ -832,6 +873,34 @@ object StatsQueries {
             (col("__n").cast("double") * col("__sx").cast("double")) -
             (col("__n") + 1L).cast("double") / col("__n").cast("double"), 6)
             .as("gini"))
+    }),
+
+    // Herfindahl–Hirschman concentration of supplier revenue within each
+    // nation — the market-concentration read-out next to the Gini: HHI =
+    // Σ share², share = supplier revenue / nation revenue. Revenue stays
+    // exact integer cents×bp through both aggregates; shares are single
+    // double divisions of those exact longs and the share² terms are
+    // 12dp-rounded decimals, so the per-nation sum is order-free. Two hash
+    // aggregates + a nation-keyed broadcast-back; no windows.
+    "agg_hhi_revenue" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val discBp = round(col("l_discount") * 100).cast("long")
+      val bySupp = table(s, dir, "lineitem")
+        .join(table(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"))
+        .agg(sum(cents * (lit(100L) - discBp)).as("rev"))
+      val byNation = bySupp.groupBy(col("s_nationkey"))
+        .agg(sum(col("rev")).as("tot"))
+      def dd(c: Column) = c.cast("double")
+      bySupp.join(broadcast(byNation), "s_nationkey")
+        .withColumn("sq",
+          round(pow(dd(col("rev")) / dd(col("tot")), 2), 12)
+            .cast("decimal(18,12)"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum(col("sq")).cast("double"), 6).as("hhi"),
+          round(max(dd(col("rev")) / dd(col("tot"))), 6).as("top_share"))
     }),
 
     // Two-sample Kolmogorov–Smirnov distance between the baseline (even
@@ -1162,6 +1231,34 @@ object StatsQueries {
         |    CAST(n1 + n2 AS DOUBLE), 6) > 3.841459 AS srm_detected
         |FROM a""".stripMargin,
 
+    "ab_fdr_bh" ->
+      s"""WITH c AS (SELECT c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS b
+         |  FROM customer),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS na, sum(b) AS sx,
+         |    sum(b * b) AS sxx,
+         |    CAST(count(DISTINCT c_nationkey) AS BIGINT) AS m FROM c),
+         |s AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+         |    sum(b) AS sg FROM c GROUP BY 1),
+         |z AS (SELECT s.*, g.m,
+         |    (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) / CAST(na AS DOUBLE)) /
+         |    sqrt(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+         |      / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0))
+         |      / CAST(n AS DOUBLE)) AS zv
+         |  FROM s, g),
+         |p AS (SELECT *, round(${graft.ops.Gauss.twoSidedPSql("zv")}, 6) AS pv
+         |  FROM z),
+         |r AS (SELECT *, CAST(row_number() OVER
+         |    (ORDER BY pv ASC, c_nationkey ASC) AS BIGINT) AS k FROM p),
+         |ks AS (SELECT *,
+         |    max(CASE WHEN pv <= CAST(k AS DOUBLE) * 0.1 / CAST(m AS DOUBLE)
+         |      THEN k ELSE 0 END) OVER () AS kstar
+         |  FROM r)
+         |SELECT c_nationkey, n, round(zv, 6) AS z, pv AS p_value, k,
+         |  round(CAST(k AS DOUBLE) * 0.1 / CAST(m AS DOUBLE), 6) AS bh_thresh,
+         |  k <= kstar AS rejected
+         |FROM ks""".stripMargin,
+
     "feature_woe_iv" ->
       """WITH r AS (SELECT CAST(l_quantity AS BIGINT) // 10 AS bucket,
         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
@@ -1390,6 +1487,24 @@ object StatsQueries {
         |    (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) -
         |    CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
         |FROM a""".stripMargin,
+
+    "agg_hhi_revenue" ->
+      """WITH bs AS (SELECT s_nationkey, s_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |bn AS (SELECT s_nationkey, CAST(sum(rev) AS BIGINT) AS tot
+        |  FROM bs GROUP BY 1),
+        |sq AS (SELECT bs.s_nationkey,
+        |    CAST(round(pow(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 2), 12)
+        |      AS DECIMAL(18,12)) AS sq,
+        |    CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+        |  FROM bs JOIN bn USING (s_nationkey))
+        |SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  round(CAST(sum(sq) AS DOUBLE), 6) AS hhi,
+        |  round(max(share), 6) AS top_share
+        |FROM sq GROUP BY 1""".stripMargin,
 
     "drift_ks" ->
       """WITH m AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN l_quantity

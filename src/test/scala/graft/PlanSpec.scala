@@ -543,6 +543,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("recsys co-occurrence: basket self-join stays key-equi and the " +
+      "neighbor ranking window is item-keyed — no cartesian, no global sort") {
+    val p = plan("recsys_item_item")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    val r = plan("recsys_user_recs")
+    assert(!r.contains("CartesianProduct") &&
+      !r.contains("BroadcastNestedLoopJoin"), r)
+    assert(!r.contains("Exchange rangepartitioning"), r)
+  }
+
+  test("BH step-up and log-rank windows walk collapsed closures — raw rows " +
+      "are hash-aggregated before any window exchange") {
+    for (name <- Seq("ab_fdr_bh", "survival_logrank", "survival_nelson_aalen",
+        "agg_hhi_revenue")) {
+      val p = plan(name)
+      // crossJoin(broadcast(1-row agg)) is the accepted scalar-subquery
+      // shape (plans as a broadcast nested-loop Cross of one row); what
+      // must never appear is a real cartesian of fact rows.
+      assert(!p.contains("CartesianProduct"), s"$name: $p")
+      // the windowed/step-up side must sit above an aggregate, and the
+      // plan must never range-shuffle the raw fact rows
+      assert(p.contains("HashAggregate"), s"$name: $p")
+      assert(!p.contains("Exchange rangepartitioning"), s"$name: $p")
+    }
+  }
+
   test("custom expressions are SQL-callable after extension registration") {
     GraftExtensions.registerOn(spark)
     val r = spark.sql("SELECT seq_ratio('grady_memorial', 'grady_memoral') AS r")
