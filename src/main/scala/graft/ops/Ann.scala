@@ -315,13 +315,26 @@ object Ann {
     * once for training. Summation runs in ascending-vec_id order, so
     * centroids are identical under any partitioning. */
   def kmeansCentroids(corpus: DataFrame, dim: Int, c: Int,
-      iters: Int, maxTrain: Int = 2048): Array[Array[Double]] = {
-    val sample: Array[Array[Double]] = corpus
+      iters: Int, maxTrain: Int = 2048): Array[Array[Double]] =
+    lloyd(boundedSample(corpus, maxTrain), dim, c, iters)
+
+  /** The ONE corpus scan both k-means trainers share: the `maxTrain` rows
+    * with the smallest (xxhash64(vec_id), vec_id), returned in ascending
+    * vec_id order so downstream folds are partition-invariant. */
+  private def boundedSample(corpus: DataFrame,
+      maxTrain: Int): Array[Array[Double]] =
+    corpus
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(maxTrain)
       .collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
+
+  /** Driver-local Lloyd iterations over an in-memory sample (first-c init,
+    * strict-< nearest with lowest-index ties, empty cells keep their
+    * centroid, fixed sample order — fully deterministic). */
+  private def lloyd(sample: Array[Array[Double]], dim: Int, c: Int,
+      iters: Int): Array[Array[Double]] = {
     require(sample.length >= c, s"need at least $c training vectors")
 
     def nearest(v: Array[Double], cents: Array[Array[Double]]): Int = {
@@ -413,6 +426,103 @@ object Ann {
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
     topKRanked(scored, k)
+  }
+
+  // --------------------------------------------------- product quantization
+
+  /** Squared-L2 distance as the same 0.0-seeded left fold as [[dot]] —
+    * IEEE-identical wherever the fold is mirrored. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Exact brute-force top-k by squared L2 (6dp-rounded, id tiebreak) —
+    * the distance-metric sibling of [[bruteTopK]] and the recall baseline
+    * for the ADC-approximate PQ path. */
+  def bruteTopKL2(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("dist", round(sqDist(col("qv"), col("cv")), 6))
+    topKByDist(scored, k)
+  }
+
+  /** [[topKRanked]] for ascending distances: ranks by (dist asc, id asc)
+    * through the same bounded partial-combining [[TopKAgg]] (score fed as
+    * −dist so the aggregate's descending order is distance-ascending). */
+  private def topKByDist(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(TopKAgg.topK(-col("dist"), col("vec_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "r")))
+      .select(col("query_id"), col("r.id").as("vec_id"),
+        (-col("r.score")).as("dist"),
+        (col("pos") + 1).cast("int").as("rank"))
+
+  /** Product-quantization codebooks TRAINED per subspace: the bounded
+    * deterministic sample is sliced into `m` contiguous dim/m-wide
+    * subvectors and each subspace runs its own driver-local Lloyd loop —
+    * one corpus scan total, like [[kmeansCentroids]]. */
+  def pqCodebooks(corpus: DataFrame, dim: Int, m: Int, c: Int, iters: Int,
+      maxTrain: Int = 2048): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val sample = boundedSample(corpus, maxTrain)
+    Array.tabulate(m) { mi =>
+      lloyd(sample.map(_.slice(mi * dsub, (mi + 1) * dsub)), dsub, c, iters)
+    }
+  }
+
+  /** Training-free PQ codebooks for the correctness gate: subspace `mi`'s
+    * codebook is the `mi`-th slice of the corpus vectors at `ids` (sorted
+    * by vec_id) — the same fixed-centroid trick [[ivfSearch]]'s gate uses,
+    * which makes the whole encode+ADC pipeline SQL-mirrorable. */
+  def pqFixedCodebooks(corpus: DataFrame, ids: Seq[Long],
+      m: Int): Array[Array[Array[Double]]] = {
+    val full = fixedCentroids(corpus, ids)
+    val dim = full.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    Array.tabulate(m) { mi => full.map(_.slice(mi * dsub, (mi + 1) * dsub)) }
+  }
+
+  /** PQ top-k via asymmetric distance (ADC): every corpus vector is encoded
+    * once — per subspace, the nearest codebook entry by subvector L2
+    * (strict argmin, lowest index on ties) — and queries rank candidates by
+    * the exact L2 to the RECONSTRUCTION x̂ (mathematically identical to the
+    * classic per-subspace lookup-table sum, but evaluated as one 64-dim
+    * fold so the float order is mirrorable). Encoding is one narrow
+    * codegen'd projection (m·c small folds per row, no shuffle); memory per
+    * corpus row at serving time is m codes instead of dim floats — the
+    * compression that lets a 100 TB corpus's index fit a cluster's RAM.
+    * Approximate by construction; gate recall against [[bruteTopKL2]]. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+      books: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val m = books.length
+    val dsub = books.head.head.length
+    // per-subspace argmin struct carries the winning centroid itself;
+    // (d, i) is a unique sort key, so the array field never drives ordering
+    def pick(v: Column, mi: Int): Column = {
+      val sub = slice(v, mi * dsub + 1, dsub)
+      val scored = books(mi).zipWithIndex.map { case (cen, ci) =>
+        val cenLit = typedLit(cen.toSeq)
+        struct(sqDist(sub, cenLit).as("d"), lit(ci).as("i"),
+          cenLit.as("cen"))
+      }
+      array_min(array(scored: _*))
+    }
+    val enc = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+      .withColumn("xhat",
+        flatten(array((0 until m).map(mi =>
+          pick(col("cv"), mi).getField("cen")): _*)))
+      .select(col("vec_id"), col("xhat"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"))
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("dist", round(sqDist(col("qv"), col("xhat")), 6))
+    topKByDist(scored, k)
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold, EXACT output either way.

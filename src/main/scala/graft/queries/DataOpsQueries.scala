@@ -345,6 +345,40 @@ object DataOpsQueries {
             .as("recall"))
     }),
 
+    // Product-quantization ANN, trained form: per-subspace k-means on the
+    // one-scan bounded sample (8 subspaces × 16 codes over the 64-dim
+    // embeddings = 64× memory compression), corpus encoded once, queries
+    // ranked by asymmetric distance to the reconstruction. Rows-only (the
+    // Lloyd loops aren't SQL-expressible); pq_recall_report is the
+    // oracle-checked accuracy gate on the training-free fixed codebooks.
+    "sim_topk_pq" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ann.pqTopK(emb.filter(col("vec_id") < 5), emb,
+        Ann.pqCodebooks(emb, dim = 64, m = 8, c = 16, iters = 3), k = 10)
+    }),
+
+    // PQ recall AS a gate — the pq sibling of ivf_recall_report: codebooks
+    // are the subspace slices of 16 pinned corpus vectors, so encode + ADC
+    // rank is fully SQL-expressible, and recall@10 is measured against the
+    // exact squared-L2 brute top-10 (the metric PQ approximates — cosine
+    // recall would conflate metric mismatch with quantization error).
+    "pq_recall_report" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val books = Ann.pqFixedCodebooks(emb, PqGateCentroidIds, m = 8)
+      val brute = Ann.bruteTopKL2(q, emb, k = 10)
+        .select(col("query_id"), col("vec_id"))
+      val pq = Ann.pqTopK(q, emb, books, k = 10)
+        .select(col("query_id"), col("vec_id"), lit(1L).as("__hit"))
+      brute.join(pq, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .select(col("query_id"), col("k"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("k").cast("double"), 6)
+            .as("recall"))
+    }),
+
     // Perceptual-hash image dedup over REAL decoded pixels: gradient
     // PNGs (id-dependent frequency), exact re-encodes of every 10th
     // planted at +5e6 and single-pixel edits of every 15th at +6e6;
@@ -890,6 +924,11 @@ object DataOpsQueries {
   private val IvfGateCentroidIds: Seq[Long] =
     Seq(7L, 63L, 119L, 175L, 231L, 287L, 343L, 399L)
 
+  /** Fixed codebook vec_ids for the PQ gate (16 codes per subspace; same
+    * every-sf-present spread as the IVF set). */
+  private[queries] val PqGateCentroidIds: Seq[Long] =
+    (0 until 16).map(i => 7L + 31L * i)
+
   /** Squared-L2 distance as the same 0.0-seeded left fold Spark's
     * aggregate(zip_with(...)) runs (list_reduce starts at element 1;
     * 0.0+x ≡ x, so the float order is identical). */
@@ -926,6 +965,50 @@ object DataOpsQueries {
        |r AS (SELECT query_id, vec_id,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY cos DESC, vec_id ASC) AS rank FROM s)
+       |SELECT query_id, vec_id FROM r WHERE rank <= 10""".stripMargin
+  }
+
+  /** Exact squared-L2 brute top-10 — the metric-matched baseline for the
+    * PQ recall oracle (same 0.0-seeded 64-term fold as Ann.sqDist). */
+  private lazy val bruteL2TopKSql: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+       |s AS (SELECT query_id, vec_id, round(${sqDistSql("qe", "e")}, 6) AS dist
+       | FROM v, q WHERE vec_id <> query_id),
+       |r AS (SELECT query_id, vec_id,
+       |   row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank FROM s)
+       |SELECT query_id, vec_id FROM r WHERE rank <= 10""".stripMargin
+
+  /** Fixed-codebook PQ top-10 (per-subspace encode → reconstruction → ADC
+    * rank), the SQL mirror of Ann.pqTopK over [[PqGateCentroidIds]]: the
+    * 8-term subspace folds pick each code, list(… ORDER BY m) rebuilds x̂,
+    * and the final 64-term fold mirrors Ann.sqDist exactly. */
+  private lazy val pqFixedTopKSql: String = {
+    val ids = PqGateCentroidIds.mkString(", ")
+    def sqDist8(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, 9), j -> ($a[CAST(j AS INT)] - $b[CAST(j AS INT)])" +
+        s" * ($a[CAST(j AS INT)] - $b[CAST(j AS INT)])), (x, y) -> x + y)"
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
+       |cen AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS ci, e AS ce
+       |  FROM v WHERE vec_id IN ($ids)),
+       |cs AS (SELECT ci, CAST(m AS INT) AS m,
+       |    list_slice(ce, CAST(m * 8 + 1 AS INT), CAST(m * 8 + 8 AS INT)) AS sub
+       |  FROM cen, range(0, 8) t(m)),
+       |cv AS (SELECT vec_id, CAST(m AS INT) AS m,
+       |    list_slice(e, CAST(m * 8 + 1 AS INT), CAST(m * 8 + 8 AS INT)) AS sub
+       |  FROM v, range(0, 8) t(m)),
+       |pk AS (SELECT vec_id, m, sub FROM (
+       |  SELECT cv.vec_id, cv.m, cs.sub,
+       |    row_number() OVER (PARTITION BY cv.vec_id, cv.m
+       |      ORDER BY ${sqDist8("cv.sub", "cs.sub")} ASC, cs.ci ASC) AS rn
+       |  FROM cv JOIN cs ON cs.m = cv.m) WHERE rn = 1),
+       |xh AS (SELECT vec_id, flatten(list(sub ORDER BY m)) AS xhat
+       |  FROM pk GROUP BY 1),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+       |s AS (SELECT query_id, xh.vec_id, round(${sqDistSql("qe", "xhat")}, 6) AS dist
+       |  FROM xh, q WHERE xh.vec_id <> query_id),
+       |r AS (SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank FROM s)
        |SELECT query_id, vec_id FROM r WHERE rank <= 10""".stripMargin
   }
 
@@ -1175,6 +1258,16 @@ object DataOpsQueries {
            |    ORDER BY n_chars DESC, doc_id ASC) AS rn FROM lab) WHERE rn = 1)
            |SELECT l.doc_id, l.component, l.doc_id = b.best_id AS keep
            |FROM lab l JOIN best b USING (component)""".stripMargin,
+      "pq_recall_report" ->
+        s"""WITH b AS ($bruteL2TopKSql),
+           |l AS ($pqFixedTopKSql)
+           |SELECT b.query_id, CAST(count(*) AS BIGINT) AS k,
+           |  CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_hit,
+           |  round(CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+           |FROM b LEFT JOIN l ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+           |GROUP BY 1""".stripMargin,
       "ivf_recall_report" ->
         s"""WITH b AS ($bruteTopKSql),
            |l AS ($ivfFixedTopKSql)

