@@ -44,6 +44,40 @@ object Funnel {
     acc.withColumn("stage", stageExpr.cast("int"))
   }
 
+  /** Windowed funnel ([[funnel]] with a conversion deadline): the chain is
+    * anchored at the user's FIRST stage-0 event and every later stage must
+    * land within `windowSec` of that anchor — the "converted within 48h"
+    * product metric, where an eventual purchase a month later no longer
+    * counts. Same per-stage min-aggregate chain (user-keyed shuffles only,
+    * no per-user windows or event lists); `stage` counts completed steps
+    * inside the window. */
+  def windowFunnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String], windowSec: Long): DataFrame = {
+    require(stages.size >= 2, "need at least two funnel stages")
+    require(stages.distinct.size == stages.size, "stages must be distinct")
+    require(windowSec > 0, s"windowSec must be positive: $windowSec")
+    def tcol(i: Int) = s"t_${stages(i)}"
+    (stages.indices.map(tcol) :+ "stage").foreach { c =>
+      require(!events.columns.contains(c),
+        s"windowFunnel emits a $c column; rename the existing one")
+    }
+    var acc = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as(tcol(0)))
+    for (i <- 1 until stages.size) {
+      val next = events.filter(col(typeCol) === stages(i))
+        .join(acc.select(col(userCol), col(tcol(0)), col(tcol(i - 1))),
+          Seq(userCol))
+        .filter(col(tsCol) > col(tcol(i - 1)) &&
+          col(tsCol) <= col(tcol(0)) + windowSec)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as(tcol(i)))
+      acc = acc.join(next, Seq(userCol), "left")
+    }
+    val stageExpr = (stages.size to 1 by -1).foldRight(lit(0)) {
+      case (i, els) => when(col(tcol(i - 1)).isNotNull, lit(i)).otherwise(els)
+    }
+    acc.withColumn("stage", stageExpr.cast("int"))
+  }
+
   /** Cohort retention matrix: users cohort by their FIRST-ever activity
     * day; each (cohort, age-in-days) cell counts distinct users active
     * that day. Two user-keyed shuffles (first-day aggregate, join back) +

@@ -96,6 +96,61 @@ object Ranking {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Distributed prefix MAX — [[prefixSum]]'s running-maximum sibling (the
+    * scan a watermark audit needs: "highest timestamp seen so far in
+    * arrival order" without a single-task global window). Same two-pass
+    * shape: range-repartition by `orderCols`, per-partition partial maxima
+    * (one tiny job), broadcast exclusive offsets seeded at Long.MinValue,
+    * then a narrow second pass. Appends `cummax_<c>` (running INCLUSIVE max
+    * in `orderCols` order) for each of `valueCols` (non-null LongType).
+    * Same eager-construction caveat as [[prefixSum]]. */
+  def prefixMax(df: DataFrame, orderCols: Seq[Column],
+      valueCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    require(valueCols.nonEmpty, "need at least one value column")
+    valueCols.foreach { c =>
+      require(df.columns.contains(c), s"missing value column $c")
+      require(!df.columns.contains(s"cummax_$c"),
+        s"prefixMax appends cummax_$c; rename the existing column")
+    }
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val vIdx = valueCols.map(sorted.schema.fieldIndex).toArray
+    val partials: Array[Array[Long]] = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val maxs = Array.fill(vIdx.length)(Long.MinValue)
+        it.foreach { r =>
+          var j = 0
+          while (j < vIdx.length) {
+            val v = r.getLong(vIdx(j))
+            if (v > maxs(j)) maxs(j) = v
+            j += 1
+          }
+        }
+        Iterator((pid, maxs))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = partials.scanLeft(Array.fill(vIdx.length)(Long.MinValue)) {
+      (acc, p) => acc.zip(p).map { case (a, b) => math.max(a, b) }
+    }.init
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = StructType(sorted.schema.fields ++
+      valueCols.map(c => StructField(s"cummax_$c", LongType, nullable = false)))
+    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val run = bc.value(pid).clone()
+      it.map { r =>
+        var j = 0
+        while (j < vIdx.length) {
+          val v = r.getLong(vIdx(j))
+          if (v > run(j)) run(j) = v
+          j += 1
+        }
+        Row.fromSeq(r.toSeq ++ run.toList)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Equal-frequency (quantile) binning: global rank by `orderCols`, then
     * `bin = ((rank − 1) · k) div n` — pure integer arithmetic, so the bin
     * boundaries are engine-exact (unlike ntile, whose remainder layout

@@ -620,10 +620,51 @@ object SessionQueries {
         col("stage"))
     }),
 
+    // Windowed funnel: same chain, but conversion only counts within 48h
+    // of the user's first view — the deadline-bounded product metric
+    // (funnel_stages' eventual-conversion numbers over-credit the funnel;
+    // this is the one a growth team actually reports). Timestamps ride as
+    // unix seconds so the +48h arithmetic is engine-neutral.
+    "funnel_window_steps" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("user_id"),
+        unix_timestamp(col("ts")).as("sec"), col("event_type"))
+      graft.ops.Funnel.windowFunnel(ev, "user_id", "sec", "event_type",
+        Seq("view", "click", "purchase"), windowSec = 48L * 3600L)
+    }),
+
     // Cohort retention: first-activity-day cohorts × active-age cells.
     "cohort_retention" -> ((s, dir) =>
       graft.ops.Funnel.cohortRetention(table(s, dir, "events"),
         "user_id", "ts")),
+
+    // Watermark late-data audit — the batch mirror of the streaming
+    // dropped-rows decision: with a 10-minute allowed delay, an event is
+    // late iff its timestamp sits more than the delay behind the highest
+    // timestamp already arrived. Arrival time = event time + a bounded
+    // deterministic transport jitter (knuth32(event_id) mod ±2 h — the
+    // fixture's event_id order IS its timestamp order, under which nothing
+    // is ever late), so the policy sees realistic partial out-of-orderness
+    // rather than 0% or ~100% lateness. The running max rides the two-pass
+    // distributed prefix scan (ops/Ranking.prefixMax), never a single-task
+    // global window; the verdict collapses per type.
+    "streaming_late_audit" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("event_id"),
+        col("event_type"), unix_timestamp(col("ts")).as("sec"))
+        .withColumn("arrival",
+          col("sec") +
+            pmod(pmod(col("event_id"), lit(1000000007L)) * lit(2654435761L),
+              lit(14401L)) - lit(7200L))
+      val scanned = graft.ops.Ranking.prefixMax(ev,
+        Seq(col("arrival").asc, col("event_id").asc), Seq("sec"))
+      def d(c: Column) = c.cast("double")
+      scanned
+        .withColumn("late",
+          when(col("sec") < col("cummax_sec") - 600L, 1L).otherwise(0L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("late")).as("n_late"),
+          round(sum(col("late")).cast("double") / d(count(lit(1))), 6)
+            .as("late_rate"))
+    }),
 
     // Per-user hourly resample with explicit zero rows for silent hours.
     "resample_user_hours" -> ((s, dir) =>
@@ -1242,6 +1283,39 @@ object SessionQueries {
         |  CAST(CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2
         |    ELSE 1 END AS INT) AS stage
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "funnel_window_steps" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    event_type FROM events),
+        |v AS (SELECT user_id, min(sec) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(sec) AS t_click FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND sec > t_view
+        |    AND sec <= t_view + 172800 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(sec) AS t_purchase
+        |  FROM e JOIN c USING (user_id) JOIN v USING (user_id)
+        |  WHERE event_type = 'purchase' AND sec > t_click
+        |    AND sec <= t_view + 172800 GROUP BY 1)
+        |SELECT v.user_id, t_view, t_click, t_purchase,
+        |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+        |    WHEN t_click IS NOT NULL THEN 2 ELSE 1 END AS INT) AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "streaming_late_audit" ->
+      s"""WITH e AS (SELECT event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(floor(epoch(ts)) AS BIGINT) +
+        |      (((event_id % 1000000007) + 1000000007) % 1000000007)
+        |        * 2654435761 % 14401 - 7200 AS arrival FROM events),
+        |m AS (SELECT *, CAST(max(sec) OVER (ORDER BY arrival, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm FROM e),
+        |f AS (SELECT event_type,
+        |    CASE WHEN sec < cm - 600 THEN 1 ELSE 0 END AS late FROM m)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(late) AS BIGINT) AS n_late,
+        |  round(CAST(sum(late) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS late_rate
+        |FROM f GROUP BY 1""".stripMargin,
 
     "cohort_retention" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort

@@ -1014,6 +1014,40 @@ object StatsQueries {
     // tail sums) from one aggregate over the lead-joined series; closing
     // algebra in mirrored-operand-order doubles, 6dp-rounded. Constant
     // series (zero variance) emit null via nullif.
+    // Lead-lag cross-correlation between the daily click and purchase
+    // series at lags −3..+3 — the "do clicks lead purchases, and by how
+    // many days?" read-out. Day counts are exact integers, so every moment
+    // (Σx, Σy, Σxy, Σx², Σy², n) is a 64-bit exact sum per lag and the
+    // Pearson closure is pure double arithmetic on identical longs — no
+    // floating accumulation anywhere. Two hash aggregates + a 7-row lag
+    // explode + one day-keyed join.
+    "agg_crosscorr_lags" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts")) / lit(86400.0)).cast("long")
+            .as("day"))
+      val x = daily.filter(col("event_type") === "click")
+        .groupBy(col("day")).agg(count(lit(1)).as("x"))
+      val y = daily.filter(col("event_type") === "purchase")
+        .groupBy(col("day")).agg(count(lit(1)).as("y"))
+        .select(col("day").as("yday"), col("y"))
+      val moments = x
+        .withColumn("lag", explode(typedLit((-3 to 3).map(_.toLong))))
+        .join(y, col("day") + col("lag") === col("yday"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      def d(c: Column) = c.cast("double")
+      val den = sqrt(d(col("n") * col("sxx") - col("sx") * col("sx")) *
+        d(col("n") * col("syy") - col("sy") * col("sy")))
+      moments.select(col("lag"), col("n").as("n_days"),
+        when(den > 0.0,
+          round(d(col("n") * col("sxy") - col("sx") * col("sy")) / den, 6))
+          .otherwise(lit(0.0)).as("corr"))
+    }),
+
     "agg_autocorr" -> ((s, dir) => {
       val daily = table(s, dir, "events")
         .select(col("event_type"),
@@ -1546,6 +1580,31 @@ object StatsQueries {
         |  strftime(max(e), '%Y-%m-%d') AS span_end,
         |  CAST(count(*) AS BIGINT) AS n_merged
         |FROM i GROUP BY l_suppkey, island""".stripMargin,
+
+    "agg_crosscorr_lags" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |x AS (SELECT day, CAST(count(*) AS BIGINT) AS x FROM d
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |y AS (SELECT day AS yday, CAST(count(*) AS BIGINT) AS y FROM d
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |l AS (SELECT CAST(unnest([-3, -2, -1, 0, 1, 2, 3]) AS BIGINT) AS lag),
+        |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM x, l JOIN y ON x.day + l.lag = y.yday
+        |  GROUP BY 1)
+        |SELECT lag, n AS n_days,
+        |  CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |      CAST(n * syy - sy * sy AS DOUBLE)) > 0.0
+        |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |        CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |    ELSE 0.0 END AS corr
+        |FROM m""".stripMargin,
 
     "agg_autocorr" ->
       """WITH d AS (SELECT event_type,

@@ -142,6 +142,24 @@ class ShapeSpec extends SparkSpec {
     }
   }
 
+  test("prefixMax matches the single-partition window scan, stable under partitioning") {
+    import spark.implicits._
+    // values dip and spike so the running max genuinely crosses partials
+    val base = (1L to 3000L).map(i => (i, (i * 7919) % 997)).toDF("id", "v")
+    val want = base.withColumn("cummax_v",
+        max(col("v")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("id")).rowsBetween(Long.MinValue, 0)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def got(df: org.apache.spark.sql.DataFrame) =
+      Ranking.prefixMax(df, Seq(col("id")), Seq("v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(base) == want)
+    assert(got(base.repartition(17)) == want)
+    intercept[IllegalArgumentException] {
+      Ranking.prefixMax(base.withColumn("cummax_v", lit(0L)), Seq(col("id")), Seq("v"))
+    }
+  }
+
   test("globalRank: dense 1..N total order, stable under input partitioning") {
     import spark.implicits._
     val base = (1L to 5000L).map(i => (i, (i * 7919) % 1000)).toDF("id", "key")
