@@ -874,4 +874,164 @@ object Graph {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"),
         coalesce(col("in_w"), lit(0L)).as("in_w"))
   }
+
+  /** Strongly connected components of a DIRECTED simple graph; each node
+    * labels with the MINIMUM node id in its component (an engine-neutral
+    * labeling — Tarjan's discovery order is traversal-dependent, a min-id
+    * label is a pure function of the graph).
+    *
+    * Distributed regime: min-label forward/backward peeling — per outer
+    * round, propagate min ids to a fixpoint along edges (fmin(u) = min id
+    * that can reach u, self included) and along reversed edges (bmin(u) =
+    * min id u can reach), settle every node with fmin = bmin = m into SCC
+    * m (mutual reachability with m is proven by the two labels; minimality
+    * because any smaller mutual partner would lower fmin), peel the
+    * settled nodes and repeat on the residual subgraph. Each round settles
+    * at least the component of the smallest remaining id; every step is a
+    * node-keyed join + min aggregate (integer labels — bit-exact on any
+    * partitioning), no windows. `maxRounds` is a loud-failure guard: a
+    * pathological SCC chain peels one component per round, so a graph
+    * needing more rounds should fail, not silently truncate.
+    *
+    * Small graphs (≤ localEdgeThreshold edges) take a driver-local
+    * iterative Tarjan relabeled to min ids — identical output by
+    * construction (asserted against the distributed loop in GraphSpec).
+    *
+    * @param edges directed (srcCol → dstCol) edges; self-loops ignored.
+    * @return (node, scc) for every non-isolated node. */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxRounds: Int = 24,
+      localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val e = edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .filter(col("s") =!= col("d")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = edges.sparkSession
+
+    if (e.count() <= localEdgeThreshold) {
+      // Iterative Tarjan (explicit stack — no recursion depth limit),
+      // components relabeled to their min node id.
+      val rows = e.collect()
+      val adj = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.ArrayBuffer[Long]]
+      val nodesSet = scala.collection.mutable.SortedSet.empty[Long]
+      rows.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+        nodesSet += a; nodesSet += b
+      }
+      // (child visit order is irrelevant: SCC membership and min-id labels
+      // are pure graph properties, independent of traversal order)
+      val index = scala.collection.mutable.LongMap.empty[Int]
+      val low = scala.collection.mutable.LongMap.empty[Int]
+      val onStack = scala.collection.mutable.LongMap.empty[Boolean]
+      val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val sccOf = scala.collection.mutable.LongMap.empty[Long]
+      var nextIndex = 0
+      val empty = scala.collection.mutable.ArrayBuffer.empty[Long]
+      nodesSet.foreach { root =>
+        if (!index.contains(root)) {
+          // frames: (node, position of next child to visit)
+          val call = scala.collection.mutable.ArrayBuffer[(Long, Int)]((root, 0))
+          while (call.nonEmpty) {
+            val (v, pos) = call.last
+            if (pos == 0) {
+              index(v) = nextIndex; low(v) = nextIndex; nextIndex += 1
+              stack += v; onStack(v) = true
+            }
+            val kids = adj.getOrElse(v, empty)
+            if (pos < kids.length) {
+              call(call.length - 1) = (v, pos + 1)
+              val w = kids(pos)
+              if (!index.contains(w)) call += ((w, 0))
+              else if (onStack.getOrElse(w, false))
+                low(v) = math.min(low(v), index(w))
+            } else {
+              if (low(v) == index(v)) { // v roots an SCC: pop it
+                val comp = scala.collection.mutable.ArrayBuffer.empty[Long]
+                var done = false
+                while (!done) {
+                  val w = stack.remove(stack.length - 1)
+                  onStack(w) = false
+                  comp += w
+                  done = w == v
+                }
+                val label = comp.min
+                comp.foreach(w => sccOf(w) = label)
+              }
+              call.remove(call.length - 1)
+              if (call.nonEmpty) {
+                val (p, _) = call.last
+                low(p) = math.min(low(p), low(v))
+              }
+            }
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val out = sccOf.toSeq.sortBy(_._1).map { case (n, c) => Row(n, c) }
+      e.unpersist()
+      return spark.createDataFrame(out.asJava, StructType(Seq(
+        StructField("node", LongType), StructField("scc", LongType))))
+    }
+
+    // min-label propagation to fixpoint along (from → to) of `adj`
+    def fixpoint(adj: DataFrame, nodes: DataFrame): DataFrame = {
+      var labels = nodes.select(col("node"), col("node").as("l"))
+        .localCheckpoint(true)
+      var changed = 1L
+      while (changed > 0) {
+        val incoming = adj
+          .join(labels.select(col("node").as("from"), col("l").as("lf")), "from")
+          .groupBy(col("to").as("node")).agg(min(col("lf")).as("lin"))
+        val next = labels.join(incoming, Seq("node"), "left")
+          .select(col("node"),
+            least(col("l"), coalesce(col("lin"), col("l"))).as("l"))
+          .localCheckpoint(true)
+        changed = next
+          .join(labels.select(col("node"), col("l").as("lp")), "node")
+          .filter(col("l") =!= col("lp")).count()
+        labels = next
+      }
+      labels
+    }
+
+    var remainingE = e.localCheckpoint(true)
+    var settled = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("node", LongType), StructField("scc", LongType))))
+    var rounds = 0
+    var nodes = remainingE.select(col("s").as("node"))
+      .union(remainingE.select(col("d").as("node"))).distinct()
+      .localCheckpoint(true)
+    var nNodes = nodes.count()
+    while (nNodes > 0) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"SCC peeling did not converge in $maxRounds rounds " +
+          "(pathological component chain); raise maxRounds")
+      val fwd = fixpoint(
+        remainingE.select(col("s").as("from"), col("d").as("to")), nodes)
+      val bwd = fixpoint(
+        remainingE.select(col("d").as("from"), col("s").as("to")), nodes)
+      val both = fwd.join(bwd.select(col("node"), col("l").as("lb")), "node")
+      val done = both.filter(col("l") === col("lb"))
+        .select(col("node"), col("l").as("scc"))
+        .localCheckpoint(true)
+      settled = settled.union(done)
+      nodes = both.filter(col("l") =!= col("lb")).select(col("node"))
+        .localCheckpoint(true)
+      nNodes = nodes.count()
+      if (nNodes > 0) {
+        remainingE = remainingE
+          .join(nodes.select(col("node").as("s")), Seq("s"))
+          .join(nodes.select(col("node").as("d")), Seq("d"))
+          .select(col("s"), col("d"))
+          .localCheckpoint(true)
+      }
+    }
+    e.unpersist()
+    settled
+  }
 }

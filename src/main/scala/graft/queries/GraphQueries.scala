@@ -95,6 +95,36 @@ object GraphQueries {
           round(d(col("w_recip")) / d(col("tot_w")), 6).as("w_reciprocity"))
     }),
 
+    // Strongly connected components over a fabricated dependency digraph
+    // on the part ids (the organic temporal co-purchase digraph collapses
+    // to one giant SCC — useless as a gate): blocks of 50 form directed
+    // rings (one SCC each), every 11th block's ring is BROKEN at
+    // i ≡ 17 (mod 550) leaving a 50-singleton path, and block-boundary
+    // bridges chain blocks in groups of four (a DAG over the rings, so
+    // the peeling loop genuinely needs multiple rounds). SCC label = min
+    // node id in the component (engine-neutral; Tarjan's discovery order
+    // is not). Driver Tarjan below the edge threshold; min-label
+    // forward/backward peeling above — bit-identical (GraphSpec). The
+    // oracle computes the same components from first principles: mutual
+    // membership in the recursive-CTE transitive closure.
+    "graph_scc" -> ((s, dir) => {
+      val p = table(s, dir, "part").select(col("p_partkey").as("i"))
+      val blockStart = col("i") - pmod(col("i"), lit(50L))
+      val ring = p.filter(pmod(col("i"), lit(550L)) =!= 17L)
+        .select(col("i").as("pa"),
+          (blockStart + pmod(pmod(col("i"), lit(50L)) + 1L, lit(50L)))
+            .as("pb"))
+      val bridge = p
+        .filter(pmod(col("i"), lit(50L)) === 0L &&
+          pmod(expr("i div 50"), lit(4L)) =!= 3L)
+        .select(col("i").as("pa"), (col("i") + 50L).as("pb"))
+      val edges = ring.union(bridge)
+        .join(p.select(col("i").as("pb")), "pb") // drop absent targets
+        .select(col("pa"), col("pb"))
+      Graph.stronglyConnectedComponents(edges, "pa", "pb")
+        .select(col("node").as("part"), col("scc"))
+    }),
+
     // HITS hubs/authorities over the transition graph — the complementary
     // centrality to PageRank (a node can be a strong pointer without
     // being pointed at). Fixed-point integer loop with ℓ₁ renormalization
@@ -244,6 +274,26 @@ object GraphQueries {
        |  LEFT JOIN c${i + 1} ON c${i + 1}.node = nodes.node)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    "graph_scc" ->
+      """WITH RECURSIVE p AS (SELECT p_partkey AS i FROM part),
+        |ring AS (SELECT i AS s,
+        |    (i // 50) * 50 + ((i % 50) + 1) % 50 AS d
+        |  FROM p WHERE i % 550 <> 17),
+        |br AS (SELECT i AS s, i + 50 AS d FROM p
+        |  WHERE i % 50 = 0 AND (i // 50) % 4 <> 3),
+        |ed AS (SELECT s, d
+        |  FROM (SELECT * FROM ring UNION ALL SELECT * FROM br) e
+        |  JOIN p ON p.i = e.d),
+        |reach AS (SELECT s AS a, d AS b FROM ed
+        |  UNION
+        |  SELECT r.a, e.d FROM reach r JOIN ed e ON e.s = r.b),
+        |nodes AS (SELECT s AS n FROM ed UNION SELECT d FROM ed),
+        |mut AS (SELECT r1.a AS u, r1.b AS v FROM reach r1
+        |    JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+        |  UNION ALL SELECT n, n FROM nodes)
+        |SELECT u AS part, CAST(min(v) AS BIGINT) AS scc
+        |FROM mut GROUP BY 1""".stripMargin,
 
     "graph_reciprocity" ->
       s"""WITH $edgeCtes,

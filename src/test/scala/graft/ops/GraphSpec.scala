@@ -471,6 +471,27 @@ class GraphSpec extends SparkSpec {
     assert(ha(Graph.hitsScaled(we, "src", "dst", "w", iters = 4)) ==
       ha(Graph.hitsScaled(we, "src", "dst", "w", iters = 4,
         localEdgeThreshold = -1L)))
+    val de = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 4L), (6L, 1L), (7L, 7L)).toDF("s", "d")
+    assert(m(Graph.stronglyConnectedComponents(de, "s", "d")) ==
+      m(Graph.stronglyConnectedComponents(de, "s", "d",
+        localEdgeThreshold = -1L)))
+  }
+
+  test("stronglyConnectedComponents: cycles collapse to min ids, DAG nodes " +
+      "and self-loops are singletons") {
+    import spark.implicits._
+    // ring {1,2,3} → bridge 3→4 → 2-cycle {4,5}; 6 feeds the ring;
+    // 7 has only a self-loop (ignored → isolated → absent from output)
+    val de = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 4L), (6L, 1L), (7L, 7L)).toDF("s", "d")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L)
+    assert(m(Graph.stronglyConnectedComponents(de, "s", "d")) == want)
+    // distributed loop on the same graph, and invariance under partitioning
+    assert(m(Graph.stronglyConnectedComponents(de.repartition(7), "s", "d",
+      localEdgeThreshold = -1L)) == want)
   }
 
   test("hitsScaled: star graph separates hubs from authorities") {
