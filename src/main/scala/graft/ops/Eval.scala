@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Classifier / score evaluation operators — the audit layer a training-data
@@ -146,6 +146,67 @@ object Eval {
         round(d(col("n_pos")) / d(col("n")), 6).as("pos_rate"),
         round(abs(round(d(col("sm")) / (d(col("n")) * 1000.0), 6) -
           round(d(col("n_pos")) / d(col("n")), 6)), 6).as("gap"))
+  }
+
+  /** Isotonic (pool-adjacent-violators) calibration of a score against a
+    * binary label over [[calibrationBins]]' fixed-width bins: the monotone
+    * non-decreasing rate curve closest (L2) to the per-bin empirical
+    * rates — the standard post-hoc calibrator when the reliability diagram
+    * is non-monotone. The bin collapse is one distributed hash aggregate;
+    * PAV itself runs driver-local over the ≤`bins` collapsed rows (an
+    * inherently sequential pooling — DOMAIN-bounded, like the BPE merge
+    * table), with violator checks as exact integer cross-products (never a
+    * float rate compare), so the pooled blocks are partition- and
+    * engine-independent. Returns (bin, n, n_pos, raw_rate, iso_rate). */
+  def isotonicCalibration(df: DataFrame, label: Column, score: Column,
+      bins: Int): DataFrame = {
+    require(bins > 0 && bins <= 10000, s"bins out of range: $bins")
+    val milli = round(score * 1000, 0).cast("long")
+    val width = (1000 / bins).toLong
+    val b = least(floor(milli / width), lit(bins - 1L)).cast("int")
+    val collapsed = df.select(label.as("pos"), b.as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // PAV over (firstBin, lastBin, sumN, sumPos) blocks; merge while the
+    // previous block's rate exceeds the next's (pos_a/n_a > pos_b/n_b ⇔
+    // pos_a·n_b > pos_b·n_a — exact in 64-bit: pos, n ≤ corpus size).
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
+    collapsed.foreach { case (bin, n, pos) =>
+      stack += ((bin, bin, n, pos))
+      while (stack.length >= 2 && {
+        val (_, _, na, pa) = stack(stack.length - 2)
+        val (_, _, nb, pb) = stack(stack.length - 1)
+        pa * nb > pb * na
+      }) {
+        val (f1, _, na, pa) = stack.remove(stack.length - 2)
+        val (_, l2, nb, pb) = stack(stack.length - 1)
+        stack(stack.length - 1) = (f1, l2, na + nb, pa + pb)
+      }
+    }
+    val iso = stack.flatMap { case (f, l, n, pos) =>
+      val rate = java.math.BigDecimal.valueOf(pos)
+        .divide(java.math.BigDecimal.valueOf(n), 6,
+          java.math.RoundingMode.HALF_UP).doubleValue
+      (f to l).map(bin => bin -> rate)
+    }.toMap
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types._
+    val out = collapsed.map { case (bin, n, pos) =>
+      val raw = java.math.BigDecimal.valueOf(pos)
+        .divide(java.math.BigDecimal.valueOf(n), 6,
+          java.math.RoundingMode.HALF_UP).doubleValue
+      Row(bin, n, pos, raw, iso(bin))
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.toSeq.asJava, StructType(Seq(
+      StructField("bin", IntegerType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("n_pos", LongType, nullable = false),
+      StructField("raw_rate", DoubleType, nullable = false),
+      StructField("iso_rate", DoubleType, nullable = false))))
   }
 
   /** Pairwise ROUGE-2 overlap (clipped-multiset bigram precision / recall /

@@ -85,6 +85,15 @@ object EvalQueries {
             .otherwise(lit(0.0)).as("avg_precision"))
     }),
 
+    // Isotonic (PAV) calibration of the quality score as an is-English
+    // predictor: the monotone rate curve over the same 10 bins as
+    // eval_calibration_bins. Rows-only (adjacent-violator pooling is
+    // inherently sequential — not SQL-expressible); EvalSpec pins a
+    // hand-pooled fixture and monotonicity/mass invariants.
+    "eval_isotonic_calibration" -> ((s, dir) =>
+      Eval.isotonicCalibration(table(s, dir, "documents"),
+        col("lang") === "en", TextOps.qualityScore(col("text")), CalibBins)),
+
     // Split conformal coverage audit at α = 0.1: per-type mean predictor
     // fit on the even-id calibration half, |y − ŷ| threshold at the
     // ⌈(n+1)·0.9⌉-th smallest calibration score (distributed prefix sum),

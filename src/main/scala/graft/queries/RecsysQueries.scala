@@ -29,9 +29,21 @@ object RecsysQueries {
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
       .distinct()
 
+  /** Neighbor-table memo: the self-join + scoring + ranking is the
+    * expensive part and BOTH gates consume it — persist once per
+    * (session, dir) like GraphQueries' edge caches. */
+  private val neighborCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Directed co-occurrence neighbor lists with cosine scores, top-K per
     * source item (keyed window; ties broken by neighbor id). */
-  private def itemNeighbors(s: SparkSession, dir: String): DataFrame = {
+  private def itemNeighbors(s: SparkSession, dir: String): DataFrame =
+    neighborCache.computeIfAbsent((s, dir), { case (sess, d) =>
+      itemNeighborsUncached(sess, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private def itemNeighborsUncached(s: SparkSession, dir: String): DataFrame = {
     val b = baskets(s, dir)
     val deg = b.groupBy(col("part")).agg(count(lit(1)).as("deg"))
     val cooc = b.join(b.select(col("okey"), col("part").as("part_j")), "okey")

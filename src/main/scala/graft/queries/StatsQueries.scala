@@ -644,6 +644,100 @@ object StatsQueries {
           (col("k") <= col("kstar")).as("rejected"))
     }),
 
+    // Numeric-profile correlation matrix: pairwise Pearson between the
+    // four lineitem measures, every moment a 64-bit-exact integer sum
+    // (dollars / basis points — dollar squares keep Σx² < 2^63 through
+    // sf10) — the profiling staple a feature platform renders as the
+    // heatmap. ONE pass builds all 15 moments; the 6-pair closure is
+    // arithmetic over that single row.
+    "profile_corr_matrix" -> ((s, dir) => {
+      val m = table(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("x0"),
+        round(col("l_extendedprice")).cast("long").as("x1"),
+        round(col("l_discount") * 100).cast("long").as("x2"),
+        round(col("l_tax") * 100).cast("long").as("x3"))
+      val names = Seq("quantity", "price_usd", "discount_bp", "tax_bp")
+      val aggs = (0 until 4).map(i => sum(col(s"x$i")).as(s"s$i")) ++
+        (for (i <- 0 until 4; j <- i until 4)
+          yield sum(col(s"x$i") * col(s"x$j")).as(s"q${i}_$j"))
+      val mom = m.agg(count(lit(1)).as("n"), aggs: _*)
+      def d(c: Column) = c.cast("double")
+      // the closure multiplies in DOUBLE — n·Σx² overflows int64 at this
+      // magnitude; identical longs convert to identical doubles on both
+      // engines, so the 6dp rounding is still engine-exact
+      val pairs = for (i <- 0 until 4; j <- i + 1 until 4) yield {
+        val num = d(col("n")) * d(col(s"q${i}_$j")) -
+          d(col(s"s$i")) * d(col(s"s$j"))
+        val den = sqrt(
+          (d(col("n")) * d(col(s"q${i}_$i")) - d(col(s"s$i")) * d(col(s"s$i"))) *
+            (d(col("n")) * d(col(s"q${j}_$j")) - d(col(s"s$j")) * d(col(s"s$j"))))
+        mom.select(lit(names(i)).as("col_x"), lit(names(j)).as("col_y"),
+          col("n"),
+          when(den > 0.0, round(num / den, 6)).otherwise(lit(0.0)).as("corr"))
+      }
+      pairs.reduce(_ union _)
+    }),
+
+    // Pre-experiment power analysis: per event type, the minimum
+    // detectable effect at α = 0.05 / power = 0.8 given the observed arm
+    // sizes and pooled variance (arms = user parity) — the "is this test
+    // even worth running" number. Moments are exact decimal sums; the MDE
+    // closure is pure double arithmetic on identical decimals, with the
+    // z-quantile sum (1.959964 + 0.841621) as a shared literal. One hash
+    // aggregate over the events.
+    "ab_power_mde" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("event_type"),
+        (col("user_id") % 2 === 0).as("a"),
+        col("value").cast("decimal(18,6)").as("v"))
+      def d(c: Column) = c.cast("double")
+      val m = ev.groupBy(col("event_type")).agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("a"), col("v"))).as("s1"),
+        sum(when(!col("a"), col("v"))).as("s2"),
+        sum(when(col("a"), col("v") * col("v"))).as("q1"),
+        sum(when(!col("a"), col("v") * col("v"))).as("q2"))
+      val ss1 = d(col("q1")) - d(col("s1")) * d(col("s1")) / d(col("n1"))
+      val ss2 = d(col("q2")) - d(col("s2")) * d(col("s2")) / d(col("n2"))
+      val varP = (ss1 + ss2) / (d(col("n1")) + d(col("n2")) - 2.0)
+      val mean = (d(col("s1")) + d(col("s2"))) / (d(col("n1")) + d(col("n2")))
+      val mde = lit(1.959964 + 0.841621) *
+        sqrt(varP * (lit(1.0) / d(col("n1")) + lit(1.0) / d(col("n2"))))
+      m.select(col("event_type"), col("n1"), col("n2"),
+        round(mean, 6).as("mean"), round(sqrt(varP), 6).as("sd_pooled"),
+        round(mde, 6).as("mde_abs"),
+        when(mean > 0.0, round(mde / mean, 6)).otherwise(lit(0.0))
+          .as("mde_rel"))
+    }),
+
+    // Orthogonal experiment layers: two independent hash assignments per
+    // user (salted knuth32, shard from the HIGH bits — the low bits of a
+    // multiplicative hash are unmixed) and the 2×2 chi-squared
+    // independence check an experimentation platform runs before letting
+    // layers overlap. One distinct + one aggregate; exact integer counts.
+    "ab_layered_assign" -> ((s, dir) => {
+      def h(idc: Column) =
+        pmod(pmod(idc, lit(1000000007L)) * lit(2654435761L), lit(4294967296L))
+      def shard2(hc: Column) = shiftright(hc * 2L, 32)
+      val u = table(s, dir, "events").select(col("user_id")).distinct()
+        .select(shard2(h(col("user_id"))).as("l1"),
+          shard2(h(col("user_id") + 1000003L)).as("l2"))
+      def d(c: Column) = c.cast("double")
+      val m = u.agg(
+        sum(when(col("l1") === 0 && col("l2") === 0, 1L).otherwise(0L)).as("n00"),
+        sum(when(col("l1") === 0 && col("l2") === 1, 1L).otherwise(0L)).as("n01"),
+        sum(when(col("l1") === 1 && col("l2") === 0, 1L).otherwise(0L)).as("n10"),
+        sum(when(col("l1") === 1 && col("l2") === 1, 1L).otherwise(0L)).as("n11"))
+      val n = col("n00") + col("n01") + col("n10") + col("n11")
+      val det = col("n00") * col("n11") - col("n01") * col("n10")
+      val den = d((col("n00") + col("n01")) * (col("n10") + col("n11"))) *
+        d((col("n00") + col("n10")) * (col("n01") + col("n11")))
+      val chi2 = when(den > 0.0, round(d(n) * d(det) * d(det) / den, 6))
+        .otherwise(lit(0.0))
+      m.select(col("n00"), col("n01"), col("n10"), col("n11"),
+        chi2.as("chi2"), (chi2 <= 3.841459).as("independent"))
+    }),
+
     // Weight-of-evidence / information-value table of quantity buckets
     // against the return flag — the credit-scoring-style predictive-power
     // screen for a candidate feature. WoE_b = ln((good_b/G)/(bad_b/B))
@@ -1292,6 +1386,88 @@ object StatsQueries {
          |  round(CAST(k AS DOUBLE) * 0.1 / CAST(m AS DOUBLE), 6) AS bh_thresh,
          |  k <= kstar AS rejected
          |FROM ks""".stripMargin,
+
+    "profile_corr_matrix" -> {
+      val names = Seq("quantity", "price_usd", "discount_bp", "tax_bp")
+      val moments = ((0 until 4).map(i => s"CAST(sum(x$i) AS BIGINT) AS s$i") ++
+        (for (i <- 0 until 4; j <- i until 4)
+          yield s"CAST(sum(x$i * x$j) AS BIGINT) AS q${i}_$j")).mkString(",\n        |    ")
+      val rows = (for (i <- 0 until 4; j <- i + 1 until 4) yield {
+        val num = s"(CAST(n AS DOUBLE) * CAST(q${i}_$j AS DOUBLE) - " +
+          s"CAST(s$i AS DOUBLE) * CAST(s$j AS DOUBLE))"
+        val den = s"sqrt((CAST(n AS DOUBLE) * CAST(q${i}_$i AS DOUBLE) - " +
+          s"CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE)) * " +
+          s"(CAST(n AS DOUBLE) * CAST(q${j}_$j AS DOUBLE) - " +
+          s"CAST(s$j AS DOUBLE) * CAST(s$j AS DOUBLE)))"
+        s"SELECT '${names(i)}' AS col_x, '${names(j)}' AS col_y, n, " +
+          s"CASE WHEN $den > 0.0 THEN round($num / $den, 6) ELSE 0.0 END AS corr FROM m"
+      }).mkString("\n        |UNION ALL ")
+      s"""WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x0,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS x1,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS x2,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS x3
+        |  FROM lineitem),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    $moments
+        |  FROM b)
+        |$rows""".stripMargin
+    },
+
+    "ab_power_mde" ->
+      """WITH e AS (SELECT event_type, (user_id % 2 = 0) AS a,
+        |    CAST(value AS DECIMAL(18,6)) AS v FROM events),
+        |m AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    sum(CASE WHEN a THEN v END) AS s1,
+        |    sum(CASE WHEN NOT a THEN v END) AS s2,
+        |    sum(CASE WHEN a THEN v * v END) AS q1,
+        |    sum(CASE WHEN NOT a THEN v * v END) AS q2
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT event_type, n1, n2,
+        |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |      / CAST(n1 AS DOUBLE)
+        |     + CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      / CAST(n2 AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0) AS varp,
+        |    (CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE)) /
+        |      (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) AS mean
+        |  FROM m),
+        |f AS (SELECT *, (1.959964 + 0.841621) *
+        |    sqrt(varp * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+        |    AS mde FROM c)
+        |SELECT event_type, n1, n2, round(mean, 6) AS mean,
+        |  round(sqrt(varp), 6) AS sd_pooled, round(mde, 6) AS mde_abs,
+        |  CASE WHEN mean > 0.0 THEN round(mde / mean, 6) ELSE 0.0 END
+        |    AS mde_rel
+        |FROM f""".stripMargin,
+
+    "ab_layered_assign" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT
+        |    ((((user_id % 1000000007) + 1000000007) % 1000000007)
+        |      * 2654435761 % 4294967296) * 2 // 4294967296 AS l1,
+        |    (((((user_id + 1000003) % 1000000007) + 1000000007) % 1000000007)
+        |      * 2654435761 % 4294967296) * 2 // 4294967296 AS l2
+        |  FROM u),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN l1 = 0 AND l2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+        |    CAST(sum(CASE WHEN l1 = 0 AND l2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN l1 = 1 AND l2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN l1 = 1 AND l2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+        |  FROM a),
+        |c AS (SELECT *,
+        |    CASE WHEN CAST((n00 + n01) * (n10 + n11) AS DOUBLE)
+        |        * CAST((n00 + n10) * (n01 + n11) AS DOUBLE) > 0.0
+        |      THEN round(CAST(n00 + n01 + n10 + n11 AS DOUBLE)
+        |        * CAST(n00 * n11 - n01 * n10 AS DOUBLE)
+        |        * CAST(n00 * n11 - n01 * n10 AS DOUBLE)
+        |        / (CAST((n00 + n01) * (n10 + n11) AS DOUBLE)
+        |          * CAST((n00 + n10) * (n01 + n11) AS DOUBLE)), 6)
+        |      ELSE 0.0 END AS chi2
+        |  FROM m)
+        |SELECT n00, n01, n10, n11, chi2, chi2 <= 3.841459 AS independent
+        |FROM c""".stripMargin,
 
     "feature_woe_iv" ->
       """WITH r AS (SELECT CAST(l_quantity AS BIGINT) // 10 AS bucket,

@@ -111,4 +111,26 @@ class EvalSpec extends SparkSpec {
     assert(r.getLong(2) === 0L && r.getDouble(3) === 0.0 &&
       r.getDouble(4) === 0.0 && r.getDouble(5) === 0.0)
   }
+
+  test("isotonicCalibration: adjacent violators pool, monotone output, " +
+      "label mass preserved") {
+    import spark.implicits._
+    // bin0 rate 0.5, bin1 rate 0.0 (violation → pool to 1/4), bin2 rate 1.0
+    val df = Seq((true, 0.05), (false, 0.05), (false, 0.15), (false, 0.15),
+      (true, 0.25)).toDF("pos", "s")
+    val out = Eval.isotonicCalibration(df, col("pos"), col("s"), bins = 10)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(0) == ((2L, 1L, 0.5, 0.25)))
+    assert(out(1) == ((2L, 0L, 0.0, 0.25)))
+    assert(out(2) == ((1L, 1L, 1.0, 1.0)))
+    // monotone + pooled mass equals raw mass
+    val rates = out.toSeq.sortBy(_._1).map(_._2._4)
+    assert(rates == rates.sorted)
+    // already-monotone input is untouched
+    val mono = Seq((false, 0.05), (true, 0.15)).toDF("pos", "s")
+    val m = Eval.isotonicCalibration(mono, col("pos"), col("s"), bins = 10)
+      .collect().map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    assert(m == Map(0 -> 0.0, 1 -> 1.0))
+  }
 }
