@@ -95,6 +95,17 @@ object Shaping {
   private[ops] def knuth32(id: Column): Column =
     pmod(pmod(id, lit(1000000007L)) * lit(2654435761L), lit(4294967296L))
 
+  /** Engine-neutral string hash for the hashing-trick feature gates: left
+    * fold h ← (h·31 + codepoint) mod 1e9+7 over the characters (ASCII
+    * inputs — Spark's ascii and DuckDB's unicode agree there). Mirrored by
+    * [[graft.queries.OracleSql.stringPolyHash]]; xxhash64/md5 would be
+    * one-engine-only. */
+  def stringPolyHash(s: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(s)),
+        i => ascii(s.substr(i, lit(1))).cast("long")),
+      lit(0L), (h, c) => pmod(h * 31L + c, lit(1000000007L)))
+
   /** Shard from the HIGH bits of a 32-bit hash: floor(h·shards / 2^32).
     * The low bits of a multiplicative hash are NOT mixed (the Knuth
     * constant is 1 mod 8), so `pmod(h, shards)` would deal round-robin by

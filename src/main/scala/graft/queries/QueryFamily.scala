@@ -18,6 +18,17 @@ object OracleSql {
   def knuth32(idExpr: String): String =
     s"(((($idExpr % 1000000007) + 1000000007) % 1000000007) * 2654435761) % 4294967296"
 
+  /** Engine-neutral string hash: left fold h ← (h·31 + codepoint) mod
+    * 1000000007 over the characters. Both engines fold the same ASCII
+    * codes in the same order, so the bucket assignment is identical —
+    * unlike xxhash64/md5, which only one engine exposes. Spark mirror:
+    * [[graft.ops.Shaping.stringPolyHash]]. */
+  def stringPolyHash(sExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($sExpr) + 1), " +
+      s"i -> CAST(unicode(substr($sExpr, CAST(i AS INT), 1)) AS BIGINT))), " +
+      "(h, c) -> (h * 31 + c) % 1000000007)"
+
   /** [[graft.ops.TextOps.languageId]] mirror: (per-language marker-count
     * select list, argmax-with-priority-ties CASE). `toksSql` is the
     * tokenizer expression over a `text` column. */

@@ -666,6 +666,34 @@ object SessionQueries {
             .as("late_rate"))
     }),
 
+    // Cohort LTV curve: first-activity-day cohorts, purchase revenue per
+    // age day, and the CUMULATIVE revenue per cohort member — the payback
+    // curve a growth model is trained against. Cells are exact decimal
+    // sums; the running total is a cohort-keyed decimal window over the
+    // collapsed (cohort, age) cells, never raw events.
+    "cohort_ltv_curve" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("user_id"),
+        col("ts").cast("date").as("day"), col("event_type"),
+        col("value").cast("decimal(18,6)").as("v"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      val size = first.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_users"))
+      val cells = ev.join(first, "user_id")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("cohort"),
+          datediff(col("day"), col("cohort")).cast("long").as("age_days"))
+        .agg(sum(col("v")).as("rev"))
+      val w = Window.partitionBy(col("cohort")).orderBy(col("age_days").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def dd(c: Column) = c.cast("double")
+      cells.join(broadcast(size), "cohort")
+        .withColumn("cum", sum(col("rev")).over(w))
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("age_days"), col("n_users"),
+          round(dd(col("rev")), 6).as("rev"),
+          round(dd(col("cum")) / dd(col("n_users")), 6).as("ltv_per_user"))
+    }),
+
     // Per-user hourly resample with explicit zero rows for silent hours.
     "resample_user_hours" -> ((s, dir) =>
       graft.ops.Resample.hourlyPerKey(table(s, dir, "events"),
@@ -1283,6 +1311,27 @@ object SessionQueries {
         |  CAST(CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2
         |    ELSE 1 END AS INT) AS stage
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "cohort_ltv_curve" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+        |    CAST(value AS DECIMAL(18,6)) AS v FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1),
+        |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM f GROUP BY 1),
+        |cells AS (SELECT cohort,
+        |    CAST(date_diff('day', cohort, day) AS BIGINT) AS age_days,
+        |    sum(v) AS rev
+        |  FROM e JOIN f USING (user_id) WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |c2 AS (SELECT cells.*, n_users,
+        |    sum(rev) OVER (PARTITION BY cohort ORDER BY age_days
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM cells JOIN sz USING (cohort))
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, age_days, n_users,
+        |  round(CAST(rev AS DOUBLE), 6) AS rev,
+        |  round(CAST(cum AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+        |    AS ltv_per_user
+        |FROM c2""".stripMargin,
 
     "funnel_window_steps" ->
       """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,

@@ -644,6 +644,49 @@ object StatsQueries {
           (col("k") <= col("kstar")).as("rejected"))
     }),
 
+    // Hashing-trick feature cross: (order priority × market segment)
+    // crossed into 64 buckets via the engine-neutral string fold hash
+    // (ops/Shaping.stringPolyHash — xxhash/md5 exist on only one engine),
+    // with the collision audit a feature platform runs before committing
+    // to a width: rows per bucket, distinct raw crosses per bucket, and
+    // the collided flag. One join + two hash aggregates.
+    "feature_hash_cross" -> ((s, dir) => {
+      val crossed = table(s, dir, "orders")
+        .join(table(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .select(concat(col("o_orderpriority"), lit("#"), col("c_mktsegment"))
+          .as("cross"))
+      crossed
+        .withColumn("bucket",
+          pmod(graft.ops.Shaping.stringPolyHash(col("cross")), lit(64L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("cross")).as("n_crosses"))
+        .withColumn("collided", col("n_crosses") > 1L)
+    }),
+
+    // Differentially-private style noisy counts: per-nation customer
+    // counts + Laplace(1/ε) noise (ε = 1) with the noise drawn from a
+    // DETERMINISTIC uniform (knuth32 of the group key, inverse-CDF
+    // transform) so the gate pins the mechanism's arithmetic end-to-end —
+    // a production release swaps the seeded uniform for secure randomness
+    // and keeps everything else. One hash aggregate; the noise closure is
+    // per-group scalar math.
+    "privacy_dp_counts" -> ((s, dir) => {
+      val cnt = table(s, dir, "customer").groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_true"))
+      def d(c: Column) = c.cast("double")
+      val h = pmod(pmod(col("c_nationkey"), lit(1000000007L)) *
+        lit(2654435761L), lit(4294967296L))
+      val u = (d(h) + 0.5) / 4294967296.0
+      val centered = u - 0.5
+      val noise = -signum(centered) *
+        log(lit(1.0) - lit(2.0) * abs(centered))
+      cnt.select(col("c_nationkey"), col("n_true"),
+        round(noise, 6).as("noise"),
+        round(d(col("n_true")) + round(noise, 6), 6).as("n_dp"))
+    }),
+
     // Numeric-profile correlation matrix: pairwise Pearson between the
     // four lineitem measures, every moment a 64-bit-exact integer sum
     // (dollars / basis points — dollar squares keep Σx² < 2^63 through
@@ -1386,6 +1429,32 @@ object StatsQueries {
          |  round(CAST(k AS DOUBLE) * 0.1 / CAST(m AS DOUBLE), 6) AS bh_thresh,
          |  k <= kstar AS rejected
          |FROM ks""".stripMargin,
+
+    "feature_hash_cross" -> {
+      val hash = OracleSql.stringPolyHash("crs")
+      s"""WITH x AS (SELECT concat(o_orderpriority, '#', c_mktsegment) AS crs
+         |  FROM orders JOIN customer ON o_custkey = c_custkey),
+         |b AS (SELECT ((($hash) % 64) + 64) % 64 AS bucket, crs FROM x)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT crs) AS BIGINT) AS n_crosses,
+         |  count(DISTINCT crs) > 1 AS collided
+         |FROM b GROUP BY 1""".stripMargin
+    },
+
+    "privacy_dp_counts" ->
+      """WITH c AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM customer GROUP BY 1),
+        |n AS (SELECT *,
+        |    (CAST((((c_nationkey % 1000000007) + 1000000007) % 1000000007)
+        |      * 2654435761 % 4294967296 AS DOUBLE) + 0.5) / 4294967296.0
+        |      - 0.5 AS ctr
+        |  FROM c),
+        |z AS (SELECT c_nationkey, n_true,
+        |    round(-sign(ctr) * ln(1.0 - 2.0 * abs(ctr)), 6) AS noise
+        |  FROM n)
+        |SELECT c_nationkey, n_true, noise,
+        |  round(CAST(n_true AS DOUBLE) + noise, 6) AS n_dp
+        |FROM z""".stripMargin,
 
     "profile_corr_matrix" -> {
       val names = Seq("quantity", "price_usd", "discount_bp", "tax_bp")
