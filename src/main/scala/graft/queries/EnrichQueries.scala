@@ -52,6 +52,50 @@ object EnrichQueries {
         substring(col("name"), -3, 3), tau = 0.985)
     }),
 
+    // Blocking-quality audit for the ER pass: on a bounded record subset
+    // (every 13th customer + its planted dup), the last-3-characters block
+    // key's pair completeness against the ALL-PAIRS truth (round(jw,6) ≥ τ
+    // — DuckDB's jaro_winkler_similarity agrees with the engine's at 6dp,
+    // proven by text_jaro_winkler) and the candidate-reduction ratio — the
+    // two numbers that justify a blocking scheme before it ships. The
+    // all-pairs side is the parallel crossJoin shape (left repartitioned,
+    // right broadcast), sized by the deterministic subset, never the full
+    // corpus squared.
+    "er_blocking_recall" -> ((s, dir) => {
+      val c = table(s, dir, "customer").filter(col("c_custkey") % 13 === 0)
+      val records = c.select(col("c_custkey").as("rec_id"),
+        col("c_name").as("name"))
+        .unionAll(c.filter(col("c_custkey") % 5 === 0)
+          .select((col("c_custkey") + 10000000L).as("rec_id"),
+            regexp_replace(col("c_name"), "#", "").as("name")))
+        .withColumn("k", substring(col("name"), -3, 3))
+      val par = s.sparkContext.defaultParallelism
+      val all = records
+        .select(col("rec_id").as("id_a"), col("name").as("na"),
+          col("k").as("ka"))
+        .repartition(par)
+        .crossJoin(broadcast(records.select(col("rec_id").as("id_b"),
+          col("name").as("nb"), col("k").as("kb"))))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("ka") === col("kb"),
+          round(graft.functions.JaroWinklerSim.jaroWinkler(col("na"), col("nb")), 6)
+            >= 0.985)
+        .toDF("blocked", "truth")
+      def d(c2: org.apache.spark.sql.Column) = c2.cast("double")
+      all.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("truth"), 1L).otherwise(0L)).as("n_truth"),
+          sum(when(col("truth") && col("blocked"), 1L).otherwise(0L))
+            .as("n_blocked_truth"),
+          sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked_pairs"))
+        .select(col("n_pairs"), col("n_truth"), col("n_blocked_truth"),
+          when(col("n_truth") > 0L,
+            round(d(col("n_blocked_truth")) / d(col("n_truth")), 6))
+            .otherwise(lit(0.0)).as("recall"),
+          col("n_blocked_pairs"),
+          round(d(col("n_blocked_pairs")) / d(col("n_pairs")), 6)
+            .as("reduction_ratio"))
+    }),
+
     // Survivorship merge after resolution: three planted source records
     // per customer (prio 1 sparse-but-authoritative, prio 2 complete,
     // prio 3 stale-complete with 'C-'/+1e6 markers) collapse to one
@@ -176,6 +220,34 @@ object EnrichQueries {
       """SELECT c.c_custkey,
         |  round(jaro_winkler_similarity(c.c_name, d.c_name), 6) AS jw
         |FROM customer c JOIN customer d ON d.c_custkey = c.c_custkey + 1""".stripMargin,
+
+    "er_blocking_recall" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer
+        |  WHERE c_custkey % 13 = 0),
+        |r AS (SELECT c_custkey AS rec_id, c_name AS name FROM c
+        |  UNION ALL SELECT c_custkey + 10000000, replace(c_name, '#', '')
+        |  FROM c WHERE c_custkey % 5 = 0),
+        |b AS (SELECT rec_id, name,
+        |    substr(name, length(name) - 2, 3) AS k FROM r),
+        |p AS (SELECT (a.k = z.k) AS blocked,
+        |    (round(jaro_winkler_similarity(a.name, z.name), 6) >= 0.985)
+        |      AS truth
+        |  FROM b a JOIN b z ON a.rec_id < z.rec_id),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+        |    CAST(sum(CASE WHEN truth AND blocked THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_blocked_truth,
+        |    CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_blocked_pairs
+        |  FROM p)
+        |SELECT n_pairs, n_truth, n_blocked_truth,
+        |  CASE WHEN n_truth > 0 THEN
+        |    round(CAST(n_blocked_truth AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+        |    ELSE 0.0 END AS recall,
+        |  n_blocked_pairs,
+        |  round(CAST(n_blocked_pairs AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+        |    AS reduction_ratio
+        |FROM m""".stripMargin,
 
     "entity_resolution" ->
       """WITH RECURSIVE r AS (
