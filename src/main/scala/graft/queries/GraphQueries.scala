@@ -67,6 +67,28 @@ object GraphQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** The fabricated SCC-gate digraph (shared by graph_scc and
+    * graph_condensation): blocks of 50 part ids form directed rings (one
+    * SCC each), every 11th block's ring is broken at i ≡ 17 (mod 550)
+    * leaving a 50-singleton path, and block-boundary bridges chain blocks
+    * in groups of four — a DAG over the rings with enough depth that the
+    * peeling loop needs multiple rounds. */
+  private def sccGateEdges(s: SparkSession, dir: String): DataFrame = {
+    val p = table(s, dir, "part").select(col("p_partkey").as("i"))
+    val blockStart = col("i") - pmod(col("i"), lit(50L))
+    val ring = p.filter(pmod(col("i"), lit(550L)) =!= 17L)
+      .select(col("i").as("pa"),
+        (blockStart + pmod(pmod(col("i"), lit(50L)) + 1L, lit(50L)))
+          .as("pb"))
+    val bridge = p
+      .filter(pmod(col("i"), lit(50L)) === 0L &&
+        pmod(expr("i div 50"), lit(4L)) =!= 3L)
+      .select(col("i").as("pa"), (col("i") + 50L).as("pb"))
+    ring.union(bridge)
+      .join(p.select(col("i").as("pb")), "pb") // drop absent targets
+      .select(col("pa"), col("pb"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "graph_pagerank" -> ((s, dir) =>
@@ -107,22 +129,24 @@ object GraphQueries {
     // forward/backward peeling above — bit-identical (GraphSpec). The
     // oracle computes the same components from first principles: mutual
     // membership in the recursive-CTE transitive closure.
-    "graph_scc" -> ((s, dir) => {
-      val p = table(s, dir, "part").select(col("p_partkey").as("i"))
-      val blockStart = col("i") - pmod(col("i"), lit(50L))
-      val ring = p.filter(pmod(col("i"), lit(550L)) =!= 17L)
-        .select(col("i").as("pa"),
-          (blockStart + pmod(pmod(col("i"), lit(50L)) + 1L, lit(50L)))
-            .as("pb"))
-      val bridge = p
-        .filter(pmod(col("i"), lit(50L)) === 0L &&
-          pmod(expr("i div 50"), lit(4L)) =!= 3L)
-        .select(col("i").as("pa"), (col("i") + 50L).as("pb"))
-      val edges = ring.union(bridge)
-        .join(p.select(col("i").as("pb")), "pb") // drop absent targets
-        .select(col("pa"), col("pb"))
-      Graph.stronglyConnectedComponents(edges, "pa", "pb")
-        .select(col("node").as("part"), col("scc"))
+    "graph_scc" -> ((s, dir) =>
+      Graph.stronglyConnectedComponents(sccGateEdges(s, dir), "pa", "pb")
+        .select(col("node").as("part"), col("scc"))),
+
+    // Condensation DAG of graph_scc's digraph: collapse every SCC to its
+    // label and keep the distinct cross-component edges (weight = how many
+    // raw edges the super-edge bundles) — the acyclic block structure a
+    // scheduler or lineage analyzer consumes. Two label joins + one hash
+    // aggregate on top of the SCC labeling.
+    "graph_condensation" -> ((s, dir) => {
+      val edges = sccGateEdges(s, dir)
+      val labels = Graph.stronglyConnectedComponents(edges, "pa", "pb")
+      edges
+        .join(labels.select(col("node").as("pa"), col("scc").as("scc_a")), "pa")
+        .join(labels.select(col("node").as("pb"), col("scc").as("scc_b")), "pb")
+        .filter(col("scc_a") =!= col("scc_b"))
+        .groupBy(col("scc_a"), col("scc_b"))
+        .agg(count(lit(1)).as("n_edges"))
     }),
 
     // HITS hubs/authorities over the transition graph — the complementary
@@ -294,6 +318,30 @@ object GraphQueries {
         |  UNION ALL SELECT n, n FROM nodes)
         |SELECT u AS part, CAST(min(v) AS BIGINT) AS scc
         |FROM mut GROUP BY 1""".stripMargin,
+
+    "graph_condensation" ->
+      """WITH RECURSIVE p AS (SELECT p_partkey AS i FROM part),
+        |ring AS (SELECT i AS s,
+        |    (i // 50) * 50 + ((i % 50) + 1) % 50 AS d
+        |  FROM p WHERE i % 550 <> 17),
+        |br AS (SELECT i AS s, i + 50 AS d FROM p
+        |  WHERE i % 50 = 0 AND (i // 50) % 4 <> 3),
+        |ed AS (SELECT s, d
+        |  FROM (SELECT * FROM ring UNION ALL SELECT * FROM br) e
+        |  JOIN p ON p.i = e.d),
+        |reach AS (SELECT s AS a, d AS b FROM ed
+        |  UNION
+        |  SELECT r.a, e.d FROM reach r JOIN ed e ON e.s = r.b),
+        |nodes AS (SELECT s AS n FROM ed UNION SELECT d FROM ed),
+        |mut AS (SELECT r1.a AS u, r1.b AS v FROM reach r1
+        |    JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+        |  UNION ALL SELECT n, n FROM nodes),
+        |lab AS (SELECT u AS node, CAST(min(v) AS BIGINT) AS scc
+        |  FROM mut GROUP BY 1)
+        |SELECT la.scc AS scc_a, lb.scc AS scc_b,
+        |  CAST(count(*) AS BIGINT) AS n_edges
+        |FROM ed JOIN lab la ON la.node = ed.s JOIN lab lb ON lb.node = ed.d
+        |WHERE la.scc <> lb.scc GROUP BY 1, 2""".stripMargin,
 
     "graph_reciprocity" ->
       s"""WITH $edgeCtes,

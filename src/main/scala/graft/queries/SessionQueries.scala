@@ -89,6 +89,51 @@ object SessionQueries {
         col("n_events"))
     }),
 
+    // REAL watermark late-drop semantics through Structured Streaming:
+    // the fresh half of the events (last 2 days) arrives as micro-batch 1
+    // and advances the watermark to max(ts) − 30 min; the stale half is
+    // appended as micro-batch 2 and is dropped WHOLESALE by the
+    // watermarked hourly aggregation (every stale row sits days behind
+    // the watermark). Append mode then emits exactly the fresh windows
+    // whose end the watermark passed. The oracle reproduces that from
+    // first principles: hourly stats over the fresh half, windows with
+    // end ≤ max(ts) − 30 min — so Spark's watermark/append contract
+    // itself is what's being checked. (streaming_late_audit is the batch
+    // policy mirror; this is the engine's native behavior.)
+    "streaming_watermark_drop" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(date_trunc("second", col("ts")).as("ts"), col("event_type"),
+          col("value"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val cutoff = new java.sql.Timestamp(maxTs.getTime - 2L * 86400000L)
+      val fresh = ev.filter(col("ts") > cutoff)
+      val late = ev.filter(col("ts") <= cutoff)
+      val feedDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-stream-wm-" + new java.io.File(dir).getName).getAbsolutePath
+      val fd = new java.io.File(feedDir)
+      if (fd.exists()) { // fresh feed per run: append mode must not see
+        def rm(f: java.io.File): Unit = { // leftovers from a prior dump
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(fd)
+      }
+      fresh.write.parquet(feedDir)
+      val stream = s.readStream.schema(fresh.schema).parquet(feedDir)
+      val q = graft.streaming.WindowStats
+        .tumblingStats(stream, "1 hour", "30 minutes")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("gate_stream_wm").start()
+      try {
+        q.processAllAvailable()         // batch 1: fresh rows, wm advances
+        late.write.mode("append").parquet(feedDir)
+        q.processAllAvailable()         // batch 2: all rows late → dropped
+      } finally q.stop()
+      s.table("gate_stream_wm")
+        .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"), col("event_type"), col("n_events"),
+          col("sum_value").cast("double").as("sum_value"))
+    }),
+
     // Stream-stream interval join through REAL file streams: clicks and
     // purchases from the events fixture as two independent watermarked
     // streams, purchases matched to the clicks they follow within 60
@@ -1055,6 +1100,19 @@ object SessionQueries {
         |FROM c JOIN p ON p.user_id = c.user_id
         |  AND purchase_ts > click_ts
         |  AND purchase_ts <= click_ts + INTERVAL 60 MINUTE""".stripMargin,
+
+    "streaming_watermark_drop" ->
+      """WITH e AS (SELECT date_trunc('second', ts) AS ts, event_type, value
+        |  FROM events),
+        |g AS (SELECT max(ts) AS mx FROM e),
+        |f AS (SELECT e.* FROM e, g WHERE ts > mx - INTERVAL 2 DAY),
+        |w AS (SELECT date_trunc('hour', ts) AS hs, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM f GROUP BY 1, 2)
+        |SELECT strftime(hs, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  n_events, sum_value
+        |FROM w, g WHERE hs + INTERVAL 1 HOUR <= mx - INTERVAL 30 MINUTE""".stripMargin,
 
     "streaming_hourly_stats" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
