@@ -354,6 +354,74 @@ object StatsQueries {
             .as("cusum_stat"))
     }),
 
+    // Pettitt rank-based changepoint over the daily event series — the
+    // distribution-free companion to anomaly_cusum (which assumes a mean
+    // shift in level; Pettitt detects a median shift under any
+    // distribution). U_t = 2·W_t − t(n+1) with midranks, evaluated as the
+    // all-integer form Σ(2L+T+2) − t(n+1) (L = strictly-smaller days,
+    // T = ties excl self), so every statistic is 64-bit exact; the
+    // windows walk the collapsed distinct-day/value rows. Verdict row:
+    // argmax |U_t| with the standard 2·exp(−6K²/(n³+n²)) significance.
+    "anomaly_pettitt" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+          .as("day"))
+        .agg(count(lit(1)).as("x"))
+      val vals = daily.groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+        .withColumn("lcnt", coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("x").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val tot = daily.agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def d(c: Column) = c.cast("double")
+      daily.join(broadcast(vals), "x")
+        .withColumn("s2", lit(2L) * col("lcnt") + col("cnt") + 1L)
+        .withColumn("ws", sum(col("s2")).over(w))
+        .withColumn("idx",
+          row_number().over(Window.orderBy(col("day").asc)).cast("long"))
+        .crossJoin(broadcast(tot))
+        .filter(col("idx") < col("n")) // U_n ≡ 0, not a candidate
+        .withColumn("u", col("ws") - col("idx") * (col("n") + 1L))
+        .withColumn("k", abs(col("u")))
+        .orderBy(col("k").desc, col("day").asc).limit(1)
+        .select(col("n").as("n_days"), col("day").as("change_day"),
+          col("idx").as("change_idx"), col("k").as("k_stat"),
+          round(least(lit(1.0), lit(2.0) * exp(lit(-6.0) * d(col("k")) *
+            d(col("k")) / (d(col("n")) * d(col("n")) * d(col("n")) +
+              d(col("n")) * d(col("n"))))), 6).as("p_approx"))
+    }),
+
+    // Seasonality-adjusted robust anomaly days: day-of-week means come
+    // off resample_seasonal_dow's fabric, residuals are rounded to exact
+    // integer micro-units BEFORE the median/MAD (interpolated medians of
+    // longs are FP-exact on both engines, unlike medians of raw doubles),
+    // and a day flags when |residual − median| > 3·MAD — the robust
+    // seasonal monitor that survives the outliers a z-score would absorb.
+    "anomaly_seasonal_mad" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+          .as("day"),
+          pmod(datediff(col("ts").cast("date"),
+            lit("1970-01-01").cast("date")) + 4, lit(7)).as("dow"))
+        .groupBy(col("day"), col("dow")).agg(count(lit(1)).as("x"))
+      val dowMean = daily.groupBy(col("dow"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("nd"))
+      def d(c: Column) = c.cast("double")
+      val res = daily.join(broadcast(dowMean), Seq("dow"))
+        .withColumn("rmic",
+          round((d(col("x")) - d(col("sx")) / d(col("nd"))) * 1e6, 0)
+            .cast("long"))
+      val med = res.agg(percentile(col("rmic"), lit(0.5)).as("med"))
+      val dev = res.crossJoin(broadcast(med))
+        .withColumn("adev", abs(d(col("rmic")) - col("med")))
+      val mad = dev.agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      dev.crossJoin(broadcast(mad))
+        .select(col("day"), col("x"),
+          round(d(col("rmic")) / 1e6, 6).as("residual"),
+          (col("adev") > lit(3.0) * col("mad")).as("flagged"))
+    }),
+
     // Delete-one-bucket jackknife standard error of the mean event value:
     // 32 hash buckets, leave-one-out means 6dp-rounded to decimals so the
     // jackknife moments are exact sums, SE from the closed moment form.
@@ -2074,6 +2142,49 @@ object StatsQueries {
         |  CAST(dev AS BIGINT) AS max_dev,
         |  round(CAST(dev AS DOUBLE) / CAST(dcnt AS DOUBLE), 6) AS cusum_stat
         |FROM dv ORDER BY dev DESC, day ASC LIMIT 1""".stripMargin,
+
+    "anomaly_pettitt" ->
+      """WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |vals AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM daily GROUP BY 1),
+        |v2 AS (SELECT *, CAST(coalesce(sum(cnt) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS lcnt FROM vals),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |r AS (SELECT day, 2 * lcnt + cnt + 1 AS s2
+        |  FROM daily JOIN v2 USING (x)),
+        |c AS (SELECT day,
+        |    CAST(sum(s2) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ws,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx
+        |  FROM r),
+        |u AS (SELECT day, idx, n, abs(ws - idx * (n + 1)) AS k
+        |  FROM c, tot WHERE idx < n)
+        |SELECT n AS n_days, day AS change_day, idx AS change_idx,
+        |  CAST(k AS BIGINT) AS k_stat,
+        |  round(least(1.0, 2.0 * exp(-6.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 6) AS p_approx
+        |FROM u ORDER BY k DESC, day ASC LIMIT 1""".stripMargin,
+
+    "anomaly_seasonal_mad" ->
+      """WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST((((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7)
+        |      + 7) % 7 AS INT) AS dow,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |dm AS (SELECT dow, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(count(*) AS BIGINT) AS nd FROM daily GROUP BY 1),
+        |res AS (SELECT day, x,
+        |    CAST(round((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE))
+        |      * 1e6, 0) AS BIGINT) AS rmic
+        |  FROM daily JOIN dm USING (dow)),
+        |med AS (SELECT quantile_cont(rmic, 0.5) AS med FROM res),
+        |dev AS (SELECT day, x, rmic,
+        |    abs(CAST(rmic AS DOUBLE) - med) AS adev FROM res, med),
+        |mad AS (SELECT quantile_cont(adev, 0.5) AS mad FROM dev)
+        |SELECT day, x, round(CAST(rmic AS DOUBLE) / 1e6, 6) AS residual,
+        |  adev > 3.0 * mad AS flagged
+        |FROM dev, mad""".stripMargin,
 
     "agg_jackknife_se" ->
       """WITH e AS (SELECT ((user_id % 32) + 32) % 32 AS b,
