@@ -313,7 +313,7 @@ object DataOpsQueries {
         .select(col("query_id"), col("vec_id"))
       val lsh = Ann.lshTopK(q, emb, k = 10, dim = 64, planes = 6)
         .select(col("query_id"), col("vec_id"), lit(1L).as("__hit"))
-      brute.join(lsh, Seq("query_id", "vec_id"), "left")
+      brute.join(broadcast(lsh), Seq("query_id", "vec_id"), "left")
         .groupBy(col("query_id"))
         .agg(count(lit(1)).as("k"),
           sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
@@ -336,7 +336,7 @@ object DataOpsQueries {
         .select(col("query_id"), col("vec_id"))
       val ivf = Ann.ivfSearch(q, emb, cents, k = 10, nprobe = 3)
         .select(col("query_id"), col("vec_id"), lit(1L).as("__hit"))
-      brute.join(ivf, Seq("query_id", "vec_id"), "left")
+      brute.join(broadcast(ivf), Seq("query_id", "vec_id"), "left")
         .groupBy(col("query_id"))
         .agg(count(lit(1)).as("k"),
           sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
@@ -370,7 +370,7 @@ object DataOpsQueries {
         .select(col("query_id"), col("vec_id"))
       val pq = Ann.pqTopK(q, emb, books, k = 10)
         .select(col("query_id"), col("vec_id"), lit(1L).as("__hit"))
-      brute.join(pq, Seq("query_id", "vec_id"), "left")
+      brute.join(broadcast(pq), Seq("query_id", "vec_id"), "left")
         .groupBy(col("query_id"))
         .agg(count(lit(1)).as("k"),
           sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))

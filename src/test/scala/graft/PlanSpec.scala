@@ -571,6 +571,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("PQ recall: broadcast-query ADC scoring feeds the partial-combining " +
+      "top-k aggregate — no sort-merge join, no global sort") {
+    val p = plan("pq_recall_report")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("BroadcastExchange"), p) // the query side broadcasts
+  }
+
+  test("Markov transition counting: user-keyed window exchanges + hash " +
+      "aggregates only — the 100-TB half of the attribution op") {
+    import org.apache.spark.sql.functions._
+    val t = graft.ops.Markov.transitions(
+      graft.core.Tables.table(spark, sf("sf0.001"), "events"),
+      "user_id", "ts", "event_id", "event_type", "purchase")
+    val p = t.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("windowed funnel and SCC condensation: key-equi joins only") {
+    for (name <- Seq("funnel_window_steps", "graph_condensation")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name: $p")
+      assert(!p.contains("Exchange rangepartitioning"), s"$name: $p")
+    }
+  }
+
   test("custom expressions are SQL-callable after extension registration") {
     GraftExtensions.registerOn(spark)
     val r = spark.sql("SELECT seq_ratio('grady_memorial', 'grady_memoral') AS r")

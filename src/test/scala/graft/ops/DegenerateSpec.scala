@@ -216,4 +216,49 @@ class DegenerateSpec extends SparkSpec {
     val wf = Mixture.waterFill(lone, "grp", "avail", "w", 0.5).collect()
     assert(wf.length == 1 && wf.head.getLong(3) == 500L)
   }
+
+  test("round-9 continuation ops: empty/degenerate inputs are well-defined") {
+    import org.apache.spark.sql.functions._
+    // SCC: empty edge list → empty labeling in BOTH regimes; self-loops
+    // alone leave every node isolated (absent)
+    val eEdges = emptyDf("s" -> LongType, "d" -> LongType)
+    assert(Graph.stronglyConnectedComponents(eEdges, "s", "d").count() == 0)
+    assert(Graph.stronglyConnectedComponents(eEdges, "s", "d",
+      localEdgeThreshold = -1L).count() == 0)
+    val selfOnly = Seq((1L, 1L), (2L, 2L)).toDF("s", "d")
+    assert(Graph.stronglyConnectedComponents(selfOnly, "s", "d").count() == 0)
+    // Markov: a journey set with NO conversions has p_conv = 0 everywhere —
+    // removal effects and credits take the documented 0.0 guard
+    val noConv = Seq((1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val t = Markov.transitions(noConv, "user_id", "ts", "event_id",
+      "event_type", "purchase")
+    val re = Markov.removalEffects(spark, t).collect()
+    assert(re.length == 2 && re.forall(r =>
+      r.getDouble(1) == 0.0 && r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
+    // prefixMax on an empty frame: no partials, no offsets, no rows
+    val eKv = emptyDf("id" -> LongType, "v" -> LongType)
+    assert(Ranking.prefixMax(eKv, Seq(col("id")), Seq("v")).count() == 0)
+    // windowed funnel: users with no stage-0 event are absent; a stage-1
+    // event AFTER the window does not count
+    val ev = Seq((1L, 0L, "view"), (1L, 10L, "click"),
+      (2L, 0L, "click"), (3L, 0L, "view"), (3L, 5000L, "click"))
+      .toDF("user_id", "sec", "event_type")
+    val f = Funnel.windowFunnel(ev, "user_id", "sec", "event_type",
+      Seq("view", "click"), windowSec = 100L).collect()
+      .map(r => r.getLong(0) -> r.getInt(r.length - 1)).toMap
+    assert(f == Map(1L -> 2, 3L -> 1)) // user 2 never saw a view
+    // isotonic calibration: one occupied bin is its own block
+    val oneBin = Seq((true, 0.05), (false, 0.05)).toDF("pos", "s")
+    val iso = Eval.isotonicCalibration(oneBin, col("pos"), col("s"), 10)
+      .collect()
+    assert(iso.length == 1 && iso.head.getDouble(4) == 0.5)
+    // PQ: an empty query set yields no rows (corpus encode still plans)
+    import spark.implicits._
+    val corpus = Seq((1L, Array.fill(64)(1.0f)), (2L, Array.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val books = Ann.pqFixedCodebooks(corpus, Seq(1L, 2L), m = 8)
+    assert(Ann.pqTopK(corpus.filter(col("vec_id") < 0), corpus, books, 5)
+      .count() == 0)
+  }
 }
