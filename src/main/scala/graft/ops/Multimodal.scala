@@ -246,6 +246,61 @@ object Multimodal {
   /** One audio asset: an opaque RIFF/WAVE container. */
   final case class AudioRecord(doc_id: Long, mime: String, payload: Array[Byte])
 
+  /** Per-document voice-activity report over fixed-length frames. */
+  final case class VadReport(doc_id: Long, n_frames: Long, n_active: Long,
+      n_segments: Long, longest_run: Long, active_ratio: Double)
+
+  /** Energy-based voice-activity detection over the DECODED PCM stream:
+    * the samples are framed (`frameLen` samples, trailing partial frame
+    * dropped), a frame is active when its Σ|sample| energy reaches
+    * `threshold` (integer-exact), and consecutive active frames merge into
+    * segments — the trim/segment primitive an audio-pretraining pipeline
+    * runs before transcription. One mapPartitions decode pass (the same
+    * codec seam as [[decodeAudio]]); because the fixture waveform is an
+    * integer formula of (doc_id, n_chars), a SQL oracle can re-derive
+    * every frame energy from first principles — the decode path and the
+    * formula path are fully independent implementations. */
+  def vadSegments(spark: SparkSession, media: Dataset[AudioRecord],
+      frameLen: Int = 20, threshold: Long = 160000L): Dataset[VadReport] = {
+    require(frameLen >= 1, s"frameLen must be positive: $frameLen")
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(m.payload))
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val nf = n / frameLen
+        var f = 0
+        var nActive = 0L
+        var nSegments = 0L
+        var run = 0L
+        var longest = 0L
+        while (f < nf) {
+          var e = 0L
+          var j = 0
+          while (j < frameLen) {
+            val idx = 2 * (f * frameLen + j)
+            val s = ((bytes(idx) & 0xff) | (bytes(idx + 1) << 8)).toShort.toInt
+            e += math.abs(s)
+            j += 1
+          }
+          if (e >= threshold) {
+            nActive += 1
+            if (run == 0L) nSegments += 1
+            run += 1
+            if (run > longest) longest = run
+          } else run = 0L
+          f += 1
+        }
+        val ratio =
+          if (nf == 0) 0.0
+          else java.math.BigDecimal.valueOf(nActive.toDouble / nf.toDouble)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+        VadReport(m.doc_id, nf.toLong, nActive, nSegments, longest, ratio)
+      }
+    }
+  }
+
   /** Decoded audio features: format fields parsed from the container
     * header, sample statistics computed from the decoded PCM stream. */
   final case class AudioFeatures(doc_id: Long, sample_rate: Int,

@@ -667,6 +667,17 @@ object DataOpsQueries {
           col("bits"), col("n_samples"), col("duration_ms"),
           col("peak"), col("sum_abs"))),
 
+    // Energy-based voice-activity detection over the decoded PCM: 20-sample
+    // frames, Σ|sample| ≥ 160000 is active, consecutive actives merge into
+    // segments. The engine DECODES real WAV bytes; the oracle re-derives
+    // every frame energy from the waveform's generating formula — fully
+    // independent implementations of the same segmentation.
+    "multimodal_audio_vad" -> ((s, dir) =>
+      Multimodal.vadSegments(s,
+        Multimodal.fabricateAudio(table(s, dir, "documents"))).toDF()
+        .select(col("doc_id"), col("n_frames"), col("n_active"),
+          col("n_segments"), col("longest_run"), col("active_ratio"))),
+
     // The composed curation pass: language filter → quality floor → exact
     // dedup → near-dup removal (every stage individually oracle-checked
     // above; this checks their composition).
@@ -1696,6 +1707,33 @@ object DataOpsQueries {
           |  (n * 1000) // sample_rate AS duration_ms,
           |  CAST(peak AS INT) AS peak, CAST(sum_abs AS BIGINT) AS sum_abs
           |FROM d JOIN a USING (doc_id)""".stripMargin,
+
+      "multimodal_audio_vad" ->
+        """WITH d AS (SELECT doc_id, CAST(n_chars % 400 + 40 AS BIGINT) AS n,
+          |    doc_id % 97 + 3 AS k FROM documents),
+          |fr AS (SELECT doc_id, CAST(f AS BIGINT) AS f,
+          |    list_sum(list_transform(range(0, 20),
+          |      j -> abs(((CAST(f AS BIGINT) * 20 + j) * k) % 2001 - 1000) * 16))
+          |      AS energy
+          |  FROM d, range(0, 22) r(f) WHERE f < n // 20),
+          |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+          |    CAST(sum(CASE WHEN energy >= 160000 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_active
+          |  FROM fr GROUP BY 1),
+          |act AS (SELECT doc_id, f,
+          |    f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS g
+          |  FROM fr WHERE energy >= 160000),
+          |seg AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS len
+          |  FROM act GROUP BY 1, 2),
+          |ss AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+          |    CAST(max(len) AS BIGINT) AS longest_run FROM seg GROUP BY 1)
+          |SELECT nf.doc_id, n_frames, n_active,
+          |  coalesce(n_segments, 0) AS n_segments,
+          |  coalesce(longest_run, 0) AS longest_run,
+          |  CASE WHEN n_frames > 0 THEN
+          |    round(CAST(n_active AS DOUBLE) / CAST(n_frames AS DOUBLE), 6)
+          |    ELSE 0.0 END AS active_ratio
+          |FROM nf LEFT JOIN ss USING (doc_id)""".stripMargin,
       "multimodal_decode" ->
         """SELECT doc_id, 'image/png' AS mime,
           | CAST(n_chars % 64 + 1 AS INT) AS width,
