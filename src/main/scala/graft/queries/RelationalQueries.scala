@@ -199,6 +199,50 @@ object RelationalQueries {
         .union(table(s, dir, "nation").select(col("n_name").as("name"), lit("nation").as("kind")))
     }),
 
+    // §2.7 completion — INTERSECT: part sizes that also appear as odd
+    // supplier keys (the complement of except_sizes_vs_suppliers' shape).
+    "intersect_sizes_vs_suppliers" -> ((s, dir) => {
+      table(s, dir, "part").select(col("p_size").cast("long").as("key"))
+        .distinct()
+        .intersect(table(s, dir, "supplier")
+          .filter(col("s_suppkey") % 2 === 1)
+          .select(col("s_suppkey").cast("long").as("key")))
+    }),
+
+    // CUBE with grouping_id: all four aggregation grains of
+    // (returnflag, linestatus) in one pass, the grain made explicit —
+    // completes the rollup / grouping-sets family. NULL-able dimension
+    // columns disambiguate via the grouping id (the reason the operator
+    // exists). Exact integer quantity sums in centi-units.
+    "agg_cube_flags" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_centi"),
+          grouping_id().cast("long").as("grain"))),
+
+    // Null-safe equi-join (<=>): every 7th customer's nation is NULLed on
+    // both the fact and dim side; the null-safe join must link the NULL
+    // keys (a plain equi-join drops them) — the SCD/sentinel-key join
+    // semantics warehouses rely on.
+    "join_null_safe_nations" -> ((s, dir) => {
+      val cust = table(s, dir, "customer")
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 0, lit(null))
+            .otherwise(col("c_nationkey")).cast("long").as("nk"))
+      val dim = table(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+        .unionByName(s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(null, "UNKNOWN")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("nk",
+              org.apache.spark.sql.types.LongType, nullable = true),
+            org.apache.spark.sql.types.StructField("n_name",
+              org.apache.spark.sql.types.StringType, nullable = false)))))
+      cust.join(dim, cust("nk") <=> dim("nk"))
+        .select(col("c_custkey"), cust("nk").as("nk"), col("n_name"))
+    }),
+
     // A5 — normalization-witness set (collect_set rendered order-stable).
     "collectset_nation_segments" -> ((s, dir) => {
       table(s, dir, "customer")
@@ -496,6 +540,30 @@ object RelationalQueries {
       "union_region_nation_names" ->
         """(SELECT r_name AS name, 'region' AS kind FROM region)
           |UNION ALL (SELECT n_name AS name, 'nation' AS kind FROM nation)""".stripMargin,
+
+      "intersect_sizes_vs_suppliers" ->
+        """SELECT DISTINCT CAST(p_size AS BIGINT) AS key FROM part
+          |INTERSECT
+          |SELECT CAST(s_suppkey AS BIGINT) FROM supplier
+          |WHERE s_suppkey % 2 = 1""".stripMargin,
+
+      "agg_cube_flags" ->
+        """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+          |    AS qty_centi,
+          |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+          |    AS BIGINT) AS grain
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+      "join_null_safe_nations" ->
+        """WITH c AS (SELECT c_custkey,
+          |    CASE WHEN c_custkey % 7 = 0 THEN NULL
+          |      ELSE CAST(c_nationkey AS BIGINT) END AS nk
+          |  FROM customer),
+          |d AS (SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name FROM nation
+          |  UNION ALL SELECT NULL, 'UNKNOWN')
+          |SELECT c_custkey, c.nk AS nk, n_name
+          |FROM c JOIN d ON c.nk IS NOT DISTINCT FROM d.nk""".stripMargin,
       "collectset_nation_segments" ->
         """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
           | string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
