@@ -303,4 +303,59 @@ object Eval {
         round(when(p + r > 0.0, lit(2.0) * p * r / (p + r)).otherwise(0.0), 6)
           .as("rouge2_f1"))
   }
+
+  /** Directional BLEU-2 for an (id_a = reference, id_b = candidate) pair
+    * table: clipped-multiset unigram and bigram precisions on the
+    * candidate side, brevity penalty min(1, e^(1−len_ref/len_cand)), and
+    * BLEU = BP·√(p₁·p₂) (geometric mean; a zero precision zeroes the
+    * score — no smoothing, documented). Same inverted-gram machinery and
+    * semi-join discipline as [[rougeBigramOverlap]]; every count is an
+    * exact integer, the closure is per-pair scalar math. */
+  def bleuPair(pairs: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def gramCounts(n: Int) = docs.select(col(idCol).as("id"),
+        explode(org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.TextShingles(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col(textCol)),
+            n, distinct = false))).as("gram"))
+      .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("c"))
+    val ids = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    def d(c: Column) = c.cast("double")
+    def side(n: Int, tag: String) = {
+      val g = gramCounts(n).join(ids, Seq("id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = g.groupBy(col("id")).agg(sum(col("c")).as("tot"))
+      val matched = pairs.select(col("id_a"), col("id_b"))
+        .join(g.select(col("id").as("id_a"), col("gram"), col("c").as("ca")),
+          Seq("id_a"))
+        .join(g.select(col("id").as("id_b"), col("gram"), col("c").as("cb")),
+          Seq("id_b", "gram"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(sum(least(col("ca"), col("cb"))).as(s"m$tag"))
+      (matched, tot)
+    }
+    val (m1, tot1) = side(1, "1")
+    val (m2, tot2) = side(2, "2")
+    val base = pairs.select(col("id_a"), col("id_b"))
+      .join(m1, Seq("id_a", "id_b"), "left_outer")
+      .join(m2, Seq("id_a", "id_b"), "left_outer")
+      .na.fill(0L, Seq("m1", "m2"))
+      .join(tot1.select(col("id").as("id_a"), col("tot").as("len_ref")),
+        Seq("id_a"))
+      .join(tot1.select(col("id").as("id_b"), col("tot").as("len_cand")),
+        Seq("id_b"))
+      .join(tot2.select(col("id").as("id_b"), col("tot").as("tot2_b")),
+        Seq("id_b"))
+      .filter(col("len_ref") > 0 && col("len_cand") > 0 && col("tot2_b") > 0)
+    val p1 = d(col("m1")) / d(col("len_cand"))
+    val p2 = d(col("m2")) / d(col("tot2_b"))
+    val bp = least(lit(1.0),
+      exp(lit(1.0) - d(col("len_ref")) / d(col("len_cand"))))
+    base.select(col("id_a"), col("id_b"), col("len_ref"), col("len_cand"),
+      round(p1, 6).as("bleu_p1"), round(p2, 6).as("bleu_p2"),
+      round(bp, 6).as("brevity_penalty"),
+      round(when(p1 * p2 > 0.0, bp * sqrt(p1 * p2)).otherwise(0.0), 6)
+        .as("bleu2"))
+  }
 }

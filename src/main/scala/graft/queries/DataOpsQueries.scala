@@ -80,6 +80,14 @@ object DataOpsQueries {
       graft.ops.Eval.rougeBigramOverlap(ngramPairs(s, dir),
         table(s, dir, "documents"), "doc_id", "text")),
 
+    // BLEU-2 audit of the same near-dup pair table (directional: a =
+    // reference, b = candidate) — the generation-eval companion to
+    // eval_rouge_pairs: clipped 1/2-gram precisions, brevity penalty,
+    // BP·√(p₁p₂). Same memoized pair cache, same gram machinery.
+    "eval_bleu_pairs" -> ((s, dir) =>
+      graft.ops.Eval.bleuPair(ngramPairs(s, dir),
+        table(s, dir, "documents"), "doc_id", "text")),
+
     // Per-document n-gram novelty (memorization-risk profile): fraction
     // of a doc's distinct 3-gram shingles found in no other document —
     // two keyed hash aggregates over the inverted shingle index, no
@@ -1092,6 +1100,51 @@ object DataOpsQueries {
            |SELECT id_a, id_b, matched,
            |  round(p, 6) AS rouge2_p, round(r, 6) AS rouge2_r,
            |  round(CASE WHEN p + r > 0.0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS rouge2_f1
+           |FROM j""".stripMargin,
+      "eval_bleu_pairs" ->
+        s"""WITH guard2 AS (SELECT CASE WHEN max(len($toksSql)) > 4096
+           |    THEN error('bigram range(1,4096) cap exceeded') ELSE 1 END AS g
+           |  FROM documents),
+           |pairs AS (SELECT id_a, id_b FROM ($oraclesNgramSql) q),
+           |t1 AS (SELECT doc_id, u.gram FROM
+           |    (SELECT doc_id, $toksSql toks FROM documents),
+           |    unnest(toks) AS u(gram)),
+           |c1 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+           |  FROM t1 GROUP BY 1, 2),
+           |tot1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot FROM c1 GROUP BY 1),
+           |g2 AS (SELECT doc_id, concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT)+1]) AS gram
+           |  FROM (SELECT doc_id, $toksSql toks FROM documents), range(1, 4096) t(i)
+           |  WHERE i + 1 <= len(toks) AND (SELECT g FROM guard2) = 1),
+           |c2 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+           |  FROM g2 GROUP BY 1, 2),
+           |tot2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot FROM c2 GROUP BY 1),
+           |m1 AS (SELECT p.id_a, p.id_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS m1
+           |  FROM pairs p
+           |  JOIN c1 a ON a.doc_id = p.id_a
+           |  JOIN c1 b ON b.doc_id = p.id_b AND b.gram = a.gram
+           |  GROUP BY 1, 2),
+           |m2 AS (SELECT p.id_a, p.id_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS m2
+           |  FROM pairs p
+           |  JOIN c2 a ON a.doc_id = p.id_a
+           |  JOIN c2 b ON b.doc_id = p.id_b AND b.gram = a.gram
+           |  GROUP BY 1, 2),
+           |j AS (SELECT p.id_a, p.id_b,
+           |    ta.tot AS len_ref, tb.tot AS len_cand, t2b.tot AS tot2_b,
+           |    CAST(coalesce(m1.m1, 0) AS DOUBLE) / CAST(tb.tot AS DOUBLE) AS p1,
+           |    CAST(coalesce(m2.m2, 0) AS DOUBLE) / CAST(t2b.tot AS DOUBLE) AS p2,
+           |    least(1.0, exp(1.0 - CAST(ta.tot AS DOUBLE) / CAST(tb.tot AS DOUBLE))) AS bp
+           |  FROM pairs p
+           |  LEFT JOIN m1 ON m1.id_a = p.id_a AND m1.id_b = p.id_b
+           |  LEFT JOIN m2 ON m2.id_a = p.id_a AND m2.id_b = p.id_b
+           |  JOIN tot1 ta ON ta.doc_id = p.id_a
+           |  JOIN tot1 tb ON tb.doc_id = p.id_b
+           |  JOIN tot2 t2b ON t2b.doc_id = p.id_b
+           |  WHERE ta.tot > 0 AND tb.tot > 0 AND t2b.tot > 0)
+           |SELECT id_a, id_b, len_ref, len_cand,
+           |  round(p1, 6) AS bleu_p1, round(p2, 6) AS bleu_p2,
+           |  round(bp, 6) AS brevity_penalty,
+           |  round(CASE WHEN p1 * p2 > 0.0 THEN bp * sqrt(p1 * p2)
+           |    ELSE 0.0 END, 6) AS bleu2
            |FROM j""".stripMargin,
       "text_ngram_novelty" ->
         s"""WITH $shingleCapGuard,
