@@ -653,6 +653,96 @@ object Graph {
     degrees(e)
   }
 
+  /** FULL core decomposition: every node's coreness (the largest k for
+    * which it survives the k-core peel), not just membership in one k —
+    * via the h-index recurrence (Lü et al. 2016): c₀(v) = deg(v),
+    * c_{t+1}(v) = H-index of the neighbours' c_t, which converges exactly
+    * to the coreness. BOTH regimes run the IDENTICAL integer recurrence —
+    * the driver loops over primitive arrays, the distributed loop runs one
+    * neighbour-label join + one sorted-collect aggregate per round (the
+    * per-node collect is degree-bounded; hub-heavy graphs should cap
+    * degrees upstream the way linkPrediction does) — so the fixpoint is
+    * bit-identical by construction, with the same `maxRounds` loud guard.
+    *
+    * @param edges undirected simple edges (one row per edge, any
+    *              orientation; self-loops ignored).
+    * @return (node, coreness) for every non-isolated node. */
+  def coreness(edges: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50,
+      localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val e = edges.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = edges.sparkSession
+
+    if (e.count() <= localEdgeThreshold) {
+      val adj = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.ArrayBuffer[Long]]
+      e.collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+      }
+      var c = adj.map { case (v, ns) => v -> ns.length.toLong }
+      var round = 0
+      var changed = true
+      while (changed) {
+        round += 1
+        if (round > maxRounds)
+          throw new IllegalStateException(
+            s"coreness h-index loop did not converge within $maxRounds rounds")
+        val next = adj.map { case (v, ns) =>
+          val labels = ns.map(c(_)).toArray
+          java.util.Arrays.sort(labels)
+          // sorted ASC: h = #labels from the top that are >= their rank
+          var h = 0L
+          var i = labels.length - 1
+          while (i >= 0 && labels(i) >= (labels.length - i)) {
+            h = labels.length - i; i -= 1
+          }
+          v -> h
+        }
+        changed = next.exists { case (v, h) => h != c(v) }
+        c = next
+      }
+      import scala.jdk.CollectionConverters._
+      val out = c.toSeq.sortBy(_._1).map { case (n, k) => Row(n, k) }
+      e.unpersist()
+      return spark.createDataFrame(out.asJava, StructType(Seq(
+        StructField("node", LongType), StructField("coreness", LongType))))
+    }
+
+    val sym = e.select(col("a").as("v"), col("b").as("x"))
+      .union(e.select(col("b").as("v"), col("a").as("x")))
+      .localCheckpoint(true)
+    var labels = sym.groupBy(col("v").as("node"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"coreness h-index loop did not converge within $maxRounds rounds")
+      val next = sym
+        .join(labels.select(col("node").as("x"), col("c").as("cx")), "x")
+        .groupBy(col("v").as("node"))
+        .agg(sort_array(collect_list(col("cx")), asc = false).as("cs"))
+        .select(col("node"),
+          size(filter(col("cs"), (x, i) => x >= (i + lit(1)).cast("long")))
+            .cast("long").as("c"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("node"), col("c").as("cp")), "node")
+        .filter(col("c") =!= col("cp")).count()
+      labels = next
+    }
+    e.unpersist()
+    labels.select(col("node"), col("c").as("coreness"))
+  }
+
   /** Multi-source breadth-first hop distances over an undirected simple
     * graph: for every node within `maxHops` of ANY source, the minimum
     * hop count. The frontier pattern — each round joins only the

@@ -133,6 +133,33 @@ object GraphQueries {
       Graph.stronglyConnectedComponents(sccGateEdges(s, dir), "pa", "pb")
         .select(col("node").as("part"), col("scc"))),
 
+    // FULL core decomposition on a DESIGNED graph whose coreness is known
+    // in closed form — blocks of 10 part ids cycle through clique / ring /
+    // star shapes (coreness 9 / 2 / 1 by graph theory), so the h-index
+    // fixpoint is checked against first principles, not another peeling
+    // implementation. The organic co-purchase graph feeds the k=2 member
+    // gate (graph_kcore); this one proves the FULL decomposition.
+    "graph_coreness" -> ((s, dir) => {
+      val p = table(s, dir, "part").select(col("p_partkey").as("i"))
+        .withColumn("blk", expr("i div 10"))
+      val q = p.select(col("i").as("j"), col("blk"))
+      val clique = p.filter(pmod(col("blk"), lit(3L)) === 0L)
+        .join(q, "blk").filter(col("i") < col("j"))
+        .select(col("i").as("a"), col("j").as("b"))
+      val ring = p.filter(pmod(col("blk"), lit(3L)) === 1L)
+        .select(col("i").as("a"),
+          (col("blk") * 10L + pmod(pmod(col("i"), lit(10L)) + 1L, lit(10L)))
+            .as("b"))
+      val star = p.filter(pmod(col("blk"), lit(3L)) === 2L &&
+          pmod(col("i"), lit(10L)) =!= 0L)
+        .select((col("blk") * 10L).as("a"), col("i").as("b"))
+      val edges = clique.union(ring).union(star)
+        .join(p.select(col("i").as("b")), "b") // drop absent targets
+        .select(col("a"), col("b"))
+      Graph.coreness(edges, "a", "b")
+        .select(col("node").as("part"), col("coreness"))
+    }),
+
     // Condensation DAG of graph_scc's digraph: collapse every SCC to its
     // label and keep the distinct cross-component edges (weight = how many
     // raw edges the super-edge bundles) — the acyclic block structure a
@@ -318,6 +345,12 @@ object GraphQueries {
         |  UNION ALL SELECT n, n FROM nodes)
         |SELECT u AS part, CAST(min(v) AS BIGINT) AS scc
         |FROM mut GROUP BY 1""".stripMargin,
+
+    "graph_coreness" ->
+      """SELECT p_partkey AS part,
+        |  CAST(CASE ((p_partkey // 10) % 3)
+        |    WHEN 0 THEN 9 WHEN 1 THEN 2 ELSE 1 END AS BIGINT) AS coreness
+        |FROM part""".stripMargin,
 
     "graph_condensation" ->
       """WITH RECURSIVE p AS (SELECT p_partkey AS i FROM part),

@@ -476,6 +476,23 @@ class GraphSpec extends SparkSpec {
     assert(m(Graph.stronglyConnectedComponents(de, "s", "d")) ==
       m(Graph.stronglyConnectedComponents(de, "s", "d",
         localEdgeThreshold = -1L)))
+    assert(m(Graph.coreness(ue, "a", "b")) ==
+      m(Graph.coreness(ue, "a", "b", localEdgeThreshold = -1L)))
+  }
+
+  test("coreness: K4 + pendant + triangle-with-tail — textbook values") {
+    import spark.implicits._
+    // K4 on 1-4 (coreness 3), pendant 5 off node 4 (coreness 1),
+    // triangle 6-7-8 (coreness 2) with tail 9 (coreness 1)
+    val ue = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L), (7L, 8L), (6L, 8L), (8L, 9L)).toDF("a", "b")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L,
+      6L -> 2L, 7L -> 2L, 8L -> 2L, 9L -> 1L)
+    assert(m(Graph.coreness(ue, "a", "b")) == want)
+    assert(m(Graph.coreness(ue.repartition(5), "a", "b",
+      localEdgeThreshold = -1L)) == want)
   }
 
   test("stronglyConnectedComponents: cycles collapse to min ids, DAG nodes " +
