@@ -30,8 +30,8 @@ object RecsysQueries {
       .distinct()
 
   /** Neighbor-table memo: the self-join + scoring + ranking is the
-    * expensive part and BOTH gates consume it — persist once per
-    * (session, dir) like GraphQueries' edge caches. */
+    * expensive part and several gates consume it — persist once per
+    * (session, dir, variant) like GraphQueries' edge caches. */
   private val neighborCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
@@ -39,12 +39,14 @@ object RecsysQueries {
     * source item (keyed window; ties broken by neighbor id). */
   private def itemNeighbors(s: SparkSession, dir: String): DataFrame =
     neighborCache.computeIfAbsent((s, dir), { case (sess, d) =>
-      itemNeighborsUncached(sess, d)
+      neighborsFrom(baskets(sess, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
-  private def itemNeighborsUncached(s: SparkSession, dir: String): DataFrame = {
-    val b = baskets(s, dir)
+  /** The neighbor derivation over ANY (okey, part) basket table — the
+    * full corpus for the serving gates, the train split for the holdout
+    * evaluation. */
+  private def neighborsFrom(b: DataFrame): DataFrame = {
     val deg = b.groupBy(col("part")).agg(count(lit(1)).as("deg"))
     val cooc = b.join(b.select(col("okey"), col("part").as("part_j")), "okey")
       .filter(col("part") =!= col("part_j"))
@@ -95,12 +97,75 @@ object RecsysQueries {
         .select(col("cust").as("c_custkey"), col("part_j").as("rec_part"),
           round(col("s").cast("double"), 6).as("rec_score"),
           col("n_voters"), col("rank").cast("long").as("rank"))
+    }),
+
+    // Temporal-holdout evaluation of the recommender — the number that
+    // decides whether the co-occurrence model ships: orders split at the
+    // 80% point of the date range (integer epoch-day arithmetic, computed
+    // in-plan), neighbors + per-user top-3 recommendations fit on the
+    // TRAIN side only, hit-rate@rank measured against what each user
+    // actually bought in the held-out window. Leakage-safe by
+    // construction (the test window never feeds the model); every join
+    // keyed on user/item, 3-row report.
+    "recsys_holdout_hitrate" -> ((s, dir) => {
+      val days = table(s, dir, "orders").select(
+        col("o_orderkey").as("okey"), col("o_custkey").as("cust"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("day"))
+      val bounds = days.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+        .select((col("dmin") +
+          expr("(dmax - dmin) * 4 div 5")).as("bnd"))
+      val keyed = days.crossJoin(broadcast(bounds))
+      val trainOrders = keyed.filter(col("day") < col("bnd"))
+        .select(col("okey"), col("cust"))
+      val testOrders = keyed.filter(col("day") >= col("bnd"))
+        .select(col("okey"), col("cust"))
+      val b = baskets(s, dir)
+      val trainB = b.join(trainOrders.select(col("okey")), "okey")
+      val nb = neighborsFrom(trainB)
+      val hist = trainOrders.join(b, "okey")
+        .select(col("cust"), col("part")).distinct()
+      val cand = hist.join(nb, "part")
+        .groupBy(col("cust"), col("part_j"))
+        .agg(sum(col("score").cast("decimal(18,6)")).as("s"))
+      val recs = cand
+        .join(hist.select(col("cust"), col("part").as("part_j")),
+          Seq("cust", "part_j"), "left_anti")
+        .withColumn("rank", row_number().over(Window.partitionBy(col("cust"))
+          .orderBy(col("s").desc, col("part_j").asc)))
+        .filter(col("rank") <= RecsK)
+      val testBuys = testOrders.join(b, "okey")
+        .select(col("cust"), col("part").as("part_j")).distinct()
+        .withColumn("__hit", lit(1L))
+      def d(c: Column) = c.cast("double")
+      recs.join(testBuys, Seq("cust", "part_j"), "left")
+        .groupBy(col("rank").cast("long").as("rank"))
+        .agg(count(lit(1)).as("n_recs"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+        .select(col("rank"), col("n_recs"), col("n_hits"),
+          round(d(col("n_hits")) / d(col("n_recs")), 6).as("hit_rate"))
     }))
 
   // ---------------------------------------------------------------- oracle
 
   private val basketsSql =
     "SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem"
+
+  /** The deg/cooc/score/rank chain over a CTE named `b` — shared by the
+    * full-corpus oracles and the holdout oracle's train-split variant. */
+  private val neighborChainSql =
+    """deg AS (SELECT part, CAST(count(*) AS BIGINT) AS deg FROM b GROUP BY 1),
+      |cooc AS (SELECT a.part, c.part AS part_j,
+      |    CAST(count(*) AS BIGINT) AS cooc
+      |  FROM b a JOIN b c ON a.okey = c.okey AND a.part <> c.part
+      |  GROUP BY 1, 2),
+      |sc AS (SELECT cooc.part, part_j, cooc,
+      |    round(CAST(cooc AS DOUBLE) /
+      |      sqrt(CAST(di.deg AS DOUBLE) * CAST(dj.deg AS DOUBLE)), 6) AS score
+      |  FROM cooc JOIN deg di ON di.part = cooc.part
+      |  JOIN deg dj ON dj.part = part_j),
+      |nb AS (SELECT *, CAST(row_number() OVER (PARTITION BY part
+      |    ORDER BY score DESC, part_j ASC) AS BIGINT) AS rank FROM sc)""".stripMargin
 
   private val neighborsSql =
     s"""b AS ($basketsSql),
@@ -140,5 +205,37 @@ object RecsysQueries {
          |    ORDER BY s DESC, part_j ASC) AS BIGINT) AS rank FROM fresh)
          |SELECT cust AS c_custkey, part_j AS rec_part,
          |  round(CAST(s AS DOUBLE), 6) AS rec_score, n_voters, rank
-         |FROM rk WHERE rank <= $RecsK""".stripMargin)
+         |FROM rk WHERE rank <= $RecsK""".stripMargin,
+
+    "recsys_holdout_hitrate" ->
+      s"""WITH days AS (SELECT o_orderkey AS okey, o_custkey AS cust,
+         |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |      AS BIGINT) AS day
+         |  FROM orders),
+         |bnd AS (SELECT min(day) + (max(day) - min(day)) * 4 // 5 AS bnd
+         |  FROM days),
+         |tro AS (SELECT okey, cust FROM days, bnd WHERE day < bnd),
+         |teo AS (SELECT okey, cust FROM days, bnd WHERE day >= bnd),
+         |ab AS ($basketsSql),
+         |b AS (SELECT ab.okey, part FROM ab JOIN tro USING (okey)),
+         |$neighborChainSql,
+         |hist AS (SELECT DISTINCT cust, part FROM tro JOIN ab USING (okey)),
+         |cand AS (SELECT cust, part_j,
+         |    sum(CAST(score AS DECIMAL(18,6))) AS s
+         |  FROM hist JOIN nb USING (part) WHERE rank <= $NeighborsK
+         |  GROUP BY 1, 2),
+         |fresh AS (SELECT c.* FROM cand c
+         |  WHERE NOT EXISTS (SELECT 1 FROM hist h
+         |    WHERE h.cust = c.cust AND h.part = c.part_j)),
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY cust
+         |    ORDER BY s DESC, part_j ASC) AS BIGINT) AS rank FROM fresh),
+         |recs AS (SELECT cust, part_j, rank FROM rk WHERE rank <= $RecsK),
+         |tb AS (SELECT DISTINCT cust, part AS part_j FROM teo JOIN ab USING (okey))
+         |SELECT r.rank, CAST(count(*) AS BIGINT) AS n_recs,
+         |  CAST(sum(CASE WHEN tb.part_j IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hits,
+         |  round(CAST(sum(CASE WHEN tb.part_j IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS hit_rate
+         |FROM recs r LEFT JOIN tb ON tb.cust = r.cust AND tb.part_j = r.part_j
+         |GROUP BY 1""".stripMargin)
 }
