@@ -407,6 +407,40 @@ object DataOpsQueries {
         maxDistance = 2)
     }),
 
+    // Linear-time MMD² (Gretton et al., the h-statistic estimator) between
+    // the even-id embeddings and the odd-id embeddings with a PLANTED
+    // +0.1 shift on the first 8 dims: quadruples (x₁,y₁,x₂,y₂) form by
+    // vec_id mod 4 — no ranking window, pure arithmetic grouping — and
+    // h(g) = k(x₁,x₂)+k(y₁,y₂)−k(x₁,y₂)−k(x₂,y₁) with an RBF kernel over
+    // the mirrorable 64-term squared-L2 fold. Per-quadruple terms are
+    // 9dp-rounded decimals, so the O(n)-cost statistic is an exact sum —
+    // the kernel-level drift monitor beyond drift_embedding_shift's mean
+    // test. Four g-keyed joins; linear, never the quadratic full MMD.
+    "drift_mmd_linear" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), Ann.asDouble(col("embedding")).as("v"))
+        .withColumn("v", when(col("vec_id") % 2 === 1,
+          transform(col("v"), (x, i) => when(i < 8, x + 0.1).otherwise(x)))
+          .otherwise(col("v")))
+        .withColumn("g", expr("vec_id div 4"))
+      def role(r: Int, as: String) =
+        emb.filter(pmod(col("vec_id"), lit(4)) === r)
+          .select(col("g"), col("v").as(as))
+      val quad = role(0, "x1").join(role(1, "y1"), "g")
+        .join(role(2, "x2"), "g").join(role(3, "y2"), "g")
+      def k(a: Column, b: Column) =
+        exp(-Ann.sqDist(a, b) / lit(16.0)) // RBF, 2σ² = 16
+      val h = round(k(col("x1"), col("x2")) + k(col("y1"), col("y2")) -
+        k(col("x1"), col("y2")) - k(col("x2"), col("y1")), 9)
+        .cast("decimal(18,9)")
+      def d(c: Column) = c.cast("double")
+      quad.select(h.as("h"))
+        .agg(count(lit(1)).as("n_quads"), sum(col("h")).as("__s"))
+        .select(col("n_quads"),
+          round(d(col("__s")) / d(col("n_quads")), 6).as("mmd2_linear"),
+          (d(col("__s")) / d(col("n_quads")) > 0.001).as("drift_detected"))
+    }),
+
     // Embedding-distribution drift: L2 shift and cosine between the MEAN
     // vectors of two corpus snapshots (vec_id parity plays ref/cur) —
     // the cheap first-line embedding drift monitor before anything
@@ -1322,6 +1356,29 @@ object DataOpsQueries {
            |    ORDER BY n_chars DESC, doc_id ASC) AS rn FROM lab) WHERE rn = 1)
            |SELECT l.doc_id, l.component, l.doc_id = b.best_id AS keep
            |FROM lab l JOIN best b USING (component)""".stripMargin,
+      "drift_mmd_linear" -> {
+        def kk(a: String, b: String) = s"exp(-(${sqDistSql(a, b)}) / 16.0)"
+        s"""WITH v AS (SELECT vec_id, vec_id // 4 AS g, vec_id % 4 AS r,
+           |    CASE WHEN vec_id % 2 = 1 THEN list_transform(range(1, 65),
+           |        i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) +
+           |          CASE WHEN i <= 8 THEN 0.1 ELSE 0.0 END)
+           |      ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS e
+           |  FROM embeddings),
+           |q AS (SELECT a.e AS x1, b.e AS y1, c.e AS x2, d.e AS y2
+           |  FROM v a JOIN v b ON b.g = a.g AND b.r = 1
+           |  JOIN v c ON c.g = a.g AND c.r = 2
+           |  JOIN v d ON d.g = a.g AND d.r = 3
+           |  WHERE a.r = 0),
+           |h AS (SELECT CAST(round(${kk("x1", "x2")} + ${kk("y1", "y2")}
+           |    - ${kk("x1", "y2")} - ${kk("x2", "y1")}, 9) AS DECIMAL(18,9)) AS h
+           |  FROM q)
+           |SELECT CAST(count(*) AS BIGINT) AS n_quads,
+           |  round(CAST(sum(h) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           |    AS mmd2_linear,
+           |  CAST(sum(h) AS DOUBLE) / CAST(count(*) AS DOUBLE) > 0.001
+           |    AS drift_detected
+           |FROM h""".stripMargin
+      },
       "pq_recall_report" ->
         s"""WITH b AS ($bruteL2TopKSql),
            |l AS ($pqFixedTopKSql)
