@@ -52,6 +52,50 @@ object Linkage {
         coalesce(col("component"), col(idCol)).as("entity_id"))
   }
 
+  /** Edit-distance ≤ 1 similarity self-join WITHOUT a blocking key, via
+    * FastSS deletion neighborhoods (Bocek et al. 2007): every string
+    * emits its 1-deletion neighborhood — itself plus each single-
+    * character deletion — and two strings at Levenshtein distance ≤ 1
+    * necessarily share a neighborhood member (substitution: both delete
+    * the differing position; insert/delete: the shorter string IS a
+    * deletion of the longer; equality: the strings themselves). Candidate
+    * generation is therefore an equi-join on the variant string — one
+    * keyed shuffle of O(len) short rows per record, never a cartesian and
+    * never a per-block quadratic scan, so it needs no domain blocking key
+    * (the gap [[resolveEntities]] and `er_nearest_name` leave open).
+    * Shared variants can also arise at distance 2 (transpositions), so
+    * candidates are confirmed with the exact codegen'd `levenshtein`
+    * before emission: complete by construction, exact after the filter.
+    * Output: (id_a, id_b, edit_dist) with id_a < id_b, distance ≤ 1.
+    *
+    * At 100 TB the variant table is ~len× the input but each row is two
+    * ids + a short string; variant buckets are bounded by the alphabet
+    * (a variant matches at most |Σ|·len originals), so no reduce-side
+    * hot key; AQE handles the residual size spread. */
+  def fastssPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    Seq("__v", "__sa", "__sb", "id_a", "id_b", "edit_dist").foreach { c =>
+      require(!df.columns.contains(c),
+        s"fastssPairs uses an internal $c column; rename the existing one")
+    }
+    val s = col(strCol)
+    val deletions = transform(sequence(lit(1), length(s)),
+      i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s) - i)))
+    val variants = df
+      .select(col(idCol), s,
+        explode(array_distinct(concat(array(s), deletions))).as("__v"))
+    val a = variants.select(col("__v"), col(idCol).as("id_a"),
+      col(strCol).as("__sa"))
+    val b = variants.select(col("__v"), col(idCol).as("id_b"),
+      col(strCol).as("__sb"))
+    a.join(b, Seq("__v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
+      .distinct()
+      .withColumn("edit_dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("edit_dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
   /** Survivorship merge (the "golden record"): collapse each resolved
     * cluster to ONE row by picking, per field independently, the value
     * from the highest-priority record that HAS one (lower `prioCol`

@@ -138,6 +138,21 @@ object EnrichQueries {
             col("c_name"), col("next_name")), 6).as("jw"))
     }),
 
+    // Edit-distance ≤ 1 self-join over supplier names with NO blocking
+    // key — FastSS deletion neighborhoods (see Linkage.fastssPairs):
+    // candidates come from an equi-join on 1-deletion variants, confirmed
+    // with exact levenshtein. The zero-padded "Supplier#%09d" names make
+    // every single-digit-differing pair distance exactly 1, so the pair
+    // set is dense enough to exercise both the neighborhood join and the
+    // distance-2 rejection (transposed digits share variants but fail
+    // the confirm). Oracle = the brute-force quadratic scan DuckDB can
+    // afford at gate scale — proving the O(n·len) neighborhood join
+    // finds exactly the pairs the O(n²) scan does.
+    "er_fastss_pairs" -> ((s, dir) =>
+      graft.ops.Linkage.fastssPairs(
+        table(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        "s_suppkey", "s_name")),
+
     // Nearest same-block name by edit distance: for every part, the
     // closest OTHER part name within its brand block — the blocked
     // nearest-neighbour primitive of merge/match pipelines (block first,
@@ -269,6 +284,12 @@ object EnrichQueries {
         |comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)
         |SELECT r.rec_id, coalesce(c.component, r.rec_id) AS entity_id
         |FROM r LEFT JOIN comp c ON c.id = r.rec_id""".stripMargin,
+
+    "er_fastss_pairs" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS edit_dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
 
     "er_nearest_name" ->
       """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part),

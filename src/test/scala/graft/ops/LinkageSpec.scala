@@ -47,6 +47,45 @@ class LinkageSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("fastssPairs = brute-force levenshtein<=1 on every edit kind") {
+    // One representative of each edit class against "carte": substitution
+    // (carta), deletion (cart), insertion (cartke), transposition (catre,
+    // distance 2 — shares deletion variants yet must be REJECTED by the
+    // confirm), distance-2 substitution (corta), exact duplicate (carte).
+    val df = Seq((1L, "carte"), (2L, "carta"), (3L, "cart"), (4L, "cartke"),
+      (5L, "catre"), (6L, "corta"), (7L, "carte"))
+      .toDF("id", "s")
+    val got = Linkage.fastssPairs(df, "id", "s")
+      .as[(Long, Long, Long)].collect().toSet
+    val names = df.as[(Long, String)].collect()
+    val brute = (for {
+      (ia, sa) <- names; (ib, sb) <- names if ia < ib
+      d = levDist(sa, sb) if d <= 1
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == brute, s"got $got\nbrute $brute")
+    assert(got.contains((1L, 7L, 0L)) && got.contains((1L, 2L, 1L)))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L),
+      "transposition (distance 2) must not pair with anything here")
+  }
+
+  test("fastssPairs handles 1-char and empty-adjacent strings") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "ab"), (4L, "a")).toDF("id", "s")
+    val got = Linkage.fastssPairs(df, "id", "s")
+      .as[(Long, Long, Long)].collect().toSet
+    // a~b substitution, a~ab insertion, b~ab substitution-ish? lev(b,ab)=1
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (1L, 4L, 0L), (2L, 4L, 1L), (3L, 4L, 1L)))
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("pruneToRepresentatives keeps min id per cluster and all singletons") {
     val records = (1L to 10L).toDF("id")
     val pairs = Seq((3L, 5L), (5L, 9L), (2L, 7L)).toDF("id_a", "id_b")
