@@ -1199,6 +1199,48 @@ object StatsQueries {
         round((syD - slope * sxD) / nD, 6).as("intercept"))
     }),
 
+    // Theil–Sen robust trend: the MEDIAN of all pairwise slopes between
+    // monthly revenue points (and the median-residual intercept) — the
+    // breakdown-point-29% companion to agg_trend_slope's OLS, immune to
+    // the outlier months OLS chases. The pair space is quadratic in the
+    // SERIES length (≤ calendar months, ~80 → ~3.2k pairs), never in row
+    // count, so the self-join rides on a broadcast of the tiny monthly
+    // aggregate; per-pair slopes are 12dp-rounded decimals so both
+    // engines median over identical values (even-n interpolation is the
+    // same two-middle average in double on both).
+    "agg_theil_sen" -> ((s, dir) => {
+      val m = table(s, dir, "orders")
+        .select((year(to_date(col("o_orderdate"))) * 12 +
+          month(to_date(col("o_orderdate")))).cast("long").as("x"),
+          col("o_totalprice").cast("decimal(18,2)").as("__p"))
+        .groupBy(col("x")).agg(sum(col("__p")).cast("double").as("y"))
+      val slopes = m.select(col("x").as("x1"), col("y").as("y1"))
+        .join(broadcast(m.select(col("x").as("x2"), col("y").as("y2"))),
+          col("x2") > col("x1"))
+        .select(round((col("y2") - col("y1")) / (col("x2") - col("x1")), 12)
+          .cast("decimal(28,12)").as("s"))
+      // Exact median, no interpolation hazard: the two middle DECIMALS
+      // sum exactly, and /2.0 is exact in binary — both engines bit-equal.
+      // collect_list is bounded by the pair count (calendar², ~3.2k).
+      def med(a: Column, n: Column) =
+        (element_at(a, ((n + 1) / 2).cast("int")) +
+          element_at(a, (n / 2 + 1).cast("int"))).cast("double") / 2.0
+      val sl = slopes
+        .agg(sort_array(collect_list(col("s"))).as("a"),
+          count(lit(1)).as("n_pairs"))
+        .select(med(col("a"), col("n_pairs")).as("sen_slope"), col("n_pairs"))
+      m.crossJoin(broadcast(sl))
+        .select(col("sen_slope"), col("n_pairs"),
+          round(col("y") - col("sen_slope") * col("x"), 12)
+            .cast("decimal(28,12)").as("r"))
+        .groupBy(col("sen_slope"), col("n_pairs"))
+        .agg(sort_array(collect_list(col("r"))).as("ra"),
+          count(lit(1)).as("n_months"))
+        .select(col("n_months"), col("n_pairs"),
+          round(col("sen_slope"), 6).as("sen_slope"),
+          round(med(col("ra"), col("n_months")), 6).as("intercept"))
+    }),
+
     // Merge overlapping delivery windows ([ship, ship + quantity days])
     // per supplier into maximal disjoint spans — the islands-and-gaps
     // interval coalesce; spans exported as ISO date strings.
@@ -1968,6 +2010,30 @@ object StatsQueries {
         |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_categories,
         |  CAST(sum(hh) AS DOUBLE) AS entropy
         |FROM h GROUP BY 1""".stripMargin,
+
+    "agg_theil_sen" ->
+      """WITH m AS (SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12 +
+        |      month(CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT CAST(round((b.y - a.y) / (b.x - a.x), 12)
+        |    AS DECIMAL(28,12)) AS s
+        |  FROM m a JOIN m b ON b.x > a.x),
+        |sl AS (SELECT CAST(arr[CAST((n + 1) // 2 AS INT)] +
+        |      arr[CAST(n // 2 + 1 AS INT)] AS DOUBLE) / 2.0 AS sen_slope,
+        |    n AS n_pairs
+        |  FROM (SELECT list(s ORDER BY s) AS arr,
+        |      CAST(count(*) AS BIGINT) AS n FROM p)),
+        |r AS (SELECT sl.sen_slope, sl.n_pairs,
+        |    CAST(round(m.y - sl.sen_slope * m.x, 12) AS DECIMAL(28,12)) AS r
+        |  FROM m, sl),
+        |ra AS (SELECT sen_slope, n_pairs, list(r ORDER BY r) AS arr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM r GROUP BY sen_slope, n_pairs)
+        |SELECT n AS n_months, n_pairs, round(sen_slope, 6) AS sen_slope,
+        |  round(CAST(arr[CAST((n + 1) // 2 AS INT)] +
+        |    arr[CAST(n // 2 + 1 AS INT)] AS DOUBLE) / 2.0, 6) AS intercept
+        |FROM ra""".stripMargin,
 
     "agg_trend_slope" -> {
       val x = "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)"
