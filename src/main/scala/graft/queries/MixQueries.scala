@@ -31,6 +31,7 @@ object MixQueries {
   private val ProjOutDim = 16
   private val PipeSeqLen = 64
   private val PipeShards = 4
+  private val BtIters = 12
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
 
@@ -55,6 +56,31 @@ object MixQueries {
     "preference_pairs" -> ((s, dir) =>
       graft.ops.Preference.pairs(table(s, dir, "events"),
         "user_id", "event_id", "value")),
+
+    // Bradley–Terry strength fit over event-type "arms": each user is a
+    // judge, arm i beats arm j when the user's exact decimal value-sum
+    // for i exceeds j's (ties = no game) — then 12 fixed MM iterations
+    // (Hunter 2004) on the 5×5 win matrix, every neighbor-sum an exact
+    // decimal of 12dp terms so the oracle replays the recurrence
+    // bit-for-bit (its SQL mirror is the same loop UNROLLED into a CTE
+    // chain). The input-scale work is one groupBy + one user-keyed
+    // self-join; the fit itself never touches row-scale data.
+    "preference_bradley_terry" -> ((s, dir) => {
+      val uv = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,6)").as("__v"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(col("__v")).as("__sv"))
+      val wins = uv.select(col("user_id"), col("event_type").as("__ti"),
+          col("__sv").as("__vi"))
+        .join(uv.select(col("user_id"), col("event_type").as("__tj"),
+          col("__sv").as("__vj")), Seq("user_id"))
+        .filter(col("__ti") =!= col("__tj") && col("__vi") > col("__vj"))
+        .groupBy(col("__ti"), col("__tj")).agg(count(lit(1)).as("__n"))
+      graft.ops.Preference.bradleyTerry(wins, "__ti", "__tj", "__n",
+        iters = BtIters)
+        .withColumnRenamed("arm", "event_type")
+    }),
 
     // Weight-proportional sample without replacement: 40 docs per source,
     // weight = n_chars (longer docs proportionally likelier). Winners are
@@ -299,7 +325,50 @@ object MixQueries {
        |    count(*) AS n
        |  FROM sc GROUP BY doc_id)""".stripMargin
 
+  /** The BT MM recurrence UNROLLED into a CTE chain — one (t, d, r, n, s)
+    * block per iteration, arithmetic mirrored operand-for-operand with
+    * [[graft.ops.Preference.bradleyTerry]] (cast-then-add, 12dp decimal
+    * terms, exact decimal sums, double divisions). */
+  private val btOracle: String = {
+    val iterBlocks = (1 to BtIters).map { k =>
+      val p = s"s${k - 1}"
+      s"""t$k AS (SELECT g.i, CAST(round(CAST(g.N AS DOUBLE) /
+         |    (CAST(si.s AS DOUBLE) + CAST(sj.s AS DOUBLE)), 12)
+         |    AS DECIMAL(28,12)) AS t
+         |  FROM g JOIN $p si ON si.i = g.i JOIN $p sj ON sj.i = g.j),
+         |d$k AS MATERIALIZED (SELECT i, sum(t) AS den FROM t$k GROUP BY 1),
+         |r$k AS MATERIALIZED (SELECT d$k.i, CAST(round(CAST(coalesce(w.W, 0) AS DOUBLE) /
+         |    CAST(den AS DOUBLE), 12) AS DECIMAL(28,12)) AS s1
+         |  FROM d$k LEFT JOIN w ON w.i = d$k.i),
+         |n$k AS MATERIALIZED (SELECT sum(s1) AS tot FROM r$k),
+         |s$k AS MATERIALIZED (SELECT i, CAST(round(CAST(s1 AS DOUBLE) /
+         |    CAST(tot AS DOUBLE), 12) AS DECIMAL(28,12)) AS s
+         |  FROM r$k, n$k)""".stripMargin
+    }
+    s"""WITH uv AS MATERIALIZED (SELECT user_id, event_type,
+       |    sum(CAST(value AS DECIMAL(18,6))) AS sv
+       |  FROM events GROUP BY 1, 2),
+       |wn AS MATERIALIZED (SELECT a.event_type AS i, b.event_type AS j,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM uv a JOIN uv b ON a.user_id = b.user_id
+       |    AND a.event_type <> b.event_type AND a.sv > b.sv
+       |  GROUP BY 1, 2),
+       |g AS MATERIALIZED (SELECT i, j, CAST(sum(n) AS BIGINT) AS N FROM (
+       |    SELECT i, j, n FROM wn UNION ALL SELECT j, i, n FROM wn)
+       |  GROUP BY 1, 2),
+       |w AS MATERIALIZED (SELECT i, CAST(sum(n) AS BIGINT) AS W FROM wn GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT DISTINCT i, CAST(1 AS DECIMAL(28,12)) AS s FROM g),
+       |${iterBlocks.mkString(",\n")},
+       |ng AS MATERIALIZED (SELECT i, CAST(sum(N) AS BIGINT) AS n_games FROM g GROUP BY 1)
+       |SELECT sf.i AS event_type, coalesce(w.W, 0) AS n_wins, ng.n_games,
+       |  round(CAST(sf.s AS DOUBLE), 6) AS strength
+       |FROM s$BtIters sf LEFT JOIN w ON w.i = sf.i
+       |LEFT JOIN ng ON ng.i = sf.i""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+
+    "preference_bradley_terry" -> btOracle,
 
     "mix_water_fill" ->
       """WITH ps AS (SELECT source AS grp,
