@@ -138,6 +138,36 @@ object EnrichQueries {
             col("c_name"), col("next_name")), 6).as("jw"))
     }),
 
+    // Fellegi–Sunter u-probabilities, estimated the Splink way: u_k =
+    // P(two RANDOM records agree on field k) = Σ_v C(n_v,2) / C(N,2) —
+    // a pure per-field value-frequency aggregate, no labels and no EM —
+    // and the resulting match weight log2(1/u_k): what one agreement on
+    // that field contributes to a candidate pair's linkage score (rare
+    // fields weigh more; a 5-value segment barely matters). ONE melt +
+    // one (field, value) hash aggregate: the estimation pass stays a
+    // single shuffle however many fields are profiled, and C(n,2) terms
+    // are exact 64-bit integers so both engines divide identical longs.
+    "er_fs_uweights" -> ((s, dir) => {
+      val f = table(s, dir, "customer").select(expr(
+        """stack(4,
+          |  'nationkey',  cast(c_nationkey as string),
+          |  'mktsegment', c_mktsegment,
+          |  'bal_bucket', cast(cast(floor(c_acctbal / 1000) as bigint) as string),
+          |  'name_tail',  substr(c_name, length(c_name) - 1, 2)
+          |) as (field, v)""".stripMargin))
+      val t = f.groupBy(col("field"), col("v"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("field"))
+        .agg(sum(col("n")).as("nt"),
+          count(lit(1)).as("n_distinct"),
+          sum(expr("n * (n - 1) div 2")).as("ap"))
+      val tp = col("nt").cast("double") *
+        (col("nt") - 1).cast("double") / 2.0
+      t.select(col("field"), col("n_distinct"),
+        round(col("ap").cast("double") / tp, 6).as("u"),
+        round(log2(tp / col("ap").cast("double")), 6).as("weight"))
+    }),
+
     // Edit-distance ≤ 1 self-join over supplier names with NO blocking
     // key — FastSS deletion neighborhoods (see Linkage.fastssPairs):
     // candidates come from an equi-join on 1-deletion variants, confirmed
@@ -284,6 +314,29 @@ object EnrichQueries {
         |comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)
         |SELECT r.rec_id, coalesce(c.component, r.rec_id) AS entity_id
         |FROM r LEFT JOIN comp c ON c.id = r.rec_id""".stripMargin,
+
+    "er_fs_uweights" ->
+      """WITH f AS (
+        |  SELECT 'nationkey' AS field, CAST(c_nationkey AS VARCHAR) AS v
+        |    FROM customer
+        |  UNION ALL SELECT 'mktsegment', c_mktsegment FROM customer
+        |  UNION ALL SELECT 'bal_bucket',
+        |    CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR)
+        |    FROM customer
+        |  UNION ALL SELECT 'name_tail',
+        |    substr(c_name, length(c_name) - 1, 2) FROM customer),
+        |c AS (SELECT field, v, CAST(count(*) AS BIGINT) AS n
+        |  FROM f GROUP BY 1, 2),
+        |t AS (SELECT field, CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(n * (n - 1) // 2) AS BIGINT) AS ap
+        |  FROM c GROUP BY 1)
+        |SELECT field, n_distinct,
+        |  round(CAST(ap AS DOUBLE) /
+        |    (CAST(nt AS DOUBLE) * CAST(nt - 1 AS DOUBLE) / 2.0), 6) AS u,
+        |  round(log2((CAST(nt AS DOUBLE) * CAST(nt - 1 AS DOUBLE) / 2.0) /
+        |    CAST(ap AS DOUBLE)), 6) AS weight
+        |FROM t""".stripMargin,
 
     "er_fastss_pairs" ->
       """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
