@@ -601,4 +601,85 @@ object Ann {
     quantizeInt8(emb, idCol, vecCol)
       .select(col("id"), col("scale"),
         concat_ws(",", transform(col("qvec"), _.cast("string"))).as("qvec"))
+
+  /** Top principal direction of the embedding corpus by `iters` fixed
+    * power iterations on the sample covariance, built from
+    * [[covarianceStats]]' EXACT integer sufficient statistics — the
+    * corpus-geometry readout (dominant axis + its explained-variance
+    * share) a curation pass uses to detect collapsed or anisotropic
+    * embedding spaces.
+    *
+    * Scale split: the input-scale work is the ONE covariance aggregate;
+    * the D(D+1)/2 triangle (guarded) collects to the driver and the
+    * matvec loop runs locally — the Lloyd shape, iteration cost O(D²)
+    * regardless of corpus size. Determinism: covariance cells are double
+    * expressions over exactly-represented longs (mirrored operand
+    * order), every matvec/norm sum is an exact decimal sum of
+    * 12dp-rounded terms (BigDecimal HALF_UP = Spark/DuckDB `round`), and
+    * the sign is fixed by the largest-|loading| dimension — so an engine
+    * unrolling the same recurrence reproduces identical bits.
+    *
+    * @param stats output of [[covarianceStats]] (same `quantBits`).
+    * @return (dim, loading, explained_ratio): `iters`-step dominant unit
+    *         vector (6dp, sign-normalized) and λ₁/trace (6dp). */
+  def topPrincipalDirection(stats: DataFrame, iters: Int = 15,
+      quantBits: Int = 20): DataFrame = {
+    require(iters >= 1 && iters <= 60, s"iters out of range: $iters")
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val spark = stats.sparkSession
+    val tri = stats.select(col("dim_i").cast("int"), col("dim_j").cast("int"),
+      col("n").cast("long"), col("s_i").cast("long"),
+      col("s_j").cast("long"), col("s_ij").cast("long")).collect()
+    require(tri.length <= (1 << 20),
+      s"topPrincipalDirection: ${tri.length} cells exceed the driver bound")
+    val dims = tri.map(_.getInt(0)).distinct.sorted
+    val d = dims.length
+    require(dims.sameElements(0 until d),
+      s"expected contiguous 0-based dims, got ${dims.take(5).mkString(",")}…")
+    val q2 = math.pow(2.0, 2.0 * quantBits)
+    def rd(x: Double, s: Int): JBD =
+      JBD.valueOf(x).setScale(s, RoundingMode.HALF_UP)
+    // cov in double with MIRRORED operand order: (n·s_ij − s_i·s_j) /
+    // (n·(n−1)) / 2^(2q). The longs are < 2^53, so the casts are exact
+    // and every IEEE op lands on the same bits in any engine.
+    val cov = Array.ofDim[Double](d, d)
+    tri.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val n = r.getLong(2).toDouble
+      val c = (n * r.getLong(5).toDouble -
+        r.getLong(3).toDouble * r.getLong(4).toDouble) /
+        (n * (n - 1.0)) / q2
+      cov(i)(j) = c
+      cov(j)(i) = c
+    }
+    var v = Array.fill(d)(rd(1.0 / math.sqrt(d.toDouble), 12))
+    var w = Array.fill(d)(JBD.ZERO)
+    for (_ <- 1 to iters) {
+      val vd = v.map(_.doubleValue)
+      w = Array.tabulate(d) { i =>
+        (0 until d).map(j => rd(cov(i)(j) * vd(j), 12))
+          .reduce(_ add _)
+      }
+      val wd = w.map(_.doubleValue)
+      val nrm = math.sqrt(
+        wd.map(x => rd(x * x, 12)).reduce(_ add _).doubleValue)
+      v = wd.map(x => rd(x / nrm, 12))
+    }
+    val vd = v.map(_.doubleValue)
+    val t = Array.tabulate(d) { i =>
+      (0 until d).map(j => rd(cov(i)(j) * vd(j), 12)).reduce(_ add _)
+        .doubleValue
+    }
+    val lam = vd.indices.map(i => rd(vd(i) * t(i), 12))
+      .reduce(_ add _).doubleValue
+    val trace = (0 until d).map(i => rd(cov(i)(i), 12))
+      .reduce(_ add _).doubleValue
+    val top = vd.indices.minBy(i => (-math.abs(vd(i)), i))
+    val sg = if (vd(top) < 0) -1.0 else 1.0
+    val explained = rd(lam / trace, 6).doubleValue
+    val out = dims.map(i =>
+      (i, rd(sg * vd(i), 6).doubleValue, explained))
+    spark.createDataFrame(out.toSeq)
+      .toDF("dim", "loading", "explained_ratio")
+  }
 }

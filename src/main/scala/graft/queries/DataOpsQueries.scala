@@ -523,6 +523,18 @@ object DataOpsQueries {
     "embed_covariance" -> ((s, dir) =>
       Ann.covarianceStats(table(s, dir, "embeddings"), "embedding")),
 
+    // Dominant principal direction + explained-variance share via 15
+    // fixed power iterations on the exact-integer covariance stats —
+    // corpus anisotropy in one 64-row readout. Input-scale work is the
+    // one covariance aggregate; the matvec loop is driver-local on the
+    // collected 2080-cell triangle (Lloyd shape), every sum an exact
+    // decimal of 12dp-rounded terms, so the oracle UNROLLS the identical
+    // recurrence as a 15-block CTE chain and lands on the same bits.
+    "embed_top_eigvec" -> ((s, dir) =>
+      Ann.topPrincipalDirection(
+        Ann.covarianceStats(table(s, dir, "embeddings"), "embedding"),
+        iters = EigIters)),
+
     "embed_mean_pool" -> ((s, dir) =>
       Ann.meanPool(
         table(s, dir, "embeddings")
@@ -974,6 +986,72 @@ object DataOpsQueries {
 
   /** Fixed centroid vec_ids for the IVF gate — spread across the corpus,
     * present at every sf (embeddings has ≥500 rows at sf0.001). */
+  private val EigIters = 15
+
+  /** [[graft.ops.Ann.topPrincipalDirection]]'s recurrence unrolled into a
+    * CTE chain: covariance cells as mirrored double arithmetic over the
+    * exact integer stats, then 15 (matvec, norm, renormalize) blocks —
+    * every CTE MATERIALIZED so the doubly-referenced recurrence doesn't
+    * inline exponentially. */
+  private val eigOracle: String = {
+    val iterBlocks = (1 to EigIters).map { k =>
+      val p = s"v${k - 1}"
+      s"""w$k AS MATERIALIZED (SELECT a.i,
+         |    sum(CAST(round(a.cov * CAST(v.s AS DOUBLE), 12)
+         |      AS DECIMAL(38,12))) AS w
+         |  FROM a JOIN $p v ON v.i = a.j GROUP BY 1),
+         |nm$k AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(round(
+         |      CAST(w AS DOUBLE) * CAST(w AS DOUBLE), 12)
+         |      AS DECIMAL(38,12))) AS DOUBLE)) AS nrm FROM w$k),
+         |v$k AS MATERIALIZED (SELECT i, CAST(round(CAST(w AS DOUBLE) / nrm,
+         |    12) AS DECIMAL(28,12)) AS s FROM w$k, nm$k)""".stripMargin
+    }
+    val vK = s"v$EigIters"
+    s"""WITH q AS MATERIALIZED (SELECT list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS e
+       |  FROM embeddings),
+       |p AS MATERIALIZED (SELECT i.i - 1 AS dim_i, j.j - 1 AS dim_j,
+       |    e[CAST(i.i AS INT)] AS xi, e[CAST(j.j AS INT)] AS xj
+       |  FROM q, range(1, 65) i(i), range(1, 65) j(j)
+       |  WHERE j.j >= i.i),
+       |cst AS MATERIALIZED (SELECT dim_i, dim_j,
+       |    CAST(count(*) AS BIGINT) AS n, CAST(sum(xi) AS BIGINT) AS s_i,
+       |    CAST(sum(xj) AS BIGINT) AS s_j,
+       |    CAST(sum(xi * xj) AS BIGINT) AS s_ij
+       |  FROM p GROUP BY 1, 2),
+       |tri AS MATERIALIZED (SELECT dim_i, dim_j,
+       |    (CAST(n AS DOUBLE) * CAST(s_ij AS DOUBLE) -
+       |     CAST(s_i AS DOUBLE) * CAST(s_j AS DOUBLE)) /
+       |    (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) /
+       |    1099511627776.0 AS cov
+       |  FROM cst),
+       |a AS MATERIALIZED (SELECT dim_i AS i, dim_j AS j, cov FROM tri
+       |  UNION ALL SELECT dim_j, dim_i, cov FROM tri WHERE dim_i <> dim_j),
+       |v0 AS MATERIALIZED (SELECT DISTINCT dim_i AS i,
+       |    CAST(round(1.0 / sqrt(64.0), 12) AS DECIMAL(28,12)) AS s
+       |  FROM tri),
+       |${iterBlocks.mkString(",\n")},
+       |tf AS MATERIALIZED (SELECT a.i,
+       |    sum(CAST(round(a.cov * CAST(v.s AS DOUBLE), 12)
+       |      AS DECIMAL(38,12))) AS t
+       |  FROM a JOIN $vK v ON v.i = a.j GROUP BY 1),
+       |lam AS MATERIALIZED (SELECT CAST(sum(CAST(round(
+       |      CAST(v.s AS DOUBLE) * CAST(tf.t AS DOUBLE), 12)
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS lam
+       |  FROM $vK v JOIN tf ON tf.i = v.i),
+       |tr AS MATERIALIZED (SELECT CAST(sum(CAST(round(cov, 12)
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS tr
+       |  FROM tri WHERE dim_i = dim_j),
+       |sg AS MATERIALIZED (SELECT CASE WHEN (
+       |    SELECT CAST(s AS DOUBLE) FROM $vK
+       |    ORDER BY abs(CAST(s AS DOUBLE)) DESC, i ASC LIMIT 1) < 0
+       |  THEN -1.0 ELSE 1.0 END AS sg)
+       |SELECT CAST(v.i AS INT) AS dim,
+       |  round(sg.sg * CAST(v.s AS DOUBLE), 6) AS loading,
+       |  round(lam.lam / tr.tr, 6) AS explained_ratio
+       |FROM $vK v, sg, lam, tr""".stripMargin
+  }
+
   private val IvfGateCentroidIds: Seq[Long] =
     Seq(7L, 63L, 119L, 175L, 231L, 287L, 343L, 399L)
 
@@ -1531,6 +1609,8 @@ object DataOpsQueries {
            |SELECT eval_id, round(mc, 6) AS max_cos,
            |  (mc >= 0.9) AS contaminated
            |FROM m""".stripMargin,
+
+      "embed_top_eigvec" -> eigOracle,
 
       "embed_covariance" ->
         """WITH q AS (SELECT list_transform(embedding,

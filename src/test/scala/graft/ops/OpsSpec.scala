@@ -79,6 +79,28 @@ class OpsSpec extends SparkSpec {
     assert((sij.toDouble - si.toDouble * sj / n) / n / 4.0 == -1.5)
   }
 
+  test("topPrincipalDirection recovers a planted dominant axis") {
+    // Variance concentrated on dim 1 (values swing ±8), small independent
+    // jitter elsewhere → the top eigvec must point (positively, after
+    // sign fix) along dim 1 and explain most of the variance.
+    val rows = (0 until 200).map { i =>
+      Tuple1(Seq(
+        (i % 3 - 1) * 0.05f,
+        (if (i % 2 == 0) 8.0f else -8.0f) + (i % 5) * 0.01f,
+        (i % 7 - 3) * 0.02f))
+    }
+    val stats = Ann.covarianceStats(rows.toDF("embedding"), "embedding")
+    val out = Ann.topPrincipalDirection(stats, iters = 15)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(out(1)._1 > 0.99, s"dominant loading: ${out(1)}")
+    assert(math.abs(out(0)._1) < 0.05 && math.abs(out(2)._1) < 0.05)
+    assert(out(1)._2 > 0.99, s"explained ratio: ${out(1)._2}")
+    // Unit norm (within 6dp rounding of each loading).
+    val nrm = out.values.map(v => v._1 * v._1).sum
+    assert(math.abs(nrm - 1.0) < 1e-4, s"norm²: $nrm")
+  }
+
   test("crossSourceMatrix: unordered cells, diagonal self-dups, empty pairs") {
     val docs = Seq((1L, "A"), (2L, "B"), (3L, "A"), (4L, "B"), (5L, "C"))
       .toDF("doc_id", "source")
