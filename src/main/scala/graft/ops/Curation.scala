@@ -163,4 +163,51 @@ object Curation {
       .select(col("r.rule").as("rule"), col("r.n_flagged").as("n_flagged"),
         col("r.n_unique").as("n_unique"))
   }
+
+  /** Greedy k-center coreset (Gonzalez farthest-point traversal): seed at
+    * the lowest id, then k−1 times add the vector FARTHEST from its
+    * nearest chosen center — the classic 2-approximation to the k-center
+    * cover, and the "pick a maximally diverse subset" primitive of
+    * embedding-space curation (each `sel_dist` is the covering radius²
+    * the selection just cut).
+    *
+    * Each round is ONE distributed argmax: min-distance to the ≤k chosen
+    * centers is a per-row `least` over broadcast literal vectors (no
+    * join), reduced by a single max(struct) — map-side combinable, no
+    * window, nothing collected but the winner row. k rounds = k scans; at
+    * corpus scale persist `vectors` first. Distances are 9dp-rounded
+    * decimals before the argmax so tie-breaks (lowest id) bind
+    * identically in any engine replaying the traversal.
+    *
+    * @return (rank, vec_id, sel_dist): selection order, chosen vector,
+    *         its 6dp selection distance² (null for the seed). */
+  def kCenterCoreset(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 256, s"k out of range (2..256): $k")
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val spark = vectors.sparkSession
+    val v = vectors.select(col(idCol).cast("long").as("id"),
+      Ann.asDouble(col(vecCol)).as("e"))
+    val seed = v.orderBy(col("id").asc).limit(1).collect()(0)
+    var centers = Vector[(Long, Seq[Double], Option[Double])](
+      (seed.getLong(0), seed.getSeq[Double](1), None))
+    for (_ <- 1 until k) {
+      val dists = centers.map { case (_, ce, _) =>
+        Ann.sqDist(col("e"), typedLit(ce)) }
+      val dmin = if (dists.size == 1) dists.head else least(dists: _*)
+      val win = v
+        .select(col("id"),
+          round(dmin, 9).cast("decimal(28,9)").as("d"))
+        .agg(max(struct(col("d"), (-col("id")).as("ni"))).as("m"))
+        .select(col("m.d").cast("double").as("d"), (-col("m.ni")).as("id"))
+        .collect()(0)
+      val ce = v.filter(col("id") === win.getLong(1))
+        .select(col("e")).collect()(0).getSeq[Double](0)
+      centers :+= ((win.getLong(1), ce,
+        Some(JBD.valueOf(win.getDouble(0))
+          .setScale(6, RoundingMode.HALF_UP).doubleValue)))
+    }
+    val out = centers.zipWithIndex.map { case ((id, _, d), r) => (r, id, d) }
+    spark.createDataFrame(out).toDF("rank", "vec_id", "sel_dist")
+  }
 }

@@ -535,6 +535,16 @@ object DataOpsQueries {
         Ann.covarianceStats(table(s, dir, "embeddings"), "embedding"),
         iters = EigIters)),
 
+    // Greedy k-center coreset (Gonzalez) over the embedding corpus: 8
+    // maximally-spread vectors, each round one distributed argmax of the
+    // 9dp-decimal min-distance² to the chosen set — the diverse-subset
+    // selection primitive (complement of semdedup_prune, which removes
+    // the CLOSE pairs; this keeps the FAR ones). Oracle replays the
+    // traversal step by step.
+    "curate_kcenter" -> ((s, dir) =>
+      graft.ops.Curation.kCenterCoreset(table(s, dir, "embeddings"),
+        "vec_id", "embedding", KCenterK)),
+
     "embed_mean_pool" -> ((s, dir) =>
       Ann.meanPool(
         table(s, dir, "embeddings")
@@ -987,6 +997,34 @@ object DataOpsQueries {
   /** Fixed centroid vec_ids for the IVF gate — spread across the corpus,
     * present at every sf (embeddings has ≥500 rows at sf0.001). */
   private val EigIters = 15
+  private val KCenterK = 8
+
+  /** [[graft.ops.Curation.kCenterCoreset]]'s farthest-point traversal
+    * unrolled: center j's CTE computes every vector's 9dp-decimal min
+    * distance² to centers 0..j−1 (the same least-of-sqDist folds) and
+    * takes the (d DESC, id ASC) winner. */
+  private val kcenterOracle: String = {
+    val steps = (1 until KCenterK).map { j =>
+      val sq = (0 until j).map(i => sqDistSql("v.e", s"e$i"))
+      val dmin = if (sq.size == 1) sq.head else s"least(${sq.mkString(", ")})"
+      val xs = (0 until j).map(i => s", (SELECT e AS e$i FROM c$i) x$i")
+      s"""s$j AS MATERIALIZED (SELECT v.vec_id, v.e,
+         |    CAST(round($dmin, 9) AS DECIMAL(28,9)) AS d
+         |  FROM v${xs.mkString}),
+         |c$j AS MATERIALIZED (SELECT vec_id, e, CAST(d AS DOUBLE) AS d
+         |  FROM s$j ORDER BY d DESC, vec_id ASC LIMIT 1)""".stripMargin
+    }
+    val outs = (1 until KCenterK).map(j =>
+      s"UNION ALL SELECT $j AS rank, vec_id, round(d, 6) AS sel_dist FROM c$j")
+    s"""WITH v AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT vec_id, e FROM v
+       |  ORDER BY vec_id ASC LIMIT 1),
+       |${steps.mkString(",\n")}
+       |SELECT 0 AS rank, vec_id, CAST(NULL AS DOUBLE) AS sel_dist FROM c0
+       |${outs.mkString("\n")}""".stripMargin
+  }
 
   /** [[graft.ops.Ann.topPrincipalDirection]]'s recurrence unrolled into a
     * CTE chain: covariance cells as mirrored double arithmetic over the
@@ -1611,6 +1649,8 @@ object DataOpsQueries {
            |FROM m""".stripMargin,
 
       "embed_top_eigvec" -> eigOracle,
+
+      "curate_kcenter" -> kcenterOracle,
 
       "embed_covariance" ->
         """WITH q AS (SELECT list_transform(embedding,

@@ -79,6 +79,20 @@ class OpsSpec extends SparkSpec {
     assert((sij.toDouble - si.toDouble * sj / n) / n / 4.0 == -1.5)
   }
 
+  test("kCenterCoreset follows the hand-computed farthest-point order") {
+    // 1-D line x ∈ {0, 1, 4, 10} (padded to 3 dims): seed = id 1 (x=0);
+    // farthest is x=10 (d²=100); then x=4 (min-dist² to {0,10} = 16);
+    // then x=1 (min-dist² to {0,10,4} = 1).
+    val v = Seq((1L, Seq(0.0f, 0f, 0f)), (2L, Seq(1.0f, 0f, 0f)),
+      (3L, Seq(4.0f, 0f, 0f)), (4L, Seq(10.0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Curation.kCenterCoreset(v, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq((0, 1L, None), (1, 4L, Some(100.0)),
+      (2, 3L, Some(16.0)), (3, 2L, Some(1.0))))
+  }
+
   test("topPrincipalDirection recovers a planted dominant axis") {
     // Variance concentrated on dim 1 (values swing ±8), small independent
     // jitter elsewhere → the top eigvec must point (positively, after
