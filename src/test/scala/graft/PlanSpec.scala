@@ -635,4 +635,40 @@ class PlanSpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(mh.length == 8 && mh.forall(_ != Long.MaxValue))
   }
+
+  test("FastSS pairing is a variant equi-join — no cartesian, no nested loop") {
+    val p = plan("er_fastss_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("Theil-Sen pair space joins on the broadcast monthly aggregate — " +
+    "the quadratic term never touches row-scale data") {
+    val p = plan("agg_theil_sen")
+    // The month×month inequality join must ride a broadcast of the tiny
+    // aggregate, never a shuffled row-scale product.
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("k-center argmax is a partial-combining aggregate — no window, " +
+    "no global sort on the corpus scan") {
+    import graft.ops.{Ann, Curation}
+    val v = graft.core.Tables.table(spark, sf("sf0.001"), "embeddings")
+      .select(col("vec_id"), Ann.asDouble(col("embedding")).as("e"))
+    val dmin = Ann.sqDist(col("e"),
+      typedLit(Seq.fill(64)(0.0)))
+    val step = v.select(col("vec_id"),
+        round(dmin, 9).cast("decimal(28,9)").as("d"))
+      .agg(max(struct(col("d"), (-col("vec_id")).as("ni"))))
+    val p = step.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("TakeOrderedAndProject"), p)
+    // And the public op's output is exactly k rows on real data.
+    assert(Curation.kCenterCoreset(
+      graft.core.Tables.table(spark, sf("sf0.001"), "embeddings"),
+      "vec_id", "embedding", 4).count() == 4L)
+  }
 }
