@@ -1199,6 +1199,20 @@ object StatsQueries {
         round((syD - slope * sxD) / nD, 6).as("intercept"))
     }),
 
+    // Distributed logistic regression: P(purchase | value, hour) by 6
+    // fixed IRLS/Newton steps — each step ONE aggregate of 12dp-decimal
+    // Hessian/gradient cells over the events scan, the 3×3 solve closed-
+    // form on the driver (Lloyd shape: collected state is O(p²), never
+    // row-scale). The oracle unrolls the identical recurrence as a CTE
+    // chain; exp() agrees bit-for-bit across engines on these inputs
+    // (same guarantee the ln()-based LM gates already rely on).
+    "ml_logreg_irls" -> ((s, dir) =>
+      graft.ops.Glm.logisticIrls(table(s, dir, "events"),
+        when(col("event_type") === "purchase", 1.0).otherwise(0.0),
+        col("value") / 100.0,
+        hour(col("ts")).cast("double") / 24.0,
+        iters = IrlsIters)),
+
     // Theil–Sen robust trend: the MEDIAN of all pairwise slopes between
     // monthly revenue points (and the median-residual intercept) — the
     // breakdown-point-29% companion to agg_trend_slope's OLS, immune to
@@ -1410,7 +1424,69 @@ object StatsQueries {
   private val OlsDet2: String = det3("nd", "s1d", "syd",
     "s1d", "s11d", "s1yd", "s2d", "s12d", "s2yd")
 
+  private val IrlsIters = 6
+
+  /** [[graft.ops.Glm.logisticIrls]] unrolled: per step, a 12dp-decimal
+    * Hessian/gradient aggregate and the closed-form symmetric 3×3 Newton
+    * update, operand order mirrored with the driver solve. */
+  private val irlsOracle: String = {
+    val blocks = (1 to IrlsIters).map { k =>
+      val p = s"beta${k - 1}"
+      s"""t$k AS MATERIALIZED (SELECT y, x1, x2, mu, mu * (1.0 - mu) AS w
+         |  FROM (SELECT y, x1, x2,
+         |      1.0 / (1.0 + exp(-(b.b0 + b.b1 * x1 + b.b2 * x2))) AS mu
+         |    FROM x, $p b)),
+         |a$k AS MATERIALIZED (SELECT
+         |    sum(CAST(round(w, 12) AS DECIMAL(38,12))) AS h00,
+         |    sum(CAST(round(w * x1, 12) AS DECIMAL(38,12))) AS h01,
+         |    sum(CAST(round(w * x2, 12) AS DECIMAL(38,12))) AS h02,
+         |    sum(CAST(round(w * x1 * x1, 12) AS DECIMAL(38,12))) AS h11,
+         |    sum(CAST(round(w * x1 * x2, 12) AS DECIMAL(38,12))) AS h12,
+         |    sum(CAST(round(w * x2 * x2, 12) AS DECIMAL(38,12))) AS h22,
+         |    sum(CAST(round(y - mu, 12) AS DECIMAL(38,12))) AS g0,
+         |    sum(CAST(round((y - mu) * x1, 12) AS DECIMAL(38,12))) AS g1,
+         |    sum(CAST(round((y - mu) * x2, 12) AS DECIMAL(38,12))) AS g2
+         |  FROM t$k),
+         |d$k AS MATERIALIZED (SELECT *,
+         |    h00 * (h11 * h22 - h12 * h12) - h01 * (h01 * h22 - h12 * h02)
+         |      + h02 * (h01 * h12 - h11 * h02) AS det
+         |  FROM (SELECT CAST(h00 AS DOUBLE) AS h00,
+         |      CAST(h01 AS DOUBLE) AS h01, CAST(h02 AS DOUBLE) AS h02,
+         |      CAST(h11 AS DOUBLE) AS h11, CAST(h12 AS DOUBLE) AS h12,
+         |      CAST(h22 AS DOUBLE) AS h22, CAST(g0 AS DOUBLE) AS g0,
+         |      CAST(g1 AS DOUBLE) AS g1, CAST(g2 AS DOUBLE) AS g2
+         |    FROM a$k)),
+         |beta$k AS MATERIALIZED (SELECT
+         |    round(b.b0 + ((h11 * h22 - h12 * h12) * g0 +
+         |      (h02 * h12 - h01 * h22) * g1 +
+         |      (h01 * h12 - h02 * h11) * g2) / det, 12) AS b0,
+         |    round(b.b1 + ((h02 * h12 - h01 * h22) * g0 +
+         |      (h00 * h22 - h02 * h02) * g1 +
+         |      (h01 * h02 - h00 * h12) * g2) / det, 12) AS b1,
+         |    round(b.b2 + ((h01 * h12 - h02 * h11) * g0 +
+         |      (h01 * h02 - h00 * h12) * g1 +
+         |      (h00 * h11 - h01 * h01) * g2) / det, 12) AS b2
+         |  FROM d$k, $p b)""".stripMargin
+    }
+    val bK = s"beta$IrlsIters"
+    s"""WITH x AS MATERIALIZED (SELECT
+       |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+       |    value / 100.0 AS x1,
+       |    CAST(hour(ts) AS DOUBLE) / 24.0 AS x2
+       |  FROM events),
+       |beta0 AS (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1,
+       |  CAST(0 AS DOUBLE) AS b2),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM x),
+       |${blocks.mkString(",\n")}
+       |SELECT 'intercept' AS feature, round(b0, 6) AS beta, n_rows
+       |FROM $bK, nn
+       |UNION ALL SELECT 'x1', round(b1, 6), n_rows FROM $bK, nn
+       |UNION ALL SELECT 'x2', round(b2, 6), n_rows FROM $bK, nn""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+
+    "ml_logreg_irls" -> irlsOracle,
     "agg_bootstrap_ci" -> {
       val h = OracleSql.knuth32("ev.event_id * 64 + t.r")
       s"""WITH ev AS (SELECT event_id, CAST(value AS DECIMAL(18,6)) AS v FROM events),

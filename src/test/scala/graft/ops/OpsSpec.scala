@@ -79,6 +79,25 @@ class OpsSpec extends SparkSpec {
     assert((sij.toDouble - si.toDouble * sj / n) / n / 4.0 == -1.5)
   }
 
+  test("logisticIrls recovers a planted monotone decision boundary") {
+    // y = [x1 > 0.5] with x1 on a fine grid and x2 pure noise-free zeros:
+    // the fit must put a large positive weight on x1 and ~0 on x2, and
+    // classify the grid by the 0.5 threshold.
+    val rows = (0 until 400).map { i =>
+      val x1 = i / 400.0
+      (if (x1 > 0.5) 1.0 else 0.0, x1, (i % 7) / 7.0)
+    }
+    val df = rows.toDF("y", "x1", "x2")
+    val b = Glm.logisticIrls(df, col("y"), col("x1"), col("x2"), iters = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(b("x1") > 5.0, s"planted slope must dominate: $b")
+    assert(math.abs(b("x2")) < 1.0, s"noise feature stays small: $b")
+    // Boundary: sigmoid crosses 0.5 where b0 + b1·x1 + b2·x2 = 0; with
+    // x2 averaging ~0.43 the implied x1 threshold sits near 0.5.
+    val thr = -(b("intercept") + b("x2") * (3.0 / 7.0)) / b("x1")
+    assert(math.abs(thr - 0.5) < 0.05, s"threshold: $thr")
+  }
+
   test("kCenterCoreset follows the hand-computed farthest-point order") {
     // 1-D line x ∈ {0, 1, 4, 10} (padded to 3 dims): seed = id 1 (x=0);
     // farthest is x=10 (d²=100); then x=4 (min-dist² to {0,10} = 16);
