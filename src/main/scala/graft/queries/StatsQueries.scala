@@ -1199,6 +1199,40 @@ object StatsQueries {
         round((syD - slope * sxD) / nD, 6).as("intercept"))
     }),
 
+    // Spearman rank correlation between quantity and extended price:
+    // midranks via the library's two-pass prefix sum over COLLAPSED value
+    // groups (never a row-scale global window), doubled to integers
+    // (2r = 2·cum − n + 1) so every moment is an exact decimal sum, then
+    // the Pearson closure on the rank integers. The monotone-dependence
+    // companion to the linear profile_corr_matrix — and on TPC-H these
+    // two columns are strongly monotone but only loosely linear, so the
+    // two gates are genuinely different numbers.
+    "agg_spearman" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_quantity").cast("decimal(12,2)").as("x"),
+          col("l_extendedprice").cast("decimal(12,2)").as("y"))
+      def ranks(c: String) = {
+        val g = li.groupBy(col(c)).agg(count(lit(1)).as("n"))
+        graft.ops.Ranking.prefixSum(g, Seq(col(c).asc), Seq("n"))
+          .select(col(c),
+            (lit(2L) * col("cum_n") - col("n") + 1L).as(s"r$c"))
+      }
+      val dec = "decimal(38,0)"
+      val j = li.join(ranks("x"), Seq("x")).join(ranks("y"), Seq("y"))
+        .select(col("rx").cast(dec).as("rx"), col("ry").cast(dec).as("ry"))
+      val a = j.agg(count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      def d(c: Column) = c.cast("double")
+      val nd = d(col("n"))
+      val rho = (nd * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+        (sqrt(nd * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+          sqrt(nd * d(col("syy")) - d(col("sy")) * d(col("sy"))))
+      a.select(col("n"), round(rho, 6).as("spearman"))
+    }),
+
     // Distributed logistic regression: P(purchase | value, hour) by 6
     // fixed IRLS/Newton steps — each step ONE aggregate of 12dp-decimal
     // Hessian/gradient cells over the events scan, the 3×3 solve closed-
@@ -1487,6 +1521,29 @@ object StatsQueries {
   def oracles: Map[String, String] = Map(
 
     "ml_logreg_irls" -> irlsOracle,
+
+    "agg_spearman" ->
+      """WITH li AS (SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS y FROM lineitem),
+        |gx AS (SELECT x, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY 1),
+        |cx AS (SELECT x, 2 * (sum(n) OVER (ORDER BY x)) - n + 1 AS rx
+        |  FROM gx),
+        |gy AS (SELECT y, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY 1),
+        |cy AS (SELECT y, 2 * (sum(n) OVER (ORDER BY y)) - n + 1 AS ry
+        |  FROM gy),
+        |j AS (SELECT CAST(rx AS DECIMAL(38,0)) AS rx,
+        |    CAST(ry AS DECIMAL(38,0)) AS ry
+        |  FROM li JOIN cx USING (x) JOIN cy USING (y)),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(rx) AS sx, sum(ry) AS sy, sum(rx * rx) AS sxx,
+        |    sum(ry * ry) AS syy, sum(rx * ry) AS sxy FROM j)
+        |SELECT n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS spearman
+        |FROM a""".stripMargin,
     "agg_bootstrap_ci" -> {
       val h = OracleSql.knuth32("ev.event_id * 64 + t.r")
       s"""WITH ev AS (SELECT event_id, CAST(value AS DECIMAL(18,6)) AS v FROM events),
