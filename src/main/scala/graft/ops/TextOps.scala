@@ -26,6 +26,16 @@ object TextOps {
 
   /** Language-ID: argmax of marker counts, priority order on ties, "und"
     * when no marker hits. */
+  /** Alternation of the classic UTF-8-decoded-as-Latin-1 artifacts
+    * ("Ã©" for é, "â€™" for ’, …) — the cheap mojibake screen a corpus
+    * hygiene pass runs before anything language-model-based. */
+  val MojibakeMarkers = "Ã©|Ã¨|Ã¼|â€™|â€œ"
+
+  /** Non-overlapping count of [[MojibakeMarkers]] in `text` — per-row,
+    * codegen'd, scale-free. */
+  def mojibakeCount(text: Column): Column =
+    regexp_count(text, lit(MojibakeMarkers)).cast("long")
+
   def languageId(text: Column): Column = {
     val scores = LangMarkers.map { case (lang, ws) => lang -> markerCount(text, ws) }
     val decided = scores.zipWithIndex.foldLeft(when(lit(false), lit("und"))) {

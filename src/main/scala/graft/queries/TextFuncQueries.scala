@@ -92,6 +92,27 @@ object TextFuncQueries {
     // Per-doc class counts are length-difference subtractions (one regexp
     // strip per class — no tokenization); fractions are 9dp decimals so
     // the per-language mean is an exact decimal fold. One hash aggregate.
+    // Mojibake (encoding-artifact) census per source: plant the classic
+    // UTF-8-as-Latin-1 corruption on every 7th doc (replace 'e' → 'Ã©'),
+    // then detect via the marker-alternation count — the screen that
+    // catches double-encoded crawl segments before they poison a corpus.
+    // Pure per-row regexp counting + one source-keyed aggregate.
+    "text_mojibake" -> ((s, dir) => {
+      val p = table(s, dir, "documents")
+        .select(col("source"),
+          when(col("doc_id") % 7 === 0,
+            expr("replace(text, 'e', 'Ã©')")).otherwise(col("text")).as("t"))
+      p.select(col("source"), graft.ops.TextOps.mojibakeCount(col("t")).as("mk"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("mk") > 0).cast("long")).as("n_mojibake"),
+          sum(col("mk")).as("n_markers"))
+        .select(col("source"), col("n_docs"), col("n_mojibake"),
+          col("n_markers"),
+          round(col("n_mojibake").cast("double") /
+            col("n_docs").cast("double"), 6).as("rate"))
+    }),
+
     "text_script_profile" -> ((s, dir) => {
       import org.apache.spark.sql.Column
       def cnt(cls: String) =
@@ -154,6 +175,21 @@ object TextFuncQueries {
           | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
           | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
           |FROM events GROUP BY 1, 2""".stripMargin,
+      "text_mojibake" ->
+        """WITH p AS (SELECT source,
+          |    CASE WHEN doc_id % 7 = 0 THEN replace(text, 'e', 'Ã©')
+          |         ELSE text END AS t
+          |  FROM documents),
+          |m AS (SELECT source, CAST(len(regexp_extract_all(t,
+          |    'Ã©|Ã¨|Ã¼|â€™|â€œ')) AS BIGINT) AS mk FROM p)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN mk > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_mojibake,
+          |  CAST(sum(mk) AS BIGINT) AS n_markers,
+          |  round(CAST(sum(CASE WHEN mk > 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+          |    CAST(count(*) AS DOUBLE), 6) AS rate
+          |FROM m GROUP BY 1""".stripMargin,
+
       "text_script_profile" -> {
         def cnt(cls: String) =
           s"(length(text) - length(regexp_replace(text, '$cls', '', 'g')))"
