@@ -1233,6 +1233,23 @@ object StatsQueries {
       a.select(col("n"), round(rho, 6).as("spearman"))
     }),
 
+    // Doubly-robust (AIPW) treatment-effect estimate: propensity from
+    // the distributed IRLS logistic, per-arm OLS outcome models from ONE
+    // conditional-sum moment pass, then the augmented IPW closure next
+    // to the naive difference — the observational-readout composition
+    // (consistent if EITHER model is right). user_id%3 plays treatment,
+    // value the outcome, hour/day-of-week the confounder features; on
+    // this independent assignment DR must land near the naive diff, and
+    // both replay bit-for-bit through the oracle's CTE chain.
+    "causal_dr_ate" -> ((s, dir) =>
+      graft.ops.Glm.doublyRobustAte(table(s, dir, "events"),
+        treated = when(col("user_id") % 3 === 0, 1.0).otherwise(0.0),
+        outcome = col("value"),
+        x1 = hour(col("ts")).cast("double") / 24.0,
+        x2 = pmod(datediff(col("ts").cast("date"),
+          lit("1970-01-01").cast("date")) + 4, lit(7)).cast("double") / 7.0,
+        propIters = IrlsIters)),
+
     // Distributed logistic regression: P(purchase | value, hour) by 6
     // fixed IRLS/Newton steps — each step ONE aggregate of 12dp-decimal
     // Hessian/gradient cells over the events scan, the 3×3 solve closed-
@@ -1460,11 +1477,11 @@ object StatsQueries {
 
   private val IrlsIters = 6
 
-  /** [[graft.ops.Glm.logisticIrls]] unrolled: per step, a 12dp-decimal
-    * Hessian/gradient aggregate and the closed-form symmetric 3×3 Newton
-    * update, operand order mirrored with the driver solve. */
-  private val irlsOracle: String = {
-    val blocks = (1 to IrlsIters).map { k =>
+  /** The IRLS CTE blocks (shared by the logistic gate and the DR-ATE
+    * oracle): expects a CTE `x(y, x1, x2, …)` and `beta0(b0, b1, b2)`;
+    * produces `beta$iters`. */
+  private def irlsBlocks(iters: Int): String = {
+    val blocks = (1 to iters).map { k =>
       val p = s"beta${k - 1}"
       s"""t$k AS MATERIALIZED (SELECT y, x1, x2, mu, mu * (1.0 - mu) AS w
          |  FROM (SELECT y, x1, x2,
@@ -1502,23 +1519,108 @@ object StatsQueries {
          |      (h00 * h11 - h01 * h01) * g2) / det, 12) AS b2
          |  FROM d$k, $p b)""".stripMargin
     }
+    blocks.mkString(",\n")
+  }
+
+  private val Beta0Cte = """beta0 AS (SELECT CAST(0 AS DOUBLE) AS b0,
+    |  CAST(0 AS DOUBLE) AS b1, CAST(0 AS DOUBLE) AS b2)""".stripMargin
+
+  /** [[graft.ops.Glm.logisticIrls]] unrolled: per step, a 12dp-decimal
+    * Hessian/gradient aggregate and the closed-form symmetric 3×3 Newton
+    * update, operand order mirrored with the driver solve. */
+  private val irlsOracle: String = {
     val bK = s"beta$IrlsIters"
     s"""WITH x AS MATERIALIZED (SELECT
        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
        |    value / 100.0 AS x1,
        |    CAST(hour(ts) AS DOUBLE) / 24.0 AS x2
        |  FROM events),
-       |beta0 AS (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1,
-       |  CAST(0 AS DOUBLE) AS b2),
+       |$Beta0Cte,
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM x),
-       |${blocks.mkString(",\n")}
+       |${irlsBlocks(IrlsIters)}
        |SELECT 'intercept' AS feature, round(b0, 6) AS beta, n_rows
        |FROM $bK, nn
        |UNION ALL SELECT 'x1', round(b1, 6), n_rows FROM $bK, nn
        |UNION ALL SELECT 'x2', round(b2, 6), n_rows FROM $bK, nn""".stripMargin
   }
 
+  /** [[graft.ops.Glm.doublyRobustAte]] unrolled: the shared IRLS chain
+    * fits the propensity (treatment as label), ONE conditional-sum pass
+    * yields both OLS arms' moments, the same adjugate solve closes each
+    * arm, and the AIPW terms aggregate as 9dp decimals. */
+  private val drAteOracle: String = {
+    // Closed-form OLS solve text for arm suffix `s` (same operand order
+    // as Glm.solveSym3, h00=c, h01=s1, h02=s2, h11=s11, h12=s12, h22=s22).
+    def solve(s: String): String = {
+      def h(n: String) = s"$n$s"
+      val det = s"(${h("c")} * (${h("s11")} * ${h("s22")} - ${h("s12")} * ${h("s12")}) - " +
+        s"${h("s1")} * (${h("s1")} * ${h("s22")} - ${h("s12")} * ${h("s2")}) + " +
+        s"${h("s2")} * (${h("s1")} * ${h("s12")} - ${h("s11")} * ${h("s2")}))"
+      s"""round(((${h("s11")} * ${h("s22")} - ${h("s12")} * ${h("s12")}) * ${h("sy")} +
+         |    (${h("s2")} * ${h("s12")} - ${h("s1")} * ${h("s22")}) * ${h("sy1")} +
+         |    (${h("s1")} * ${h("s12")} - ${h("s2")} * ${h("s11")}) * ${h("sy2")}) / $det, 12) AS b0$s,
+         |round(((${h("s2")} * ${h("s12")} - ${h("s1")} * ${h("s22")}) * ${h("sy")} +
+         |    (${h("c")} * ${h("s22")} - ${h("s2")} * ${h("s2")}) * ${h("sy1")} +
+         |    (${h("s1")} * ${h("s2")} - ${h("c")} * ${h("s12")}) * ${h("sy2")}) / $det, 12) AS b1$s,
+         |round(((${h("s1")} * ${h("s12")} - ${h("s2")} * ${h("s11")}) * ${h("sy")} +
+         |    (${h("s1")} * ${h("s2")} - ${h("c")} * ${h("s12")}) * ${h("sy1")} +
+         |    (${h("c")} * ${h("s11")} - ${h("s1")} * ${h("s1")}) * ${h("sy2")}) / $det, 12) AS b2$s""".stripMargin
+    }
+    def armSums(cond: String, s: String): String =
+      Seq("1.0" -> "c", "x1" -> "s1", "x2" -> "s2",
+        "x1 * x1" -> "s11", "x1 * x2" -> "s12", "x2 * x2" -> "s22",
+        "yo" -> "sy", "yo * x1" -> "sy1", "yo * x2" -> "sy2")
+        .map { case (e, n) =>
+          s"sum(CASE WHEN $cond THEN CAST(round($e, 12) AS DECIMAL(38,12)) " +
+            s"ELSE CAST(0 AS DECIMAL(38,12)) END) AS $n$s" }
+        .mkString(",\n    ")
+    def dcast(s: String): String =
+      Seq("c", "s1", "s2", "s11", "s12", "s22", "sy", "sy1", "sy2")
+        .map(n => s"CAST($n$s AS DOUBLE) AS $n$s").mkString(", ")
+    val bK = s"beta$IrlsIters"
+    s"""WITH x AS MATERIALIZED (SELECT
+       |    CASE WHEN user_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS y,
+       |    value AS yo,
+       |    CAST(hour(ts) AS DOUBLE) / 24.0 AS x1,
+       |    CAST((((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+       |      + 4) % 7) + 7) % 7 AS DOUBLE) / 7.0 AS x2
+       |  FROM events),
+       |$Beta0Cte,
+       |${irlsBlocks(IrlsIters)},
+       |mo AS MATERIALIZED (SELECT
+       |    ${armSums("y = 1.0", "_t")},
+       |    ${armSums("y = 0.0", "_c")}
+       |  FROM x),
+       |ob AS MATERIALIZED (SELECT
+       |    ${solve("_t")},
+       |    ${solve("_c")}
+       |  FROM (SELECT ${dcast("_t")}, ${dcast("_c")} FROM mo)),
+       |tm AS MATERIALIZED (SELECT x.y AS t, x.yo,
+       |    1.0 / (1.0 + exp(-(b.b0 + b.b1 * x.x1 + b.b2 * x.x2))) AS e,
+       |    ob.b0_t + ob.b1_t * x.x1 + ob.b2_t * x.x2 AS m1,
+       |    ob.b0_c + ob.b1_c * x.x1 + ob.b2_c * x.x2 AS m0
+       |  FROM x, $bK b, ob),
+       |f AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(t AS DECIMAL(38,12))) AS nt,
+       |    sum(CAST(round(t * (yo - m1) / e + m1, 9)
+       |      AS DECIMAL(38,9))) AS t1,
+       |    sum(CAST(round((1.0 - t) * (yo - m0) / (1.0 - e) + m0, 9)
+       |      AS DECIMAL(38,9))) AS t0,
+       |    sum(CAST(round(t * yo, 9) AS DECIMAL(38,9))) AS syt,
+       |    sum(CAST(round((1.0 - t) * yo, 9) AS DECIMAL(38,9))) AS syc
+       |  FROM tm)
+       |SELECT n, CAST(nt AS BIGINT) AS n_treated,
+       |  round(CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE) -
+       |    CAST(syc AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(nt AS DOUBLE)),
+       |    6) AS ate_naive,
+       |  round(CAST(t1 AS DOUBLE) / CAST(n AS DOUBLE) -
+       |    CAST(t0 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ate_dr
+       |FROM f""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+
+    "causal_dr_ate" -> drAteOracle,
 
     "ml_logreg_irls" -> irlsOracle,
 
