@@ -159,6 +159,94 @@ object Multimodal {
       maxDistance: Int): DataFrame =
     graft.ops.Dedup.hammingPairs64(hashes.toDF(), "doc_id", "ahash", maxDistance)
 
+  /** DCT perceptual hash (pHash) bits + set-bit count per image. The
+    * hash is rendered as a 64-char bit string — hash-compare friendly,
+    * and free of the 1L<<63 sign-wrap a packed long would need. */
+  final case class DctHash(doc_id: Long, phash: String, n_set: Int)
+
+  /** DCT-II perceptual hash over the DECODED pixels — the
+    * frequency-domain sibling of [[averageHash]] (robust to brightness
+    * and contrast shifts aHash is blind to): 64×64 gray → 2×2 block SUMS
+    * to a 32×32 grid (integer; the /4 mean cancels in the threshold) →
+    * separable 2-D DCT-II against a µ-QUANTIZED cosine table
+    * (⌊cos·10⁴+0.5⌋ as integers, so every coefficient is an EXACT 64-bit
+    * integer sum — no float accumulation order anywhere) → top-left 8×8
+    * coefficients minus DC, bit i set iff 63·Fᵢ > ΣF (the integer
+    * cross-product form of "above the mean", division-free). One
+    * mapPartitions decode pass, the same codec seam as every decoder
+    * here; the magnitude bound 1024·1020·10⁸·63 < 2⁶³ makes the whole
+    * pipeline overflow-safe. */
+  def dctHash(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[DctHash] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // Quantized DCT basis, built once per partition: 8 frequencies × 32
+      // positions. cos argument order mirrors the oracle verbatim.
+      val cosT = Array.tabulate(8, 32)((u, x) =>
+        math.floor(math.cos((2 * x + 1) * u * math.Pi / 64.0) * 10000.0
+          + 0.5).toLong)
+      it.map { m =>
+        val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+        require(img.getWidth == 64 && img.getHeight == 64,
+          s"dctHash expects the 64x64 gradient fixture, got " +
+            s"${img.getWidth}x${img.getHeight}")
+        val pix = Array.ofDim[Long](32, 32)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            pix(x)(y) = (img.getRGB(2 * x, 2 * y) & 0xff).toLong +
+              (img.getRGB(2 * x + 1, 2 * y) & 0xff) +
+              (img.getRGB(2 * x, 2 * y + 1) & 0xff) +
+              (img.getRGB(2 * x + 1, 2 * y + 1) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        // Separable DCT: G(u, Y) = Σ_X pix·cos, F(u, v) = Σ_Y G·cos.
+        val g = Array.ofDim[Long](8, 32)
+        var u = 0
+        while (u < 8) {
+          var yy = 0
+          while (yy < 32) {
+            var s = 0L
+            var x = 0
+            while (x < 32) { s += pix(x)(yy) * cosT(u)(x); x += 1 }
+            g(u)(yy) = s
+            yy += 1
+          }
+          u += 1
+        }
+        val f = new Array[Long](64)
+        u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var s = 0L
+            var yy = 0
+            while (yy < 32) { s += g(u)(yy) * cosT(v)(yy); yy += 1 }
+            f(u * 8 + v) = s
+            v += 1
+          }
+          u += 1
+        }
+        var total = 0L
+        var i = 1
+        while (i < 64) { total += f(i); i += 1 }
+        val bits = new StringBuilder(64)
+        bits.append('0') // DC slot, never set
+        var nSet = 0
+        i = 1
+        while (i < 64) {
+          if (63L * f(i) > total) { bits.append('1'); nSet += 1 }
+          else bits.append('0')
+          i += 1
+        }
+        DctHash(m.doc_id, bits.toString, nSet)
+      }
+    }
+  }
+
   /** Resized features: dimensions and the (0,0) pixel of the REAL
     * half-scale render. */
   final case class ResizedRecord(doc_id: Long, width: Int, height: Int,

@@ -407,6 +407,20 @@ object DataOpsQueries {
         maxDistance = 2)
     }),
 
+    // DCT perceptual hash over REAL decoded gradient pixels — and, unlike
+    // its rows-only aHash sibling above, ORACLE-CHECKED: the cosine table
+    // is µ-quantized to integers, so every DCT coefficient is an exact
+    // 64-bit sum that DuckDB re-derives from the PIXEL FORMULA (no
+    // decoder) — two fully independent implementations (ImageIO decode vs
+    // closed-form arithmetic) must produce identical 64-bit hashes.
+    // Every 5th doc keeps the gate's oracle-side separable-DCT join at
+    // ~5M integer terms.
+    "multimodal_phash_dct" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+      Multimodal.dctHash(s, Multimodal.fabricateGradients(docs)).toDF()
+    }),
+
     // Linear-time MMD² (Gretton et al., the h-statistic estimator) between
     // the even-id embeddings and the odd-id embeddings with a PLANTED
     // +0.1 shift on the first 8 dims: quadruples (x₁,y₁,x₂,y₂) form by
@@ -1649,6 +1663,42 @@ object DataOpsQueries {
            |FROM m""".stripMargin,
 
       "embed_top_eigvec" -> eigOracle,
+
+      // pHash from first principles: the oracle never decodes a PNG — it
+      // re-derives the gradient pixels from the fabrication formula and
+      // runs the same integer separable DCT.
+      "multimodal_phash_dct" ->
+        """WITH d AS MATERIALIZED (SELECT doc_id, doc_id % 199 AS base,
+          |    2 + doc_id % 7 AS sx, 3 + doc_id % 11 AS sy
+          |  FROM documents WHERE doc_id % 5 = 0),
+          |ct AS MATERIALIZED (SELECT u.u AS u, x.x AS x,
+          |    CAST(floor(cos((2 * x.x + 1) * u.u * pi() / 64.0) * 10000.0
+          |      + 0.5) AS BIGINT) AS c
+          |  FROM range(0, 8) u(u), range(0, 32) x(x)),
+          |px AS MATERIALIZED (SELECT d.doc_id, X.x AS gx, Y.y AS gy,
+          |    CAST((base + (2 * X.x) * sx + (2 * Y.y) * sy) % 256
+          |       + (base + (2 * X.x + 1) * sx + (2 * Y.y) * sy) % 256
+          |       + (base + (2 * X.x) * sx + (2 * Y.y + 1) * sy) % 256
+          |       + (base + (2 * X.x + 1) * sx + (2 * Y.y + 1) * sy) % 256
+          |      AS BIGINT) AS p
+          |  FROM d, range(0, 32) X(x), range(0, 32) Y(y)),
+          |g AS MATERIALIZED (SELECT px.doc_id, ct.u, px.gy,
+          |    CAST(sum(px.p * ct.c) AS BIGINT) AS gv
+          |  FROM px JOIN ct ON ct.x = px.gx GROUP BY 1, 2, 3),
+          |f AS MATERIALIZED (SELECT g.doc_id, g.u, ct.u AS v,
+          |    CAST(sum(g.gv * ct.c) AS BIGINT) AS fv
+          |  FROM g JOIN ct ON ct.x = g.gy GROUP BY 1, 2, 3),
+          |tot AS (SELECT doc_id, CAST(sum(CASE WHEN u = 0 AND v = 0
+          |      THEN 0 ELSE fv END) AS BIGINT) AS t
+          |  FROM f GROUP BY 1)
+          |SELECT f.doc_id,
+          |  string_agg(CASE WHEN f.u = 0 AND f.v = 0 THEN '0'
+          |      WHEN 63 * f.fv > tot.t THEN '1' ELSE '0' END, ''
+          |    ORDER BY f.u * 8 + f.v) AS phash,
+          |  CAST(sum(CASE WHEN NOT (f.u = 0 AND f.v = 0)
+          |      AND 63 * f.fv > tot.t THEN 1 ELSE 0 END) AS INT) AS n_set
+          |FROM f JOIN tot USING (doc_id)
+          |GROUP BY f.doc_id""".stripMargin,
 
       "curate_kcenter" -> kcenterOracle,
 

@@ -79,6 +79,28 @@ class OpsSpec extends SparkSpec {
     assert((sij.toDouble - si.toDouble * sj / n) / n / 4.0 == -1.5)
   }
 
+  test("dctHash: exact copies collide, one-pixel edits stay near, " +
+    "different gradients differ") {
+    import org.apache.spark.sql.functions.col
+    val ids = (1L to 12L).toDF("doc_id")
+    val media = Multimodal.fabricateGradients(ids)
+      .union(Multimodal.fabricateGradients(
+        ids.filter(col("doc_id") === 4), idOffset = 100L))
+      .union(Multimodal.fabricateGradients(
+        ids.filter(col("doc_id") === 4), idOffset = 200L, flipPixel = true))
+    val h = Multimodal.dctHash(spark, media).collect()
+      .map(r => r.doc_id -> r).toMap
+    def ham(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    assert(h.values.forall(r => r.phash.length == 64 &&
+      r.phash.charAt(0) == '0'))
+    assert(h(4L).phash == h(104L).phash) // exact pixel copy
+    assert(ham(h(4L).phash, h(204L).phash) <= 4, // one-pixel edit
+      s"edit dist: ${ham(h(4L).phash, h(204L).phash)}")
+    // distinct gradient frequencies → distinct spectra
+    assert(h(1L).phash != h(2L).phash)
+    assert(h.values.forall(r => r.n_set == r.phash.count(_ == '1')))
+  }
+
   test("logisticIrls recovers a planted monotone decision boundary") {
     // y = [x1 > 0.5] with x1 on a fine grid and x2 pure noise-free zeros:
     // the fit must put a large positive weight on x1 and ~0 on x2, and
