@@ -133,6 +133,67 @@ object GraphQueries {
       Graph.stronglyConnectedComponents(sccGateEdges(s, dir), "pa", "pb")
         .select(col("node").as("part"), col("scc"))),
 
+    // Hub-removal robustness audit on a DESIGNED hub-chain graph whose
+    // post-attack structure is known in closed form: hubs every 100 ids
+    // each carry 99 leaves and chain to the next hub — one connected
+    // component of N nodes. Degrees force the top-4 (deg DESC, id ASC)
+    // attack set to hubs {100,200,300,400} (interior hubs have degree
+    // 101; the two chain ends only 100), so removal provably yields the
+    // hub-0 star (100 nodes), the 500..end chain ((H−5)·100 nodes,
+    // H = N/100), and 4·99 leaf singletons — 398 components. The engine
+    // side RUNS the real pipeline (degree aggregate → TakeOrdered attack
+    // set → anti-join edge filter → connectedComponents before AND
+    // after); the oracle derives every number from first principles —
+    // two fully independent methods, the SCC-gate discipline.
+    "graph_robustness" -> ((s, dir) => {
+      val p = table(s, dir, "part").select(col("p_partkey").as("i"))
+      val hubs = p.filter(pmod(col("i"), lit(100L)) === 0L)
+      val leaf = p.filter(pmod(col("i"), lit(100L)) =!= 0L)
+        .select((col("i") - pmod(col("i"), lit(100L))).as("a"),
+          col("i").as("b"))
+      val chain = hubs.select(col("i").as("a"), (col("i") + 100L).as("b"))
+        .join(hubs.select(col("i").as("b")), Seq("b"))
+        .select(col("a"), col("b"))
+      val edges = leaf.union(chain)
+      val deg = edges.select(col("a").as("id"))
+        .union(edges.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val removed = deg.orderBy(col("deg").desc, col("id").asc).limit(4)
+        .select(col("id"))
+      val kept = edges
+        .join(broadcast(removed.select(col("id").as("a"))), Seq("a"),
+          "left_anti")
+        .join(broadcast(removed.select(col("id").as("b"))), Seq("b"),
+          "left_anti")
+      def census(nodes: DataFrame, es: DataFrame) = {
+        val comps = graft.ops.Dedup.connectedComponents(
+          es.select(col("a").as("id_a"), col("b").as("id_b")),
+          "id_a", "id_b")
+        nodes.join(comps.withColumnRenamed("id", "i"), Seq("i"), "left")
+          .select(coalesce(col("component"), col("i")).as("comp"))
+          .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_components"), max(col("sz")).as("largest"),
+            sum(when(col("sz") === 1L, 1L).otherwise(0L)).as("n_singletons"),
+            sum(col("sz")).as("n_nodes"))
+      }
+      val before = census(p, edges)
+        .select(col("n_nodes").as("n_nodes_before"),
+          col("n_components").as("n_components_before"),
+          col("largest").as("largest_before"))
+      val after = census(
+        p.join(broadcast(removed), p("i") === removed("id"), "left_anti"),
+        kept)
+        .select(col("n_nodes").as("n_nodes_after"),
+          col("n_components").as("n_components_after"),
+          col("largest").as("largest_after"),
+          col("n_singletons"))
+      before.crossJoin(after)
+        .select(lit(4L).as("n_removed"), col("n_nodes_before"),
+          col("n_components_before"), col("largest_before"),
+          col("n_nodes_after"), col("n_components_after"),
+          col("largest_after"), col("n_singletons"))
+    }),
+
     // FULL core decomposition on a DESIGNED graph whose coreness is known
     // in closed form — blocks of 10 part ids cycle through clique / ring /
     // star shapes (coreness 9 / 2 / 1 by graph theory), so the h-index
@@ -325,6 +386,21 @@ object GraphQueries {
        |  LEFT JOIN c${i + 1} ON c${i + 1}.node = nodes.node)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // First-principles mirror: with N parts (N a multiple of 100,
+    // ids 0..N−1) the designed graph's attack outcome is closed-form —
+    // see the gate comment for the derivation.
+    "graph_robustness" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM part)
+        |SELECT CAST(4 AS BIGINT) AS n_removed,
+        |  n AS n_nodes_before,
+        |  CAST(1 AS BIGINT) AS n_components_before,
+        |  n AS largest_before,
+        |  n - 4 AS n_nodes_after,
+        |  CAST(398 AS BIGINT) AS n_components_after,
+        |  (n // 100 - 5) * 100 AS largest_after,
+        |  CAST(396 AS BIGINT) AS n_singletons
+        |FROM n""".stripMargin,
 
     "graph_scc" ->
       """WITH RECURSIVE p AS (SELECT p_partkey AS i FROM part),
