@@ -138,6 +138,49 @@ object EnrichQueries {
             col("c_name"), col("next_name")), 6).as("jw"))
     }),
 
+    // Composed ER pipeline trace — the phases prove they COMPOSE, not
+    // just pass alone: fabricate originals + '#'-dropped variants (every
+    // 5th customer at id+1e7, priority 2, with every 3rd ORIGINAL's
+    // balance nulled so survivorship must mix sources), then run the
+    // real chain: FastSS deletion-neighborhood pairing → keep only
+    // length-mismatched links (pure insert/delete edits; the fixed-width
+    // organic names can only differ by same-length substitutions, so
+    // this provably isolates the planted pairs — every cross-length
+    // organic pair needs a deletion PLUS a substitution, distance 2) →
+    // connectedComponents → goldenRecord survivorship. The oracle
+    // derives the same entities from the plant semantics in closed form
+    // and replays only the survivorship rule — fully independent of the
+    // neighborhood join and the CC kernel.
+    "er_fastss_trace" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val orig = c.select(col("c_custkey").as("rec_id"),
+        col("c_name").as("nm"), lit(1L).as("prio"),
+        when(col("c_custkey") % 3 === 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("bal"))
+      val vars = c.filter(col("c_custkey") % 5 === 0)
+        .select((col("c_custkey") + 10000000L).as("rec_id"),
+          regexp_replace(col("c_name"), "#", "").as("nm"),
+          lit(2L).as("prio"), col("c_acctbal").as("bal"))
+      val recs = orig.union(vars)
+      val pairs = graft.ops.Linkage.fastssPairs(
+        recs.select(col("rec_id"), col("nm")), "rec_id", "nm")
+      val lens = recs.select(col("rec_id"), length(col("nm")).as("ln"))
+      val delPairs = pairs
+        .join(lens.select(col("rec_id").as("id_a"), col("ln").as("la")),
+          Seq("id_a"))
+        .join(lens.select(col("rec_id").as("id_b"), col("ln").as("lb")),
+          Seq("id_b"))
+        .filter(col("la") =!= col("lb"))
+        .select(col("id_a"), col("id_b"))
+      val comps = graft.ops.Dedup.connectedComponents(delPairs,
+        "id_a", "id_b")
+      val lbl = recs
+        .join(comps.withColumnRenamed("id", "rec_id"), Seq("rec_id"), "left")
+        .withColumn("entity_id", coalesce(col("component"), col("rec_id")))
+      graft.ops.Linkage.goldenRecord(lbl, "entity_id", "rec_id", "prio",
+        Seq("nm", "bal"))
+    }),
+
     // Fellegi–Sunter u-probabilities, estimated the Splink way: u_k =
     // P(two RANDOM records agree on field k) = Σ_v C(n_v,2) / C(N,2) —
     // a pure per-field value-frequency aggregate, no labels and no EM —
@@ -314,6 +357,28 @@ object EnrichQueries {
         |comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)
         |SELECT r.rec_id, coalesce(c.component, r.rec_id) AS entity_id
         |FROM r LEFT JOIN comp c ON c.id = r.rec_id""".stripMargin,
+
+    // Entities in closed form (see the gate comment's argument): the only
+    // length-mismatched distance-1 pairs are (A, variant(A)), so the
+    // component label is the original's id for both members; only the
+    // goldenRecord survivorship rule is replayed.
+    "er_fastss_trace" ->
+      """WITH recs AS (
+        |  SELECT c_custkey AS rec_id, c_name AS nm, 1 AS prio,
+        |    CASE WHEN c_custkey % 3 = 0 THEN NULL
+        |         ELSE c_acctbal END AS bal,
+        |    c_custkey AS entity_id
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, replace(c_name, '#', ''), 2,
+        |    c_acctbal, c_custkey
+        |  FROM customer WHERE c_custkey % 5 = 0)
+        |SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records,
+        |  (list(nm ORDER BY prio ASC, rec_id ASC)
+        |    FILTER (WHERE nm IS NOT NULL))[1] AS nm,
+        |  (list(bal ORDER BY prio ASC, rec_id ASC)
+        |    FILTER (WHERE bal IS NOT NULL))[1] AS bal
+        |FROM recs GROUP BY 1""".stripMargin,
 
     "er_fs_uweights" ->
       """WITH f AS (
