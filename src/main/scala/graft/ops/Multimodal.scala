@@ -389,6 +389,48 @@ object Multimodal {
     }
   }
 
+  /** One DFT bin of one asset: exact integer Σ s·cosµ / Σ s·sinµ against
+    * the µ-quantized basis (⌊trig·10⁴+0.5⌋). */
+  final case class DftBin(doc_id: Long, bin: Int, re: Long, im: Long)
+
+  /** Low-bin DFT spectrum over the DECODED PCM stream — the
+    * frequency-domain audio feature (band energies / dominant harmonic)
+    * next to [[vadSegments]]' time-domain energy: for bins u = 1..`bins`,
+    * re = Σᵢ sᵢ·⌊cos(2πui/n)·10⁴+0.5⌋ and im = Σᵢ sᵢ·⌊sin(·)·10⁴+0.5⌋ —
+    * the basis is quantized to integers, so both sums are EXACT 64-bit
+    * integers (|s|≤16016 · 10⁴ · 440 samples < 2⁶³) and an oracle
+    * re-deriving the samples from the fabrication formula must reproduce
+    * them bit-for-bit. Same mapPartitions codec seam as [[decodeAudio]]:
+    * the engine side never sees the formula, only the decoded bytes. */
+  def dftBins(spark: SparkSession, media: Dataset[AudioRecord],
+      bins: Int = 8): Dataset[DftBin] = {
+    require(bins >= 1 && bins <= 32, s"bins out of range: $bins")
+    import spark.implicits._
+    media.flatMap { m =>
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(m.payload))
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      val s = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        s(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+        i += 1
+      }
+      (1 to bins).map { u =>
+        var re = 0L
+        var im = 0L
+        var j = 0
+        while (j < n) {
+          val arg = 2.0 * math.Pi * u * j / n
+          re += s(j) * math.floor(math.cos(arg) * 10000.0 + 0.5).toLong
+          im += s(j) * math.floor(math.sin(arg) * 10000.0 + 0.5).toLong
+          j += 1
+        }
+        DftBin(m.doc_id, u, re, im)
+      }
+    }
+  }
+
   /** Decoded audio features: format fields parsed from the container
     * header, sample statistics computed from the decoded PCM stream. */
   final case class AudioFeatures(doc_id: Long, sample_rate: Int,

@@ -745,6 +745,21 @@ object DataOpsQueries {
           col("bits"), col("n_samples"), col("duration_ms"),
           col("peak"), col("sum_abs"))),
 
+    // Low-bin DFT spectrum over the DECODED PCM — exact integer re/im
+    // sums against the µ-quantized trig basis (the pHash device applied
+    // to audio), plus the dominant bin by integer power (decimal-exact
+    // re²+im², no float anywhere). The oracle re-derives every sample
+    // from the waveform formula and must match all 64 bits of both sums:
+    // decode path and formula path are fully independent. Every 5th doc.
+    "multimodal_audio_dft" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      Multimodal.dftBins(s, Multimodal.fabricateAudio(
+        table(s, dir, "documents").filter(col("doc_id") % 5 === 0))).toDF()
+        .select(col("doc_id"), col("bin"), col("re"), col("im"),
+          (col("re").cast(dec) * col("re") +
+            col("im").cast(dec) * col("im")).cast("string").as("power"))
+    }),
+
     // Energy-based voice-activity detection over the decoded PCM: 20-sample
     // frames, Σ|sample| ≥ 160000 is active, consecutive actives merge into
     // segments. The engine DECODES real WAV bytes; the oracle re-derives
@@ -1973,6 +1988,25 @@ object DataOpsQueries {
           |WHERE k % 2 = 0 AND k < doc_id % 3 + 1""".stripMargin,
       // Waveform sum capped by formula (n ≤ 439 < 440), so the constant
       // range needs no data guard.
+      "multimodal_audio_dft" ->
+        """WITH d AS (SELECT doc_id,
+          |    CAST(n_chars % 400 + 40 AS BIGINT) AS n,
+          |    doc_id % 97 + 3 AS k
+          |  FROM documents WHERE doc_id % 5 = 0),
+          |t AS MATERIALIZED (SELECT doc_id, u.u AS bin, i.i AS i, n,
+          |    ((i.i * k) % 2001 - 1000) * 16 AS s
+          |  FROM d, range(0, 440) i(i), range(1, 9) u(u) WHERE i.i < n),
+          |b AS (SELECT doc_id, CAST(bin AS INT) AS bin,
+          |    CAST(sum(s * CAST(floor(cos(2 * pi() * bin * i / n)
+          |      * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS re,
+          |    CAST(sum(s * CAST(floor(sin(2 * pi() * bin * i / n)
+          |      * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS im
+          |  FROM t GROUP BY 1, 2)
+          |SELECT doc_id, bin, re, im,
+          |  CAST(CAST(re AS DECIMAL(38,0)) * re +
+          |    CAST(im AS DECIMAL(38,0)) * im AS VARCHAR) AS power
+          |FROM b""".stripMargin,
+
       "multimodal_audio" ->
         """WITH d AS (SELECT doc_id,
           |    CAST(8000 * (doc_id % 2 + 1) AS INT) AS sample_rate,
