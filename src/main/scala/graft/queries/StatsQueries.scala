@@ -1233,6 +1233,42 @@ object StatsQueries {
       a.select(col("n"), round(rho, 6).as("spearman"))
     }),
 
+    // Quantile treatment effects at the quartiles: the distributional
+    // companion to causal_dr_ate's mean effect (a treatment can move the
+    // tails and leave the mean alone). Type-1 quantiles — the element at
+    // rank ⌈n·q⌉, pure integer arithmetic (k = (n·p+3) div 4 for q=p/4)
+    // over each arm's COLLAPSED (value, count) prefix sums, so both
+    // engines pick the identical element with no interpolation float —
+    // qte = q_treated − q_control exactly.
+    "causal_qte" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select((col("user_id") % 3 === 0).as("__t"),
+          col("value").cast("decimal(18,6)").as("v"))
+      def armQuantiles(t: Boolean) = {
+        val g = ev.filter(col("__t") === t)
+          .groupBy(col("v")).agg(count(lit(1)).as("n"))
+        val cum = graft.ops.Ranking.prefixSum(g, Seq(col("v").asc), Seq("n"))
+        val tot = cum.agg(sum(col("n")).as("nt"))
+        val ks = cum.crossJoin(broadcast(tot))
+          .select(col("v"), col("cum_n"),
+            explode(array((1 to 3).map(p =>
+              struct(lit(p).as("p"),
+                ((col("nt") * p + 3) / 4).cast("long").as("k"))): _*))
+              .as("q"))
+          .filter(col("cum_n") >= col("q.k"))
+          .groupBy(col("q.p").as("p")).agg(min(col("v")).as("qv"))
+        ks
+      }
+      armQuantiles(true).withColumnRenamed("qv", "q_treated")
+        .join(armQuantiles(false).withColumnRenamed("qv", "q_control"),
+          Seq("p"))
+        .select((col("p").cast("double") / 4.0).as("q"),
+          col("q_treated").cast("double").as("q_treated"),
+          col("q_control").cast("double").as("q_control"),
+          round(col("q_treated").cast("double") -
+            col("q_control").cast("double"), 6).as("qte"))
+    }),
+
     // Doubly-robust (AIPW) treatment-effect estimate: propensity from
     // the distributed IRLS logistic, per-arm OLS outcome models from ONE
     // conditional-sum moment pass, then the augmented IPW closure next
@@ -1623,6 +1659,25 @@ object StatsQueries {
     "causal_dr_ate" -> drAteOracle,
 
     "ml_logreg_irls" -> irlsOracle,
+
+    "causal_qte" ->
+      """WITH ev AS (SELECT user_id % 3 = 0 AS t,
+        |    CAST(value AS DECIMAL(18,6)) AS v FROM events),
+        |g AS (SELECT t, v, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |c AS (SELECT t, v, n,
+        |    sum(n) OVER (PARTITION BY t ORDER BY v) AS cum_n FROM g),
+        |tot AS (SELECT t, CAST(sum(n) AS BIGINT) AS nt FROM g GROUP BY 1),
+        |q AS (SELECT c.t, p.p, min(c.v) AS qv
+        |  FROM c JOIN tot ON tot.t = c.t
+        |  JOIN range(1, 4) p(p) ON c.cum_n >= (tot.nt * p.p + 3) // 4
+        |  GROUP BY 1, 2)
+        |SELECT CAST(p AS DOUBLE) / 4.0 AS q,
+        |  CAST(qt.qv AS DOUBLE) AS q_treated,
+        |  CAST(qc.qv AS DOUBLE) AS q_control,
+        |  round(CAST(qt.qv AS DOUBLE) - CAST(qc.qv AS DOUBLE), 6) AS qte
+        |FROM (SELECT p, qv FROM q WHERE t) qt
+        |JOIN (SELECT p, qv FROM q WHERE NOT t) qc USING (p)""".stripMargin,
 
     "agg_spearman" ->
       """WITH li AS (SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
