@@ -178,6 +178,31 @@ object RelationalQueries {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
     }),
 
+    // Ranking-window surface parity beyond row_number: ntile quartiles,
+    // dense_rank, percent_rank and cume_dist over the nation-keyed
+    // balance ordering — every window is KEYED (25 nations), so no
+    // global single-partition window exists at any scale. The ratio
+    // functions are compared through their exact integer NUMERATORS
+    // (ratio × (n or n−1), recovered by round-to-integer) — cume_dist
+    // lands on exact .5 six-decimal boundaries (k/640) where engine
+    // round conventions legitimately differ, so the fractional render is
+    // the wrong compare surface; the integers are bit-exact.
+    "window_rank_functions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      val np = Window.partitionBy(col("c_nationkey"))
+      table(s, dir, "customer")
+        .withColumn("__n", count(lit(1)).over(np))
+        .select(col("c_custkey"), col("c_nationkey"),
+          ntile(4).over(w).as("bal_quartile"),
+          dense_rank().over(w).as("drank"),
+          round(percent_rank().over(w) * (col("__n") - 1), 0)
+            .cast("long").as("pct_rank_num"),
+          round(cume_dist().over(w) * col("__n"), 0)
+            .cast("long").as("cdist_num"),
+          col("__n").as("n_part"))
+    }),
+
     // A8 — projection-level dedup.
     "dedup_lineitem_flags" -> ((s, dir) => {
       table(s, dir, "lineitem")
@@ -527,6 +552,20 @@ object RelationalQueries {
           | count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
           | count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
           |FROM orders GROUP BY o_orderstatus""".stripMargin,
+      "window_rank_functions" ->
+        """SELECT c_custkey, c_nationkey,
+          |  CAST(ntile(4) OVER w AS INT) AS bal_quartile,
+          |  CAST(dense_rank() OVER w AS INT) AS drank,
+          |  CAST(round(percent_rank() OVER w *
+          |    (count(*) OVER np - 1), 0) AS BIGINT) AS pct_rank_num,
+          |  CAST(round(cume_dist() OVER w *
+          |    count(*) OVER np, 0) AS BIGINT) AS cdist_num,
+          |  CAST(count(*) OVER np AS BIGINT) AS n_part
+          |FROM customer
+          |WINDOW w AS (PARTITION BY c_nationkey
+          |  ORDER BY c_acctbal ASC, c_custkey ASC),
+          |np AS (PARTITION BY c_nationkey)""".stripMargin,
+
       "window_top_order_per_customer" ->
         """SELECT o_custkey, o_orderkey, o_totalprice FROM (
           | SELECT o_custkey, o_orderkey, o_totalprice,
