@@ -43,6 +43,56 @@ object Layout {
     * compact rectangle of the value space. One range exchange + local sort;
     * the sampled range boundaries make partitions size-balanced even when
     * the key space is sparse or skewed. */
+  /** Append the HILBERT-curve index of (`xCol` % 2^order, `yCol` %
+    * 2^order) as `outCol` — the locality-superior sibling of [[zkey]]
+    * (every consecutive Hilbert step is an adjacent grid cell; Morton
+    * jumps across the plane at bit boundaries, which is why Hilbert
+    * clustering gives tighter per-file bounding boxes at the same key
+    * width). The classic xy→d walk (Hamilton's algorithm), `order`
+    * rounds of PURE INTEGER column arithmetic — the XOR in the quadrant
+    * term is expanded to a CASE over {0,1} bits, so the whole derivation
+    * uses only +,−,*,&,CASE and mirrors verbatim into any SQL dialect
+    * (no float anywhere, no operand-order hazard). The rounds
+    * materialize as chained projections — Catalyst collapses them into
+    * one codegen'd stage; nothing shuffles. */
+  def withHilbert(df: DataFrame, xCol: Column, yCol: Column, order: Int,
+      outCol: String): DataFrame = {
+    require(order >= 1 && order <= 31, s"order out of range (1..31): $order")
+    Seq("__hx", "__hy", "__hd", "__rx", "__ry").foreach { c =>
+      require(!df.columns.contains(c),
+        s"withHilbert uses internal column $c; rename the existing one")
+    }
+    val side = 1L << order
+    var cur = df
+      .withColumn("__hx", pmod(xCol.cast("long"), lit(side)))
+      .withColumn("__hy", pmod(yCol.cast("long"), lit(side)))
+      .withColumn("__hd", lit(0L))
+    for (k <- order - 1 to 0 by -1) {
+      val s = 1L << k
+      cur = cur
+        .withColumn("__rx",
+          when((col("__hx").bitwiseAND(lit(s))) > 0, 1L).otherwise(0L))
+        .withColumn("__ry",
+          when((col("__hy").bitwiseAND(lit(s))) > 0, 1L).otherwise(0L))
+        .withColumn("__hd", col("__hd") + lit(s * s) *
+          when(col("__rx") === 0, col("__ry"))
+            .otherwise(lit(3L) - col("__ry")))
+        // rotate: if ry=0 { if rx=1 reflect; swap } — __nx/__ny are
+        // derived from the PRE-update __hx/__hy, then renamed in.
+        .withColumn("__nx", when(col("__ry") === 0,
+          when(col("__rx") === 1, lit(s - 1) - col("__hy"))
+            .otherwise(col("__hy"))).otherwise(col("__hx")))
+        .withColumn("__ny", when(col("__ry") === 0,
+          when(col("__rx") === 1, lit(s - 1) - col("__hx"))
+            .otherwise(col("__hx"))).otherwise(col("__hy")))
+        .drop("__hx", "__hy")
+        .withColumnRenamed("__nx", "__hx")
+        .withColumnRenamed("__ny", "__hy")
+    }
+    cur.withColumn(outCol, col("__hd"))
+      .drop("__hx", "__hy", "__hd", "__rx", "__ry")
+  }
+
   def clusterByZ(df: DataFrame, xCol: String, yCol: String,
       numPartitions: Int, bits: Int = 16): DataFrame = {
     require(numPartitions > 0, "numPartitions must be positive")

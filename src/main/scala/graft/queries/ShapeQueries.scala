@@ -20,6 +20,7 @@ object ShapeQueries {
   private val SeqLen = 256L
   private val PackShards = 8
   private val SampleRates = Map("AUTOMOBILE" -> 50, "BUILDING" -> 200, "MACHINERY" -> 500)
+  private val HilbertOrder = 10
   private val SampleDefault = 100
   private val CapK = 120
   private val Salts = 16
@@ -155,6 +156,19 @@ object ShapeQueries {
           graft.ops.Layout.zkeyBounded(col("l_partkey"), col("l_suppkey"), 16)
             .as("zkey"))),
 
+    // Hilbert-curve key over the same (partkey, suppkey) plane as
+    // zorder_keys — the locality-superior layout alternative (every
+    // consecutive Hilbert step is an adjacent cell; Morton jumps at bit
+    // boundaries). 10 rounds of pure integer CASE arithmetic, mirrored
+    // verbatim by the oracle's CTE chain; LayoutSpec pins the order-1
+    // quadrant map and the full order-3 adjacency property.
+    "layout_hilbert_keys" -> ((s, dir) =>
+      graft.ops.Layout.withHilbert(
+        table(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+        col("l_partkey"), col("l_suppkey"), HilbertOrder, "hkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("hkey"))),
+
     // Salted 16-way orders⋈customer, aggregated per market segment. The
     // oracle is the UNSALTED join — the gate proves the salt spread is
     // result-invariant (each fact row meets its dimension row exactly once).
@@ -246,6 +260,32 @@ object ShapeQueries {
         |SELECT CAST((h * 4) >> 32 AS BIGINT) AS shard, id,
         |  CAST(row_number() OVER (PARTITION BY (h * 4) >> 32 ORDER BY h, id) AS BIGINT) AS pos
         |FROM h""".stripMargin,
+
+    "layout_hilbert_keys" -> {
+      val order = HilbertOrder
+      val side = 1L << order
+      val steps = (order - 1 to 0 by -1).zipWithIndex.map { case (k, idx) =>
+        val s = 1L << k
+        s"""h${idx + 1} AS (SELECT l_orderkey, l_linenumber,
+           |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1
+           |      THEN ${s - 1} - y ELSE y END ELSE x END AS x,
+           |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1
+           |      THEN ${s - 1} - x ELSE x END ELSE y END AS y,
+           |    d + ${s * s} * (CASE WHEN rx = 0 THEN ry
+           |      ELSE 3 - ry END) AS d
+           |  FROM (SELECT *, CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+           |      CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+           |    FROM h$idx))""".stripMargin
+      }
+      s"""WITH h0 AS (SELECT l_orderkey, l_linenumber,
+         |    ((CAST(l_partkey AS BIGINT) % $side) + $side) % $side AS x,
+         |    ((CAST(l_suppkey AS BIGINT) % $side) + $side) % $side AS y,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM lineitem),
+         |${steps.mkString(",\n")}
+         |SELECT l_orderkey, l_linenumber, CAST(d AS BIGINT) AS hkey
+         |FROM h$order""".stripMargin
+    },
 
     "zorder_keys" -> {
       val terms = (0 until 16).flatMap { i =>

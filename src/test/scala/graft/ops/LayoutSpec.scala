@@ -79,4 +79,32 @@ class LayoutSpec extends SparkSpec {
     }
     assert(adjacent < 20, s"$adjacent consecutive-id pairs stayed adjacent")
   }
+
+  test("withHilbert: order-1 quadrant map matches the curve definition") {
+    import spark.implicits._
+    val pts = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y")
+    val got = Layout.withHilbert(pts, col("x"), col("y"), 1, "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 0L, (0L, 1L) -> 1L,
+      (1L, 1L) -> 2L, (1L, 0L) -> 3L))
+  }
+
+  test("withHilbert: full order-3 grid is a permutation with unit steps") {
+    import spark.implicits._
+    // The DEFINING property of the Hilbert curve, checked from first
+    // principles: over the full 8x8 grid the index is a bijection onto
+    // 0..63 and EVERY consecutive pair of cells is grid-adjacent
+    // (|dx| + |dy| = 1) - Morton keys fail this at bit boundaries.
+    val grid = (for (x <- 0 until 8; y <- 0 until 8)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val m = Layout.withHilbert(grid, col("x"), col("y"), 3, "d")
+      .collect().map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1))))
+      .toMap
+    assert(m.keySet == (0L until 64L).toSet, "not a bijection onto 0..63")
+    (0L until 63L).foreach { d =>
+      val (x1, y1) = m(d); val (x2, y2) = m(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"step $d -> ${d + 1} jumps: ($x1,$y1) -> ($x2,$y2)")
+    }
+  }
 }
