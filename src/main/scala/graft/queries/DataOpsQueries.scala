@@ -676,6 +676,22 @@ object DataOpsQueries {
     "text_tfidf" -> ((s, dir) =>
       TextOps.tfIdf(table(s, dir, "documents"), "doc_id", "text")),
 
+    // Keyword extraction: top-3 terms per document by TF-IDF — the
+    // summarization/tagging readout over the tfidf surface. The ranking
+    // window is DOC-KEYED (never global) and orders on the 6dp-rounded
+    // decimal score with a term tiebreak, so both engines rank the
+    // identical lattice.
+    "text_keywords_topk" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"))
+        .orderBy(col("tfidf").cast("decimal(18,6)").desc, col("term").asc)
+      TextOps.tfIdf(table(s, dir, "documents"), "doc_id", "text")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("id").as("doc_id"), col("rk"), col("term"),
+          col("tfidf"))
+    }),
+
     // Corpus data card: per-language doc/token volumes, length envelope,
     // mean quality, exact-duplicate count — the release report a curation
     // run ships with its shards. One langid-keyed hash aggregate.
@@ -1917,6 +1933,21 @@ object DataOpsQueries {
             |  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.id),
             |dup AS (SELECT id FROM walk GROUP BY id HAVING min(lbl) <> id)""".stripMargin)
       },
+      "text_keywords_topk" ->
+        s"""WITH tok AS (SELECT doc_id AS id, unnest($toksSql) AS term FROM documents),
+           |tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |sc AS (SELECT id, term,
+           |    round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+           |  FROM tf JOIN dfq USING (term), n),
+           |r AS (SELECT id, term, tfidf, row_number() OVER (
+           |    PARTITION BY id
+           |    ORDER BY CAST(tfidf AS DECIMAL(18,6)) DESC, term ASC) AS rk
+           |  FROM sc)
+           |SELECT id AS doc_id, CAST(rk AS INT) AS rk, term, tfidf
+           |FROM r WHERE rk <= 3""".stripMargin,
+
       "text_tfidf" ->
         s"""WITH tok AS (SELECT doc_id AS id, unnest($toksSql) AS term FROM documents),
            |tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -636,6 +636,14 @@ class PlanSpec extends SparkSpec {
     assert(mh.length == 8 && mh.forall(_ != Long.MaxValue))
   }
 
+  test("Hilbert key derivation is a pure narrow plan — zero exchanges") {
+    val p = plan("layout_hilbert_keys")
+    assert(!p.contains("Exchange"), p)
+    // the round projections collapse into whole-stage-codegen spans,
+    // rendered as "*(n)" in the executed-plan string
+    assert(p.contains("*(1)"), p)
+  }
+
   test("FastSS pairing is a variant equi-join — no cartesian, no nested loop") {
     val p = plan("er_fastss_pairs")
     assert(!p.contains("CartesianProduct"), p)
