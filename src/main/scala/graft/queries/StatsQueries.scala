@@ -1342,6 +1342,36 @@ object StatsQueries {
           round(med(col("ra"), col("n_months")), 6).as("intercept"))
     }),
 
+    // Hodges–Lehmann shift estimator between the even- and odd-month
+    // revenue series: the MEDIAN of all cross-arm differences — the
+    // robust location-shift companion of agg_mannwhitney (HL is the
+    // estimator whose test MW is), immune to the outlier months a
+    // difference-of-means chases. Pair space = months_even × months_odd
+    // (calendar-bounded, ~1.6k), rides a broadcast of the monthly
+    // aggregate; the median is the exact two-middle decimal device from
+    // agg_theil_sen — no interpolation float anywhere.
+    "agg_hodges_lehmann" -> ((s, dir) => {
+      val m = table(s, dir, "orders")
+        .select((year(to_date(col("o_orderdate"))) * 12 +
+          month(to_date(col("o_orderdate")))).cast("long").as("x"),
+          col("o_totalprice").cast("decimal(18,2)").as("__p"))
+        .groupBy(col("x")).agg(sum(col("__p")).cast("double").as("y"))
+      val a = m.filter(pmod(col("x"), lit(2L)) === 0L)
+        .select(col("y").as("ya"))
+      val b = m.filter(pmod(col("x"), lit(2L)) === 1L)
+        .select(col("y").as("yb"))
+      val d = a.crossJoin(broadcast(b))
+        .select(round(col("ya") - col("yb"), 12)
+          .cast("decimal(28,12)").as("d"))
+      def med(arr: Column, n: Column) =
+        (element_at(arr, ((n + 1) / 2).cast("int")) +
+          element_at(arr, (n / 2 + 1).cast("int"))).cast("double") / 2.0
+      d.agg(sort_array(collect_list(col("d"))).as("arr"),
+          count(lit(1)).as("n_pairs"))
+        .select(col("n_pairs"),
+          round(med(col("arr"), col("n_pairs")), 6).as("hl_shift"))
+    }),
+
     // Merge overlapping delivery windows ([ship, ship + quantity days])
     // per supplier into maximal disjoint spans — the islands-and-gaps
     // interval coalesce; spans exported as ISO date strings.
@@ -1659,6 +1689,21 @@ object StatsQueries {
     "causal_dr_ate" -> drAteOracle,
 
     "ml_logreg_irls" -> irlsOracle,
+
+    "agg_hodges_lehmann" ->
+      """WITH m AS (SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12 +
+        |      month(CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT CAST(round(a.y - b.y, 12) AS DECIMAL(28,12)) AS d
+        |  FROM (SELECT y FROM m WHERE x % 2 = 0) a,
+        |       (SELECT y FROM m WHERE x % 2 = 1) b),
+        |g AS (SELECT list(d ORDER BY d) AS arr,
+        |    CAST(count(*) AS BIGINT) AS n FROM p)
+        |SELECT n AS n_pairs,
+        |  round(CAST(arr[CAST((n + 1) // 2 AS INT)] +
+        |    arr[CAST(n // 2 + 1 AS INT)] AS DOUBLE) / 2.0, 6) AS hl_shift
+        |FROM g""".stripMargin,
 
     "causal_qte" ->
       """WITH ev AS (SELECT user_id % 3 = 0 AS t,
