@@ -1,18 +1,71 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Single-query bench harness (builder-side iteration):
+  * `BenchOne <names,csv> <sfDir> <reps> [warmDir]`.
+  *
+  * Env knobs:
+  *  - SPARK_GRAFT_EXTRA_CONF: `k=v;k=v` Spark confs layered on the
+  *    builder defaults (e.g. AQE skew-join thresholds for the skew
+  *    canary A/Bs).
+  *  - SPARK_GRAFT_TASK_STATS=1: per-query task-time skew report — for
+  *    the stages with the largest max task time, print n/p50/max task
+  *    millis. The skew canary's "did one task stall" evidence.
+  */
 object BenchOne {
+
+  private final class TaskStats extends org.apache.spark.scheduler.SparkListener {
+    val byStage = new java.util.concurrent.ConcurrentHashMap[
+      Int, mutable.ArrayBuffer[Long]]()
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val buf = byStage.computeIfAbsent(t.stageId,
+        _ => mutable.ArrayBuffer[Long]())
+      buf.synchronized { buf += t.taskInfo.duration }
+    }
+    def reportAndReset(label: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val rows = byStage.asScala.toSeq.map { case (sid, durs) =>
+        val d = durs.sorted
+        (sid, d.length, d(d.length / 2), d.last)
+      }.sortBy(-_._4).take(5)
+      rows.foreach { case (sid, n, p50, max) =>
+        println(f"$label stage=$sid tasks=$n p50=${p50}ms max=${max}ms skew=${max.toDouble / math.max(p50, 1)}%.1fx")
+      }
+      byStage.clear()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val names = args(0).split(','); val sfDir = args(1); val reps = args(2).toInt
-    val spark = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val stats = if (sys.env.get("SPARK_GRAFT_TASK_STATS").contains("1")) {
+      val l = new TaskStats; spark.sparkContext.addSparkListener(l); Some(l)
+    } else None
     graft.core.Tables.table(spark, sfDir, "documents").count()
+    // Optional 4th arg: warmup dir (mirrors Bench's untimed sf0.001 codegen
+    // warmup so single-query timings track the driver's cold-at-sf run).
+    if (args.length > 3) names.foreach { name =>
+      try SparkEntry.queries(name)(spark, args(3)).count()
+      catch { case _: Throwable => () }
+    }
+    stats.foreach(_.byStage.clear())
     names.foreach { name =>
       (1 to reps).foreach { i =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).count()
         println(f"$name RUN$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        stats.foreach(_.reportAndReset(s"$name RUN$i"))
       }
     }
     spark.stop()

@@ -85,7 +85,19 @@ object ScaleCanary {
         (col("l_suppkey") + lit(r * 10000L)).as("l_suppkey")) ++
         l.columns.filterNot(Set("l_orderkey", "l_partkey", "l_suppkey")).map(col): _*)
     }
-    Seq("region", "nation", "customer", "supplier", "part", "orders")
+    // Orders replicate with the SAME orderkey offset as lineitem (so the
+    // basket/recsys train-split joins see every replica) and disjoint
+    // per-replica customer populations — without this the holdout gates
+    // would anti-join away 99% of a 100× canary's baskets and measure
+    // nothing. Dense o_orderkey ≤ 150k and o_custkey ≤ 15k at sf0.1 keep
+    // both offsets collision-free to ≥ 100 reps.
+    replicate("orders") { (o, r) =>
+      o.select(Seq(
+        (col("o_orderkey") + lit(r * 1000000L)).as("o_orderkey"),
+        (col("o_custkey") + lit(r * 100000L)).as("o_custkey")) ++
+        o.columns.filterNot(Set("o_orderkey", "o_custkey")).map(col): _*)
+    }
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach(n => write(tbl(n), n))
     spark.stop()
   }

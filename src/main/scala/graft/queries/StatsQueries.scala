@@ -18,6 +18,9 @@ object StatsQueries {
 
   def family: QueryFamily = QueryFamily("stats", queries, oracles)
 
+  /** Bottom-k size for the oracle-checked KMV distinct gate. */
+  private val KmvK = 64
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_quantity_stats" -> ((s, dir) => {
       val n = count(lit(1)).cast("double")
@@ -58,6 +61,27 @@ object StatsQueries {
           percentile(col("l_quantity"), lit(0.5)).as("exact_p50"),
           percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
             .as("approx_p50"))),
+
+    // The ORACLE-CHECKED sketch companion to agg_sketch_accuracy: KMV
+    // (bottom-k hash) distinct estimation with k=64 over knuth32 — the
+    // estimate, not just the exact twin, is plain integer/double
+    // arithmetic a second engine re-derives exactly. The bottom-k set
+    // rides the bounded TopKAgg buffer (map-side combinable; never a
+    // per-group hash sort). rel_err is data, not an assertion —
+    // StatsSpec bounds it.
+    "agg_sketch_report" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val kmv = graft.ops.Sketch.kmvDistinct(
+        li.select(col("l_returnflag"), col("l_orderkey")),
+        "l_returnflag", "l_orderkey", k = KmvK)
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+      exact.join(kmv, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_distinct"),
+          col("n_hashes"), col("kmv_distinct"),
+          round(abs(col("kmv_distinct") - col("exact_distinct").cast("double"))
+            / col("exact_distinct").cast("double"), 6).as("rel_err"))
+    }),
 
     // Grouped multiple regression (2 features) by the normal equations:
     // exact long/decimal power sums, then Cramer's rule in double with
@@ -1685,6 +1709,27 @@ object StatsQueries {
   }
 
   def oracles: Map[String, String] = Map(
+
+    "agg_sketch_report" ->
+      s"""WITH h AS (SELECT DISTINCT l_returnflag,
+         |    ${OracleSql.knuth32("l_orderkey")} AS h FROM lineitem),
+         |rk AS (SELECT l_returnflag, h, row_number() OVER (
+         |    PARTITION BY l_returnflag ORDER BY h ASC) AS r FROM h),
+         |nh AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_hashes
+         |  FROM h GROUP BY 1),
+         |kth AS (SELECT l_returnflag, h AS hk FROM rk WHERE r = $KmvK),
+         |ex AS (SELECT l_returnflag,
+         |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+         |  FROM lineitem GROUP BY 1),
+         |est AS (SELECT nh.l_returnflag, n_hashes,
+         |    CASE WHEN n_hashes < $KmvK THEN CAST(n_hashes AS DOUBLE)
+         |      ELSE round(${KmvK - 1}.0 * 4294967296.0 / CAST(hk AS DOUBLE), 6)
+         |    END AS kmv_distinct
+         |  FROM nh LEFT JOIN kth USING (l_returnflag))
+         |SELECT ex.l_returnflag, exact_distinct, n_hashes, kmv_distinct,
+         |  round(abs(kmv_distinct - CAST(exact_distinct AS DOUBLE)) /
+         |    CAST(exact_distinct AS DOUBLE), 6) AS rel_err
+         |FROM ex JOIN est USING (l_returnflag)""".stripMargin,
 
     "causal_dr_ate" -> drAteOracle,
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables.table
 import graft.functions.CountMinAgg
-import graft.ops.{Boilerplate, Dedup, Profile, Shaping, TextOps, Vocab}
+import graft.ops.{Boilerplate, Dedup, Profile, Shaping, Sketch, TextOps, Vocab}
 
 /** Training-data preparation gates, round 6: C4-style boilerplate removal,
   * bloom-prefiltered delta dedup, tokenizer vocabulary statistics (n-gram
@@ -27,6 +27,8 @@ object TrainPrepQueries {
   private val HeavyK = 25
   private val CmDepth = 5
   private val CmWidth = 2048
+  private val CmGateWidth = 256
+  private val CmGateTopK = 10
   private val BpeMerges = 6
   private val CoocWindow = 3
   private val CoverageK = 20
@@ -177,6 +179,23 @@ object TrainPrepQueries {
         .select(col("key"), col("cnt"),
           CountMinAgg.cmEstimate(col("sk"), col("key"), CmDepth, CmWidth)
             .as("cm_est"))
+    }),
+
+    // The ORACLE-CHECKED Count-Min companion to profile_cm_topk: the
+    // sketch rows use the fixed knuth-salt multiplicative hashes
+    // (Sketch.CmSalts), so cell sums AND the min-over-rows estimates are
+    // plain integer arithmetic DuckDB re-derives exactly. Top-10 exact
+    // heavy keys side by side with their sketch estimate; overcount is
+    // data (TrainPrepSpec asserts est ≥ exact — the CM guarantee).
+    "cm_topk_report" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val sk = Sketch.cmSketch(li, "l_partkey", CmGateWidth)
+      val top = Profile.heavyHitters(li, "l_partkey", CmGateTopK)
+        .select(col("key"), col("cnt"))
+      Sketch.cmEstimate(top, sk, CmGateWidth)
+        .join(top, "key")
+        .select(col("key"), col("cnt"), col("cm_est"),
+          (col("cm_est") - col("cnt")).as("overcount"))
     }),
 
     // Iterative BPE: 6 rounds of count-pairs → argmax → greedy merge over
@@ -421,6 +440,28 @@ object TrainPrepQueries {
          |  CAST(len(text) AS BIGINT) AS n_raw,
          |  CAST(len(regexp_replace(nfc_normalize(text), '$ctrl', '', 'g')) AS BIGINT) AS n_nfc
          |FROM f""".stripMargin
+    },
+
+    "cm_topk_report" -> {
+      val saltRows = Sketch.CmSalts.zipWithIndex
+        .map { case (a, r) => s"($r, $a)" }.mkString(", ")
+      s"""WITH kc AS (SELECT CAST(l_partkey AS BIGINT) AS k,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1),
+         |salt(r, a) AS (SELECT * FROM (VALUES $saltRows) v(r, a)),
+         |sk AS (SELECT r,
+         |    ((k % 1000000007) * a) % 4294967296 % $CmGateWidth AS bucket,
+         |    CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM kc, salt GROUP BY 1, 2),
+         |hh AS (SELECT CAST(k AS STRING) AS key, cnt FROM kc
+         |  ORDER BY cnt DESC, key ASC LIMIT $CmGateTopK),
+         |lu AS (SELECT key, r,
+         |    ((CAST(key AS BIGINT) % 1000000007) * a) % 4294967296
+         |      % $CmGateWidth AS bucket
+         |  FROM hh, salt),
+         |est AS (SELECT key, min(c) AS cm_est
+         |  FROM lu JOIN sk USING (r, bucket) GROUP BY 1)
+         |SELECT hh.key, hh.cnt, est.cm_est, est.cm_est - hh.cnt AS overcount
+         |FROM hh JOIN est USING (key)""".stripMargin
     },
 
     "profile_heavy_keys" ->
