@@ -53,10 +53,13 @@ object DataOpsQueries {
       import s.implicits._
       val stream = s.readStream.schema(docs.schema).parquet(feedDir)
         .as[StreamDedup.Doc]
-      val q = StreamDedup.keepFirst(s, stream)
-        .writeStream.outputMode("append").format("memory")
-        .queryName("gate_stream_dedup").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamTuning.withShufflePartitions(s,
+        graft.streaming.StreamTuning.GateStatePartitions) {
+        val q = StreamDedup.keepFirst(s, stream)
+          .writeStream.outputMode("append").format("memory")
+          .queryName("gate_stream_dedup").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table("gate_stream_dedup").select(col("doc_id"), col("fingerprint"))
     }),
 

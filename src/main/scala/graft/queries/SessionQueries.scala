@@ -79,10 +79,13 @@ object SessionQueries {
       import s.implicits._
       val stream = s.readStream.schema(ev.schema).parquet(feedDir)
         .as[Sessionize.Event]
-      val q = Sessionize.sessionize(s, stream, gapMs = GapMinutes * 60000L)
-        .writeStream.outputMode("append").format("memory")
-        .queryName("gate_stream_sess").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamTuning.withShufflePartitions(s,
+        graft.streaming.StreamTuning.GateStatePartitions) {
+        val q = Sessionize.sessionize(s, stream, gapMs = GapMinutes * 60000L)
+          .writeStream.outputMode("append").format("memory")
+          .queryName("gate_stream_sess").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table("gate_stream_sess").select(col("user_id"),
         date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
@@ -119,15 +122,18 @@ object SessionQueries {
       }
       fresh.write.parquet(feedDir)
       val stream = s.readStream.schema(fresh.schema).parquet(feedDir)
-      val q = graft.streaming.WindowStats
-        .tumblingStats(stream, "1 hour", "30 minutes")
-        .writeStream.outputMode("append").format("memory")
-        .queryName("gate_stream_wm").start()
-      try {
-        q.processAllAvailable()         // batch 1: fresh rows, wm advances
-        late.write.mode("append").parquet(feedDir)
-        q.processAllAvailable()         // batch 2: all rows late → dropped
-      } finally q.stop()
+      graft.streaming.StreamTuning.withShufflePartitions(s,
+        graft.streaming.StreamTuning.GateStatePartitions) {
+        val q = graft.streaming.WindowStats
+          .tumblingStats(stream, "1 hour", "30 minutes")
+          .writeStream.outputMode("append").format("memory")
+          .queryName("gate_stream_wm").start()
+        try {
+          q.processAllAvailable()       // batch 1: fresh rows, wm advances
+          late.write.mode("append").parquet(feedDir)
+          q.processAllAvailable()       // batch 2: all rows late → dropped
+        } finally q.stop()
+      }
       s.table("gate_stream_wm")
         .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss")
           .as("hour"), col("event_type"), col("n_events"),
@@ -154,11 +160,17 @@ object SessionQueries {
       purchases.write.mode("overwrite").parquet(feedBase + "-p")
       val cs = s.readStream.schema(clicks.schema).parquet(feedBase + "-c")
       val ps = s.readStream.schema(purchases.schema).parquet(feedBase + "-p")
-      val q = graft.streaming.StreamJoin.attribution(cs, ps,
-        windowMinutes = 60, watermark = "10 minutes")
-        .writeStream.outputMode("append").format("memory")
-        .queryName("gate_stream_ij").start()
-      try q.processAllAvailable() finally q.stop()
+      // Stream-stream joins run FOUR state stores per shuffle partition;
+      // size the frozen-at-start partition count to the gate's state
+      // volume instead of inheriting the batch default (StreamTuning).
+      graft.streaming.StreamTuning.withShufflePartitions(s,
+        graft.streaming.StreamTuning.GateStatePartitions) {
+        val q = graft.streaming.StreamJoin.attribution(cs, ps,
+          windowMinutes = 60, watermark = "10 minutes")
+          .writeStream.outputMode("append").format("memory")
+          .queryName("gate_stream_ij").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table("gate_stream_ij").select(col("user_id"), col("click_id"),
         col("purchase_id"),
         date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
@@ -186,10 +198,13 @@ object SessionQueries {
         "graft-stream-hourly-" + new java.io.File(dir).getName).getAbsolutePath
       ev.unionByName(sentinel).write.mode("overwrite").parquet(feedDir)
       val stream = s.readStream.schema(ev.schema).parquet(feedDir)
-      val q = graft.streaming.WindowStats.tumblingStats(stream)
-        .writeStream.outputMode("append").format("memory")
-        .queryName("gate_stream_hourly").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamTuning.withShufflePartitions(s,
+        graft.streaming.StreamTuning.GateStatePartitions) {
+        val q = graft.streaming.WindowStats.tumblingStats(stream)
+          .writeStream.outputMode("append").format("memory")
+          .queryName("gate_stream_hourly").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table("gate_stream_hourly")
         .filter(col("event_type") =!= "__flush")
         .select(
