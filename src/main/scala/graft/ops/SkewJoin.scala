@@ -45,4 +45,39 @@ object SkewJoin {
         saltedFacts("__salt") === saltedDim("__salt"))
       .drop("__salt")
   }
+
+  /** Blocked within-group self-pairing — the skew fix AQE cannot apply.
+    *
+    * The unordered-pair generator (`a.join(a, key).filter(va < vb)`) has
+    * OUTPUT skew under a hot key: a group with m members emits m²/2 pairs
+    * from ~m input rows, so the skew-canary's 1%-of-lineitem hot order
+    * stalls one sort-merge task ~60× past the median (measured,
+    * SCALE.md §"skew canary") while AQE's skew-join never engages — it
+    * detects oversized INPUT partitions, and the hot group's input is
+    * ~100 KB. The structural rewrite blocks each group's member set into
+    * `chunks` value-hash chunks and joins on (key, chunk_left,
+    * chunk_right): member u meets member w in exactly the cell
+    * (chunk(u), chunk(w)), so the `va < vb` filter still yields every
+    * unordered pair exactly once, while the hot group's quadratic spreads
+    * over chunks² join cells ≈ chunks² tasks. Cost: each input row is
+    * replicated 2·chunks times — pay it when groups can be huge, keep
+    * `chunks` modest (4-16). Output is provably identical to the naive
+    * self-join (spec-asserted and oracle-shared by the gate).
+    *
+    * `df` must be distinct on (keyCol, valCol); `valCol` numeric/orderable.
+    */
+  def blockedSelfPairs(df: DataFrame, keyCol: String, valCol: String,
+      chunks: Int): DataFrame = {
+    require(chunks > 0, "chunks must be positive")
+    val chunk = pmod(xxhash64(col(valCol)), lit(chunks)).cast("int")
+    val cells = explode(sequence(lit(0), lit(chunks - 1)))
+    val left = df.select(col(keyCol).as("__k"), col(valCol).as("__va"),
+      chunk.as("__ca")).withColumn("__cb", cells)
+    val right = df.select(col(keyCol).as("__k"), col(valCol).as("__vb"),
+      chunk.as("__cb")).withColumn("__ca", cells)
+    left.join(right, Seq("__k", "__ca", "__cb"))
+      .filter(col("__va") < col("__vb"))
+      .select(col("__k").as(keyCol), col("__va").as(valCol + "_a"),
+        col("__vb").as(valCol + "_b"))
+  }
 }

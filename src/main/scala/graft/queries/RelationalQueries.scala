@@ -291,6 +291,26 @@ object RelationalQueries {
         .limit(50)
     }),
 
+    // The hot-basket-proof twin of basket_pair_counts: identical output
+    // (same oracle SQL) through SkewJoin.blockedSelfPairs — the
+    // pair-generation join keyed on (order, chunk_a, chunk_b) so one
+    // degenerate giant basket's m²/2 pairs spread over chunks² tasks
+    // instead of stalling the hot order's sort-merge partition. The skew
+    // canary measured the naive shape at a 58× task stall under a planted
+    // 1%-hot key with AQE skew-join blind to it (output skew, not input
+    // skew) — this plan is the 100 TB answer. SCALE.md §"skew canary".
+    "basket_pairs_blocked" -> ((s, dir) => {
+      val b = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      graft.ops.SkewJoin.blockedSelfPairs(b, "l_orderkey", "l_partkey",
+        chunks = 8)
+        .groupBy(col("l_partkey_a").as("part_a"),
+          col("l_partkey_b").as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
+        .limit(50)
+    }),
+
     // Association rules over the co-purchase baskets: directed (a→b)
     // pair support with confidence and lift, support floor 5, top 25 by
     // lift — the classic market-basket read-out on top of the same
@@ -433,6 +453,17 @@ object RelationalQueries {
           |FROM r""".stripMargin,
 
       "basket_pair_counts" ->
+        """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+          |SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+          |  CAST(count(*) AS BIGINT) AS n_orders
+          |FROM b a JOIN b c
+          |  ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+          |GROUP BY 1, 2
+          |ORDER BY n_orders DESC, part_a ASC, part_b ASC LIMIT 50""".stripMargin,
+
+      // blockedSelfPairs is output-identical to the naive self-join, so
+      // the blocked gate shares the naive oracle verbatim.
+      "basket_pairs_blocked" ->
         """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
           |SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
           |  CAST(count(*) AS BIGINT) AS n_orders

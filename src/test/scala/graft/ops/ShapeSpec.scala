@@ -280,6 +280,22 @@ class ShapeSpec extends SparkSpec {
     }
   }
 
+  test("blockedSelfPairs equals the naive self-join pair set, any chunk count") {
+    import spark.implicits._
+    // one hot group (key 1: 60 members) among uniform small groups
+    val rows = ((1L to 60L).map(v => (1L, v * 7)) ++
+      (2L to 40L).flatMap(k => (1L to 4L).map(v => (k, k * 100 + v)))).toDF("k", "v")
+    val naive = rows.as("a").join(rows.as("b"), Seq("k"))
+      .filter(col("a.v") < col("b.v"))
+      .select(col("k"), col("a.v").as("v_a"), col("b.v").as("v_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    Seq(1, 3, 8).foreach { chunks =>
+      val blocked = SkewJoin.blockedSelfPairs(rows, "k", "v", chunks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(blocked == naive, s"chunks=$chunks")
+    }
+  }
+
   test("topFraction keeps exactly ceil(frac*n) best-scored rows, stable under partitioning") {
     import spark.implicits._
     val d = (1L to 100L).map(i => (i, (i % 37).toDouble)).toDF("id", "score")
