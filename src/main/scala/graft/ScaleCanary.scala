@@ -67,8 +67,13 @@ object ScaleCanary {
       d.select((col("doc_id") + lit(r * 100000L)).as("doc_id"), text.as("text"),
         col("lang"), col("source"), nChars.as("n_chars"))
     }
+    // vec_id stride 1e7, not 1e5: plantedEmbeddings derives dup ids as
+    // vec_id + 1e6, so a 1e5 stride makes replica r's planted ids collide
+    // with replica r+10's base ids once reps > 10 — the 10× canary was
+    // collision-free, a 100× canary wasn't. 1e7 keeps base+planted spans
+    // disjoint to ≥ 1000 reps.
     replicate("embeddings") { (e, r) =>
-      e.select((col("vec_id") + lit(r * 100000L)).as("vec_id"),
+      e.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
         zip_with(col("embedding"), typedLit(signs(r, 64)),
           (x, s) => x * s).as("embedding"),
         col("label"))

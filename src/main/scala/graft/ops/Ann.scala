@@ -231,6 +231,33 @@ object Ann {
   def srpBucket(v: Column, dim: Int, planes: Int): Column =
     tableBucket(v, 0, dim, planes)
 
+  /** Corpus size at which the base (planes, tables) geometry applies
+    * unchanged — chosen so every oracle-gated scale (≤ sf0.1) keeps its
+    * exact historical plan, and scaling engages only on genuinely large
+    * corpora. */
+  private[ops] val SrpScalePivot: Long = 1L << 13
+
+  /** (planes, tables) for a corpus of `n` vectors: +1 plane per corpus
+    * doubling past [[SrpScalePivot]] (constant expected bucket occupancy
+    * → O(tables·n) candidates), tables multiplied by (1/a(τ))^extra with
+    * a(τ) = 1−arccos(τ)/π to hold per-pair recall at the threshold
+    * grade. Caps: 48 planes (bucket id stays a comfortable long; 2^48
+    * buckets ≈ 2.8e14 — beyond any realistic corpus), 64 tables (cost
+    * guard; reached only past ~10^10 vectors at τ=0.9). */
+  private[ops] def scaledSrpGeometry(n: Long, planes: Int, tables: Int,
+      threshold: Double): (Int, Int) = {
+    if (n <= SrpScalePivot) (planes, tables)
+    else {
+      val extra = math.min(
+        math.ceil(math.log(n.toDouble / SrpScalePivot) / math.log(2.0)).toInt,
+        48 - planes)
+      val a = 1.0 - math.acos(math.min(threshold, 0.999999)) / math.Pi
+      val tEff = math.min(
+        math.ceil(tables * math.pow(1.0 / a, extra.toDouble)).toInt, 64)
+      (planes + extra, tEff)
+    }
+  }
+
   /** Deterministic ±1 sign matrix for [[randomProject]]: outDim rows of
     * inDim signs from the same splitmix64 parity generator as the SRP
     * planes, in a disjoint key namespace (t ≥ 2048 — LSH tables use small
@@ -541,13 +568,30 @@ object Ann {
     * planes=0: exact all-pairs as a PARALLEL crossJoin (left side
     * repartitioned across the cluster, right side broadcast — never a
     * single-task constant-key join). O(N²): correct, and only for corpora
-    * small enough to square. */
+    * small enough to square.
+    *
+    * PLANE SCALING (the 100× canary's finding): with FIXED planes the
+    * expected candidate count is L·N²/2^P — quadratic in corpus size, the
+    * same key-space-saturation defect class as the round-9 SimHash 8-bit
+    * chunks (measured 35×/10×-step at 100× sf0.1). `planes`/`tables` are
+    * therefore the BASE geometry at the pivot size (8192 vectors); above
+    * it every corpus doubling adds one plane (bucket occupancy stays
+    * constant → candidates stay O(L·N)) and multiplies tables by
+    * 1/a(τ) = 1/(1−arccos(τ)/π) — exactly the factor one plane costs a
+    * threshold-grade pair's per-table collision probability, so per-pair
+    * recall AT τ is held ≈constant (genuine near-dups, cos ≫ τ, stay
+    * ≈1: a planted cos-0.9999 pair at P=19,L=18 misses with p≈4e-26).
+    * Candidates grow as N^(1+log2(1/a)) — N^1.22 at τ=0.9 — and the
+    * per-row hash cost as L·P = O(log² N); both are the documented price
+    * of bounded bucket occupancy. Sizing is driven by ONE count() of the
+    * corpus (the AQE pattern: a cheap stats job before the plan). */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       dim: Int, planes: Int = 0, tables: Int = 1): DataFrame = {
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     if (planes > 0) {
+      val (pEff, tEff) = scaledSrpGeometry(c.count(), planes, tables, threshold)
       val keyed = c.select(col("vec_id"),
-        explode(srpBuckets(col("v"), dim, planes, tables)).as("bucket"))
+        explode(srpBuckets(col("v"), dim, pEff, tEff)).as("bucket"))
       val candidates = keyed.select(col("bucket"), col("vec_id").as("id_a"))
         .join(keyed.select(col("bucket"), col("vec_id").as("id_b")), Seq("bucket"))
         .filter(col("id_a") < col("id_b"))

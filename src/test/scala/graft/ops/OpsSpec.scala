@@ -418,6 +418,29 @@ class OpsSpec extends SparkSpec {
     assert(srp == exact) // exact verify ⇒ subset; banding recalls every planted pair
   }
 
+  test("SRP geometry scaling: identity at gate sizes, +1 plane per doubling with recall-compensated tables") {
+    import Ann.{scaledSrpGeometry, SrpScalePivot}
+    // Every oracle-gated corpus (≤ sf0.1's 2000 vectors) keeps the base plan.
+    assert(scaledSrpGeometry(2000L, 12, 6, 0.9) == ((12, 6)))
+    assert(scaledSrpGeometry(SrpScalePivot, 12, 6, 0.9) == ((12, 6)))
+    // One doubling past the pivot = one extra plane; tables grow by 1/a(0.9).
+    assert(scaledSrpGeometry(2 * SrpScalePivot, 12, 6, 0.9) == ((13, 8)))
+    // The 100× canary point (200k vectors): 5 extra planes.
+    val (p200k, t200k) = scaledSrpGeometry(200000L, 12, 6, 0.9)
+    assert(p200k == 17 && t200k >= 6 && t200k <= 16, s"($p200k, $t200k)")
+    // Bucket-occupancy invariant: candidates/N = tables·N/2^planes never
+    // grows past its pivot value by more than the table-compensation term.
+    val base = 6.0 * SrpScalePivot / math.pow(2, 12)
+    Seq(1L << 14, 1L << 17, 1L << 20, 1L << 26, 1L << 33).foreach { n =>
+      val (p, t) = scaledSrpGeometry(n, 12, 6, 0.9)
+      val occ = t.toDouble * n / math.pow(2, p)
+      assert(occ <= base * t / 6.0 * 1.01, s"n=$n occupancy $occ")
+    }
+    // Caps hold: planes ≤ 48, tables ≤ 64 at absurd corpus sizes.
+    val (pMax, tMax) = scaledSrpGeometry(Long.MaxValue / 4, 12, 6, 0.9)
+    assert(pMax <= 48 && tMax <= 64)
+  }
+
   test("l2Normalize yields unit vectors; meanPool is partitioning-invariant") {
     // Unit length after normalization (organic corpus has no zero vectors).
     val normed = embs.select(Ann.norm(Ann.l2Normalize(Ann.asDouble($"embedding"))).as("n"))
