@@ -23,11 +23,19 @@ object RecsysQueries {
   private val NeighborsK = 5
   private val RecsK = 3
 
-  /** Distinct (order, part) basket rows. */
+  /** Distinct (order, part) basket rows — memoized+persisted per
+    * (session, dir): the distinct is a full lineitem shuffle and every
+    * recsys gate (and the holdout gate three times over) starts from it. */
+  private val basketCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def baskets(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "lineitem")
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-      .distinct()
+    basketCache.computeIfAbsent((s, dir), { case (sess, d) =>
+      table(sess, d, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Neighbor-table memo: the self-join + scoring + ranking is the
     * expensive part and several gates consume it — persist once per
@@ -64,6 +72,39 @@ object RecsysQueries {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= NeighborsK)
   }
+
+  /** Holdout-split model memo: (train neighbors, train history, test
+    * orders, baskets), with the expensive train-side self-join output and
+    * the twice-consumed history persisted — the same memo discipline as
+    * [[itemNeighbors]]. Without it `baskets` was recomputed ~4× and the
+    * train self-join rebuilt from scratch inside the one gate (the
+    * round-9 bench's 27.8 s outlier). */
+  private val holdoutCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame, DataFrame)]()
+
+  private def holdoutModel(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    holdoutCache.computeIfAbsent((s, dir), { case (sess, d) =>
+      val days = table(sess, d, "orders").select(
+        col("o_orderkey").as("okey"), col("o_custkey").as("cust"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("day"))
+      val bounds = days.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+        .select((col("dmin") +
+          expr("(dmax - dmin) * 4 div 5")).as("bnd"))
+      val keyed = days.crossJoin(broadcast(bounds))
+      val trainOrders = keyed.filter(col("day") < col("bnd"))
+        .select(col("okey"), col("cust"))
+      val testOrders = keyed.filter(col("day") >= col("bnd"))
+        .select(col("okey"), col("cust"))
+      val b = baskets(sess, d)
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val trainB = b.join(trainOrders.select(col("okey")), "okey")
+      val nb = neighborsFrom(trainB).persist(mem)
+      val hist = trainOrders.join(b, "okey")
+        .select(col("cust"), col("part")).distinct().persist(mem)
+      (nb, hist, testOrders, b)
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -108,23 +149,7 @@ object RecsysQueries {
     // construction (the test window never feeds the model); every join
     // keyed on user/item, 3-row report.
     "recsys_holdout_hitrate" -> ((s, dir) => {
-      val days = table(s, dir, "orders").select(
-        col("o_orderkey").as("okey"), col("o_custkey").as("cust"),
-        datediff(col("o_orderdate").cast("date"),
-          lit("1970-01-01").cast("date")).cast("long").as("day"))
-      val bounds = days.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
-        .select((col("dmin") +
-          expr("(dmax - dmin) * 4 div 5")).as("bnd"))
-      val keyed = days.crossJoin(broadcast(bounds))
-      val trainOrders = keyed.filter(col("day") < col("bnd"))
-        .select(col("okey"), col("cust"))
-      val testOrders = keyed.filter(col("day") >= col("bnd"))
-        .select(col("okey"), col("cust"))
-      val b = baskets(s, dir)
-      val trainB = b.join(trainOrders.select(col("okey")), "okey")
-      val nb = neighborsFrom(trainB)
-      val hist = trainOrders.join(b, "okey")
-        .select(col("cust"), col("part")).distinct()
+      val (nb, hist, testOrders, b) = holdoutModel(s, dir)
       val cand = hist.join(nb, "part")
         .groupBy(col("cust"), col("part_j"))
         .agg(sum(col("score").cast("decimal(18,6)")).as("s"))
