@@ -73,38 +73,34 @@ object RecsysQueries {
       .filter(col("rank") <= NeighborsK)
   }
 
-  /** Holdout-split model memo: (train neighbors, train history, test
-    * orders, baskets), with the expensive train-side self-join output and
-    * the twice-consumed history persisted — the same memo discipline as
-    * [[itemNeighbors]]. Without it `baskets` was recomputed ~4× and the
-    * train self-join rebuilt from scratch inside the one gate (the
-    * round-9 bench's 27.8 s outlier). */
-  private val holdoutCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame, DataFrame, DataFrame)]()
-
+  /** Holdout-split model: (train neighbors, train history, test orders,
+    * baskets). NOT persisted beyond the shared [[baskets]] memo: the
+    * repeated nb/hist subtrees inside the one holdout action are already
+    * deduplicated by Spark's ReuseExchange, and extra persists only add
+    * InMemoryRelation materialization barriers on the cold path the bench
+    * times (measured round 10: cold 8.7 s bare vs 9.8 s with nb/hist
+    * persists; BASELINE.md §"Round 10"). */
   private def holdoutModel(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) =
-    holdoutCache.computeIfAbsent((s, dir), { case (sess, d) =>
-      val days = table(sess, d, "orders").select(
-        col("o_orderkey").as("okey"), col("o_custkey").as("cust"),
-        datediff(col("o_orderdate").cast("date"),
-          lit("1970-01-01").cast("date")).cast("long").as("day"))
-      val bounds = days.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
-        .select((col("dmin") +
-          expr("(dmax - dmin) * 4 div 5")).as("bnd"))
-      val keyed = days.crossJoin(broadcast(bounds))
-      val trainOrders = keyed.filter(col("day") < col("bnd"))
-        .select(col("okey"), col("cust"))
-      val testOrders = keyed.filter(col("day") >= col("bnd"))
-        .select(col("okey"), col("cust"))
-      val b = baskets(sess, d)
-      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val trainB = b.join(trainOrders.select(col("okey")), "okey")
-      val nb = neighborsFrom(trainB).persist(mem)
-      val hist = trainOrders.join(b, "okey")
-        .select(col("cust"), col("part")).distinct().persist(mem)
-      (nb, hist, testOrders, b)
-    })
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val days = table(s, dir, "orders").select(
+      col("o_orderkey").as("okey"), col("o_custkey").as("cust"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+    val bounds = days.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      .select((col("dmin") +
+        expr("(dmax - dmin) * 4 div 5")).as("bnd"))
+    val keyed = days.crossJoin(broadcast(bounds))
+    val trainOrders = keyed.filter(col("day") < col("bnd"))
+      .select(col("okey"), col("cust"))
+    val testOrders = keyed.filter(col("day") >= col("bnd"))
+      .select(col("okey"), col("cust"))
+    val b = baskets(s, dir)
+    val trainB = b.join(trainOrders.select(col("okey")), "okey")
+    val nb = neighborsFrom(trainB)
+    val hist = trainOrders.join(b, "okey")
+      .select(col("cust"), col("part")).distinct()
+    (nb, hist, testOrders, b)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
