@@ -2,6 +2,9 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions.{VecCosine, VecDot, VecSqDist}
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -24,12 +27,21 @@ object Ann {
   /** Array[Float] → Array[Double] (compute in double everywhere). */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  // dot/cosine/sqDist are the codegen kernels in functions/VecOps.scala —
+  // bit-identical to the `aggregate(zip_with(…))` folds they replace (same
+  // ascending-index IEEE accumulation; see the VecOps scaladoc), but fused
+  // into whole-stage codegen instead of interpreting two lambda closures
+  // per element (the 100× canary showed the embedding batch parked in
+  // ZipWith.eval/ArrayAggregate.eval).
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    ColumnBridge.column(VecDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(VecCosine(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** L2-normalize a vector column (unit length; zero vectors pass through
     * unscaled). Pure per-row arithmetic over the ordered-fold norm, so the
@@ -288,17 +300,15 @@ object Ann {
       "randomProject uses an internal __v column; rename the existing one")
     val signs = projectionSigns(outDim, inDim)
     val scale = 1.0 / math.sqrt(outDim.toDouble)
-    // Each dim is a 0.0-seeded left fold over sign-flipped elements — the
-    // same canonical float order as an unrolled ± chain (±1·x is exact,
-    // 0.0+x ≡ x), but WITHOUT the unrolled outDim×inDim expression tree:
-    // 1024 inlined element_at terms blow whole-stage codegen's 64 KB
-    // method cap and drop the stage to interpreted mode. The fold form
-    // stays a handful of higher-order expressions per dim.
+    // Each dim is one VecDot against its literal sign vector — the same
+    // 0.0-seeded ascending-index accumulation as an unrolled ± chain
+    // (±1·x is exact, 0.0+x ≡ x), but as ONE compact kernel per dim: an
+    // unrolled outDim×inDim element_at tree would blow whole-stage
+    // codegen's 64 KB method cap and drop the stage to interpreted mode.
     val dims = signs.zipWithIndex.map { case (row, j) =>
       val sgn = array(row.map(s => lit(s.toDouble)): _*)
-      val dot = aggregate(zip_with(col("__v"), sgn, (x, sg) => x * sg),
-        lit(0.0), (acc, x) => acc + x)
-      struct(lit(j).as("dim"), round(dot * lit(scale), 6).as("x"))
+      val d = dot(col("__v"), sgn)
+      struct(lit(j).as("dim"), round(d * lit(scale), 6).as("x"))
     }
     df.withColumn("__v", asDouble(col(vecCol)))
       .select(col(idCol), explode(array(dims: _*)).as("__d"))
@@ -411,9 +421,7 @@ object Ann {
     * (dist, idx) structs — deterministic tiebreak on idx). */
   def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column = {
     val scored = centroids.zipWithIndex.map { case (cen, i) =>
-      val lit_ = typedLit(cen.toSeq)
-      val d = aggregate(zip_with(v, lit_, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
+      val d = sqDist(v, typedLit(cen.toSeq))
       struct(d.as("d"), lit(i).as("i"))
     }
     array_min(array(scored: _*)).getField("i")
@@ -440,9 +448,7 @@ object Ann {
     // query → nprobe nearest cells (driver-free: explode a scored struct
     // array, rank with a window).
     val probeScored = centroids.zipWithIndex.map { case (cen, i) =>
-      val lit_ = typedLit(cen.toSeq)
-      val d = aggregate(zip_with(col("qv"), lit_, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
+      val d = sqDist(col("qv"), typedLit(cen.toSeq))
       struct(d.as("d"), lit(i).as("i"))
     }
     val q = queries.select(col("vec_id").as("query_id"),
@@ -460,8 +466,8 @@ object Ann {
   /** Squared-L2 distance as the same 0.0-seeded left fold as [[dot]] —
     * IEEE-identical wherever the fold is mirrored. */
   def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    ColumnBridge.column(VecSqDist(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Exact brute-force top-k by squared L2 (6dp-rounded, id tiebreak) —
     * the distance-metric sibling of [[bruteTopK]] and the recall baseline
