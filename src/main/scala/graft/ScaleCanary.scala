@@ -59,12 +59,19 @@ object ScaleCanary {
     def replicate(n: String)(f: (DataFrame, Int) => DataFrame): Unit =
       write((0 until reps).map(r => f(tbl(n), r)).reduce(_ unionAll _), n)
 
+    // doc_id stride 1e7, not 1e5, for the same reason as vec_id below: the
+    // dedup gates derive planted ids as doc_id + 2e6, so with a 1e5 stride
+    // replica r's planted ids collide with replica r+20's base ids once
+    // reps > 20 — groupBy(id) then merges a planted fragment with an
+    // unrelated replica's doc and the "pairs scale exactly ×reps"
+    // invariant silently breaks. 1e7 keeps base+planted spans disjoint to
+    // ≥ 1000 reps.
     replicate("documents") { (d, r) =>
       val text = if (r == 0) col("text")
         else array_join(transform(split(col("text"), " "),
           t => concat(lit(s"r$r"), t)), " ")
       val nChars = if (r == 0) col("n_chars") else length(text)
-      d.select((col("doc_id") + lit(r * 100000L)).as("doc_id"), text.as("text"),
+      d.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"), text.as("text"),
         col("lang"), col("source"), nChars.as("n_chars"))
     }
     // vec_id stride 1e7, not 1e5: plantedEmbeddings derives dup ids as
