@@ -49,12 +49,18 @@ object ScaleCanary {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def tbl(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
-    // Single output file per table, matching the testdata layout — the
-    // canary must change DATA VOLUME only, not scan parallelism (testdata
-    // tables are one row group; a 32-file replica would hand the sf1 run
-    // free parallelism the sf0.1 baseline doesn't get).
+    // ONE FILE PER REPLICA (the union of `reps` single-file reads carries
+    // one partition per replica straight through to the writer — no
+    // repartition). File count must scale WITH volume: a real 100 TB table
+    // is thousands of splits, and a single coalesced file serializes the
+    // whole 100× scan into one task (measured: 913× task skew, a 38 s
+    // serial scan taxing every query in the round-10 canary) — that
+    // measures the fixture, not the engine. Per-replica files keep
+    // scan parallelism exactly proportional to data, like a cluster's
+    // maxPartitionBytes splits, while each file stays one row group so
+    // the sf0.1 baseline's per-split work is unchanged.
     def write(df: DataFrame, n: String): Unit =
-      df.coalesce(1).write.mode("overwrite").parquet(s"$out/$n.parquet")
+      df.write.mode("overwrite").parquet(s"$out/$n.parquet")
 
     def replicate(n: String)(f: (DataFrame, Int) => DataFrame): Unit =
       write((0 until reps).map(r => f(tbl(n), r)).reduce(_ unionAll _), n)

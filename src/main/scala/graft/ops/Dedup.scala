@@ -112,7 +112,6 @@ object Dedup {
       n: Int = 3, k: Int = 12, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = k / bands
     val shRows = shingleRows(docs, idCol, textCol, n)
-    val withSh = shRows.groupBy(col("id")).agg(collect_set(col("s")).as("sh"))
     // Signature as k grouped mins over the exploded rows — each xxhash runs
     // once per (shingle, i), never re-inlined per lambda element.
     val sigAggs = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
@@ -126,10 +125,22 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // Exact verify WITHOUT arrays: |A∩B| counted from the posting rows
+    // restricted to the LSH candidates (same narrow counting verify as
+    // [[pairIntersections]]; here the candidate set is already
+    // LSH-bounded, so no rare/hot split is needed). A band-collision pair
+    // sharing zero shingles simply produces no count row — same outcome
+    // as its former jaccard = 0.
+    val sized = shRows.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     candidates
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .join(shRows.select(col("id").as("id_a"), col("s")), Seq("id_a"))
+      .join(shRows.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("m"))
+      .join(sized.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sized.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("m").cast("double") /
+          (col("n_a") + col("n_b") - col("m")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -201,32 +212,32 @@ object Dedup {
     * over the UNION so both sides share one canonical order (the prefix
     * theorem needs a single global order to be lossless). */
   def ngramJaccardPairsAcross(left: DataFrame, right: DataFrame,
-      idCol: String, textCol: String, n: Int, threshold: Double): DataFrame = {
-    def shRows(df: DataFrame, side: Int) =
-      df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
-        .withColumn("side", lit(side))
-    val sh = shRows(left, 0).unionAll(shRows(right, 1))
-    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val ordered = sh.join(dfreq, Seq("s"))
-      .groupBy(col("side"), col("id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"))
-      .select(col("side"), col("id"), transform(col("arr"), x => x("s")).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-      .withColumn("prefix", slice(col("sh"), lit(1),
-        (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
+      idCol: String, textCol: String, n: Int, threshold: Double,
+      hotDf: Long = HotShingleDf): DataFrame = {
+    def shRows(df: DataFrame) = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def prefixOf(side: Int, as: String) = ordered.filter(col("side") === side)
-      .select(explode(col("prefix")).as("s"), col("id").as(as))
-    val candidates = prefixOf(0, "id_l").join(prefixOf(1, "id_r"), Seq("s"))
-      .select(col("id_l"), col("id_r")).distinct()
-    def setsOf(side: Int, as: String, shAs: String) =
-      ordered.filter(col("side") === side)
-        .select(col("id").as(as), col("sh").as(shAs))
-    candidates
-      .join(setsOf(0, "id_l", "sh_l"), Seq("id_l"))
-      .join(setsOf(1, "id_r", "sh_r"), Seq("id_r"))
-      .select(col("id_l"), col("id_r"),
-        jaccard(col("sh_l"), col("sh_r")).as("jaccard"))
+    val shL = shRows(left)
+    val shR = shRows(right)
+    // df over the UNION: both sides' prefixes derive from one global
+    // (df, s) order, which the prefix theorem needs to be lossless.
+    val dfreq = shL.unionAll(shR).groupBy(col("s")).agg(count(lit(1)).as("df"))
+    def candidates = prefixPostings(shL, dfreq, threshold)
+      .select(col("s"), col("id").as("id_a"))
+      .join(prefixPostings(shR, dfreq, threshold)
+        .select(col("s"), col("id").as("id_b")), Seq("s"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // Left and right are distinct pair slots by construction, so the pair
+    // predicate is vacuous (a left doc re-appearing in the corpus pairs
+    // with itself, exactly as the array-verify implementation did).
+    pairIntersections(shL, shR, dfreq, lit(true), hotDf, candidates)
+      .join(shL.groupBy(col("id")).agg(count(lit(1)).as("n_l"))
+        .withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .join(shR.groupBy(col("id")).agg(count(lit(1)).as("n_r"))
+        .withColumnRenamed("id", "id_b"), Seq("id_b"))
+      .select(col("id_a").as("id_l"), col("id_b").as("id_r"),
+        (col("m").cast("double") /
+          (col("n_l") + col("n_r") - col("m")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -418,64 +429,125 @@ object Dedup {
 
   // -------------------------------------------------------- n-gram Jaccard
 
+  /** df at or below which a shingle counts as RARE for
+    * [[pairIntersections]]' direct co-occurrence regime. Rare-side work is
+    * Σ_{df≤D} df² ≤ D · (total postings) — LINEAR in corpus size at fixed
+    * D; everything hotter (boilerplate grams) is counted only for
+    * prefix-filtered candidate pairs. The eager max(df) probe that picks
+    * the regime is the same two-regime discipline as
+    * [[Graph.LocalEdgeThreshold]]. */
+  private[graft] val HotShingleDf: Long = 256L
+
+  /** df-ordered prefix postings `(s, id)`: each doc's rarest
+    * `n_sh − ⌈τ·n_sh⌉ + 1` shingles under the GLOBAL (df, s) order —
+    * window ranks over posting rows, never per-doc arrays. Rare-first
+    * ordering keeps hot shingles out of the probe stream, which is what
+    * bounds candidate fan-out on skewed corpora; any consistent global
+    * order would be correct. */
+  private def prefixPostings(sh: DataFrame, dfreq: DataFrame,
+      threshold: Double): DataFrame = {
+    val wOrd = Window.partitionBy(col("id")).orderBy(col("df"), col("s"))
+    val wAll = Window.partitionBy(col("id"))
+    sh.join(dfreq, Seq("s"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_sh", count(lit(1)).over(wAll))
+      .filter(col("rn") <=
+        (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int"))
+      .select(col("s"), col("id"))
+  }
+
+  /** Exact per-pair shingle-intersection counts `(id_a, id_b, m)` — the
+    * shared verify core of [[ngramJaccardPairs]],
+    * [[ngramJaccardPairsAcross]] and [[containmentPairs]]. NO shingle
+    * arrays are materialized or shuffled: `m = |A∩B|` is COUNTED from the
+    * inverted index (posting ⋈ posting on the shingle, then one keyed
+    * count), so every row in flight is a fixed-width (id, id[, s]) tuple.
+    * The previous array-verify (ship both docs' full shingle arrays to
+    * every candidate pair, `array_intersect` per row) sorted ~1.3 KB×2
+    * payloads per candidate through two shuffle joins and hit a uniform
+    * spill cliff at the 100× canary (605 s wall, two 32-task monster
+    * stages — SCALE.md §"100× scale canary"); counting from the index is
+    * the same answer with ~50× less shuffle byte volume.
+    *
+    * Two regimes, split PER SHINGLE at df ≤ `hotDf`:
+    *  - RARE shingles co-occur-count directly: join volume
+    *    Σ_{df≤hotDf} df² ≤ hotDf·P — linear in total postings P, no
+    *    candidate set needed.
+    *  - HOT shingles (boilerplate at real-corpus scale) would make Σ df²
+    *    quadratic, so their contributions are counted only for the
+    *    caller's prefix-filtered `candidates` pairs.
+    * Exactness at the caller's threshold τ: any pair truly at/above τ
+    * shares a shingle in the probe prefix (pigeonhole), so it IS a
+    * candidate and its `m = m_rare + m_hot` is complete; a non-candidate
+    * pair can only be UNDER-counted (its hot part dropped), its measured
+    * score only falls, and the prefix theorem already guarantees its true
+    * score is < τ — the ≥ τ filter can never falsely admit or lose a
+    * pair. When max(df) ≤ hotDf (checked with one aggregate on `dfreq`)
+    * the candidate machinery is never built at all: the whole plan is
+    * scan → co-occur join → count. */
+  private def pairIntersections(shA: DataFrame, shB: DataFrame,
+      dfreq: DataFrame, pairPred: Column, hotDf: Long,
+      candidates: => DataFrame): DataFrame = {
+    val maxDf = Option(dfreq.agg(max(col("df"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    def post(sh: DataFrame, as: String) = sh.select(col("id").as(as), col("s"))
+    if (maxDf <= hotDf) {
+      post(shA, "id_a").join(post(shB, "id_b"), Seq("s"))
+        .filter(pairPred)
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("m"))
+    } else {
+      val hotS = dfreq.filter(col("df") > hotDf).select(col("s"))
+      val interR = post(shA.join(hotS, Seq("s"), "left_anti"), "id_a")
+        .join(post(shB.join(hotS, Seq("s"), "left_anti"), "id_b"), Seq("s"))
+        .filter(pairPred)
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("mr"))
+      val interH = candidates
+        .join(post(shA.join(hotS, Seq("s"), "left_semi"), "id_a"), Seq("id_a"))
+        .join(post(shB.join(hotS, Seq("s"), "left_semi"), "id_b"),
+          Seq("id_b", "s"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("mh"))
+      interR.join(interH, Seq("id_a", "id_b"), "full_outer")
+        .select(col("id_a"), col("id_b"),
+          (coalesce(col("mr"), lit(0L)) + coalesce(col("mh"), lit(0L))).as("m"))
+    }
+  }
+
   /** Exact n-gram Jaccard pairs at `threshold` via PREFIX FILTERING over an
-    * inverted index (Chaudhuri/Xiao-style):
-    *
-    *  1. order each doc's shingle set by a global canonical order (xxhash64
-    *     — deterministic, no frequency statistics needed);
-    *  2. index only each doc's prefix of length |set| − ⌈τ·|set|⌉ + 1: any
-    *     pair with J ≥ τ must share a shingle inside both prefixes, so
-    *     joining prefixes loses no qualifying pair;
-    *  3. exactly verify the (few) candidate pairs with full set Jaccard.
-    *
-    * Work shuffles by shingle, hot shingles only hurt when hashed into a
-    * prefix (~(1−τ) of the time), and the exact verify makes the output
-    * IDENTICAL to a naive all-pairs scan at any τ > 0. */
+    * inverted index (Chaudhuri/Xiao-style) with an index-side COUNTING
+    * verify ([[pairIntersections]]): J = m / (n_a + n_b − m) from the
+    * intersection count and the two set sizes — no shingle arrays anywhere.
+    * Output is IDENTICAL to a naive all-pairs scan at any τ > 0. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    // Shingle sets are built with the NARROW array expression (one
-    // projection, no shuffle), so re-evaluating the base in the two
-    // aggregate subtrees below costs a scan, not a window sort — the plan's
-    // only shuffles are the keyed aggregates/joins themselves.
-    val sh = docs.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), n)).as("s"))
-    // Canonical order = ascending document frequency (rare shingles first) —
-    // prefixes then hold each doc's rarest shingles, so hot shingles almost
-    // never generate candidates. Any consistent total order is correct; df
-    // order is the one that performs on skewed corpora.
-    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // One aggregate yields the df-ordered shingle array; the prefix of
-    // length |set| − ⌈τ·|set|⌉ + 1 is a slice of it (any pair with J ≥ τ
-    // must share a shingle inside both prefixes).
-    // PERSISTED: this subtree is referenced 4 times below (both sides of the
-    // prefix self-join, both verify joins). Unpersisted, each reference
-    // re-runs tokenize+shingle+df-join+sort-agg — and when the input is
-    // itself an expensive pipeline (Curation: langid+quality+semi-join), the
-    // whole upstream re-runs 4x too. One row per doc (id + shingle array),
-    // so the cache is ~corpus-sized; MEMORY_AND_DISK spills rather than
-    // recomputes at scale. The cache is intentionally left registered after
-    // return (the result frame still references it); Spark's LRU evicts it
-    // under memory pressure, and callers needing deterministic release can
-    // spark.catalog.clearCache() between pipelines.
-    val ordered = sh.join(dfreq, Seq("s"))
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"))
-      .select(col("id"), transform(col("arr"), x => x("s")).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-      .withColumn("prefix", slice(col("sh"), lit(1),
-        (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
+      n: Int, threshold: Double, hotDf: Long = HotShingleDf): DataFrame = {
+    // PERSISTED: the posting rows are referenced by dfreq, the sizes, the
+    // co-occurrence join (both sides) and, on hot corpora, the prefix
+    // probes. Unpersisted, each reference re-runs tokenize+shingle — and
+    // when the input is itself an expensive pipeline (Curation:
+    // langid+quality+semi-join), the whole upstream re-runs too.
+    // MEMORY_AND_DISK spills rather than recomputes at scale; the cache is
+    // intentionally left registered after return (the result frame still
+    // references it) — Spark's LRU evicts under pressure, and callers
+    // needing deterministic release can spark.catalog.clearCache().
+    val sh = shingleRows(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prefix = ordered.select(explode(col("prefix")).as("s"), col("id"))
-    val candidates = prefix.select(col("s"), col("id").as("id_a"))
-      .join(prefix.select(col("s"), col("id").as("id_b")), Seq("s"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    val sets = ordered.select(col("id"), col("sh"))
-    candidates
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val sized = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    def candidates = {
+      val pre = prefixPostings(sh, dfreq, threshold)
+      pre.select(col("s"), col("id").as("id_a"))
+        .join(pre.select(col("s"), col("id").as("id_b")), Seq("s"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+    }
+    pairIntersections(sh, sh, dfreq, col("id_a") < col("id_b"), hotDf,
+        candidates)
+      .join(sized.select(col("id").as("id_a"), col("n_sh").as("n_a")),
+        Seq("id_a"))
+      .join(sized.select(col("id").as("id_b"), col("n_sh").as("n_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("m").cast("double") /
+          (col("n_a") + col("n_b") - col("m")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -490,42 +562,32 @@ object Dedup {
     * prunes to its rarest `|A| − ⌈τ|A|⌉ + 1` shingles (pigeonhole: ≥
     * ⌈τ|A|⌉ shared shingles cannot all hide in the ⌈τ|A|⌉−1 suffix),
     * while the index side (b) must stay FULL — B's matching shingles may
-    * be its hottest. Shuffles are keyed by shingle (candidates) and id
-    * (verify); df-ascending prefix order keeps hot shingles out of the
-    * probe stream, which is what bounds candidate fan-out on skew.
+    * be its hottest. The verify COUNTS `|A∩B|` from the inverted index
+    * ([[pairIntersections]]) — containment = m / n_a, no arrays shipped.
     * Output is provably identical to the all-pairs containment scan.
     *
     * @return (id_a, id_b, containment): a ≠ b, containment = |A∩B|/|A|
     *         rounded to 6dp, ≥ τ after rounding. BOTH directions can
     *         emit for mutually-similar pairs. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, hotDf: Long = HotShingleDf): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold out of (0,1]: $threshold")
     val sh = shingleRows(docs, idCol, textCol, n)
-    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val ordered = sh.join(dfreq, Seq("s"))
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"))
-      .select(col("id"), transform(col("arr"), x => x("s")).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-      .withColumn("prefix", slice(col("sh"), lit(1),
-        (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = ordered
-      .select(explode(col("prefix")).as("s"), col("id").as("id_a"))
-      .join(ordered.select(explode(col("sh")).as("s"), col("id").as("id_b")),
-        Seq("s"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val sized = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    def candidates = prefixPostings(sh, dfreq, threshold)
+      .select(col("s"), col("id").as("id_a"))
+      .join(sh.select(col("s"), col("id").as("id_b")), Seq("s"))
       .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    val sets = ordered.select(col("id"), col("sh"))
-    candidates
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    pairIntersections(sh, sh, dfreq, col("id_a") =!= col("id_b"), hotDf,
+        candidates)
+      .join(sized.select(col("id").as("id_a"), col("n_sh")), Seq("id_a"))
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(col("sh_a")).cast("double"), 6).as("containment"))
+        round(col("m").cast("double") / col("n_sh").cast("double"), 6)
+          .as("containment"))
       .filter(col("containment") >= threshold)
   }
 

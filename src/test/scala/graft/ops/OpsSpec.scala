@@ -268,6 +268,26 @@ class OpsSpec extends SparkSpec {
     assert(filtered == brute)
   }
 
+  test("hot-shingle regime (hotDf=1) = rare regime bit-for-bit on all three " +
+      "pair operators") {
+    // hotDf = 1 marks every df ≥ 2 shingle HOT, forcing the hybrid plan
+    // (rare co-occurrence + prefix candidates + hot counts + full-outer
+    // merge) on corpora whose default plan is the pure co-occurrence
+    // regime. Every shared shingle of every true pair is df ≥ 2 by
+    // definition, so this routes ALL intersection mass through the
+    // candidate-restricted hot path — the strongest exactness exercise.
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8, hotDf = 1L))
+      == pairs(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)))
+    assert(pairs(Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8, hotDf = 1L))
+      == pairs(Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8)))
+    val newB = docs.filter(col("doc_id") % 7 === 0)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    assert(pairs(Dedup.ngramJaccardPairsAcross(newB, corpus, "doc_id", "text", 3, 0.8, hotDf = 1L))
+      == pairs(Dedup.ngramJaccardPairsAcross(newB, corpus, "doc_id", "text", 3, 0.8)))
+  }
+
   test("winnowing: insertion-robust shared fingerprints, noise isolated, " +
       "partition invariant") {
     import spark.implicits._
