@@ -4,13 +4,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Plan every exchange wide and let AQE coalesce DOWN to the data:
+      // reducer width then tracks shuffle volume at any scale. At sf0.1
+      // this is noise-neutral (two interleaved A/B pairs, SCALE.md
+      // §"100× scale canary"); at the 100× canary it is what keeps the
+      // heavy dedup shuffles out of sort-spill (90.7 → 51.6 s).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Same `k=v;k=v` conf passthrough as BenchOne — lets scale/skew A/Bs
+    // drive the FULL bench without code edits.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM + file-system metadata once so per-query numbers measure
     // the queries, not first-touch class loading / footer reads.

@@ -80,4 +80,38 @@ object SkewJoin {
       .select(col("__k").as(keyCol), col("__va").as(valCol + "_a"),
         col("__vb").as(valCol + "_b"))
   }
+
+  /** Group size above which [[selfPairsAuto]] buys the blocked plan. A
+    * group of m members emits m²/2 pairs from m rows; at 4096 the hot
+    * group's ~8M pairs are what stalls one sort-merge task (the skew
+    * canary measured a 58× stall from a far smaller planted key), while
+    * below it the naive plan's worst task stays ~comparable to its
+    * median. */
+  val HotGroupThreshold: Long = 4096L
+
+  /** Naive within-group self-pairing — `df.join(df, key).filter(va < vb)`.
+    * The right plan when no group is degenerate: zero replication, one
+    * co-partitioned join. */
+  def naiveSelfPairs(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.select(col(keyCol), col(valCol).as(valCol + "_a"))
+      .join(df.select(col(keyCol), col(valCol).as(valCol + "_b")), Seq(keyCol))
+      .filter(col(valCol + "_a") < col(valCol + "_b"))
+
+  /** Two-regime self-pairing: ONE max-group-size aggregate picks the plan —
+    * naive below `hotThreshold` (no replication; the 100× canary measured
+    * the always-blocked shape at ~4× the naive cost on uniform data, pure
+    * insurance premium), blocked above it (output skew is invisible to AQE,
+    * which splits oversized INPUT partitions — a hot group's input is
+    * tiny). Same eager-probe discipline as Graph.LocalEdgeThreshold and
+    * Dedup.pairIntersections; both branches are provably pair-identical
+    * (ShapeSpec). The probe costs one keyed count — noise next to the pair
+    * join it steers. */
+  def selfPairsAuto(df: DataFrame, keyCol: String, valCol: String,
+      chunks: Int = 8, hotThreshold: Long = HotGroupThreshold): DataFrame = {
+    val maxGroup = df.groupBy(col(keyCol)).agg(count(lit(1)).as("m"))
+      .agg(max(col("m"))).head()
+    val hot = !maxGroup.isNullAt(0) && maxGroup.getLong(0) > hotThreshold
+    if (hot) blockedSelfPairs(df, keyCol, valCol, chunks)
+    else naiveSelfPairs(df, keyCol, valCol)
+  }
 }

@@ -311,6 +311,23 @@ object RelationalQueries {
         .limit(50)
     }),
 
+    // The production entry: selfPairsAuto probes max basket size with one
+    // aggregate and only pays blockedSelfPairs' 2·chunks replication when
+    // a degenerate group exists (the 100× canary priced the always-blocked
+    // shape at ~4× naive on uniform data). TPC-H baskets are ≤7 items, so
+    // this gate exercises the probe + naive branch; the blocked branch is
+    // pinned pair-identical on a planted hot key in ShapeSpec.
+    "basket_pairs_auto" -> ((s, dir) => {
+      val b = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      graft.ops.SkewJoin.selfPairsAuto(b, "l_orderkey", "l_partkey")
+        .groupBy(col("l_partkey_a").as("part_a"),
+          col("l_partkey_b").as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
+        .limit(50)
+    }),
+
     // Association rules over the co-purchase baskets: directed (a→b)
     // pair support with confidence and lift, support floor 5, top 25 by
     // lift — the classic market-basket read-out on top of the same
@@ -461,9 +478,18 @@ object RelationalQueries {
           |GROUP BY 1, 2
           |ORDER BY n_orders DESC, part_a ASC, part_b ASC LIMIT 50""".stripMargin,
 
-      // blockedSelfPairs is output-identical to the naive self-join, so
-      // the blocked gate shares the naive oracle verbatim.
+      // blockedSelfPairs / selfPairsAuto are output-identical to the naive
+      // self-join, so both gates share the naive oracle verbatim.
       "basket_pairs_blocked" ->
+        """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+          |SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+          |  CAST(count(*) AS BIGINT) AS n_orders
+          |FROM b a JOIN b c
+          |  ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+          |GROUP BY 1, 2
+          |ORDER BY n_orders DESC, part_a ASC, part_b ASC LIMIT 50""".stripMargin,
+
+      "basket_pairs_auto" ->
         """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
           |SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
           |  CAST(count(*) AS BIGINT) AS n_orders

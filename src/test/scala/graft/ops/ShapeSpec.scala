@@ -294,6 +294,15 @@ class ShapeSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(blocked == naive, s"chunks=$chunks")
     }
+    // selfPairsAuto: the probe routes this fixture (max group 60) to the
+    // blocked branch at hotThreshold=50 and the naive branch at 1000;
+    // both must emit the identical pair set.
+    Seq(50L, 1000L).foreach { thr =>
+      val auto = SkewJoin.selfPairsAuto(rows, "k", "v", chunks = 8,
+          hotThreshold = thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(auto == naive, s"hotThreshold=$thr")
+    }
   }
 
   test("topFraction keeps exactly ceil(frac*n) best-scored rows, stable under partitioning") {
