@@ -14,6 +14,13 @@ object Bench {
       // §"100× scale canary"); at the 100× canary it is what keeps the
       // heavy dedup shuffles out of sort-spill (90.7 → 51.6 s).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // Without this, cached-plan materialization is EXEMPT from AQE
+      // reducer coalescing (Spark preserves the cached plan's output
+      // partitioning), so every `.persist` under the 512-wide default
+      // above materialized its shuffles 512 wide and stored 512-block
+      // cache entries — the round-10 recsys_item_item 3.2→81.3 s driver
+      // regression (VERDICT r10 item 1; graft.core.Memo scaladoc).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // Same `k=v;k=v` conf passthrough as BenchOne — lets scale/skew A/Bs
@@ -46,6 +53,8 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
+    graft.core.Memo.drainBuilt() // discard warmup-dir cache events
+    val coldCaches = scala.collection.mutable.Map[String, Seq[String]]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -53,6 +62,11 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
       }
+      // Attribute shared-memo cache builds to the query that paid them
+      // (whichever gate sorts first in its family materializes the
+      // family's persisted derivations inside its own timing).
+      val built = graft.core.Memo.drainBuilt()
+      if (built.nonEmpty) coldCaches(name) = built
       // Failed queries report -1 so a regression can't masquerade as a
       // fast run in BENCH_r{N}.json.
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
@@ -67,7 +81,10 @@ object Bench {
     // any failures; the full map is in the diagnostic line / repo docs.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"bench_full":$fullQs,"sf":"$sfDir"}""")
+    val cold = coldCaches.toSeq.sortBy(_._1).map { case (q, cs) =>
+      "\"" + q + "\":" + cs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    println(s"""{"bench_full":$fullQs,"cache_cold":$cold,"sf":"$sfDir"}""")
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val keep = (results.sortBy(-_._2).take(25) ++ results.filter(_._2 < 0))
       .distinct.sortBy(_._1)

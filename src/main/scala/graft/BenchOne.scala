@@ -44,6 +44,8 @@ object BenchOne {
       .config("spark.sql.adaptive.enabled", "true")
       // Same wide-then-coalesce default as Bench (see there).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // Cached plans skip AQE coalescing without this (see Bench).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
       val Array(k, v) = kv.split("=", 2)

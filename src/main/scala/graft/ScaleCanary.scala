@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   *    co-purchase graph crosses the LocalEdgeThreshold, forcing the
   *    DISTRIBUTED graph regime the small scales never exercise.
   *
-  * Small dimensions (region…orders) are copied verbatim. Output layout
+  * Dimensions referenced by offset foreign keys (orders, customer, part,
+  * supplier) replicate with matching key offsets so inner joins keep all
+  * replicas; only region/nation (un-offset keys) copy verbatim. Output layout
   * matches testdata (`<out>/<name>.parquet`), so every SparkEntry query and
   * BenchOne run against it unchanged.
   */
@@ -115,8 +117,28 @@ object ScaleCanary {
         (col("o_custkey") + lit(r * 100000L)).as("o_custkey")) ++
         o.columns.filterNot(Set("o_orderkey", "o_custkey")).map(col): _*)
     }
-    Seq("region", "nation", "customer", "supplier", "part")
-      .foreach(n => write(tbl(n), n))
+    // Dimensions referenced by replica-offset foreign keys must replicate
+    // with the MATCHING offset, or every inner join orders⋈customer /
+    // lineitem⋈part / lineitem⋈supplier silently drops all replicas r > 0
+    // and those gates report spuriously flat slopes (measured: the r10
+    // canary carried this blind spot for the relational families; slopes
+    // re-measured in SCALE.md §"batch 5"). Strides match the fact-side
+    // offsets above; key domains at sf0.1 (c ≤ 15k, p ≤ 20k, s ≤ 1k) stay
+    // collision-free to ≥ 100 reps. Non-key attributes are copied, so
+    // per-replica join fan-outs are exact copies of the source scale.
+    replicate("customer") { (c, r) =>
+      c.select((col("c_custkey") + lit(r * 100000L)).as("c_custkey") +:
+        c.columns.filterNot(_ == "c_custkey").map(col): _*)
+    }
+    replicate("part") { (p, r) =>
+      p.select((col("p_partkey") + lit(r * 100000L)).as("p_partkey") +:
+        p.columns.filterNot(_ == "p_partkey").map(col): _*)
+    }
+    replicate("supplier") { (su, r) =>
+      su.select((col("s_suppkey") + lit(r * 10000L)).as("s_suppkey") +:
+        su.columns.filterNot(_ == "s_suppkey").map(col): _*)
+    }
+    Seq("region", "nation").foreach(n => write(tbl(n), n))
     spark.stop()
   }
 }

@@ -16,6 +16,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       // Same wide-then-coalesce AQE default as Bench (see there).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // Cached plans skip AQE coalescing without this (see Bench).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1,0 +1,82 @@
+package graft.core
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped registry for the query families' shared derived caches
+  * (recsys baskets / neighbor table, graph edge lists, the n-gram
+  * near-dup pair table). One place owns the persist decision instead of
+  * N private `ConcurrentHashMap`s, for three reasons:
+  *
+  *  1. '''The round-10 regression class.''' Under the bench entry
+  *     points' wide-then-coalesce AQE default
+  *     (`coalescePartitions.initialPartitionNum=512`), cached-plan
+  *     materialization SKIPS partition coalescing unless
+  *     `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true`
+  *     — Spark preserves a cached plan's output partitioning by
+  *     disabling AQE reducer coalescing inside the `InMemoryRelation`
+  *     build. A memoized `.persist` therefore materialized every one of
+  *     its shuffles 512 wide and stored a 512-block cache entry
+  *     (recsys_item_item 3.2 → 81.3 s on the round-10 driver bench).
+  *     Bench / BenchOne / Verify now set that conf; routing every memo
+  *     through here keeps the fix and its rationale in one file.
+  *  2. '''Attribution.''' Whichever gate sorts first in its family pays
+  *     the cache build inside its own timing. [[drainBuilt]] lets Bench
+  *     stamp a per-query `cache_cold` marker in the diagnostic JSON so
+  *     the next cache-shaped regression is attributable at a glance.
+  *  3. '''Lifecycle.''' Entries assume IMMUTABLE fixtures: the key is
+  *     (cache name, session, data dir) and a rewrite of the parquet
+  *     under `dir` within one session would serve stale rows. Harnesses
+  *     that regenerate fixtures must call [[clear]]. Entries are dropped
+  *     when their session is stopped (checked lazily on each access), so
+  *     long-lived JVMs hosting many sessions do not accumulate leaked
+  *     plans.
+  */
+object Memo {
+
+  private val cache =
+    new ConcurrentHashMap[(String, SparkSession, String), DataFrame]()
+
+  /** Names of caches built since the last [[drainBuilt]] call. */
+  private val built = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Memoize `build` per (name, session, dir) and persist the result
+    * MEMORY_AND_DISK. The build stays lazy — materialization happens at
+    * the first consuming action, which is also the query the
+    * `cache_cold` marker attributes it to. */
+  def cached(name: String, s: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame = {
+    evictStopped()
+    cache.computeIfAbsent((name, s, dir), { _ =>
+      built.add(name + ":" + dir)
+      build.persist(StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
+  /** Cache names (`name:dir`) created since the previous drain — the
+    * bench's per-query cold-cache attribution. */
+  def drainBuilt(): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var n = built.poll()
+    while (n != null) { out += n; n = built.poll() }
+    out.result()
+  }
+
+  /** Unpersist and forget every entry of `s` — for harnesses that
+    * rewrite fixtures mid-session. */
+  def clear(s: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    cache.keySet.asScala.filter(_._2 eq s).foreach { k =>
+      Option(cache.remove(k)).foreach(df =>
+        try df.unpersist() catch { case _: Throwable => () })
+    }
+  }
+
+  private def evictStopped(): Unit = {
+    import scala.jdk.CollectionConverters._
+    cache.keySet.asScala.filter(_._2.sparkContext.isStopped)
+      .foreach(cache.remove)
+  }
+}

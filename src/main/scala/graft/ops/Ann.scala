@@ -260,9 +260,12 @@ object Ann {
       threshold: Double): (Int, Int) = {
     if (n <= SrpScalePivot) (planes, tables)
     else {
-      val extra = math.min(
+      // Clamped at 0: a caller whose base geometry already exceeds 48
+      // planes passes through unchanged rather than having planes AND
+      // tables silently shrunk (pow(1/a, negative) < 1 would cut recall).
+      val extra = math.max(0, math.min(
         math.ceil(math.log(n.toDouble / SrpScalePivot) / math.log(2.0)).toInt,
-        48 - planes)
+        48 - planes))
       val a = 1.0 - math.acos(math.min(threshold, 0.999999)) / math.Pi
       val tEff = math.min(
         math.ceil(tables * math.pow(1.0 / a, extra.toDouble)).toInt, 64)

@@ -107,11 +107,17 @@ object Dedup {
     * The band self-join ships only (band, id) rows — candidate ids — and the
     * (big) shingle arrays are joined back for the surviving distinct pairs
     * only, so shuffle volume is bands×|docs| ints + |candidates| arrays, not
-    * bands×|docs| arrays. */
+    * bands×|docs| arrays. Requires UNIQUE doc ids (see
+    * [[pairIntersections]]). */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 12, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = k / bands
+    // Persisted: the shingle subtree feeds FOUR plan branches (signature
+    // agg, n_sh sizes, both verify-join sides) — unpersisted, tokenize +
+    // shingle (and any expensive upstream pipeline) re-runs per branch.
+    // Same discipline as ngramJaccardPairs/containmentPairs.
     val shRows = shingleRows(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Signature as k grouped mins over the exploded rows — each xxhash runs
     // once per (shingle, i), never re-inlined per lambda element.
     val sigAggs = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
@@ -210,7 +216,8 @@ object Dedup {
     * left × right only (no within-set pairs). Same prefix-filtering
     * machinery as [[ngramJaccardPairs]] — document frequencies are computed
     * over the UNION so both sides share one canonical order (the prefix
-    * theorem needs a single global order to be lossless). */
+    * theorem needs a single global order to be lossless). Requires
+    * UNIQUE doc ids within each side (see [[pairIntersections]]). */
   def ngramJaccardPairsAcross(left: DataFrame, right: DataFrame,
       idCol: String, textCol: String, n: Int, threshold: Double,
       hotDf: Long = HotShingleDf): DataFrame = {
@@ -458,8 +465,19 @@ object Dedup {
 
   /** Exact per-pair shingle-intersection counts `(id_a, id_b, m)` — the
     * shared verify core of [[ngramJaccardPairs]],
-    * [[ngramJaccardPairsAcross]] and [[containmentPairs]]. NO shingle
-    * arrays are materialized or shuffled: `m = |A∩B|` is COUNTED from the
+    * [[ngramJaccardPairsAcross]] and [[containmentPairs]].
+    *
+    * PRECONDITION (all counting-verify entry points, incl.
+    * [[minhashNearDupPairs]]): doc ids are UNIQUE in the input. The
+    * counts are derived from (id, shingle) posting rows, so two input
+    * rows sharing an id contribute duplicate postings that inflate both
+    * `m` (join multiplicity) and `n_sh` — unlike the old array verify,
+    * whose collect_list + array_intersect set semantics silently merged
+    * duplicate-id rows. Callers with non-unique ids must pre-dedupe
+    * (`.dropDuplicates(idCol)` or a distinct on (id, s)). Every gate
+    * fixture satisfies this (doc_id is the documents table's key).
+    *
+    * NO shingle arrays are materialized or shuffled: `m = |A∩B|` is COUNTED from the
     * inverted index (posting ⋈ posting on the shingle, then one keyed
     * count), so every row in flight is a fixed-width (id, id[, s]) tuple.
     * The previous array-verify (ship both docs' full shingle arrays to
@@ -516,7 +534,8 @@ object Dedup {
     * inverted index (Chaudhuri/Xiao-style) with an index-side COUNTING
     * verify ([[pairIntersections]]): J = m / (n_a + n_b − m) from the
     * intersection count and the two set sizes — no shingle arrays anywhere.
-    * Output is IDENTICAL to a naive all-pairs scan at any τ > 0. */
+    * Output is IDENTICAL to a naive all-pairs scan at any τ > 0.
+    * Requires UNIQUE doc ids (see [[pairIntersections]]). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, hotDf: Long = HotShingleDf): DataFrame = {
     // PERSISTED: the posting rows are referenced by dfreq, the sizes, the
@@ -566,6 +585,7 @@ object Dedup {
     * ([[pairIntersections]]) — containment = m / n_a, no arrays shipped.
     * Output is provably identical to the all-pairs containment scan.
     *
+    * Requires UNIQUE doc ids (see [[pairIntersections]]).
     * @return (id_a, id_b, containment): a ≠ b, containment = |A∩B|/|A|
     *         rounded to 6dp, ≥ τ after rounding. BOTH directions can
     *         emit for mutually-similar pairs. */

@@ -186,19 +186,25 @@ object Eval {
         stack(stack.length - 1) = (f1, l2, na + nb, pa + pb)
       }
     }
+    // Rates are the 6dp HALF_UP rounding of the DOUBLE quotient — the
+    // exact semantics of Spark SQL's round(cast(p as double)/n, 6)
+    // (BigDecimal.valueOf(double) = Double.toString shortest decimal),
+    // NOT a rounding of the exact rational. This mirrors what
+    // calibrationBins computes in-plan, so the DuckDB oracle (minimax
+    // form: iso(i) = max_{j≤i} min_{k≥i} avg(j..k), the classical PAV
+    // identity — SQL-expressible because bins ≤ 10) lands on the SAME
+    // double before the SAME rounding the oracle-green rate gates
+    // already rely on.
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
     val iso = stack.flatMap { case (f, l, n, pos) =>
-      val rate = java.math.BigDecimal.valueOf(pos)
-        .divide(java.math.BigDecimal.valueOf(n), 6,
-          java.math.RoundingMode.HALF_UP).doubleValue
+      val rate = round6(pos.toDouble / n.toDouble)
       (f to l).map(bin => bin -> rate)
     }.toMap
     val spark = df.sparkSession
     import org.apache.spark.sql.types._
     val out = collapsed.map { case (bin, n, pos) =>
-      val raw = java.math.BigDecimal.valueOf(pos)
-        .divide(java.math.BigDecimal.valueOf(n), 6,
-          java.math.RoundingMode.HALF_UP).doubleValue
-      Row(bin, n, pos, raw, iso(bin))
+      Row(bin, n, pos, round6(pos.toDouble / n.toDouble), iso(bin))
     }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(out.toSeq.asJava, StructType(Seq(

@@ -21,18 +21,15 @@ object DataOpsQueries {
 
   /** n-gram near-dup pair table (n=3, τ=0.8) — the shared upstream of
     * FOUR gates (ngram_pairs, source_matrix, components, cluster_sizes).
-    * Persisted + memoized per (session, dir) like the graph family's edge
-    * caches: the prefix-filtered pair pipeline is ~10 stages, so each
-    * extra consumer otherwise replays the whole derivation. */
-  private val ngramPairCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
+    * Persisted + memoized per (session, dir) via [[graft.core.Memo]]
+    * like the graph family's edge caches: the prefix-filtered pair
+    * pipeline is ~10 stages, so each extra consumer otherwise replays
+    * the whole derivation. */
   private def ngramPairs(s: SparkSession, dir: String): DataFrame =
-    ngramPairCache.computeIfAbsent((s, dir), { case (sess, d) =>
-      Dedup.ngramJaccardPairs(table(sess, d, "documents"), "doc_id", "text",
+    graft.core.Memo.cached("dataops.ngramPairs", s, dir) {
+      Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.8)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -87,9 +87,10 @@ object EvalQueries {
 
     // Isotonic (PAV) calibration of the quality score as an is-English
     // predictor: the monotone rate curve over the same 10 bins as
-    // eval_calibration_bins. Rows-only (adjacent-violator pooling is
-    // inherently sequential — not SQL-expressible); EvalSpec pins a
-    // hand-pooled fixture and monotonicity/mass invariants.
+    // eval_calibration_bins. Oracle-checked since round 11 via the PAV
+    // minimax identity (sequential pooling ≡ max-min over interval
+    // averages, enumerable because bins ≤ 10); EvalSpec additionally
+    // pins a hand-pooled fixture and monotonicity/mass invariants.
     "eval_isotonic_calibration" -> ((s, dir) =>
       Eval.isotonicCalibration(table(s, dir, "documents"),
         col("lang") === "en", TextOps.qualityScore(col("text")), CalibBins)),
@@ -271,5 +272,39 @@ object EvalQueries {
          |  round(abs(round(CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0), 6) -
          |    round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)), 6) AS gap
          |FROM g""".stripMargin
+    },
+
+    // PAV via the minimax identity iso(i) = max_{j≤i} min_{k≥i} avg(j..k)
+    // — expressible as interval prefix-sum enumeration because bins ≤ 10.
+    // Double comparisons of the interval averages are exact here: two
+    // DISTINCT averages differ by ≥ 1/(n_a·n_b) ≫ double ulp at corpus
+    // counts, and equal averages make either argmin/argmax choice yield
+    // the same value. Final rounding = round(double quotient, 6), the
+    // same pair the green rate gates prove agrees across engines.
+    "eval_isotonic_calibration" -> {
+      val width = 1000 / CalibBins
+      s"""WITH s AS (SELECT (lang = 'en') AS pos,
+         |    CAST(round($qualitySql * 1000, 0) AS BIGINT) AS m FROM documents),
+         |g AS (SELECT CAST(least(m // $width, ${CalibBins - 1}) AS INT) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |  FROM s GROUP BY 1),
+         |o AS (SELECT bin, n, n_pos,
+         |    CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS i,
+         |    sum(n) OVER (ORDER BY bin) AS cn,
+         |    sum(n_pos) OVER (ORDER BY bin) AS cp
+         |  FROM g),
+         |iv AS (SELECT a.i AS j, b.i AS k,
+         |    CAST(b.cp - a.cp + a.n_pos AS DOUBLE) /
+         |      CAST(b.cn - a.cn + a.n AS DOUBLE) AS avg_jk
+         |  FROM o a JOIN o b ON a.i <= b.i),
+         |mn AS (SELECT iv.j, bi.i, min(avg_jk) AS mnv
+         |  FROM iv JOIN o bi ON iv.j <= bi.i AND iv.k >= bi.i
+         |  GROUP BY 1, 2),
+         |iso AS (SELECT i, max(mnv) AS v FROM mn GROUP BY 1)
+         |SELECT bin, n, n_pos,
+         |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+         |  round(iso.v, 6) AS iso_rate
+         |FROM o JOIN iso USING (i)""".stripMargin
     })
 }

@@ -28,25 +28,18 @@ object GraphQueries {
     * WITHIN each gate's plan (degrees' two aggregates, pagerank's
     * adjacency + node set) and ACROSS the two graph gates; the memo
     * makes both gates share one cached copy instead of each persisting
-    * its own. Cache lives for the session (driver runs are one-shot;
-    * MEMORY_AND_DISK evicts LRU under pressure). */
-  private val edgeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
+    * its own. Memoized via [[graft.core.Memo]] (session lifecycle +
+    * immutable-fixture assumption documented there). */
   private def transitionEdges(s: SparkSession, dir: String): DataFrame =
-    edgeCache.computeIfAbsent((s, dir), { case (sess, d) =>
+    graft.core.Memo.cached("graph.transitionEdges", s, dir) {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
-      table(sess, d, "events")
+      table(s, dir, "events")
         .withColumn("next_type", lead(col("event_type"), 1).over(w))
         .filter(col("next_type").isNotNull)
         .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
         .agg(count(lit(1)).as("w"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
-
-  private val coPurchaseCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    }
 
   /** Co-purchase graph: parts linked when they share ≥ 2 orders — the
     * support floor keeps the graph at the association-rule backbone
@@ -55,8 +48,8 @@ object GraphQueries {
     * self-join over the distinct order-part pairs and three gates
     * (triangles, link prediction, k-core) reuse it. */
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
-    coPurchaseCache.computeIfAbsent((s, dir), { case (sess, d) =>
-      val b = table(sess, d, "lineitem")
+    graft.core.Memo.cached("graph.coPurchaseEdges", s, dir) {
+      val b = table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       b.select(col("l_orderkey"), col("l_partkey").as("pa"))
         .join(b.select(col("l_orderkey"), col("l_partkey").as("pb")),
@@ -64,8 +57,7 @@ object GraphQueries {
         .filter(col("pa") < col("pb"))
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** The fabricated SCC-gate digraph (shared by graph_scc and
     * graph_condensation): blocks of 50 part ids form directed rings (one

@@ -24,32 +24,25 @@ object RecsysQueries {
   private val RecsK = 3
 
   /** Distinct (order, part) basket rows — memoized+persisted per
-    * (session, dir): the distinct is a full lineitem shuffle and every
-    * recsys gate (and the holdout gate three times over) starts from it. */
-  private val basketCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
+    * (session, dir) via [[graft.core.Memo]] (immutable-fixture
+    * assumption and the cached-plan/AQE interaction documented there):
+    * the distinct is a full lineitem shuffle and every recsys gate (and
+    * the holdout gate three times over) starts from it. */
   private def baskets(s: SparkSession, dir: String): DataFrame =
-    basketCache.computeIfAbsent((s, dir), { case (sess, d) =>
-      table(sess, d, "lineitem")
+    graft.core.Memo.cached("recsys.baskets", s, dir) {
+      table(s, dir, "lineitem")
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
-
-  /** Neighbor-table memo: the self-join + scoring + ranking is the
-    * expensive part and several gates consume it — persist once per
-    * (session, dir, variant) like GraphQueries' edge caches. */
-  private val neighborCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    }
 
   /** Directed co-occurrence neighbor lists with cosine scores, top-K per
-    * source item (keyed window; ties broken by neighbor id). */
+    * source item (keyed window; ties broken by neighbor id). Memoized:
+    * the self-join + scoring + ranking is the expensive part and several
+    * gates consume it. */
   private def itemNeighbors(s: SparkSession, dir: String): DataFrame =
-    neighborCache.computeIfAbsent((s, dir), { case (sess, d) =>
-      neighborsFrom(baskets(sess, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    graft.core.Memo.cached("recsys.neighbors", s, dir) {
+      neighborsFrom(baskets(s, dir))
+    }
 
   /** The neighbor derivation over ANY (okey, part) basket table — the
     * full corpus for the serving gates, the train split for the holdout
@@ -127,13 +120,24 @@ object RecsysQueries {
       val fresh = cand.join(
         hist.select(col("cust"), col("part").as("part_j")),
         Seq("cust", "part_j"), "left_anti")
-      val w = Window.partitionBy(col("cust"))
-        .orderBy(col("s").desc, col("part_j").asc)
-      fresh.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= RecsK)
-        .select(col("cust").as("c_custkey"), col("part_j").as("rec_part"),
-          round(col("s").cast("double"), 6).as("rec_score"),
-          col("n_voters"), col("rank").cast("long").as("rank"))
+      // Bounded payload-carrying top-k instead of a per-customer ranking
+      // window: partial aggregation caps per-group state at k entries
+      // map-side (a window sorts each customer's FULL candidate list),
+      // and n_voters rides in the buffer so the candidate subtree is
+      // consumed exactly once — the round-10 join-back rewrite failed on
+      // precisely that double-consumption (TopKAgg.topKWith scaladoc).
+      // Order parity with the window: distinct decimal(18,6) values of
+      // this magnitude (≪ 4.5e9) stay distinct and ordered under the
+      // double cast, and the buffer's (score desc, id asc) matches
+      // (s DESC, part_j ASC).
+      fresh.groupBy(col("cust"))
+        .agg(graft.ops.TopKAgg.topKWith(col("s").cast("double"),
+          col("part_j"), Seq(col("n_voters")), RecsK).as("tk"))
+        .select(col("cust"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("cust").as("c_custkey"), col("e.id").as("rec_part"),
+          round(col("e.score"), 6).as("rec_score"),
+          col("e.p0").as("n_voters"),
+          (col("pos") + 1).cast("long").as("rank"))
     }),
 
     // Temporal-holdout evaluation of the recommender — the number that

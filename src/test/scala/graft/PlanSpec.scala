@@ -304,6 +304,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p)
   }
 
+  test("recsys_user_recs ranks through the payload-carrying TopKAgg: no " +
+      "per-customer window, no join-back second consumption of cand") {
+    val p = plan("recsys_user_recs")
+    assert("(?i)topkpayloadagg".r.findFirstIn(p).nonEmpty, p)
+    // windows keyed by the ITEM survive inside the (possibly inlined)
+    // neighbor-table subtree; what must NOT exist is a customer-keyed
+    // ranking window — that's the sort-every-candidate shape the bounded
+    // aggregate replaces
+    assert(!p.contains("windowspecdefinition(cust#"), p)
+    // and n_voters comes out of the aggregate buffer, not a join-back
+    // (the round-10 rejected rewrite's double-consumption)
+    assert("topkpayloadagg\\(.*n_voters".r.findFirstIn(p).nonEmpty, p)
+  }
+
   test("bm25 filters the token stream before aggregating; stats broadcast back") {
     val p = plan("search_bm25")
     // the isin filter sits below the tf aggregate; dfreq and (N, avglen)

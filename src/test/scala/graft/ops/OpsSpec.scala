@@ -596,4 +596,38 @@ class OpsSpec extends SparkSpec {
     assert(r.getLong(1) == 2L) // self excluded; the other vector ranks 1
     assert(r.getDouble(2) == 256.0) // ||1 - (-1)||² over 64 dims = 4·64
   }
+
+  test("TopKPayloadAgg: window-parity order, payload rides the buffer, " +
+      "bounded at k across partitions") {
+    import spark.implicits._
+    import graft.ops.TopKAgg
+    // 200 rows over 2 groups spread across 8 partitions so partial
+    // buffers MERGE; ties on score broken by id asc like the window.
+    val rows = (0 until 200).map { i =>
+      val g = i % 2
+      (g.toLong, (i % 7).toDouble, i.toLong, (i * 3).toLong)
+    }
+    val df = rows.toDF("g", "s", "id", "pay").repartition(8)
+    val got = df.groupBy(col("g"))
+      .agg(TopKAgg.topKWith(col("s"), col("id"), Seq(col("pay")), 5).as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("g"), col("pos"), col("e.score"), col("e.id"), col("e.p0"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy { case (_, s, id, _) => (-s, id) }.take(5).zipWithIndex
+        .map { case ((_, s, id, pay), pos) => (g, pos, s, id, pay) }
+    }.toSet
+    assert(got.toSet === want)         // exact window-equivalent top-5
+    assert(got.forall { case (_, _, _, id, pay) => pay == id * 3 })
+    assert(got.groupBy(_._1).forall(_._2.length == 5)) // bounded at k
+    // fewer rows than k: all emitted, ordered
+    val tiny = Seq((1L, 2.0, 10L, 7L), (1L, 9.0, 11L, 8L))
+      .toDF("g", "s", "id", "pay")
+    val t = tiny.groupBy(col("g"))
+      .agg(TopKAgg.topKWith(col("s"), col("id"), Seq(col("pay")), 5).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("e.id")).as[Long].collect().toSeq
+    assert(t === Seq(11L, 10L))
+  }
 }
