@@ -113,13 +113,35 @@ object RecsysQueries {
         .select(col("o_orderkey").as("okey"), col("o_custkey").as("cust"))
         .join(baskets(s, dir), "okey")
         .select(col("cust"), col("part")).distinct()
-      val cand = hist.join(itemNeighbors(s, dir), "part")
+      // SHUFFLE_HASH on the candidate join: the 5×-per-history-item
+      // fan-out makes sort-merge pay a spilling sort of the full
+      // history stream — profiled at 100× as one 34-task uniform stage
+      // at p50 92 s; hash-building the bounded neighbor side (≤ 5
+      // rows/part) streams the probe sort-free with identical output.
+      val cand = hist.join(itemNeighbors(s, dir).hint("shuffle_hash"), "part")
+        .select(col("cust"), col("part_j"),
+          col("score").cast("decimal(18,6)").as("sc"),
+          lit(1L).as("nv"), lit(0).as("own"))
+      // Already-purchased exclusion FOLDED INTO the candidate aggregate
+      // instead of a post-agg anti join: history rows ride the same
+      // (cust, part_j) shuffle as zero-contribution marker rows
+      // (sc null, nv 0, own 1) and groups containing a marker are
+      // dropped after the fold. Exactly the anti-join's semantics —
+      // a group survives iff (cust, part_j) ∉ history — but history is
+      // consumed ONCE, through the one exchange the aggregation already
+      // pays, instead of re-derived and re-shuffled for a second sorted
+      // join (profiled at 100×: the anti-side stages were ~1.2k core-s).
+      // Decimal exactness: sum ignores the null markers, so s is the
+      // same 6dp-exact fold; n_voters = sum(nv) counts candidate rows
+      // only.
+      val marks = hist.select(col("cust"), col("part").as("part_j"),
+        lit(null).cast("decimal(18,6)").as("sc"),
+        lit(0L).as("nv"), lit(1).as("own"))
+      val fresh = cand.unionByName(marks)
         .groupBy(col("cust"), col("part_j"))
-        .agg(sum(col("score").cast("decimal(18,6)")).as("s"),
-          count(lit(1)).as("n_voters"))
-      val fresh = cand.join(
-        hist.select(col("cust"), col("part").as("part_j")),
-        Seq("cust", "part_j"), "left_anti")
+        .agg(sum(col("sc")).as("s"), sum(col("nv")).as("n_voters"),
+          max(col("own")).as("own"))
+        .filter(col("own") === 0)
       // Bounded payload-carrying top-k instead of a per-customer ranking
       // window: partial aggregation caps per-group state at k entries
       // map-side (a window sorts each customer's FULL candidate list),
@@ -150,15 +172,25 @@ object RecsysQueries {
     // keyed on user/item, 3-row report.
     "recsys_holdout_hitrate" -> ((s, dir) => {
       val (nb, hist, testOrders, b) = holdoutModel(s, dir)
-      val cand = hist.join(nb, "part")
+      // Same shape as recsys_user_recs, same three scale fixes (see
+      // there): hash-build the bounded neighbor side, fold the
+      // already-purchased exclusion into the aggregate as marker rows,
+      // rank through the bounded top-k instead of a customer window.
+      val candU = hist.join(nb.hint("shuffle_hash"), "part")
+        .select(col("cust"), col("part_j"),
+          col("score").cast("decimal(18,6)").as("sc"), lit(0).as("own"))
+      val marks = hist.select(col("cust"), col("part").as("part_j"),
+        lit(null).cast("decimal(18,6)").as("sc"), lit(1).as("own"))
+      val fresh = candU.unionByName(marks)
         .groupBy(col("cust"), col("part_j"))
-        .agg(sum(col("score").cast("decimal(18,6)")).as("s"))
-      val recs = cand
-        .join(hist.select(col("cust"), col("part").as("part_j")),
-          Seq("cust", "part_j"), "left_anti")
-        .withColumn("rank", row_number().over(Window.partitionBy(col("cust"))
-          .orderBy(col("s").desc, col("part_j").asc)))
-        .filter(col("rank") <= RecsK)
+        .agg(sum(col("sc")).as("s"), max(col("own")).as("own"))
+        .filter(col("own") === 0)
+      val recs = fresh.groupBy(col("cust"))
+        .agg(graft.ops.TopKAgg.topK(col("s").cast("double"),
+          col("part_j"), RecsK).as("tk"))
+        .select(col("cust"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("cust"), col("e.id").as("part_j"),
+          (col("pos") + 1).as("rank"))
       val testBuys = testOrders.join(b, "okey")
         .select(col("cust"), col("part").as("part_j")).distinct()
         .withColumn("__hit", lit(1L))

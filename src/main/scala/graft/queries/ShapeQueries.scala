@@ -90,10 +90,11 @@ object ShapeQueries {
           col("n_straddlers"))
     }),
 
-    // FFD whole-document bin packing (no straddling) — rows-only gate
-    // (the greedy is per-shard sequential, not SQL-expressible);
-    // ShapeSpec asserts capacity, conservation, determinism and the
-    // bin-count bound vs next-fit.
+    // FFD whole-document bin packing (no straddling). Oracle-checked
+    // since round 11: the per-shard sequential greedy is simulated
+    // exactly by a recursive CTE carrying the open-bin residual list
+    // (see oracles); ShapeSpec additionally asserts capacity,
+    // conservation, determinism and the bin-count bound vs next-fit.
     "pack_bins_ffd" -> ((s, dir) =>
       Shaping.packBinsFfd(table(s, dir, "documents"), "doc_id", "text",
         seqLen = 128, shards = PackShards)),
@@ -229,6 +230,49 @@ object ShapeQueries {
       s"""WITH $packCtes
          |SELECT shard, id, n_tokens, start_off, seq_first, seq_last
          |FROM packed""".stripMargin,
+
+    // FFD simulated exactly in SQL: a recursive CTE advances every shard
+    // one document per iteration in the greedy's own order (n desc, id
+    // asc), carrying the open-bin residual list as a BIGINT[] column.
+    // First fit = list_position over a residual>=n bitmap (this DuckDB
+    // returns 0, not NULL, for "no fit" — both handled); the guard CTE
+    // mirrors the Spark side's loud too-long-document failure. Integer
+    // state only, so the match is exact, not approximate.
+    "pack_bins_ffd" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT CAST(doc_id % $PackShards AS BIGINT) AS shard, doc_id AS id,
+         |         CAST(len($toksSql) AS BIGINT) AS n
+         |  FROM documents WHERE len($toksSql) > 0),
+         |g AS (SELECT CASE WHEN max(n) > 128 THEN error('doc exceeds seqLen')
+         |        ELSE 1 END AS ok FROM t),
+         |d AS (SELECT shard, id, n,
+         |        CAST(row_number() OVER (PARTITION BY shard
+         |          ORDER BY n DESC, id ASC) AS BIGINT) AS rn
+         |      FROM t WHERE (SELECT ok FROM g) = 1),
+         |st AS (
+         |  SELECT shard, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS resid,
+         |         CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS n,
+         |         CAST(NULL AS BIGINT) AS bin, CAST(NULL AS BIGINT) AS bin_off
+         |  FROM (SELECT DISTINCT shard FROM d)
+         |  UNION ALL
+         |  SELECT d.shard, d.rn,
+         |    CASE WHEN fit IS NULL OR fit = 0
+         |         THEN list_append(s.resid, 128 - d.n)
+         |         ELSE list_transform(range(1, len(s.resid) + 1),
+         |                i -> CASE WHEN i = fit THEN s.resid[i] - d.n
+         |                     ELSE s.resid[i] END)
+         |    END AS resid,
+         |    d.id, d.n,
+         |    CAST(CASE WHEN fit IS NULL OR fit = 0 THEN len(s.resid)
+         |         ELSE fit - 1 END AS BIGINT) AS bin,
+         |    CAST(CASE WHEN fit IS NULL OR fit = 0 THEN 0
+         |         ELSE 128 - s.resid[fit] END AS BIGINT) AS bin_off
+         |  FROM st s JOIN d ON d.shard = s.shard AND d.rn = s.rn + 1,
+         |  LATERAL (SELECT list_position(
+         |    list_transform(s.resid, r -> r >= d.n), true) AS fit) f
+         |)
+         |SELECT shard, bin, id, n AS n_tokens, bin_off
+         |FROM st WHERE rn > 0""".stripMargin,
 
     "pack_efficiency" ->
       s"""WITH $packCtes,

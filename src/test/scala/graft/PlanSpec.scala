@@ -316,6 +316,13 @@ class PlanSpec extends SparkSpec {
     // and n_voters comes out of the aggregate buffer, not a join-back
     // (the round-10 rejected rewrite's double-consumption)
     assert("topkpayloadagg\\(.*n_voters".r.findFirstIn(p).nonEmpty, p)
+    // the candidate join hash-builds the bounded neighbor side instead
+    // of sort-merging the fanned-out history stream (profiled at 100×:
+    // the SMJ sort was one 34-task uniform stage at p50 92 s), and the
+    // already-purchased exclusion is folded into the aggregate as
+    // marker rows — no post-agg anti join re-shuffling the candidates
+    assert("ShuffledHashJoin".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("LeftAnti"), p)
   }
 
   test("bm25 filters the token stream before aggregating; stats broadcast back") {
