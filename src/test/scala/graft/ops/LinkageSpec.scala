@@ -47,6 +47,47 @@ class LinkageSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("resolveEntities exact-name collapse: duplicate-heavy input yields " +
+      "the same components as the all-pairs definition") {
+    // 40 records over 4 base names × 10 exact copies each, plus a fuzzy
+    // bridge between two of the bases — the duplicate-heavy shape the
+    // 100× canary used to expose the pre-collapse quadratic. Brute-force
+    // the all-pairs definition driver-side and demand identical labels.
+    val bases = Seq("acme widgets inc", "acme widgets in", // fuzzy-linked
+      "zenith gears ltd", "brightline optics")
+    val rows = for {
+      (b, bi) <- bases.zipWithIndex
+      copy <- 0 until 10
+    } yield ((bi * 100 + copy).toLong, b)
+    val df = rows.toDF("id", "name")
+    val got = Linkage.resolveEntities(df, "id", "name",
+      substring(col("name"), 1, 4), tau = 0.95)
+      .as[(Long, Long)].collect().toMap
+    // brute-force oracle: all within-block pairs, jw >= tau, components
+    def jw(a: String, b: String): Double = {
+      val r = Seq((a, b)).toDF("a", "b")
+        .select(round(graft.functions.JaroWinklerSim
+          .jaroWinkler(col("a"), col("b")), 6))
+        .head.getDouble(0)
+      r
+    }
+    val parent = scala.collection.mutable.Map(rows.map(r => r._1 -> r._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    for {
+      (ia, na) <- rows; (ib, nb) <- rows
+      if ia < ib && na.take(4) == nb.take(4) && jw(na, nb) >= 0.95
+    } union(ia, ib)
+    val want = rows.map { case (id, _) => id -> find(id) }.toMap
+    assert(got == want)
+    // and the duplicate copies all collapsed into their base's entity
+    assert(got(1L) == 0L && got(109L) == 0L) // acme copies + fuzzy bridge
+  }
+
   test("fastssPairs = brute-force levenshtein<=1 on every edit kind") {
     // One representative of each edit class against "carte": substitution
     // (carta), deletion (cart), insertion (cartke), transposition (catre,
