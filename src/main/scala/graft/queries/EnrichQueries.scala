@@ -69,24 +69,41 @@ object EnrichQueries {
           .select((col("c_custkey") + 10000000L).as("rec_id"),
             regexp_replace(col("c_name"), "#", "").as("name")))
         .withColumn("k", substring(col("name"), -3, 3))
+      // All-pairs TRUTH via exact-name collapse (round 11, same theorem
+      // as Linkage.resolveEntities): truth/blocked depend only on the
+      // two NAMES (k derives from the name), so the audit counts
+      // reconstruct exactly from distinct-name groups with
+      // multiplicities — cross-name pairs contribute m_g·m_h record
+      // pairs, same-name pairs contribute C(m,2) with truth = blocked =
+      // true (jw of identical strings is 1 ≥ τ; identical names share
+      // k). Σ over both is C(N,2), bit-identical counts to the record-
+      // level crossJoin, while the quadratic side shrinks from records²
+      // to distinct-names² — corpus-duplication-invariant, which is
+      // what keeps the audit runnable on a duplicate-heavy registry.
+      val groups = records.groupBy(col("name"), col("k"))
+        .agg(count(lit(1)).as("m"))
       val par = s.sparkContext.defaultParallelism
-      val all = records
-        .select(col("rec_id").as("id_a"), col("name").as("na"),
-          col("k").as("ka"))
+      val cross = groups
+        .select(col("name").as("na"), col("k").as("ka"), col("m").as("ma"))
         .repartition(par)
-        .crossJoin(broadcast(records.select(col("rec_id").as("id_b"),
-          col("name").as("nb"), col("k").as("kb"))))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("ka") === col("kb"),
-          round(graft.functions.JaroWinklerSim.jaroWinkler(col("na"), col("nb")), 6)
-            >= 0.985)
-        .toDF("blocked", "truth")
+        .crossJoin(broadcast(groups.select(col("name").as("nb"),
+          col("k").as("kb"), col("m").as("mb"))))
+        .filter(col("na") < col("nb"))
+        .select((col("ma") * col("mb")).as("cnt"),
+          (col("ka") === col("kb")).as("blocked"),
+          (round(graft.functions.JaroWinklerSim
+            .jaroWinkler(col("na"), col("nb")), 6) >= 0.985).as("truth"))
+      val diag = groups
+        .select(((col("m") * (col("m") - 1L)) / lit(2L)).cast("long").as("cnt"),
+          lit(true).as("blocked"), lit(true).as("truth"))
+      val all = cross.unionByName(diag)
       def d(c2: org.apache.spark.sql.Column) = c2.cast("double")
-      all.agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("truth"), 1L).otherwise(0L)).as("n_truth"),
-          sum(when(col("truth") && col("blocked"), 1L).otherwise(0L))
+      all.agg(sum(col("cnt")).as("n_pairs"),
+          sum(when(col("truth"), col("cnt")).otherwise(0L)).as("n_truth"),
+          sum(when(col("truth") && col("blocked"), col("cnt")).otherwise(0L))
             .as("n_blocked_truth"),
-          sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked_pairs"))
+          sum(when(col("blocked"), col("cnt")).otherwise(0L))
+            .as("n_blocked_pairs"))
         .select(col("n_pairs"), col("n_truth"), col("n_blocked_truth"),
           when(col("n_truth") > 0L,
             round(d(col("n_blocked_truth")) / d(col("n_truth")), 6))
