@@ -53,6 +53,10 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
+    // Unpersist the warmup-dir memo frames: they are MEMORY_AND_DISK and
+    // would otherwise compete for block-manager storage with the sfDir
+    // caches the timed run is measuring. Then discard their events.
+    graft.core.Memo.clear(spark)
     graft.core.Memo.drainBuilt() // discard warmup-dir cache events
     val coldCaches = scala.collection.mutable.Map[String, Seq[String]]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -84,7 +88,19 @@ object Bench {
     val cold = coldCaches.toSeq.sortBy(_._1).map { case (q, cs) =>
       "\"" + q + "\":" + cs.map("\"" + _ + "\"").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    println(s"""{"bench_full":$fullQs,"cache_cold":$cold,"sf":"$sfDir"}""")
+    val fullLine = s"""{"bench_full":$fullQs,"cache_cold":$cold,"sf":"$sfDir"}"""
+    println(fullLine)
+    // Also persist the full per-query map under tmp/ — the driver keeps
+    // only the tail of stdout, so without this file round-over-round
+    // regressions are computable only for the top-25 (VERDICT r11 item 8).
+    try {
+      val tmp = new java.io.File("tmp"); tmp.mkdirs()
+      val ts = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
+        .format(java.time.LocalDateTime.now())
+      java.nio.file.Files.write(
+        new java.io.File(tmp, s"bench_full_$ts.json").toPath,
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val keep = (results.sortBy(-_._2).take(25) ++ results.filter(_._2 < 0))
       .distinct.sortBy(_._1)

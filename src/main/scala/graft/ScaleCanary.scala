@@ -61,6 +61,10 @@ object ScaleCanary {
     // scan parallelism exactly proportional to data, like a cluster's
     // maxPartitionBytes splits, while each file stays one row group so
     // the sf0.1 baseline's per-split work is unchanged.
+    // Regenerating a fixture in place invalidates any shared memo frames
+    // cached under that dir (immutable-fixture assumption — Memo scaladoc);
+    // drop them up front so a same-JVM canary run can't read stale rows.
+    graft.core.Memo.clearDir(out)
     def write(df: DataFrame, n: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$n.parquet")
 

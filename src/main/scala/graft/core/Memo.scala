@@ -45,14 +45,34 @@ object Memo {
   /** Memoize `build` per (name, session, dir) and persist the result
     * MEMORY_AND_DISK. The build stays lazy — materialization happens at
     * the first consuming action, which is also the query the
-    * `cache_cold` marker attributes it to. */
+    * `cache_cold` marker attributes it to.
+    *
+    * Deliberately get-then-putIfAbsent, NOT `computeIfAbsent`: memo
+    * builds may themselves consult the memo (e.g. `recsys.neighbors`
+    * builds from `recsys.baskets`), and `ConcurrentHashMap` forbids the
+    * mapping function mutating the map — when both keys hash into one
+    * bin it throws IllegalStateException("Recursive update"),
+    * intermittently across JVM runs. The trade-off is that two threads
+    * racing on a cold key may both run `build`; the loser's plan is
+    * discarded un-persisted (persist is lazy, so nothing was
+    * materialized) and only the winner's entry is recorded in [[built]].
+    * The `built` event fires only after `build` returns, so a throwing
+    * build leaves no phantom `cache_cold` attribution. */
   def cached(name: String, s: SparkSession, dir: String)(
       build: => DataFrame): DataFrame = {
     evictStopped()
-    cache.computeIfAbsent((name, s, dir), { _ =>
+    val key = (name, s, dir)
+    val existing = cache.get(key)
+    if (existing != null) return existing
+    val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+    val raced = cache.putIfAbsent(key, df)
+    if (raced != null) {
+      try df.unpersist() catch { case _: Throwable => () }
+      raced
+    } else {
       built.add(name + ":" + dir)
-      build.persist(StorageLevel.MEMORY_AND_DISK)
-    })
+      df
+    }
   }
 
   /** Cache names (`name:dir`) created since the previous drain — the
@@ -69,6 +89,19 @@ object Memo {
   def clear(s: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
     cache.keySet.asScala.filter(_._2 eq s).foreach { k =>
+      Option(cache.remove(k)).foreach(df =>
+        try df.unpersist() catch { case _: Throwable => () })
+    }
+  }
+
+  /** Unpersist and forget every entry (any session) keyed under `dir` —
+    * the hook for tools that rewrite the parquet beneath a cached data
+    * dir (e.g. ScaleCanary regenerating a fixture in place). Without
+    * this, the immutable-fixture assumption above would serve stale
+    * rows for the rest of the session. */
+  def clearDir(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    cache.keySet.asScala.filter(_._3 == dir).foreach { k =>
       Option(cache.remove(k)).foreach(df =>
         try df.unpersist() catch { case _: Throwable => () })
     }

@@ -117,7 +117,10 @@ object TopKAgg {
     * BASELINE.md §"Round 10: TopKAgg rewrite … REJECTED"). Carrying the
     * payload in the aggregate buffer keeps the candidate subtree
     * single-consumption: k·|payload| longs per group is the entire extra
-    * state. Payload expressions must be LongType. */
+    * state. Payload expressions must be LongType and NON-NULL for rows
+    * whose (score, id) are non-null — a null payload throws rather than
+    * silently contributing a plausible-looking 0 (wrap nullable payloads
+    * in `coalesce(c, lit(0L))` explicitly if 0 is the intended default). */
   def topKWith(score: Column, id: Column, payload: Seq[Column], k: Int): Column =
     ColumnBridge.column(
       TopKPayloadAgg(ColumnBridge.expression(score),
@@ -185,7 +188,13 @@ case class TopKPayloadAgg(
       var j = 0
       while (j < p) {
         val v = payload(j).eval(input)
-        pay(j) = if (v == null) 0L else v.asInstanceOf[Long]
+        if (v == null)
+          // Fail loudly: a silent null→0 coercion would surface as a
+          // plausible-looking 0 in results (topKWith scaladoc contract).
+          throw new IllegalArgumentException(
+            s"topKWith payload #$j is null for id=$i; payloads must be " +
+              "non-null — wrap in coalesce(c, lit(0L)) if 0 is intended")
+        pay(j) = v.asInstanceOf[Long]
         j += 1
       }
       buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long], pay)

@@ -392,9 +392,12 @@ object DataOpsQueries {
     // planted at +5e6 and single-pixel edits of every 15th at +6e6;
     // aHash (8×8 integer block means, mean-thresholded) then hamming ≤ 2
     // pairs via the SimHash-style byte-chunk pigeonhole — never
-    // all-pairs. Rows-only (PNG decode is not SQL-expressible); OpsSpec
-    // pins exact-copy hamming 0, the near-dup pair, and blocking
-    // completeness.
+    // all-pairs. ORACLE-CHECKED like phash_dct: DuckDB re-derives every
+    // pixel from the gradient formula (no decoder), re-hashes, and takes
+    // all-pairs hamming ≤ 2 — two independent implementations (ImageIO
+    // decode + pigeonhole blocking vs closed-form arithmetic all-pairs)
+    // must agree on the exact pair set. OpsSpec additionally pins
+    // exact-copy hamming 0, the near-dup pair, and blocking completeness.
     "multimodal_image_dedup" -> ((s, dir) => {
       val docs = table(s, dir, "documents").select(col("doc_id"))
       val media = Multimodal.fabricateGradients(docs)
@@ -1694,6 +1697,53 @@ object DataOpsQueries {
            |FROM m""".stripMargin,
 
       "embed_top_eigvec" -> eigOracle,
+
+      // aHash dedup from first principles, like its pHash sibling below:
+      // the oracle re-derives every gradient pixel from the fabrication
+      // formula (incl. the +5e6 re-encode and +6e6 flipped-pixel plants),
+      // block-averages to the 8×8 grid with the same integer divisions,
+      // thresholds at the integer mean-of-means, and takes ALL-PAIRS
+      // hamming ≤ 2 — which must equal the engine's pigeonhole-blocked
+      // pair set exactly (blocking is pure candidate generation). The
+      // 64-bit hash rides as two 32-bit halves so xor/bit_count stay in
+      // non-negative BIGINT range.
+      "multimodal_image_dedup" ->
+        """WITH ids AS (
+          |  SELECT doc_id AS id, doc_id AS id0, 0 AS flip FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 5000000, doc_id, 0 FROM documents
+          |    WHERE doc_id % 10 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 6000000, doc_id, 1 FROM documents
+          |    WHERE doc_id % 15 = 0),
+          |d AS (SELECT id, id0 % 199 AS base, 2 + id0 % 7 AS sx,
+          |    3 + id0 % 11 AS sy, flip FROM ids),
+          |px AS (SELECT d.id, X.x AS x, Y.y AS y,
+          |    (base + X.x * sx + Y.y * sy) % 256
+          |      + CASE WHEN flip = 1 AND X.x = 3 AND Y.y = 3
+          |          THEN CASE WHEN (base + 3 * sx + 3 * sy) % 256 = 255
+          |               THEN -255 ELSE 1 END
+          |          ELSE 0 END AS p
+          |  FROM d, range(0, 64) X(x), range(0, 64) Y(y)),
+          |blk AS (SELECT id, (y // 8) * 8 + (x // 8) AS b,
+          |    CAST(sum(p) // 64 AS BIGINT) AS m
+          |  FROM px GROUP BY 1, 2),
+          |tot AS (SELECT id, CAST(sum(m) // 64 AS BIGINT) AS mn
+          |  FROM blk GROUP BY 1),
+          |hsh AS (SELECT blk.id,
+          |    CAST(sum(CASE WHEN blk.b < 32 AND blk.m >= tot.mn
+          |        THEN CAST(1 AS BIGINT) << blk.b ELSE 0 END) AS BIGINT)
+          |      AS lo,
+          |    CAST(sum(CASE WHEN blk.b >= 32 AND blk.m >= tot.mn
+          |        THEN CAST(1 AS BIGINT) << (blk.b - 32) ELSE 0 END)
+          |      AS BIGINT) AS hi
+          |  FROM blk JOIN tot USING (id) GROUP BY 1)
+          |SELECT a.id AS id_a, b.id AS id_b,
+          |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+          |    AS BIGINT) AS hamming
+          |FROM hsh a JOIN hsh b ON a.id < b.id
+          |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+          |  <= 2""".stripMargin,
 
       // pHash from first principles: the oracle never decodes a PNG — it
       // re-derives the gradient pixels from the fabrication formula and

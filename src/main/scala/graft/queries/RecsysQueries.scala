@@ -39,10 +39,13 @@ object RecsysQueries {
     * source item (keyed window; ties broken by neighbor id). Memoized:
     * the self-join + scoring + ranking is the expensive part and several
     * gates consume it. */
-  private def itemNeighbors(s: SparkSession, dir: String): DataFrame =
-    graft.core.Memo.cached("recsys.neighbors", s, dir) {
-      neighborsFrom(baskets(s, dir))
-    }
+  private def itemNeighbors(s: SparkSession, dir: String): DataFrame = {
+    // Resolve the baskets memo BEFORE entering the neighbors memo: Memo
+    // is get-then-putIfAbsent (re-entrancy safe), but hoisting the
+    // dependency keeps each build's memo footprint flat regardless.
+    val b = baskets(s, dir)
+    graft.core.Memo.cached("recsys.neighbors", s, dir)(neighborsFrom(b))
+  }
 
   /** The neighbor derivation over ANY (okey, part) basket table — the
     * full corpus for the serving gates, the train split for the holdout

@@ -25,6 +25,30 @@ object TrainPrepQueries {
   private val CurriculumShards = 4
   private val ManifestShards = 8
   private val HeavyK = 25
+
+  /** `(a * c) mod 2^32` in DuckDB SQL, overflow-safe: a 32-bit-masked
+    * value times a 32-bit constant exceeds INT64, so the product rides
+    * through HUGEINT. Building block for the murmur3 oracle below. */
+  private def cmMul(a: String, c: Long): String =
+    s"CAST((CAST($a AS HUGEINT) * $c) % 4294967296 AS BIGINT)"
+
+  /** 32-bit rotate-left on a masked BIGINT. */
+  private def cmRotl(v: String, r: Int): String =
+    s"((($v) << $r) | (($v) >> ${32 - r})) & 4294967295"
+
+  /** One murmur3 mix step as a DuckDB lambda body over (h, k):
+    * h' = mixH1(h, mixK1(k)) — exactly Spark's
+    * Murmur3_x86_32.hashUnsafeBytes inner loop, which feeds BOTH 4-byte
+    * little-endian blocks and single tail bytes through the same
+    * mixK1/mixH1 (unlike standard murmur3's tail). All arithmetic is
+    * masked to 32 bits; multiplies ride through HUGEINT (cmMul). */
+  private val cmMurmurMix: String = {
+    val mk1 = cmMul("k", 3432918353L)                    // k * c1
+    val kk = cmMul(s"(${cmRotl(mk1, 15)})", 461845907L)  // rotl15 * c2
+    val x = s"xor(h, $kk)"
+    s"(${cmMul(s"((${cmRotl(x, 13)}))", 5L)} + 3864292196) % 4294967296"
+  }
+
   private val CmDepth = 5
   private val CmWidth = 2048
   private val CmGateWidth = 256
@@ -167,8 +191,11 @@ object TrainPrepQueries {
       Profile.heavyHitters(table(s, dir, "lineitem"), "l_partkey", HeavyK)),
 
     // Count-Min sketch validation: exact top-25 counts side by side with
-    // the sketch estimate. Rows-only (the murmur slot hash has no DuckDB
-    // twin); TrainPrepSpec asserts the CM guarantees (est ≥ exact,
+    // the sketch estimate. ORACLE-CHECKED: the murmur slot hash IS
+    // SQL-expressible — the oracle re-implements Murmur3_x86_32 over the
+    // key bytes as a masked-arithmetic list_reduce fold (cmMurmurMix) and
+    // re-derives every cell sum and min-over-rows estimate bit-exact.
+    // TrainPrepSpec additionally asserts the CM guarantees (est ≥ exact,
     // bounded overcount, merge invariance).
     "profile_cm_topk" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
@@ -441,6 +468,51 @@ object TrainPrepQueries {
          |  CAST(len(regexp_replace(nfc_normalize(text), '$ctrl', '', 'g')) AS BIGINT) AS n_nfc
          |FROM f""".stripMargin
     },
+
+    // Murmur3_x86_32 re-derived in SQL (see the cmMurmur* helpers): the
+    // oracle hashes every distinct key with the same 4-byte-LE-block +
+    // per-byte-tail + fmix algorithm CountMinAgg/cmEstimate use (seed =
+    // row index), rebuilds the depth×width cell sums, and reads the
+    // min-over-rows estimate — bit-exact against the engine's sketch.
+    "profile_cm_topk" ->
+      s"""WITH kc AS MATERIALIZED (SELECT CAST(l_partkey AS VARCHAR) AS k,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1),
+         |seeds(d) AS (SELECT * FROM range(0, $CmDepth)),
+         |items AS (SELECT k, list_concat(
+         |    list_transform(range(0, length(k) // 4), j ->
+         |      CAST(ascii(substr(k, CAST(4*j+1 AS INT), 1))
+         |        + 256 * ascii(substr(k, CAST(4*j+2 AS INT), 1))
+         |        + 65536 * ascii(substr(k, CAST(4*j+3 AS INT), 1))
+         |        + 16777216 * ascii(substr(k, CAST(4*j+4 AS INT), 1))
+         |        AS BIGINT)),
+         |    list_transform(range(length(k) // 4 * 4, length(k)), i ->
+         |      CAST(ascii(substr(k, CAST(i+1 AS INT), 1)) AS BIGINT)))
+         |    AS its
+         |  FROM kc),
+         |raw AS (SELECT k, d,
+         |    list_reduce(list_prepend(CAST(d AS BIGINT), its),
+         |      (h, k) -> $cmMurmurMix) AS h0,
+         |    CAST(length(k) AS BIGINT) AS n
+         |  FROM items, seeds),
+         |f1 AS (SELECT k, d, xor(xor(h0, n), xor(h0, n) >> 16) AS h
+         |  FROM raw),
+         |f2 AS (SELECT k, d, xor(${cmMul("h", 2246822507L)},
+         |    (${cmMul("h", 2246822507L)}) >> 13) AS h FROM f1),
+         |f3 AS (SELECT k, d, xor(${cmMul("h", 3266489909L)},
+         |    (${cmMul("h", 3266489909L)}) >> 16) AS h FROM f2),
+         |slots AS MATERIALIZED (SELECT k, d,
+         |    ((CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END
+         |      % $CmWidth) + $CmWidth) % $CmWidth AS slot
+         |  FROM f3),
+         |cells AS (SELECT d, slot, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM slots JOIN kc USING (k) GROUP BY 1, 2),
+         |hh AS (SELECT k AS key, cnt FROM kc
+         |  ORDER BY cnt DESC, key ASC LIMIT $HeavyK),
+         |est AS (SELECT slots.k AS key, CAST(min(c) AS BIGINT) AS cm_est
+         |  FROM slots JOIN cells USING (d, slot)
+         |  WHERE slots.k IN (SELECT key FROM hh) GROUP BY 1)
+         |SELECT hh.key, hh.cnt, est.cm_est
+         |FROM hh JOIN est USING (key)""".stripMargin,
 
     "cm_topk_report" -> {
       val saltRows = Sketch.CmSalts.zipWithIndex

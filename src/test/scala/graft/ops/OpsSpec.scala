@@ -630,4 +630,20 @@ class OpsSpec extends SparkSpec {
       .select(col("e.id")).as[Long].collect().toSeq
     assert(t === Seq(11L, 10L))
   }
+
+  test("TopKPayloadAgg: null payload fails loudly instead of coercing to 0") {
+    import spark.implicits._
+    import graft.ops.TopKAgg
+    val df = Seq((1L, 2.0, 10L, Some(7L)), (1L, 9.0, 11L, None))
+      .toDF("g", "s", "id", "pay")
+    val ex = intercept[Exception] {
+      df.groupBy(col("g"))
+        .agg(TopKAgg.topKWith(col("s"), col("id"), Seq(col("pay")), 5).as("tk"))
+        .collect()
+    }
+    // Spark wraps task failures; the root contract message must surface.
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("payload")))
+  }
 }
