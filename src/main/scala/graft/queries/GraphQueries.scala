@@ -47,10 +47,11 @@ object GraphQueries {
     * edges; persisted + memoized because the derivation is itself a
     * self-join over the distinct order-part pairs and three gates
     * (triangles, link prediction, k-core) reuse it. */
-  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    // Start from the cross-family basket memo (dependency hoisted out of
+    // this memo's build, same pattern as recsys.neighbors).
+    val b = SharedTables.distinctBaskets(s, dir)
     graft.core.Memo.cached("graph.coPurchaseEdges", s, dir) {
-      val b = table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
       b.select(col("l_orderkey"), col("l_partkey").as("pa"))
         .join(b.select(col("l_orderkey"), col("l_partkey").as("pb")),
           Seq("l_orderkey"))
@@ -58,6 +59,7 @@ object GraphQueries {
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
     }
+  }
 
   /** The fabricated SCC-gate digraph (shared by graph_scc and
     * graph_condensation): blocks of 50 part ids form directed rings (one

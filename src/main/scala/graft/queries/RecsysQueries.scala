@@ -23,17 +23,14 @@ object RecsysQueries {
   private val NeighborsK = 5
   private val RecsK = 3
 
-  /** Distinct (order, part) basket rows — memoized+persisted per
-    * (session, dir) via [[graft.core.Memo]] (immutable-fixture
-    * assumption and the cached-plan/AQE interaction documented there):
-    * the distinct is a full lineitem shuffle and every recsys gate (and
-    * the holdout gate three times over) starts from it. */
+  /** Distinct (order, part) basket rows — a column rename over the
+    * CROSS-FAMILY [[SharedTables.distinctBaskets]] memo (the rename is a
+    * free projection on the cached relation, so recsys adds no second
+    * persisted copy). Every recsys gate (and the holdout gate three
+    * times over) starts from it. */
   private def baskets(s: SparkSession, dir: String): DataFrame =
-    graft.core.Memo.cached("recsys.baskets", s, dir) {
-      table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-        .distinct()
-    }
+    SharedTables.distinctBaskets(s, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
 
   /** Directed co-occurrence neighbor lists with cosine scores, top-K per
     * source item (keyed window; ties broken by neighbor id). Memoized:

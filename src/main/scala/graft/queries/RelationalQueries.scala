@@ -277,10 +277,12 @@ object RelationalQueries {
 
     // Market-basket co-occurrence: distinct parts per order self-joined
     // on the order key (co-partitioned — never a cross join), pair counts,
-    // deterministic top-50. The association-rule support table.
+    // deterministic top-50. The association-rule support table. All four
+    // basket gates (and the graph/recsys families) start from the shared
+    // SharedTables.distinctBaskets memo — one lineitem shuffle per run
+    // instead of six.
     "basket_pair_counts" -> ((s, dir) => {
-      val b = table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val b = SharedTables.distinctBaskets(s, dir)
       val a = b.select(col("l_orderkey"), col("l_partkey").as("part_a"))
       val c = b.select(col("l_orderkey"), col("l_partkey").as("part_b"))
       a.join(c, Seq("l_orderkey"))
@@ -300,8 +302,7 @@ object RelationalQueries {
     // 1%-hot key with AQE skew-join blind to it (output skew, not input
     // skew) — this plan is the 100 TB answer. SCALE.md §"skew canary".
     "basket_pairs_blocked" -> ((s, dir) => {
-      val b = table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val b = SharedTables.distinctBaskets(s, dir)
       graft.ops.SkewJoin.blockedSelfPairs(b, "l_orderkey", "l_partkey",
         chunks = 8)
         .groupBy(col("l_partkey_a").as("part_a"),
@@ -318,8 +319,7 @@ object RelationalQueries {
     // this gate exercises the probe + naive branch; the blocked branch is
     // pinned pair-identical on a planted hot key in ShapeSpec.
     "basket_pairs_auto" -> ((s, dir) => {
-      val b = table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val b = SharedTables.distinctBaskets(s, dir)
       graft.ops.SkewJoin.selfPairsAuto(b, "l_orderkey", "l_partkey")
         .groupBy(col("l_partkey_a").as("part_a"),
           col("l_partkey_b").as("part_b"))
@@ -334,8 +334,7 @@ object RelationalQueries {
     // co-partitioned self-join as basket_pair_counts (never a cross
     // join); N and the item supports ride as broadcasts.
     "basket_association_rules" -> ((s, dir) => {
-      val b = table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val b = SharedTables.distinctBaskets(s, dir)
       val nOrders = b.select(col("l_orderkey")).distinct()
         .agg(count(lit(1)).as("n_orders"))
       val supp = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
