@@ -57,11 +57,28 @@ object Linkage {
       col(idCol).as("id_a"), col(nameCol).as("__nm"))
     val groups = keyed.groupBy(col("__blk"), col("__nm"))
       .agg(min(col("id_a")).as("__rep"))
+    // Length-difference prefilter (lossless): with la ≤ lb, matches
+    // m ≤ la bound jaro ≤ (la/la + la/lb + 1)/3 = (2 + la/lb)/3, and the
+    // Winkler boost (p=0.1, ≤4 lead chars) is monotone in jaro with cap
+    // jw ≤ j + 0.4(1−j) = 0.4 + 0.6j, so jw ≤ 0.8 + 0.2·(la/lb).
+    // round(jw,6) ≥ τ therefore REQUIRES la/lb ≥ 5τ − 4 − 2.5e-6 (the
+    // 2.5e-6 absorbs the half-ulp the 6dp rounding can add). The cheap
+    // integer-length compare short-circuits the O(len·len) scorer for
+    // pairs the bound already excludes — the same trick as
+    // SequenceMatcherRatio's cutoff short-circuit. For τ ≤ 0.8 the
+    // bound is vacuous and every pair is scored, as before. Empty
+    // names: jw(ε, x≠ε) = 0 < τ and the bound agrees (ratio 0);
+    // jw(ε, ε) = 1 never reaches the scorer — identical names share a
+    // representative by the exact-name collapse above.
+    val la = length(col("__na")).cast("double")
+    val lb = length(col("__nb")).cast("double")
+    val lenBound =
+      least(la, lb) >= greatest(la, lb) * lit(5.0 * tau - 4.0 - 2.5e-6)
     val repPairs = groups
       .select(col("__blk"), col("__rep").as("id_a"), col("__nm").as("__na"))
       .join(groups.select(col("__blk"), col("__rep").as("id_b"),
         col("__nm").as("__nb")), Seq("__blk"))
-      .filter(col("id_a") < col("id_b") &&
+      .filter(col("id_a") < col("id_b") && lenBound &&
         round(JaroWinklerSim.jaroWinkler(col("__na"), col("__nb")), 6) >= tau)
       .select(col("id_a"), col("id_b"))
     // Star edges: every non-representative member links to its group's

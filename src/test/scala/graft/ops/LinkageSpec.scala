@@ -47,6 +47,57 @@ class LinkageSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("resolveEntities length prefilter is lossless: entities identical " +
+      "to brute all-pairs jw across mixed-length names at tau near the bound") {
+    // Names engineered around the jw <= 0.8 + 0.2*(la/lb) bound at
+    // tau = 0.9 (ratio floor 0.5): same-length near-dups (kept), a
+    // 40%-length substring (PRUNED by the bound — and brute jw agrees
+    // it's below tau), and a just-over-half-length pair the bound must
+    // NOT prune even though it ultimately fails the score.
+    val df = Seq(
+      (1L, "consolidated freight co"),
+      (2L, "consolidated freight cx"),   // near-dup, links to 1
+      (3L, "consolidat"),                // 10/23 < 0.5 vs #1: bound prunes
+                                         // the direct pair, but 3–4 and
+                                         // 4–1 both score ≥ τ, so 3 joins
+                                         // entity 1 TRANSITIVELY — brute
+                                         // must agree on the same chain
+      (4L, "consolidated"),              // 12/23 > 0.5: bound keeps, scorer links
+      (5L, "comet"),                     // short unrelated, same block
+      (6L, "comet"),                     // exact dup of 5 via star edge
+      (7L, "zx"),                        // 2/10 = 0.2: bound prunes 7–8,
+      (8L, "zxabcdefgh")                 // and brute jw (≈0.79) agrees
+    ).toDF("id", "name")
+    val got = Linkage.resolveEntities(df, "id", "name",
+      substring(col("name"), 1, 2), tau = 0.9)
+      .as[(Long, Long)].collect().toMap
+    // Brute-force oracle: jw over every in-block pair with no prefilter.
+    val jw = udf((a: String, b: String) =>
+      math.round(graft.functions.JaroWinklerImpl.jaroWinkler(a, b) * 1e6) / 1e6)
+    val brute = df.as("x").join(df.as("y"),
+        substring(col("x.name"), 1, 2) === substring(col("y.name"), 1, 2) &&
+          col("x.id") < col("y.id"))
+      .filter(jw(col("x.name"), col("y.name")) >= 0.9)
+      .select(col("x.id"), col("y.id")).as[(Long, Long)].collect()
+    // union-find the brute edges locally
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    brute.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (1L to 8L).map(i => i -> find(i)).toMap
+    assert(got == want)
+    // 3's direct pairs with 1/2 are bound-pruned, yet it lands in
+    // entity 1 through the 3–4–1 chain — same as brute; 7–8 is pruned
+    // AND genuinely below τ, so both stay singletons.
+    assert(got(2L) == 1L && got(3L) == 1L && got(4L) == 1L && got(6L) == 5L)
+    assert(got(7L) == 7L && got(8L) == 8L)
+  }
+
   test("resolveEntities exact-name collapse: duplicate-heavy input yields " +
       "the same components as the all-pairs definition") {
     // 40 records over 4 base names × 10 exact copies each, plus a fuzzy
