@@ -233,6 +233,13 @@ object DataOpsQueries {
         k = 4, w = 8, minShared = 2)
     }),
 
+    // ORACLE-CHECKED since r12: the token hash is Spark's xxhash64
+    // (seed 42), which the oracle re-implements for the fixture's short
+    // ASCII tokens as exact HUGEINT arithmetic (SqlXxHash64, loud guard
+    // on the ≤8-byte/ASCII precondition) — hashes, ±1 bit votes, packed
+    // sketches and the hamming ≤ 5 pair set all re-derived bit-exact.
+    // OpsSpec additionally pins bit-equality to the 64-vote aggregate
+    // formulation and recall ≥ 0.8 on planted near-dups.
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(table(s, dir, "documents"), "doc_id", "text",
         maxDistance = 5)),
@@ -826,8 +833,11 @@ object DataOpsQueries {
     // computed alongside. Order dates give each nation a few-hundred-element
     // set with moderate cross-nation overlap, so the estimate is genuinely
     // exercised (unlike a 5-value enum column where every Jaccard ≈ 1).
-    // Rows-only (the sketch hashes with Spark's Murmur3 — not SQL-
-    // expressible); MinHashAggSpec bounds |est−exact|.
+    // ORACLE-CHECKED: the slot hash is Spark's Murmur3_x86_32, which the
+    // oracle re-implements in SQL (graft.queries.SqlMurmur) — per-slot
+    // minima, signature agreement AND the exact set Jaccard all
+    // re-derived bit-exact. MinHashAggSpec additionally bounds
+    // |est−exact| and pins merge invariance.
     "minhash_nation_orderdates" -> ((s, dir) => {
       val dates = table(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderdate").cast("string").as("odate"))
@@ -1697,6 +1707,104 @@ object DataOpsQueries {
            |FROM m""".stripMargin,
 
       "embed_top_eigvec" -> eigOracle,
+
+      // SimHash near-dup pairs from first principles: re-tokenize
+      // (lower + \s+ split, multiset), xxhash64 each DISTINCT token via
+      // the exact HUGEINT arithmetic in SqlXxHash64 (loud error() guard
+      // on its ≤8-byte/ASCII scope), weighted ±1 votes per (doc, bit),
+      // pack the majority bits into two 32-bit halves, and take
+      // all-pairs hamming ≤ 5 — which must equal the engine's
+      // width-scaled pigeonhole pair set exactly.
+      "dedup_simhash_pairs" ->
+        s"""WITH docs AS (SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\\s+'),
+           |      x -> x <> '') AS toks
+           |  FROM documents WHERE trim(text) <> ''),
+           |tc AS MATERIALIZED (SELECT doc_id, t,
+           |    CAST(count(*) AS BIGINT) AS cnt
+           |  FROM (SELECT doc_id, unnest(toks) AS t FROM docs)
+           |  GROUP BY 1, 2),
+           |dt AS (SELECT DISTINCT t FROM tc),
+           |guard AS (SELECT CASE WHEN max(length(t)) > 8
+           |    OR max(list_max(list_transform(range(1, length(t)+1),
+           |         i -> ascii(substr(t, CAST(i AS INT), 1))))) > 127
+           |    THEN error('simhash oracle: token >8 bytes or non-ascii')
+           |    ELSE 1 END g
+           |  FROM dt),
+           |tk AS (SELECT t, CAST(length(t) AS HUGEINT) AS n,
+           |    list_transform(range(1, length(t)+1),
+           |      i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS HUGEINT))
+           |      AS bs
+           |  FROM dt),
+           |${SqlXxHash64.hashCtes},
+           |hb AS (SELECT t, CAST(h % 4294967296 AS BIGINT) AS hlo,
+           |    CAST(h // 4294967296 AS BIGINT) AS hhi FROM hsh),
+           |votes AS (SELECT tc.doc_id, b.b AS b,
+           |    sum(tc.cnt * ((CASE WHEN b.b < 32 THEN (hb.hlo >> b.b) & 1
+           |        ELSE (hb.hhi >> (b.b - 32)) & 1 END) * 2 - 1)) AS v
+           |  FROM tc JOIN hb ON tc.t = hb.t, range(0, 64) b(b)
+           |  GROUP BY 1, 2),
+           |sh AS MATERIALIZED (SELECT doc_id,
+           |    CAST(sum(CASE WHEN b < 32 AND v > 0 THEN CAST(1 AS BIGINT) << b
+           |        ELSE 0 END) AS BIGINT) AS lo,
+           |    CAST(sum(CASE WHEN b >= 32 AND v > 0
+           |        THEN CAST(1 AS BIGINT) << (b - 32) ELSE 0 END) AS BIGINT)
+           |      AS hi
+           |  FROM votes GROUP BY 1)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+           |    AS BIGINT) AS hamming
+           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id, guard
+           |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+           |  <= 5""".stripMargin,
+
+      // MinHash sketch from first principles: hash every distinct order
+      // date with the SQL murmur3 (one fold per (date, seed) — dates are
+      // hashed once globally, then joined to nations), take per-slot
+      // minima as the signature, score signature agreement / k, and
+      // re-derive the exact set Jaccard from distinct counts. est is
+      // sum/128 (power of two — exact in binary), exact is a small-int
+      // ratio: both divisions are bit-identical across engines. The
+      // nation pair grid comes from the signature table itself (every
+      // nation has all 128 slots), with zero-overlap pairs kept via the
+      // left join + coalesce.
+      "minhash_nation_orderdates" ->
+        s"""WITH d AS MATERIALIZED (
+           |  SELECT n.n_name AS nation, CAST(o.o_orderdate AS VARCHAR) AS k
+           |  FROM orders o
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+           |  GROUP BY 1, 2),
+           |dk AS (SELECT DISTINCT k FROM d),
+           |seeds(sd) AS (SELECT * FROM range(0, 128)),
+           |items AS (SELECT k, ${SqlMurmur.itemsOfK} AS its FROM dk),
+           |raw AS (SELECT k, sd,
+           |    list_reduce(list_prepend(CAST(sd AS BIGINT), its),
+           |      (h, k) -> ${SqlMurmur.mixStep}) AS h0,
+           |    CAST(length(k) AS BIGINT) AS n
+           |  FROM items, seeds),
+           |${SqlMurmur.fmixCtes("k, sd")},
+           |sig AS MATERIALIZED (SELECT d.nation, f3.sd, min(f3.hv) AS mh
+           |  FROM d JOIN f3 USING (k) GROUP BY 1, 2),
+           |est AS (SELECT a.nation AS nation_a, b.nation AS nation_b,
+           |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / 128 AS est_jaccard
+           |  FROM sig a JOIN sig b ON a.sd = b.sd AND a.nation < b.nation
+           |  GROUP BY 1, 2),
+           |sz AS (SELECT nation, CAST(count(*) AS BIGINT) AS n
+           |  FROM d GROUP BY 1),
+           |inter AS (SELECT a.nation AS nation_a, b.nation AS nation_b,
+           |    CAST(count(*) AS BIGINT) AS i
+           |  FROM d a JOIN d b ON a.k = b.k AND a.nation < b.nation
+           |  GROUP BY 1, 2)
+           |SELECT est.nation_a, est.nation_b, est.est_jaccard,
+           |  CAST(coalesce(inter.i, 0) AS DOUBLE)
+           |    / CAST(sa.n + sb.n - coalesce(inter.i, 0) AS DOUBLE)
+           |    AS exact_jaccard
+           |FROM est
+           |LEFT JOIN inter USING (nation_a, nation_b)
+           |JOIN sz sa ON sa.nation = est.nation_a
+           |JOIN sz sb ON sb.nation = est.nation_b""".stripMargin,
 
       // aHash dedup from first principles, like its pHash sibling below:
       // the oracle re-derives every gradient pixel from the fabrication

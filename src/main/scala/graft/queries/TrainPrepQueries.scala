@@ -26,29 +26,6 @@ object TrainPrepQueries {
   private val ManifestShards = 8
   private val HeavyK = 25
 
-  /** `(a * c) mod 2^32` in DuckDB SQL, overflow-safe: a 32-bit-masked
-    * value times a 32-bit constant exceeds INT64, so the product rides
-    * through HUGEINT. Building block for the murmur3 oracle below. */
-  private def cmMul(a: String, c: Long): String =
-    s"CAST((CAST($a AS HUGEINT) * $c) % 4294967296 AS BIGINT)"
-
-  /** 32-bit rotate-left on a masked BIGINT. */
-  private def cmRotl(v: String, r: Int): String =
-    s"((($v) << $r) | (($v) >> ${32 - r})) & 4294967295"
-
-  /** One murmur3 mix step as a DuckDB lambda body over (h, k):
-    * h' = mixH1(h, mixK1(k)) — exactly Spark's
-    * Murmur3_x86_32.hashUnsafeBytes inner loop, which feeds BOTH 4-byte
-    * little-endian blocks and single tail bytes through the same
-    * mixK1/mixH1 (unlike standard murmur3's tail). All arithmetic is
-    * masked to 32 bits; multiplies ride through HUGEINT (cmMul). */
-  private val cmMurmurMix: String = {
-    val mk1 = cmMul("k", 3432918353L)                    // k * c1
-    val kk = cmMul(s"(${cmRotl(mk1, 15)})", 461845907L)  // rotl15 * c2
-    val x = s"xor(h, $kk)"
-    s"(${cmMul(s"((${cmRotl(x, 13)}))", 5L)} + 3864292196) % 4294967296"
-  }
-
   private val CmDepth = 5
   private val CmWidth = 2048
   private val CmGateWidth = 256
@@ -469,7 +446,7 @@ object TrainPrepQueries {
          |FROM f""".stripMargin
     },
 
-    // Murmur3_x86_32 re-derived in SQL (see the cmMurmur* helpers): the
+    // Murmur3_x86_32 re-derived in SQL (graft.queries.SqlMurmur): the
     // oracle hashes every distinct key with the same 4-byte-LE-block +
     // per-byte-tail + fmix algorithm CountMinAgg/cmEstimate use (seed =
     // row index), rebuilds the depth×width cell sums, and reads the
@@ -478,31 +455,15 @@ object TrainPrepQueries {
       s"""WITH kc AS MATERIALIZED (SELECT CAST(l_partkey AS VARCHAR) AS k,
          |    CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1),
          |seeds(d) AS (SELECT * FROM range(0, $CmDepth)),
-         |items AS (SELECT k, list_concat(
-         |    list_transform(range(0, length(k) // 4), j ->
-         |      CAST(ascii(substr(k, CAST(4*j+1 AS INT), 1))
-         |        + 256 * ascii(substr(k, CAST(4*j+2 AS INT), 1))
-         |        + 65536 * ascii(substr(k, CAST(4*j+3 AS INT), 1))
-         |        + 16777216 * ascii(substr(k, CAST(4*j+4 AS INT), 1))
-         |        AS BIGINT)),
-         |    list_transform(range(length(k) // 4 * 4, length(k)), i ->
-         |      CAST(ascii(substr(k, CAST(i+1 AS INT), 1)) AS BIGINT)))
-         |    AS its
-         |  FROM kc),
+         |items AS (SELECT k, ${SqlMurmur.itemsOfK} AS its FROM kc),
          |raw AS (SELECT k, d,
          |    list_reduce(list_prepend(CAST(d AS BIGINT), its),
-         |      (h, k) -> $cmMurmurMix) AS h0,
+         |      (h, k) -> ${SqlMurmur.mixStep}) AS h0,
          |    CAST(length(k) AS BIGINT) AS n
          |  FROM items, seeds),
-         |f1 AS (SELECT k, d, xor(xor(h0, n), xor(h0, n) >> 16) AS h
-         |  FROM raw),
-         |f2 AS (SELECT k, d, xor(${cmMul("h", 2246822507L)},
-         |    (${cmMul("h", 2246822507L)}) >> 13) AS h FROM f1),
-         |f3 AS (SELECT k, d, xor(${cmMul("h", 3266489909L)},
-         |    (${cmMul("h", 3266489909L)}) >> 16) AS h FROM f2),
+         |${SqlMurmur.fmixCtes("k, d")},
          |slots AS MATERIALIZED (SELECT k, d,
-         |    ((CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END
-         |      % $CmWidth) + $CmWidth) % $CmWidth AS slot
+         |    ((hv % $CmWidth) + $CmWidth) % $CmWidth AS slot
          |  FROM f3),
          |cells AS (SELECT d, slot, CAST(sum(cnt) AS BIGINT) AS c
          |  FROM slots JOIN kc USING (k) GROUP BY 1, 2),
