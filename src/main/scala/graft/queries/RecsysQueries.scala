@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables.table
@@ -60,10 +59,21 @@ object RecsysQueries {
         "part_j")
       .withColumn("score",
         round(d(col("cooc")) / sqrt(d(col("deg_i")) * d(col("deg_j"))), 6))
-    val w = Window.partitionBy(col("part"))
-      .orderBy(col("score").desc, col("part_j").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= NeighborsK)
+    // Bounded payload-carrying top-k instead of a per-part ranking
+    // window (the same rewrite that fixed recsys_user_recs in round 11):
+    // the window sorts every part's FULL candidate list through one
+    // partition-wide sort, while the aggregate caps per-group state at
+    // K entries map-side and carries cooc in the buffer so the scored
+    // subtree is consumed exactly once. Order parity: the buffer's
+    // (score desc, id asc) matches (score DESC, part_j ASC) — scores are
+    // 6dp-rounded doubles, ties broken by the id in both.
+    scored.groupBy(col("part"))
+      .agg(graft.ops.TopKAgg.topKWith(col("score"), col("part_j"),
+        Seq(col("cooc")), NeighborsK).as("tk"))
+      .select(col("part"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("part"), col("e.id").as("part_j"),
+        col("e.p0").as("cooc"), col("e.score").as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Holdout-split model: (train neighbors, train history, test orders,
