@@ -47,19 +47,15 @@ object GraphQueries {
     * edges; persisted + memoized because the derivation is itself a
     * self-join over the distinct order-part pairs and three gates
     * (triangles, link prediction, k-core) reuse it. */
-  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    // Start from the cross-family basket memo (dependency hoisted out of
-    // this memo's build, same pattern as recsys.neighbors).
-    val b = SharedTables.distinctBaskets(s, dir)
-    graft.core.Memo.cached("graph.coPurchaseEdges", s, dir) {
-      b.select(col("l_orderkey"), col("l_partkey").as("pa"))
-        .join(b.select(col("l_orderkey"), col("l_partkey").as("pb")),
-          Seq("l_orderkey"))
-        .filter(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-    }
-  }
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    // A filter+rename over the cross-family undirected pair-count memo
+    // (SharedTables.pairCounts) — the former private memo here cached a
+    // second copy of the same aggregation; a projection over the cached
+    // relation needs no persist of its own.
+    SharedTables.pairCounts(s, dir)
+      .filter(col("n_orders") >= 2)
+      .select(col("part_a").as("pa"), col("part_b").as("pb"),
+        col("n_orders").as("w"))
 
   /** The fabricated SCC-gate digraph (shared by graph_scc and
     * graph_condensation): blocks of 50 part ids form directed rings (one

@@ -32,26 +32,38 @@ object RecsysQueries {
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
 
   /** Directed co-occurrence neighbor lists with cosine scores, top-K per
-    * source item (keyed window; ties broken by neighbor id). Memoized:
-    * the self-join + scoring + ranking is the expensive part and several
+    * source item (bounded TopKAgg; ties broken by neighbor id).
+    * Memoized: the scoring + ranking is the expensive part and several
     * gates consume it. */
   private def itemNeighbors(s: SparkSession, dir: String): DataFrame = {
-    // Resolve the baskets memo BEFORE entering the neighbors memo: Memo
-    // is get-then-putIfAbsent (re-entrancy safe), but hoisting the
-    // dependency keeps each build's memo footprint flat regardless.
+    // Resolve the dependency memos BEFORE entering the neighbors memo:
+    // Memo is get-then-putIfAbsent (re-entrancy safe), but hoisting
+    // keeps each build's memo footprint flat regardless. The corpus
+    // co-occurrence matrix is the directed mirror of the cross-family
+    // undirected pair counts — no second pair shuffle.
     val b = baskets(s, dir)
-    graft.core.Memo.cached("recsys.neighbors", s, dir)(neighborsFrom(b))
+    val cooc = SharedTables.pairCountsDirected(s, dir)
+      .select(col("part_a").as("part"), col("part_b").as("part_j"),
+        col("n_orders").as("cooc"))
+    graft.core.Memo.cached("recsys.neighbors", s, dir)(neighborsOf(b, cooc))
   }
 
-  /** The neighbor derivation over ANY (okey, part) basket table — the
-    * full corpus for the serving gates, the train split for the holdout
-    * evaluation. */
+  /** The neighbor derivation over ANY (okey, part) basket table — used
+    * by the holdout evaluation's TRAIN split (the corpus path feeds the
+    * shared pair-count memo instead, see [[itemNeighbors]]). */
   private def neighborsFrom(b: DataFrame): DataFrame = {
-    val deg = b.groupBy(col("part")).agg(count(lit(1)).as("deg"))
     val cooc = b.join(b.select(col("okey"), col("part").as("part_j")), "okey")
       .filter(col("part") =!= col("part_j"))
       .groupBy(col("part"), col("part_j"))
       .agg(count(lit(1)).as("cooc"))
+    neighborsOf(b, cooc)
+  }
+
+  /** Score + rank a (part, part_j, cooc) co-occurrence matrix against
+    * the basket table's item degrees: cosine = cooc/√(deg_i·deg_j),
+    * bounded top-K per part. */
+  private def neighborsOf(b: DataFrame, cooc: DataFrame): DataFrame = {
+    val deg = b.groupBy(col("part")).agg(count(lit(1)).as("deg"))
     def d(c: Column) = c.cast("double")
     val scored = cooc
       .join(deg.select(col("part"), col("deg").as("deg_i")), "part")

@@ -281,17 +281,10 @@ object RelationalQueries {
     // basket gates (and the graph/recsys families) start from the shared
     // SharedTables.distinctBaskets memo — one lineitem shuffle per run
     // instead of six.
-    "basket_pair_counts" -> ((s, dir) => {
-      val b = SharedTables.distinctBaskets(s, dir)
-      val a = b.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val c = b.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-      a.join(c, Seq("l_orderkey"))
-        .filter(col("part_a") < col("part_b"))
-        .groupBy(col("part_a"), col("part_b"))
-        .agg(count(lit(1)).as("n_orders"))
+    "basket_pair_counts" -> ((s, dir) =>
+      SharedTables.pairCounts(s, dir)
         .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
-        .limit(50)
-    }),
+        .limit(50)),
 
     // The hot-basket-proof twin of basket_pair_counts: identical output
     // (same oracle SQL) through SkewJoin.blockedSelfPairs — the
@@ -338,12 +331,11 @@ object RelationalQueries {
       val nOrders = b.select(col("l_orderkey")).distinct()
         .agg(count(lit(1)).as("n_orders"))
       val supp = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
-      val pairs = b.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-        .join(b.select(col("l_orderkey"), col("l_partkey").as("part_b")),
-          Seq("l_orderkey"))
-        .filter(col("part_a") =!= col("part_b"))
-        .groupBy(col("part_a"), col("part_b"))
-        .agg(count(lit(1)).as("supp_ab"))
+      // Directed supports are the undirected pair counts mirrored
+      // (co-occurrence is symmetric) — a projection-union over the
+      // shared cached aggregation instead of a second pair shuffle.
+      val pairs = SharedTables.pairCountsDirected(s, dir)
+        .withColumnRenamed("n_orders", "supp_ab")
         .filter(col("supp_ab") >= RuleMinSupp)
       def d(c: Column) = c.cast("double")
       val conf = d(col("supp_ab")) / d(col("supp_a"))
