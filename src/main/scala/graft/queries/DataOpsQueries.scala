@@ -310,6 +310,13 @@ object DataOpsQueries {
       Ann.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 10, dim = 64, planes = 6)
     }),
 
+    // IVF ANN, trained form. ORACLE-CHECKED since r12, TRAINING
+    // INCLUDED: at gate scale the bounded sample is the whole corpus, so
+    // the oracle unrolls the three Lloyd iterations as SQL CTEs with
+    // every float sum in the engine's exact fold order — centroids,
+    // cells, probes and the final top-k are all bit-identical (guard
+    // errs loudly past the 2048-vector sample bound, where the xxhash64
+    // sample order would start to matter).
     "sim_topk_ivf" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       Ann.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 10, dim = 64)
@@ -363,9 +370,12 @@ object DataOpsQueries {
     // Product-quantization ANN, trained form: per-subspace k-means on the
     // one-scan bounded sample (8 subspaces × 16 codes over the 64-dim
     // embeddings = 64× memory compression), corpus encoded once, queries
-    // ranked by asymmetric distance to the reconstruction. Rows-only (the
-    // Lloyd loops aren't SQL-expressible); pq_recall_report is the
-    // oracle-checked accuracy gate on the training-free fixed codebooks.
+    // ranked by asymmetric distance to the reconstruction. ORACLE-CHECKED
+    // since r12, TRAINING INCLUDED: the per-subspace Lloyd loops unroll
+    // to SQL CTEs in the engine's exact fold order (same machinery as
+    // the sim_topk_ivf oracle, keyed by subspace), then encode + ADC
+    // re-derive bit-identically; pq_recall_report remains the accuracy
+    // gate against the exact L2 brute top-10.
     "sim_topk_pq" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       Ann.pqTopK(emb.filter(col("vec_id") < 5), emb,
@@ -929,6 +939,62 @@ object DataOpsQueries {
     * element; IEEE-equal to Spark's 0.0-seeded fold since 0.0+x ≡ x). */
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y)"
+
+  /** Squared-L2 distance as the same ascending-index 0.0-seeded left fold
+    * as Ann.sqDist (VecSqDist) — IEEE-identical term order. `w` = vector
+    * width (64 for full vectors, 8 for PQ subvectors). */
+  private def sqDistSql(a: String, b: String, w: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, ${w + 1}), j -> " +
+      s"($a[CAST(j AS INT)] - $b[CAST(j AS INT)]) * " +
+      s"($a[CAST(j AS INT)] - $b[CAST(j AS INT)]))), (a, b) -> a + b)"
+
+  /** One Lloyd iteration over the IVF corpus sample as CTEs c{n-1} → c{n}:
+    * assign every vector to its strict-argmin centroid (lowest index on
+    * ties — the (d, ci) window order), recompute each non-empty cell's
+    * mean with the ascending-vec_id ordered fold Ann.lloyd uses, keep the
+    * old centroid for empty cells. Mirrors Ann.lloyd exactly — every sum
+    * is a sequential fold in the same order, so the centroids (and hence
+    * the final top-k) are bit-identical. */
+  private def ivfLloydIterSql(n: Int): String = {
+    val (p, q) = (s"c${n - 1}", s"c$n")
+    s"""a$n AS (SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d, ci) AS rn
+       |  FROM (SELECT v.vec_id, $p.ci, ${sqDistSql("v.e", s"$p.cv", 64)} AS d
+       |    FROM v, $p)),
+       |m$n AS (SELECT ci, list(mn ORDER BY j) AS cv
+       |  FROM (SELECT a.ci, dj.j AS j,
+       |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list(v.e[CAST(dj.j AS INT)] ORDER BY v.vec_id)),
+       |        (x, y) -> x + y) / count(*) AS mn
+       |    FROM a$n a JOIN v USING (vec_id), range(1, 65) dj(j)
+       |    WHERE a.rn = 1 GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |$q AS (SELECT p.ci, coalesce(m.cv, p.cv) AS cv
+       |  FROM $p p LEFT JOIN m$n m USING (ci))""".stripMargin
+  }
+
+  /** The PQ variant of [[ivfLloydIterSql]]: the same iteration per
+    * 8-dim subspace, keyed by (mi, ci) over the `sub` slice table. */
+  private def pqLloydIterSql(n: Int): String = {
+    val (p, q) = (s"c${n - 1}", s"c$n")
+    s"""a$n AS (SELECT vec_id, mi, ci, row_number() OVER (
+       |      PARTITION BY vec_id, mi ORDER BY d, ci) AS rn
+       |  FROM (SELECT s.vec_id, s.mi, $p.ci,
+       |      ${sqDistSql("s.se", s"$p.cv", 8)} AS d
+       |    FROM sub s JOIN $p ON $p.mi = s.mi)),
+       |m$n AS (SELECT mi, ci, list(mn ORDER BY j) AS cv
+       |  FROM (SELECT a.mi, a.ci, dj.j AS j,
+       |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list(s.se[CAST(dj.j AS INT)] ORDER BY s.vec_id)),
+       |        (x, y) -> x + y) / count(*) AS mn
+       |    FROM a$n a JOIN sub s ON s.vec_id = a.vec_id AND s.mi = a.mi,
+       |      range(1, 9) dj(j)
+       |    WHERE a.rn = 1 GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2),
+       |$q AS (SELECT p.mi, p.ci, coalesce(m.cv, p.cv) AS cv
+       |  FROM $p p LEFT JOIN m$n m USING (mi, ci))""".stripMargin
+  }
 
   private val normTextSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val toksSql = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
@@ -1625,6 +1691,99 @@ object DataOpsQueries {
       "sim_topk_lsh" -> lshTopKSql,
 
       "sim_topk_brute" -> bruteTopKSql,
+
+      // IVF from first principles INCLUDING the k-means training: the
+      // bounded sample is the whole corpus at gate scale (loud guard at
+      // 2048 — Ann.boundedSample's xxhash order only matters beyond it),
+      // the three Lloyd iterations unroll to CTE blocks whose every
+      // float sum is the same sequential ordered fold as Ann.lloyd
+      // (distances ascending-dim, cell means ascending-vec_id), and the
+      // search mirrors cell assignment, nprobe probing and 6dp cosine
+      // ranking. Centroids and top-k are bit-identical, not approximate.
+      "sim_topk_ivf" ->
+        s"""WITH v AS MATERIALIZED (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |  FROM embeddings),
+           |guard AS (SELECT CASE WHEN count(*) > 2048 THEN
+           |    error('ivf oracle scope: corpus exceeds the 2048-vector bounded sample')
+           |    ELSE 1 END g FROM v),
+           |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+           |    e AS cv
+           |  FROM v ORDER BY vec_id LIMIT 16),
+           |${ivfLloydIterSql(1)},
+           |${ivfLloydIterSql(2)},
+           |${ivfLloydIterSql(3)},
+           |cells AS (SELECT vec_id, ci AS cell FROM (
+           |    SELECT v.vec_id, c3.ci, row_number() OVER (
+           |        PARTITION BY v.vec_id
+           |        ORDER BY ${sqDistSql("v.e", "c3.cv", 64)}, c3.ci) AS rn
+           |    FROM v, c3) WHERE rn = 1),
+           |probes AS (SELECT query_id, ci AS cell FROM (
+           |    SELECT q.vec_id AS query_id, c3.ci, row_number() OVER (
+           |        PARTITION BY q.vec_id
+           |        ORDER BY ${sqDistSql("q.e", "c3.cv", 64)}, c3.ci) AS rn
+           |    FROM (SELECT vec_id, e FROM v WHERE vec_id < 5)
+           |      q(vec_id, e), c3)
+           |  WHERE rn <= 4),
+           |cand AS (SELECT p.query_id, cv.vec_id,
+           |    round(${dotSql("qe.e", "cv.e")} /
+           |      (sqrt(${dotSql("qe.e", "qe.e")}) *
+           |       sqrt(${dotSql("cv.e", "cv.e")})), 6) AS cos
+           |  FROM probes p
+           |  JOIN cells ce ON ce.cell = p.cell
+           |  JOIN v cv ON cv.vec_id = ce.vec_id
+           |  JOIN v qe ON qe.vec_id = p.query_id
+           |  WHERE cv.vec_id <> p.query_id),
+           |r AS (SELECT query_id, vec_id, cos, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+           |  FROM cand)
+           |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+           |FROM r, guard WHERE rank <= 10""".stripMargin,
+
+      // PQ from first principles INCLUDING the per-subspace codebook
+      // training: the same unrolled Lloyd as the IVF oracle, run per
+      // 8-dim slice (keyed by mi), then the one-pass encode (strict
+      // argmin per subspace, lowest index on ties), reconstruction
+      // x̂ = concat of winning centroids, and exact 6dp L2 ranking to x̂
+      // — mathematically the classic ADC table sum, evaluated as the
+      // one 64-dim fold the engine uses so the float order mirrors.
+      "sim_topk_pq" ->
+        s"""WITH v AS MATERIALIZED (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |  FROM embeddings),
+           |guard AS (SELECT CASE WHEN count(*) > 2048 THEN
+           |    error('pq oracle scope: corpus exceeds the 2048-vector bounded sample')
+           |    ELSE 1 END g FROM v),
+           |sub AS MATERIALIZED (SELECT vec_id, mi.mi AS mi,
+           |    list_transform(range(1, 9), j ->
+           |      e[CAST(mi.mi * 8 + j AS INT)]) AS se
+           |  FROM v, range(0, 8) mi(mi)),
+           |c0 AS (SELECT mi, ci, se AS cv FROM (
+           |    SELECT mi, vec_id, se,
+           |      row_number() OVER (PARTITION BY mi ORDER BY vec_id) - 1
+           |        AS ci
+           |    FROM sub) WHERE ci < 16),
+           |${pqLloydIterSql(1)},
+           |${pqLloydIterSql(2)},
+           |${pqLloydIterSql(3)},
+           |enc AS (SELECT vec_id, mi, cv FROM (
+           |    SELECT s.vec_id, s.mi, c3.ci, c3.cv, row_number() OVER (
+           |        PARTITION BY s.vec_id, s.mi
+           |        ORDER BY ${sqDistSql("s.se", "c3.cv", 8)}, c3.ci) AS rn
+           |    FROM sub s JOIN c3 ON c3.mi = s.mi) WHERE rn = 1),
+           |xhat AS MATERIALIZED (SELECT vec_id,
+           |    flatten(list(cv ORDER BY mi)) AS xh
+           |  FROM enc GROUP BY 1),
+           |q AS (SELECT vec_id AS query_id, e AS qe FROM v
+           |  WHERE vec_id < 5),
+           |cand AS (SELECT q.query_id, x.vec_id,
+           |    round(${sqDistSql("q.qe", "x.xh", 64)}, 6) AS dist
+           |  FROM xhat x, q WHERE x.vec_id <> q.query_id),
+           |r AS (SELECT query_id, vec_id, dist, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+           |  FROM cand)
+           |SELECT query_id, vec_id, dist, CAST(rank AS INT) AS rank
+           |FROM r, guard WHERE rank <= 10""".stripMargin,
       "mine_hard_negatives" ->
         s"""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
            |q AS (SELECT vec_id AS query_id, label AS qlabel, e AS qe FROM v WHERE vec_id < 5),
