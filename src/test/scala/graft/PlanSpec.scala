@@ -681,6 +681,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("shared pair-count consumers read the InMemoryRelation — no " +
+    "re-aggregation of the basket self-join per gate") {
+    graft.core.Memo.clear(spark)
+    val dir = sf("sf0.001")
+    // Materialize the shared caches once (the family first-payer's job).
+    graft.queries.SharedTables.pairCounts(spark, dir).count()
+    // Every consumer's plan must scan the cached relation instead of
+    // re-running the distinct + self-join + aggregation.
+    Seq("basket_pair_counts", "basket_association_rules",
+      "graph_triangles", "recsys_item_item").foreach { g =>
+      val p = SparkEntry.queries(g)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"),
+        s"$g does not read the shared cache:\n$p")
+    }
+    // basket_pair_counts specifically must be ONLY cache-read + top-50:
+    // the TakeOrdered sits directly over the InMemoryTableScan, and any
+    // HashAggregate in the plan string is the RELATION'S stored build
+    // plan (nested under InMemoryRelation), not an operator of this
+    // query — assert by position.
+    val pc = SparkEntry.queries("basket_pair_counts")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(pc.contains("TakeOrderedAndProject"), pc)
+    assert(pc.indexOf("InMemoryTableScan") >= 0, pc)
+    val agg = pc.indexOf("HashAggregate")
+    assert(agg < 0 || agg > pc.indexOf("InMemoryRelation"), pc)
+    graft.core.Memo.clear(spark)
+  }
+
   test("k-center argmax is a partial-combining aggregate — no window, " +
     "no global sort on the corpus scan") {
     import graft.ops.{Ann, Curation}
