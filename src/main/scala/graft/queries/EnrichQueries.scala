@@ -179,17 +179,32 @@ object EnrichQueries {
           regexp_replace(col("c_name"), "#", "").as("nm"),
           lit(2L).as("prio"), col("c_acctbal").as("bal"))
       val recs = orig.union(vars)
-      val pairs = graft.ops.Linkage.fastssPairs(
+      // The deletion-only rule (keep length-MISMATCHED links) is a pure
+      // STRING property, so it applies at the distinct-string level —
+      // before member expansion — via fastssRepPairs. Components are
+      // provably those of the expanded per-record filter: each surviving
+      // string pair expands to a complete bipartite member graph, which
+      // the rep–rep edge plus member→rep stars of PARTICIPATING reps
+      // connect identically (every old edge factors through the reps;
+      // every new edge joins ids the bipartite paths already joined);
+      // same-string pairs are equal-length, so the old filter dropped
+      // them — stars are added only for reps with a surviving pair,
+      // keeping unpaired duplicates singletons exactly as before. The
+      // 10× duplicate-heavy canary priced the expanded formulation at
+      // Θ(members²) intermediate pairs (SCALE.md §round-12 fastss).
+      val rp = graft.ops.Linkage.fastssRepPairs(
+          recs.select(col("rec_id"), col("nm")), "rec_id", "nm")
+        .filter(length(col("str_a")) =!= length(col("str_b")))
+        .select(col("rep_a").as("id_a"), col("rep_b").as("id_b"))
+      val members = graft.ops.Linkage.fastssMembers(
         recs.select(col("rec_id"), col("nm")), "rec_id", "nm")
-      val lens = recs.select(col("rec_id"), length(col("nm")).as("ln"))
-      val delPairs = pairs
-        .join(lens.select(col("rec_id").as("id_a"), col("ln").as("la")),
-          Seq("id_a"))
-        .join(lens.select(col("rec_id").as("id_b"), col("ln").as("lb")),
-          Seq("id_b"))
-        .filter(col("la") =!= col("lb"))
-        .select(col("id_a"), col("id_b"))
-      val comps = graft.ops.Dedup.connectedComponents(delPairs,
+      val participating = rp.select(col("id_a").as("__r"))
+        .unionAll(rp.select(col("id_b").as("__r"))).distinct()
+      val stars = members.join(participating,
+          members("rep") === participating("__r"))
+        .filter(col("id") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("id").as("id_b"))
+      val comps = graft.ops.Dedup.connectedComponents(rp.unionAll(stars),
         "id_a", "id_b")
       val lbl = recs
         .join(comps.withColumnRenamed("id", "rec_id"), Seq("rec_id"), "left")

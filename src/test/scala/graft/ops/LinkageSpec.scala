@@ -139,6 +139,27 @@ class LinkageSpec extends SparkSpec {
     assert(got(1L) == 0L && got(109L) == 0L) // acme copies + fuzzy bridge
   }
 
+  test("fastssPairs on a duplicate-heavy corpus = brute force: every " +
+      "within-name pair at 0, every cross-member pair inherits distance 1") {
+    // 5 copies of "acme", 4 of "acm" (deletion of acme), 3 of "zeta" —
+    // the replica-heavy shape the exact-string collapse targets. The
+    // contract output is Θ(members²): C(5,2)+C(4,2)+C(3,2) = 19 zero-
+    // distance pairs + 5·4 = 20 cross pairs at distance 1, zeta isolated.
+    val rows = (0L until 5L).map(i => (i, "acme")) ++
+      (10L until 14L).map(i => (i, "acm")) ++
+      (20L until 23L).map(i => (i, "zeta"))
+    val df = rows.toDF("id", "s")
+    val got = Linkage.fastssPairs(df, "id", "s")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == got.toSet.size, "duplicate output rows")
+    val brute = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      d = levDist(sa, sb) if d <= 1
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got.toSet == brute)
+    assert(got.count(_._3 == 0L) == 19 && got.count(_._3 == 1L) == 20)
+  }
+
   test("fastssPairs = brute-force levenshtein<=1 on every edit kind") {
     // One representative of each edit class against "carte": substitution
     // (carta), deletion (cart), insertion (cartke), transposition (catre,
