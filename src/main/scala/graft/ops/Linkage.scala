@@ -171,7 +171,18 @@ object Linkage {
           s"fastssRepPairs uses an internal $c column; rename the existing one")
       }
     val named = df.select(col(idCol).as("id"), col(strCol).as("__s"))
+    // Explicit repartition (NOT AQE-coalescible) after the group
+    // aggregation: the agg's output is tiny in BYTES, so AQE coalesces
+    // its exchange to 1-2 reducers — but everything downstream amplifies
+    // (len× explode, then the variant join probes with a levenshtein
+    // residual), so those 1-2 tasks would carry the whole neighborhood
+    // search. Measured at sf0.1: the collapse put one 2-task 10.6 s
+    // stage on the trace's critical path (BenchOne TASK_STATS); pinning
+    // the fan-out at defaultParallelism restores the old scan-side
+    // parallelism at the cost of one ~180k-row exchange.
     val groups = named.groupBy(col("__s")).agg(min(col("id")).as("rep"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("__s"))
     val s = col("__s")
     val deletions = transform(sequence(lit(1), length(s)),
       i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s) - i)))
