@@ -50,6 +50,21 @@ object Glm {
 
   private def dsum(c: Column) = sum(round(c, 12).cast("decimal(38,12)"))
 
+  /** Persist the projected design matrix for the duration of `body` —
+    * the MLlib iterative-training pattern: the IRLS loop re-reads its
+    * input once per Newton step, so without this every step pays the
+    * full source scan again (6–8 parquet passes per fit). A p+1-column
+    * double projection is tiny relative to the source; MEMORY_AND_DISK
+    * spills rather than recomputes if it ever isn't. Values are
+    * unchanged — every moment is an exact decimal sum of 12dp-rounded
+    * terms, order-free, so a cached scan is bit-identical. */
+  private def withCachedDesign[A](base: DataFrame)(body: DataFrame => A): A = {
+    val cached = base.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(cached)
+    finally cached.unpersist(blocking = false)
+  }
+
   /** The IRLS/Newton loop itself: fixed iterations, one aggregate per
     * step, driver-side 3×3 solve. @return (β, n). */
   private[ops] def logisticIrlsCoef(base: DataFrame, iters: Int)
@@ -97,7 +112,7 @@ object Glm {
     val spark = df.sparkSession
     val base = df.select(label.cast("double").as("y"),
       x1.cast("double").as("x1"), x2.cast("double").as("x2"))
-    val (b, n) = logisticIrlsCoef(base, iters)
+    val (b, n) = withCachedDesign(base)(logisticIrlsCoef(_, iters))
     val out = Seq(("intercept", rd(b(0), 6), n),
       ("x1", rd(b(1), 6), n), ("x2", rd(b(2), 6), n))
     spark.createDataFrame(out).toDF("feature", "beta", "n_rows")
@@ -111,7 +126,8 @@ object Glm {
     * consistent if EITHER model is right — the estimator an observational
     * A/B readout should report next to the naive difference.
     *
-    * Cost: `propIters`+2 corpus scans (IRLS steps, ONE conditional-sum
+    * Cost: ONE source scan (the 4-column design is cached for the fit),
+    * then `propIters`+2 in-memory passes (IRLS steps, ONE conditional-sum
     * moment pass for both OLS arms, one term pass); all driver state is
     * O(1). Every sum is an exact decimal of rounded terms — mirrorable.
     *
@@ -119,10 +135,12 @@ object Glm {
   def doublyRobustAte(df: DataFrame, treated: Column, outcome: Column,
       x1: Column, x2: Column, propIters: Int = 6): DataFrame = {
     val spark = df.sparkSession
-    val base = df.select(treated.cast("double").as("t"),
+    val baseRaw = df.select(treated.cast("double").as("t"),
       outcome.cast("double").as("yo"),
       x1.cast("double").as("x1"), x2.cast("double").as("x2"))
-    // Propensity β: the logistic loop sees the treatment as its label.
+    withCachedDesign(baseRaw) { base =>
+    // Propensity β: the logistic loop sees the treatment as its label
+    // (the select scans the shared cached design, not the source).
     val (a, _) = logisticIrlsCoef(
       base.select(col("t").as("y"), col("x1"), col("x2")), propIters)
     // Both OLS arms from ONE conditional-sum pass: H = X'X, g = X'y.
@@ -182,5 +200,6 @@ object Glm {
       r.getDecimal(5).doubleValue / (nd - nt)
     spark.createDataFrame(Seq((n, nt.toLong, rd(naive, 6), rd(dr, 6))))
       .toDF("n", "n_treated", "ate_naive", "ate_dr")
+    }
   }
 }

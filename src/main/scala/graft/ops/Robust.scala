@@ -167,20 +167,33 @@ object Robust {
       require(!df.columns.contains(c),
         s"madOutliers uses an internal $c column; rename the existing one")
     }
-    val med = df.groupBy(col(groupCol))
-      .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
-    val withDev = df.join(broadcast(med), Seq(groupCol))
+    // Collapse to per-(group, value) counts FIRST and run every later
+    // pass over the collapsed table with frequency-weighted percentiles
+    // — medians over (value, count) are the exact medians over rows, and
+    // the source is scanned ONCE instead of four times (the med pass,
+    // the dev build, the mad pass and the closing count each consume the
+    // input; pre-collapse that was 4 full re-scans). The collapsed frame
+    // is persisted for its four consumers: at worst (all-distinct
+    // values) it is one (group, value, long) row per distinct pair —
+    // MEMORY_AND_DISK spills rather than recomputes.
+    val collapsed = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = collapsed.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(0.5), col("__n")).as("__med"))
+    val withDev = collapsed.join(broadcast(med), Seq(groupCol))
       .withColumn("__dev", abs(col(valueCol) - col("__med")))
     val mad = withDev.groupBy(col(groupCol))
-      .agg(percentile(col("__dev"), lit(0.5)).as("__mad"))
-    withDev.join(broadcast(mad), Seq(groupCol))
+      .agg(percentile(col("__dev"), lit(0.5), col("__n")).as("__mad"))
+    val out = withDev.join(broadcast(mad), Seq(groupCol))
       .groupBy(col(groupCol))
       .agg(
-        count(lit(1)).as("n_rows"),
+        sum(col("__n")).as("n_rows"),
         max(col("__med")).as("med"),
         max(col("__mad")).as("mad"),
-        count(when(col("__dev") > (col("__mad") * 1.4826) * z, lit(1)))
-          .as("n_outliers"))
+        coalesce(sum(when(col("__dev") > (col("__mad") * 1.4826) * z,
+          col("__n"))), lit(0L)).as("n_outliers"))
+    out
   }
 
   /** Exact LOWER weighted median per group: the smallest value whose

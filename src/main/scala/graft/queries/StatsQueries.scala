@@ -605,27 +605,43 @@ object StatsQueries {
     // decimal-precision-38 product truncation. One contingency aggregate
     // (6 cells), marginals derived FROM the cells — a single fact pass.
     "agg_mutual_info" -> ((s, dir) => {
+      // The joint histogram has |X|·|Y| cells (two low-cardinality
+      // categoricals → ≤ ~9 rows), so ALL marginals ride as windows over
+      // the one cells aggregate instead of separate re-aggregations: the
+      // old mx/my/tot + three joins shape consumed the cells subtree four
+      // times, and Spark recomputes an unshared subtree per consumer —
+      // four full lineitem scans for a 9-row table. One scan now; the
+      // whole-frame window is safe exactly because cells is cell-scale,
+      // never row-scale.
       val cells = table(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("x"), col("l_linestatus").as("y"))
         .agg(count(lit(1)).as("nxy"))
-      val mx = cells.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
-      val my = cells.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
-      val tot = cells.agg(sum(col("nxy")).as("n"))
+      import org.apache.spark.sql.expressions.Window
+      val wx = Window.partitionBy(col("x"))
+      val wy = Window.partitionBy(col("y"))
+      val wAll = Window.partitionBy()
+      val withMarg = cells
+        .withColumn("nx", sum(col("nxy")).over(wx))
+        .withColumn("ny", sum(col("nxy")).over(wy))
+        .withColumn("n", sum(col("nxy")).over(wAll))
+        .withColumn("rx", row_number().over(wx.orderBy(col("y").asc)))
+        .withColumn("ry", row_number().over(wy.orderBy(col("x").asc)))
       def d(c: Column) = c.cast("double")
       def nano(c: Column) = round(c * 1.0e9, 0).cast("long")
-      val joined = cells.join(broadcast(mx), "x").join(broadcast(my), "y")
-        .crossJoin(broadcast(tot))
-      val terms = joined.select(col("n"),
-        (col("nxy") * nano(log(d(col("n")) * d(col("nxy")) /
-          (d(col("nx")) * d(col("ny")))))).cast("decimal(38,0)").as("mi_t"))
-      val hx = mx.crossJoin(broadcast(tot)).agg(
-        sum((col("nx") * nano(log(d(col("nx")) / d(col("n")))))
-          .cast("decimal(38,0)")).as("hx_s"), count(lit(1)).as("k_x"))
-      val hy = my.crossJoin(broadcast(tot)).agg(
-        sum((col("ny") * nano(log(d(col("ny")) / d(col("n")))))
-          .cast("decimal(38,0)")).as("hy_s"), count(lit(1)).as("k_y"))
-      val mi = terms.groupBy(col("n")).agg(sum(col("mi_t")).as("mi_s"))
-      val out = mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      val out = withMarg
+        .select(col("n"), col("x"), col("y"), col("rx"), col("ry"),
+          (col("nxy") * nano(log(d(col("n")) * d(col("nxy")) /
+            (d(col("nx")) * d(col("ny")))))).cast("decimal(38,0)").as("mi_t"),
+          (col("nx") * nano(log(d(col("nx")) / d(col("n")))))
+            .cast("decimal(38,0)").as("hx_t"),
+          (col("ny") * nano(log(d(col("ny")) / d(col("n")))))
+            .cast("decimal(38,0)").as("hy_t"))
+        .groupBy(col("n")).agg(
+          sum(col("mi_t")).as("mi_s"),
+          sum(when(col("rx") === 1, col("hx_t"))).as("hx_s"),
+          sum(when(col("ry") === 1, col("hy_t"))).as("hy_s"),
+          countDistinct(col("x")).as("k_x"),
+          countDistinct(col("y")).as("k_y"))
       val den = d(col("n")) * 1.0e9
       val miV = d(col("mi_s")) / den
       val hxV = -d(col("hx_s")) / den
@@ -1235,20 +1251,34 @@ object StatsQueries {
       val li = table(s, dir, "lineitem")
         .select(col("l_quantity").cast("decimal(12,2)").as("x"),
           col("l_extendedprice").cast("decimal(12,2)").as("y"))
-      def ranks(c: String) = {
-        val g = li.groupBy(col(c)).agg(count(lit(1)).as("n"))
-        graft.ops.Ranking.prefixSum(g, Seq(col(c).asc), Seq("n"))
-          .select(col(c),
-            (lit(2L) * col("cum_n") - col("n") + 1L).as(s"r$c"))
-      }
       val dec = "decimal(38,0)"
-      val j = li.join(ranks("x"), Seq("x")).join(ranks("y"), Seq("y"))
-        .select(col("rx").cast(dec).as("rx"), col("ry").cast(dec).as("ry"))
-      val a = j.agg(count(lit(1)).as("n"),
-        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
-        sum(col("rx") * col("rx")).as("sxx"),
-        sum(col("ry") * col("ry")).as("syy"),
-        sum(col("rx") * col("ry")).as("sxy"))
+      // x (quantity) has ~50 distinct values → its midrank table is a
+      // broadcast, so per-row rx costs nothing extra on the scan. The
+      // near-unique y side is NEVER joined back at row scale: ONE
+      // groupBy(y) carries the x-rank partials (Σrx, Σrx² within each
+      // y-group) alongside the y tie counts, the y midranks ride the
+      // same collapsed table via prefixSum, and every Pearson moment is
+      // a group-weighted sum — Σrx·ry = Σ_y ry·(Σrx | y). The old shape
+      // paid a second row-scale shuffle-join of lineitem against the
+      // y-rank table; this one pays the groupBy(y) it already needed and
+      // nothing else. All integer decimal sums — order-free, exact.
+      val gx = li.groupBy(col("x")).agg(count(lit(1)).as("n"))
+      val rxT = graft.ops.Ranking.prefixSum(gx, Seq(col("x").asc), Seq("n"))
+        .select(col("x"), (lit(2L) * col("cum_n") - col("n") + 1L).as("rx"))
+      val gy = li.join(broadcast(rxT), Seq("x"))
+        .groupBy(col("y")).agg(count(lit(1)).as("n"),
+          sum(col("rx").cast(dec)).as("tx"),
+          sum(col("rx").cast(dec) * col("rx").cast(dec)).as("sxx_y"))
+      val withRy = graft.ops.Ranking
+        .prefixSum(gy, Seq(col("y").asc), Seq("n"))
+        .select(col("n"), col("tx"), col("sxx_y"),
+          (lit(2L) * col("cum_n") - col("n") + 1L).cast(dec).as("ry"))
+      val a = withRy.agg(sum(col("n")).as("n"),
+        sum(col("tx")).as("sx"),
+        sum(col("n").cast(dec) * col("ry")).as("sy"),
+        sum(col("sxx_y")).as("sxx"),
+        sum(col("n").cast(dec) * col("ry") * col("ry")).as("syy"),
+        sum(col("tx") * col("ry")).as("sxy"))
       def d(c: Column) = c.cast("double")
       val nd = d(col("n"))
       val rho = (nd * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
