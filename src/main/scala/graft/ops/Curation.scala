@@ -29,7 +29,15 @@ object Curation {
   /** Surviving documents with their curation features. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       params: Params = Params()): DataFrame = {
-    val (afterExact, pairs) = upToPairs(docs, idCol, textCol, params)
+    val afterExact = afterExactStage(docs, idCol, textCol, params)
+    curateFrom(afterExact, nearDupPairs(afterExact, params))
+  }
+
+  /** [[curate]]'s final stage over precomputed shared stages — lets a
+    * caller that runs BOTH curation modes (greedy and transitive) pay
+    * the feature/filter/exact-dedup/pair work once and feed each mode
+    * from the same (possibly cached) frames. */
+  def curateFrom(afterExact: DataFrame, pairs: DataFrame): DataFrame = {
     // near-dup removal: drop the higher id of every qualifying pair
     val dupIds = pairs.select(col("id_b").as("id")).distinct()
     afterExact.join(dupIds, Seq("id"), "left_anti")
@@ -44,17 +52,24 @@ object Curation {
     * cluster to A. The principled mode when near-dups chain. */
   def curateTransitive(docs: DataFrame, idCol: String, textCol: String,
       params: Params = Params()): DataFrame = {
-    val (afterExact, pairs) = upToPairs(docs, idCol, textCol, params)
+    val afterExact = afterExactStage(docs, idCol, textCol, params)
+    curateTransitiveFrom(afterExact, nearDupPairs(afterExact, params))
+  }
+
+  /** [[curateTransitive]]'s final stage over precomputed shared stages
+    * (see [[curateFrom]]). */
+  def curateTransitiveFrom(afterExact: DataFrame, pairs: DataFrame)
+      : DataFrame = {
     val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
     val dupIds = comp.filter(col("component") =!= col("id")).select(col("id"))
     afterExact.join(dupIds, Seq("id"), "left_anti")
       .select(col("id"), col("langid"), col("quality"))
   }
 
-  /** Shared stages 1-4a: features → filters → exact dedup → qualifying
-    * near-dup pairs. */
-  private def upToPairs(docs: DataFrame, idCol: String, textCol: String,
-      params: Params): (DataFrame, DataFrame) = {
+  /** Shared stages 1-3: features → filters → exact dedup. Output columns
+    * (id, text, langid, quality). */
+  def afterExactStage(docs: DataFrame, idCol: String, textCol: String,
+      params: Params = Params()): DataFrame = {
     val featured = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("langid", TextOps.languageId(col("text")))
       .withColumn("quality", round(TextOps.qualityScore(col("text")), 6))
@@ -66,10 +81,14 @@ object Curation {
       .groupBy(TextOps.fingerprint(col("text")).as("fp"))
       .agg(min(col("id")).as("id"))
       .select(col("id"))
-    val afterExact = filtered.join(exactKept, Seq("id"), "left_semi")
-    (afterExact, Dedup.ngramJaccardPairs(afterExact, "id", "text",
-      params.shingleN, params.nearDupThreshold))
+    filtered.join(exactKept, Seq("id"), "left_semi")
   }
+
+  /** Stage 4a: qualifying near-dup pairs among the exact-dedup survivors. */
+  def nearDupPairs(afterExact: DataFrame, params: Params = Params())
+      : DataFrame =
+    Dedup.ngramJaccardPairs(afterExact, "id", "text",
+      params.shingleN, params.nearDupThreshold)
 
   /** Budget-constrained selection: rank documents by (quality desc, id asc)
     * — a total order — and keep the maximal PREFIX whose running token

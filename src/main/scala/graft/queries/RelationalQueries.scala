@@ -36,6 +36,13 @@ object RelationalQueries {
       import graft.ops.Ranking
       val ords = table(s, dir, "orders")
       val maxD = ords.agg(max(col("o_orderdate")).as("dmax"))
+      // Persist the per-customer rollup: the three quantile rankings each
+      // range-repartition their input (which SAMPLES it for the range
+      // bounds) plus run zipWithIndex's size job — chained, every later
+      // rank replays the whole upstream chain per pass. Ranking three
+      // independent NARROW (custkey, key) projections of the cached
+      // rollup instead keeps each range exchange 2 columns wide, and the
+      // score join-back is 1:1 on custkey.
       val cust = ords.groupBy(col("o_custkey").as("custkey"))
         .agg(max(col("o_orderdate")).as("last_date"),
           count(lit(1)).as("frequency"),
@@ -45,22 +52,24 @@ object RelationalQueries {
           datediff(col("dmax").cast("date"), col("last_date").cast("date"))
             .cast("long").as("recency_days"),
           col("frequency"), col("mon"))
-      val r1 = Ranking.quantileBins(cust,
-          Seq(col("recency_days").desc, col("custkey").asc), 5)
-        .withColumn("r_score", col("bin") + 1L).drop("bin", "rank")
-      val r2 = Ranking.quantileBins(r1,
-          Seq(col("frequency").asc, col("custkey").asc), 5)
-        .withColumn("f_score", col("bin") + 1L).drop("bin", "rank")
-      val r3 = Ranking.quantileBins(r2,
-          Seq(col("mon").asc, col("custkey").asc), 5)
-        .withColumn("m_score", col("bin") + 1L).drop("bin", "rank")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def score(key: String, order: Column, as: String) =
+        Ranking.quantileBins(cust.select(col("custkey"), col(key)),
+            Seq(order, col("custkey").asc), 5)
+          .select(col("custkey"), (col("bin") + 1L).as(as))
+      val scored = cust
+        .join(score("recency_days", col("recency_days").desc, "r_score"),
+          Seq("custkey"))
+        .join(score("frequency", col("frequency").asc, "f_score"),
+          Seq("custkey"))
+        .join(score("mon", col("mon").asc, "m_score"), Seq("custkey"))
       val seg = when(col("r_score") >= 4L && col("f_score") >= 4L &&
           col("m_score") >= 4L, "champion")
         .when(col("r_score") >= 4L && col("f_score") <= 2L, "new")
         .when(col("r_score") <= 2L && col("f_score") >= 4L, "at_risk")
         .when(col("r_score") <= 2L && col("f_score") <= 2L, "lost")
         .otherwise("regular")
-      r3.select(col("custkey"), col("recency_days"), col("frequency"),
+      scored.select(col("custkey"), col("recency_days"), col("frequency"),
         col("mon").cast("double").as("monetary"),
         col("r_score"), col("f_score"), col("m_score"), seg.as("segment"))
     }),

@@ -710,6 +710,29 @@ class PlanSpec extends SparkSpec {
     graft.core.Memo.clear(spark)
   }
 
+  test("composed curation gates read the shared stage caches — features/" +
+    "filter/exact-dedup and the pair derivation run once for both modes") {
+    graft.core.Memo.clear(spark)
+    val dir = sf("sf0.001")
+    // First-payer materializes both shared stages.
+    SparkEntry.queries("curate_corpus")(spark, dir).count()
+    Seq("curate_corpus", "curate_corpus_cc").foreach { g =>
+      val p = SparkEntry.queries(g)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"),
+        s"$g does not read the shared curation caches:\n$p")
+    }
+    // Both modes agree with the direct (uncached) compositions.
+    val docs = graft.core.Tables.table(spark, dir, "documents")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(SparkEntry.queries("curate_corpus")(spark, dir)) ==
+      ids(graft.ops.Curation.curate(docs, "doc_id", "text")))
+    assert(ids(SparkEntry.queries("curate_corpus_cc")(spark, dir)) ==
+      ids(graft.ops.Curation.curateTransitive(docs, "doc_id", "text")))
+    graft.core.Memo.clear(spark)
+  }
+
   test("k-center argmax is a partial-combining aggregate — no window, " +
     "no global sort on the corpus scan") {
     import graft.ops.{Ann, Curation}
