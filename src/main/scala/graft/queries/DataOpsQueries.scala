@@ -38,6 +38,18 @@ object DataOpsQueries {
     * groupBy and the ~10-stage pair derivation are paid once per bench.
     * The pairs memo resolves its afterExact dependency BEFORE entering
     * its own build (the [[graft.core.Memo]] re-entrancy contract). */
+  /** Connected components over [[ngramPairs]] — FOUR consumers
+    * (components, cluster_sizes, survivors, sample_cluster_split) each
+    * re-ran the iterative min-label propagation before this memo; the
+    * component map is id-scale narrow (two longs) and every consumer is
+    * a cheap aggregate or keyed join over it. */
+  private def ngramComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramPairs(s, dir)
+    graft.core.Memo.cached("dataops.ngramComponents", s, dir) {
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }
+  }
+
   private def curationAfterExact(s: SparkSession, dir: String): DataFrame =
     graft.core.Memo.cached("dataops.curationAfterExact", s, dir) {
       graft.ops.Curation.afterExactStage(
@@ -172,7 +184,7 @@ object DataOpsQueries {
     // propagation (iterative joins) vs a recursive-CTE oracle — pairwise
     // matches must collapse transitively even for pairs never scored.
     "dedup_components" -> ((s, dir) =>
-      Dedup.connectedComponents(ngramPairs(s, dir), "id_a", "id_b")),
+      ngramComponents(s, dir)),
 
     // Duplicate-cluster size distribution — the release-report histogram
     // ("how much of the corpus sits in 2-doc vs 50-doc near-dup
@@ -180,7 +192,7 @@ object DataOpsQueries {
     // collapsed twice (per component, then per size). Two tiny
     // aggregates over the component map.
     "dedup_cluster_sizes" -> ((s, dir) =>
-      Dedup.connectedComponents(ngramPairs(s, dir), "id_a", "id_b")
+      ngramComponents(s, dir)
         .groupBy(col("component")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"))),
@@ -193,7 +205,7 @@ object DataOpsQueries {
     // the (small) component table plus a doc-keyed left join.
     "dedup_survivors" -> ((s, dir) => {
       val docs = table(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-      val comp = Dedup.connectedComponents(ngramPairs(s, dir), "id_a", "id_b")
+      val comp = ngramComponents(s, dir)
       val labeled = docs
         .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -229,7 +241,7 @@ object DataOpsQueries {
     // exactly; ~80/20 in expectation.
     "sample_cluster_split" -> ((s, dir) => {
       val docs = table(s, dir, "documents").select(col("doc_id"))
-      val comp = Dedup.connectedComponents(ngramPairs(s, dir), "id_a", "id_b")
+      val comp = ngramComponents(s, dir)
       docs.join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("component"))

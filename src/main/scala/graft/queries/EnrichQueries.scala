@@ -178,7 +178,11 @@ object EnrichQueries {
         .select((col("c_custkey") + 10000000L).as("rec_id"),
           regexp_replace(col("c_name"), "#", "").as("nm"),
           lit(2L).as("prio"), col("c_acctbal").as("bal"))
+      // recs feeds THREE consumers (rep pairing, member expansion, the
+      // final label join) and the two fastss primitives each rebuild the
+      // distinct-string groupBy from it — persist once.
       val recs = orig.union(vars)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // The deletion-only rule (keep length-MISMATCHED links) is a pure
       // STRING property, so it applies at the distinct-string level —
       // before member expansion — via fastssRepPairs. Components are
