@@ -178,11 +178,15 @@ object EnrichQueries {
         .select((col("c_custkey") + 10000000L).as("rec_id"),
           regexp_replace(col("c_name"), "#", "").as("nm"),
           lit(2L).as("prio"), col("c_acctbal").as("bal"))
-      // recs feeds THREE consumers (rep pairing, member expansion, the
-      // final label join) and the two fastss primitives each rebuild the
-      // distinct-string groupBy from it — persist once.
+      // recs is NOT persisted although three consumers read it: the
+      // cached frame materializes with the scan's few input partitions,
+      // and the deletion-neighborhood explode downstream then amplifies
+      // on those few cached blocks — measured 3.6 → 12+ s at sf0.1 (the
+      // same AQE-blindness mechanism as fastssRepPairs' pinned
+      // repartition, arrived at through the cache instead). Rebuilding
+      // the cheap union + regexp projection per consumer is the faster
+      // trade at every measured scale.
       val recs = orig.union(vars)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // The deletion-only rule (keep length-MISMATCHED links) is a pure
       // STRING property, so it applies at the distinct-string level —
       // before member expansion — via fastssRepPairs. Components are
