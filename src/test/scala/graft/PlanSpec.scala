@@ -733,6 +733,21 @@ class PlanSpec extends SparkSpec {
     graft.core.Memo.clear(spark)
   }
 
+  test("component-map consumers read the InMemoryRelation — CC label " +
+    "propagation runs once for the four dedup-report gates") {
+    graft.core.Memo.clear(spark)
+    val dir = sf("sf0.001")
+    SparkEntry.queries("dedup_components")(spark, dir).count()
+    Seq("dedup_cluster_sizes", "dedup_survivors", "sample_cluster_split")
+      .foreach { g =>
+        val p = SparkEntry.queries(g)(spark, dir)
+          .queryExecution.executedPlan.toString
+        assert(p.contains("InMemoryTableScan"),
+          s"$g does not read the cached component map:\n$p")
+      }
+    graft.core.Memo.clear(spark)
+  }
+
   test("k-center argmax is a partial-combining aggregate — no window, " +
     "no global sort on the corpus scan") {
     import graft.ops.{Ann, Curation}
