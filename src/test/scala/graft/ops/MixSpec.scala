@@ -325,4 +325,38 @@ class MixSpec extends SparkSpec {
     // constant group: MAD 0, nothing flagged (999-free)
     assert(out("b") == ((5L, 10.0, 0.0, 0L)))
   }
+
+  test("madOutliers frequency-weighted collapse equals the row-level " +
+    "formulation on a tie-heavy corpus") {
+    // Heavy ties (including even-count interpolation points) exercise the
+    // weighted-percentile path: medians over (value, count) must be the
+    // exact row medians, so the collapsed implementation must agree with
+    // a direct row-level percentile computation on every statistic.
+    val df = Seq.tabulate(400) { i =>
+      (s"g${i % 3}", (i % 7).toDouble + (if (i % 11 == 0) 50.0 else 0.0))
+    }.toDF("grp", "v")
+    val got = Robust.madOutliers(df, "grp", "v", z = 2.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val med = df.groupBy($"grp")
+      .agg(percentile($"v", lit(0.5)).as("med"))
+    val dev = df.join(med, "grp").withColumn("dev", abs($"v" - $"med"))
+    val expect = dev.groupBy($"grp")
+      .agg(count(lit(1)).as("n"), max($"med").as("med"),
+        percentile($"dev", lit(0.5)).as("mad"))
+      .collect().map { r =>
+        val mad = r.getDouble(3)
+        r.getString(0) -> (r.getLong(1), r.getDouble(2), mad)
+      }.toMap
+    val thresh = dev.join(
+        dev.groupBy($"grp").agg(percentile($"dev", lit(0.5)).as("mad")), "grp")
+      .filter($"dev" > $"mad" * 1.4826 * 2.0)
+      .groupBy($"grp").agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    expect.foreach { case (g, (n, m, mad)) =>
+      val (gn, gm, gmad, gk) = got(g)
+      assert(gn == n && gm == m && gmad == mad, s"stats mismatch for $g")
+      assert(gk == thresh.getOrElse(g, 0L), s"outlier count mismatch for $g")
+    }
+  }
 }
