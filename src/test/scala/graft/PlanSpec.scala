@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Physical-plan shape assertions — the "would this survive 100×" checks:
@@ -731,6 +732,73 @@ class PlanSpec extends SparkSpec {
     assert(ids(SparkEntry.queries("curate_corpus_cc")(spark, dir)) ==
       ids(graft.ops.Curation.curateTransitive(docs, "doc_id", "text")))
     graft.core.Memo.clear(spark)
+  }
+
+  test("spearman's join-free moment collapse and RFM's score join-back " +
+    "equal their direct row-scale formulations") {
+    val dir = sf("sf0.001")
+    // Spearman: direct row-level midranks via two row-scale joins (the
+    // pre-rewrite shape), exact decimal moments, same closure.
+    val li = graft.core.Tables.table(spark, dir, "lineitem")
+      .select(col("l_quantity").cast("decimal(12,2)").as("x"),
+        col("l_extendedprice").cast("decimal(12,2)").as("y"))
+    def ranks(c: String) = {
+      val g = li.groupBy(col(c)).agg(count(lit(1)).as("n"))
+      graft.ops.Ranking.prefixSum(g, Seq(col(c).asc), Seq("n"))
+        .select(col(c), (lit(2L) * col("cum_n") - col("n") + 1L).as(s"r$c"))
+    }
+    val dec = "decimal(38,0)"
+    val j = li.join(ranks("x"), Seq("x")).join(ranks("y"), Seq("y"))
+      .select(col("rx").cast(dec).as("rx"), col("ry").cast(dec).as("ry"))
+    val a = j.agg(count(lit(1)).as("n"),
+      sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+      sum(col("rx") * col("rx")).as("sxx"),
+      sum(col("ry") * col("ry")).as("syy"),
+      sum(col("rx") * col("ry")).as("sxy"))
+    def d(c: Column) = c.cast("double")
+    val nd = d(col("n"))
+    val rho = (nd * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+      (sqrt(nd * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+        sqrt(nd * d(col("syy")) - d(col("sy")) * d(col("sy"))))
+    val direct = a.select(col("n"), round(rho, 6).as("spearman"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).head
+    val got = SparkEntry.queries("agg_spearman")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).head
+    assert(got == direct, s"spearman collapse mismatch: $got vs $direct")
+
+    // RFM: the chained-quantile formulation (pre-rewrite) per customer.
+    val rfm = SparkEntry.queries("customer_rfm_segments")(spark, dir)
+    val chained = {
+      import graft.ops.Ranking
+      val ords = graft.core.Tables.table(spark, dir, "orders")
+      val maxD = ords.agg(max(col("o_orderdate")).as("dmax"))
+      val cust = ords.groupBy(col("o_custkey").as("custkey"))
+        .agg(max(col("o_orderdate")).as("last_date"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("mon"))
+        .crossJoin(broadcast(maxD))
+        .select(col("custkey"),
+          datediff(col("dmax").cast("date"), col("last_date").cast("date"))
+            .cast("long").as("recency_days"), col("frequency"), col("mon"))
+      val r1 = Ranking.quantileBins(cust,
+          Seq(col("recency_days").desc, col("custkey").asc), 5)
+        .withColumn("r_score", col("bin") + 1L).drop("bin", "rank")
+      val r2 = Ranking.quantileBins(r1,
+          Seq(col("frequency").asc, col("custkey").asc), 5)
+        .withColumn("f_score", col("bin") + 1L).drop("bin", "rank")
+      Ranking.quantileBins(r2, Seq(col("mon").asc, col("custkey").asc), 5)
+        .withColumn("m_score", col("bin") + 1L)
+        .select(col("custkey"), col("r_score"), col("f_score"),
+          (col("bin") + 1L).as("m_score2"))
+    }
+    val gotScores = rfm.select(col("custkey"), col("r_score"),
+        col("f_score"), col("m_score")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val expScores = chained.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(gotScores == expScores, "RFM score mismatch vs chained ranks")
   }
 
   test("component-map consumers read the InMemoryRelation — CC label " +
