@@ -250,8 +250,12 @@ object Eval {
       .groupBy(col("g"))
       .agg(round(sum(col("v")).cast("double") / count(lit(1)).cast("double"), 6)
         .cast("decimal(18,6)").as("mu"))
+    // Three consumers read the scored rows (calibration histogram, the
+    // split counts, the test-coverage sum) — persist the narrow 2-column
+    // projection so the source is scanned once, not three times.
     val scored = rows.join(broadcast(mu), "g")
       .select(col("cal"), abs(col("v") - col("mu")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val calScores = scored.filter(col("cal"))
       .groupBy(col("s")).agg(count(lit(1)).as("cnt"))
     val n = scored.agg(

@@ -33,6 +33,21 @@ object MixQueries {
   private val PipeShards = 4
   private val BtIters = 12
 
+  /** Language-ID + bigram-LM negative-log-likelihood per doc, memoized:
+    * curate_lm and its packing composition (pipeline_lm_pack) run the
+    * identical scoring chain, and keepBelowQuantile reads its input
+    * twice (threshold pass + filter pass) — the memo's persist covers
+    * both needs at once. */
+  private def lmScoredJoined(s: SparkSession, dir: String): DataFrame =
+    graft.core.Memo.cached("mix.lmScored", s, dir) {
+      val docs = table(s, dir, "documents")
+      val lang = docs.select(col("doc_id"),
+        TextOps.languageId(col("text")).as("langid"))
+      val scored = LangModel.scoreDocs(docs, docs, "doc_id", "text", LmAddK)
+        .filter(col("nll").isNotNull)
+      lang.join(scored, Seq("doc_id"))
+    }
+
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
 
     // Water-filling token-budget allocation (the mixing planner): per
@@ -176,30 +191,18 @@ object MixQueries {
     // Composed perplexity curation: language-ID each doc, score it
     // against the corpus bigram LM, keep the best half PER LANGUAGE via
     // the broadcast quantile threshold (ties at the threshold keep).
-    "curate_lm" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-      val lang = docs.select(col("doc_id"),
-        TextOps.languageId(col("text")).as("langid"))
-      val scored = LangModel.scoreDocs(docs, docs, "doc_id", "text", LmAddK)
-        .filter(col("nll").isNotNull)
-      // keepBelowQuantile reads its input TWICE (threshold + filter);
-      // persisting the scored join keeps the LM chain single-execution.
-      val joined = lang.join(scored, Seq("doc_id")).persist()
-      Robust.keepBelowQuantile(joined, "langid", "nll", CurateFrac)
-        .select(col("doc_id"), col("langid"), col("nll"))
-    }),
+    "curate_lm" -> ((s, dir) =>
+      Robust.keepBelowQuantile(lmScoredJoined(s, dir), "langid", "nll",
+          CurateFrac)
+        .select(col("doc_id"), col("langid"), col("nll"))),
 
     // Cross-family composition: the curate_lm survivors flow straight
     // into GPT-style sequence packing — language-ID → LM perplexity floor
     // → concat-then-chunk layout, one exact oracle end to end.
     "pipeline_lm_pack" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val lang = docs.select(col("doc_id"),
-        TextOps.languageId(col("text")).as("langid"))
-      val scored = LangModel.scoreDocs(docs, docs, "doc_id", "text", LmAddK)
-        .filter(col("nll").isNotNull)
-      val joined = lang.join(scored, Seq("doc_id")).persist()
-      val kept = Robust.keepBelowQuantile(joined, "langid", "nll", CurateFrac)
+      val kept = Robust.keepBelowQuantile(lmScoredJoined(s, dir),
+          "langid", "nll", CurateFrac)
         .select(col("doc_id"))
       graft.ops.Shaping.packSequences(docs.join(kept, Seq("doc_id")),
         "doc_id", "text", PipeSeqLen, PipeShards)
