@@ -21,20 +21,44 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Ranking {
 
+  /** Run `body` with `df` persisted, unpersisting on exit — UNLESS the
+    * caller already cached it (then both persist and unpersist are ours
+    * to skip). The two-pass rankers need this because
+    * `repartitionByRange` SAMPLES its input to pick range bounds, so an
+    * unpersisted input subtree is evaluated twice before the first pass
+    * even runs (once for the bounds, once for the shuffle write); each
+    * ranker's eager first pass materializes the range shuffle, after
+    * which the second pass reuses the shuffle map output and never
+    * touches the input again — so the persist window can close before
+    * returning and nothing leaks. */
+  private def withSampledInput[A](df: DataFrame)(body: DataFrame => A): A = {
+    val preCached =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val in = if (preCached) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(in)
+    finally if (!preCached) in.unpersist(blocking = false)
+  }
+
   /** Input columns + `rank` (1-based, dense total order by `orderCols`). */
   def globalRank(df: DataFrame, orderCols: Seq[Column]): DataFrame = {
     require(orderCols.nonEmpty, "need at least one order column")
     require(!df.columns.contains("rank"),
       "globalRank appends a `rank` column; rename the existing one")
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
-    val schema = StructType(sorted.schema.fields :+
-      StructField("rank", LongType, nullable = false))
-    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
+    withSampledInput(df) { in =>
+      val sorted = in.repartitionByRange(orderCols: _*)
+        .sortWithinPartitions(orderCols: _*)
+      val schema = StructType(sorted.schema.fields :+
+        StructField("rank", LongType, nullable = false))
+      // zipWithIndex runs its partition-size count job EAGERLY at RDD
+      // construction — that job materializes the range shuffle, so the
+      // persist window can close when this call returns.
+      val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (i + 1L))
+      }
+      spark.createDataFrame(ranked, schema)
     }
-    spark.createDataFrame(ranked, schema)
   }
 
   /** Distributed prefix sums — the parallel scan. The window formulation
@@ -65,9 +89,13 @@ object Ranking {
         s"prefixSum appends cum_$c; rename the existing column")
     }
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(orderCols: _*)
+    withSampledInput(df) { in =>
+    val sorted = in.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
     val vIdx = valueCols.map(sorted.schema.fieldIndex).toArray
+    // The partials collect materializes the range shuffle; the second
+    // pass below reuses its map output (same RDD object), so the persist
+    // window closes when this call returns.
     val partials: Array[Array[Long]] = sorted.rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val sums = new Array[Long](vIdx.length)
@@ -94,6 +122,7 @@ object Ranking {
       }
     }
     spark.createDataFrame(rows, schema)
+    }
   }
 
   /** Distributed prefix MAX — [[prefixSum]]'s running-maximum sibling (the
@@ -114,7 +143,8 @@ object Ranking {
         s"prefixMax appends cummax_$c; rename the existing column")
     }
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(orderCols: _*)
+    withSampledInput(df) { in =>
+    val sorted = in.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
     val vIdx = valueCols.map(sorted.schema.fieldIndex).toArray
     val partials: Array[Array[Long]] = sorted.rdd
@@ -149,6 +179,7 @@ object Ranking {
       }
     }
     spark.createDataFrame(rows, schema)
+    }
   }
 
   /** Equal-frequency (quantile) binning: global rank by `orderCols`, then
@@ -159,13 +190,18 @@ object Ranking {
     * as a 1-row broadcast. Appends a `bin` column (0-based). */
   def quantileBins(df: DataFrame, orderCols: Seq[Column], k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(!df.columns.contains("bin") && !df.columns.contains("__n"),
-      "quantileBins appends bin and uses __n; rename the existing column")
-    val n = df.agg(count(lit(1)).as("__n"))
-    globalRank(df, orderCols)
-      .crossJoin(broadcast(n))
-      .withColumn("bin", expr(s"((rank - 1) * $k) div __n"))
-      .drop("__n")
+    require(!df.columns.contains("bin"),
+      "quantileBins appends a bin column; rename the existing one")
+    // One persist window covers BOTH input consumers: the row count
+    // (eager, so it rides the cache and inlines as a literal instead of
+    // a crossJoin subtree that would re-evaluate the input lazily) and
+    // globalRank's sampled range exchange (which detects the input is
+    // already cached and skips its own persist).
+    withSampledInput(df) { in =>
+      val n = in.count()
+      globalRank(in, orderCols)
+        .withColumn("bin", expr(s"((rank - 1) * $k) div ${n}L"))
+    }
   }
 
   /** Cross-source quantile normalization: map each row's value onto the

@@ -1262,19 +1262,17 @@ object StatsQueries {
       // paid a second row-scale shuffle-join of lineitem against the
       // y-rank table; this one pays the groupBy(y) it already needed and
       // nothing else. All integer decimal sums — order-free, exact.
-      // Both collapsed tables are persisted before prefixSum: its
-      // repartitionByRange SAMPLES the input for range bounds, so an
-      // unpersisted subtree (here a lineitem scan + aggregation) would
-      // be evaluated twice — once for the bounds, once for the shuffle.
-      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val gx = li.groupBy(col("x")).agg(count(lit(1)).as("n")).persist(sl)
+      // No explicit persists: prefixSum manages its own input-persist
+      // window (repartitionByRange samples the input for range bounds —
+      // see Ranking.withSampledInput), so each collapsed table here is
+      // built exactly once.
+      val gx = li.groupBy(col("x")).agg(count(lit(1)).as("n"))
       val rxT = graft.ops.Ranking.prefixSum(gx, Seq(col("x").asc), Seq("n"))
         .select(col("x"), (lit(2L) * col("cum_n") - col("n") + 1L).as("rx"))
       val gy = li.join(broadcast(rxT), Seq("x"))
         .groupBy(col("y")).agg(count(lit(1)).as("n"),
           sum(col("rx").cast(dec)).as("tx"),
           sum(col("rx").cast(dec) * col("rx").cast(dec)).as("sxx_y"))
-        .persist(sl)
       val withRy = graft.ops.Ranking
         .prefixSum(gy, Seq(col("y").asc), Seq("n"))
         .select(col("n"), col("tx"), col("sxx_y"),
