@@ -142,6 +142,30 @@ class ShapeSpec extends SparkSpec {
     }
   }
 
+  test("ranker persist window: a pre-cached input stays cached; an " +
+    "uncached input is released before the call returns") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val base = (1L to 500L).map(i => (i, i % 3)).toDF("id", "a")
+    // Caller-cached input: the op must neither re-persist nor unpersist it.
+    val mine = base.persist(StorageLevel.MEMORY_AND_DISK)
+    val out1 = Ranking.prefixSum(mine, Seq(col("id")), Seq("a"))
+    assert(mine.storageLevel != StorageLevel.NONE,
+      "op unpersisted a caller-cached input")
+    assert(out1.count() == 500)
+    mine.unpersist(blocking = true)
+    // Uncached input: the window must be CLOSED by return time...
+    val fresh = base.select(col("id"), col("a"))
+    val out2 = Ranking.globalRank(fresh, Seq(col("a").asc, col("id").asc))
+    assert(fresh.storageLevel == StorageLevel.NONE,
+      "op leaked a persist past its return")
+    // ...and the output must stay fully consumable (twice) afterwards.
+    assert(out2.count() == 500 && out2.agg(max(col("rank"))).head.getLong(0) == 500L)
+    val out3 = Ranking.quantileBins(base.select(col("id"), col("a")),
+      Seq(col("a").asc, col("id").asc), 5)
+    assert(out3.groupBy(col("bin")).count().count() == 5)
+  }
+
   test("prefixMax matches the single-partition window scan, stable under partitioning") {
     import spark.implicits._
     // values dip and spike so the running max genuinely crosses partials
