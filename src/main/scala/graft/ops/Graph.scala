@@ -1080,9 +1080,36 @@ object Graph {
     // crossed the distributed-regime edge threshold). The change flag
     // rides the label row, so convergence needs no second join — one
     // eager checkpoint plus a tiny aggregate per round.
+    // Eagerly re-root `df` as a STATS-FREE LogicalRDD leaf. This is NOT
+    // `localCheckpoint(true)`: that also truncates the plan tree, but it
+    // PROPAGATES the original plan's estimated statistics into the new
+    // leaf (originStats) — and in a convergence loop whose per-round
+    // plan joins the previous round's result with itself, the propagated
+    // sizeInBytes estimate SQUARES every round. The estimate's DIGIT
+    // COUNT then doubles per round, and by round ~20 every Catalyst
+    // stats visit multiplies million-digit BigIntegers on the driver
+    // (measured: the 100× SCC gate spent 45+ min of driver CPU inside
+    // SizeInBytesOnlyStatsPlanVisitor). Re-rooting through the RDD drops
+    // the estimate to the constant default. The persisted predecessor
+    // RDD is released once the successor is materialized.
+    def rerootEager(df: DataFrame,
+        release: Option[org.apache.spark.rdd.RDD[Row]] = None)
+        : (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
+      // RDD-level localCheckpoint: truncates the RDD lineage once
+      // materialized (a plain persist does NOT — task closures still
+      // serialize the whole ancestor chain recursively, and ~200
+      // convergence iterations overflow the task-deserializer stack).
+      val rdd = df.rdd.localCheckpoint()
+      rdd.count()
+      // The predecessor's blocks are no longer reachable from any live
+      // plan once the successor is materialized-and-truncated.
+      release.foreach(_.unpersist(blocking = false))
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+
     def fixpoint(adj: DataFrame, nodes: DataFrame): DataFrame = {
-      var labels = nodes.select(col("node"), col("node").as("l"))
-        .localCheckpoint(true)
+      var (labels, lRdd) = rerootEager(
+        nodes.select(col("node"), col("node").as("l")))
       var changed = 1L
       while (changed > 0) {
         val incoming = adj
@@ -1091,29 +1118,30 @@ object Graph {
         val jumped = labels.join(
           labels.select(col("node").as("l"), col("l").as("ll")),
           Seq("l"), "left")
-        val next = jumped.join(incoming, Seq("node"), "left")
-          .select(col("node"),
-            least(col("l"), coalesce(col("lin"), col("l")),
-              coalesce(col("ll"), col("l"))).as("l2"),
-            col("l").as("lp"))
-          .select(col("node"), col("l2").as("l"),
-            (col("l2") =!= col("lp")).cast("long").as("ch"))
-          .localCheckpoint(true)
+        val (next, nRdd) = rerootEager(
+          jumped.join(incoming, Seq("node"), "left")
+            .select(col("node"),
+              least(col("l"), coalesce(col("lin"), col("l")),
+                coalesce(col("ll"), col("l"))).as("l2"),
+              col("l").as("lp"))
+            .select(col("node"), col("l2").as("l"),
+              (col("l2") =!= col("lp")).cast("long").as("ch")),
+          Some(lRdd))
         changed = next.agg(coalesce(sum(col("ch")), lit(0L)).as("c"))
           .head.getLong(0)
         labels = next.select(col("node"), col("l"))
+        lRdd = nRdd
       }
       labels
     }
 
-    var remainingE = e.localCheckpoint(true)
+    var (remainingE, reRdd) = rerootEager(e)
     var settled = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
       StructType(Seq(StructField("node", LongType), StructField("scc", LongType))))
     var rounds = 0
-    var nodes = remainingE.select(col("s").as("node"))
-      .union(remainingE.select(col("d").as("node"))).distinct()
-      .localCheckpoint(true)
+    var nodes = rerootEager(remainingE.select(col("s").as("node"))
+      .union(remainingE.select(col("d").as("node"))).distinct())._1
     var nNodes = nodes.count()
     while (nNodes > 0) {
       rounds += 1
@@ -1125,19 +1153,19 @@ object Graph {
       val bwd = fixpoint(
         remainingE.select(col("d").as("from"), col("s").as("to")), nodes)
       val both = fwd.join(bwd.select(col("node"), col("l").as("lb")), "node")
-      val done = both.filter(col("l") === col("lb"))
-        .select(col("node"), col("l").as("scc"))
-        .localCheckpoint(true)
+      val done = rerootEager(both.filter(col("l") === col("lb"))
+        .select(col("node"), col("l").as("scc")))._1
       settled = settled.union(done)
-      nodes = both.filter(col("l") =!= col("lb")).select(col("node"))
-        .localCheckpoint(true)
+      nodes = rerootEager(
+        both.filter(col("l") =!= col("lb")).select(col("node")))._1
       nNodes = nodes.count()
       if (nNodes > 0) {
-        remainingE = remainingE
+        val (re2, rr2) = rerootEager(remainingE
           .join(nodes.select(col("node").as("s")), Seq("s"))
           .join(nodes.select(col("node").as("d")), Seq("d"))
-          .select(col("s"), col("d"))
-          .localCheckpoint(true)
+          .select(col("s"), col("d")), Some(reRdd))
+        remainingE = re2
+        reRdd = rr2
       }
     }
     e.unpersist()
