@@ -31,6 +31,20 @@ object Bench {
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Host-load self-annotation (VERDICT r12 item 3): two consecutive
+    // rounds the driver's headline was dominated by external host
+    // contention that only an after-the-fact interleaved A/B could
+    // disprove. Recording the 1/5/15-min load averages at start and end,
+    // plus JVM-uptime vs timed-loop wall (sbt startup + compile + warmup
+    // overhead vs the measurement itself), makes a loaded-host artifact
+    // self-identifying: load1 far above the 32 cores the bench asks for,
+    // or uptime >> bench wall, flags contention without a re-run.
+    def loadAvg(): Seq[Double] = try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      s.trim.split("\\s+").take(3).toSeq.map(_.toDouble)
+    } catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+    val loadStart = loadAvg()
     // Warm the JVM + file-system metadata once so per-query numbers measure
     // the queries, not first-touch class loading / footer reads.
     graft.core.Tables.All.foreach { t =>
@@ -59,6 +73,7 @@ object Bench {
     graft.core.Memo.clear(spark)
     graft.core.Memo.drainBuilt() // discard warmup-dir cache events
     val coldCaches = scala.collection.mutable.Map[String, Seq[String]]()
+    val benchWall0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -76,6 +91,14 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val benchWall = (System.nanoTime() - benchWall0) / 1e9
+    val loadEnd = loadAvg()
+    val jvmUptime = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getUptime / 1e3
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val loadJson = s"""{"la_start":[${loadStart.map(f2).mkString(",")}],""" +
+      s""""la_end":[${loadEnd.map(f2).mkString(",")}],""" +
+      s""""bench_wall_sec":${f2(benchWall)},"jvm_uptime_sec":${f2(jvmUptime)}}"""
     // Two lines: a full-precision per-query dump first (diagnostic; no
     // "metric" key so a tail-grep for the contract line can't match it),
     // then the contract JSON line LAST and kept under ~1 KB — the driver
@@ -88,7 +111,8 @@ object Bench {
     val cold = coldCaches.toSeq.sortBy(_._1).map { case (q, cs) =>
       "\"" + q + "\":" + cs.map("\"" + _ + "\"").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val fullLine = s"""{"bench_full":$fullQs,"cache_cold":$cold,"sf":"$sfDir"}"""
+    val fullLine = s"""{"bench_full":$fullQs,"cache_cold":$cold,""" +
+      s""""load":$loadJson,"sf":"$sfDir"}"""
     println(fullLine)
     // Also persist the full per-query map under tmp/ — the driver keeps
     // only the tail of stdout, so without this file round-over-round
@@ -106,7 +130,7 @@ object Bench {
       .distinct.sortBy(_._1)
     val qs = keep.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"load":$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -75,6 +75,26 @@ object Memo {
     }
   }
 
+  /** Operator-internal persisted frames registered via [[ownedPersist]],
+    * keyed by session so [[clear]] can release them. */
+  private val owned =
+    new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, DataFrame)]()
+
+  /** Persist an operator-internal intermediate (MEMORY_AND_DISK) and
+    * register it with the session's owned set, so the harness-level cache
+    * release ([[clear]] — Bench's warmup clear) covers it. For persists
+    * that live INSIDE an op taking arbitrary DataFrames — no (name, dir)
+    * key exists, so [[cached]] does not apply, but leaving them untracked
+    * leaks storage across bench reps (each call persists a fresh frame
+    * that nothing ever unpersists). [[clearDir]] intentionally does not
+    * touch these: a fresh op call rebuilds fresh frames, so a rewritten
+    * fixture cannot be served stale rows through this path. */
+  def ownedPersist(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    owned.add((df.sparkSession, p))
+    p
+  }
+
   /** Cache names (`name:dir`) created since the previous drain — the
     * bench's per-query cold-cache attribution. */
   def drainBuilt(): Seq[String] = {
@@ -92,6 +112,15 @@ object Memo {
       Option(cache.remove(k)).foreach(df =>
         try df.unpersist() catch { case _: Throwable => () })
     }
+    val keep = new java.util.ArrayList[(SparkSession, DataFrame)]()
+    var e = owned.poll()
+    while (e != null) {
+      if (e._1 eq s) { try e._2.unpersist() catch { case _: Throwable => () } }
+      else keep.add(e)
+      e = owned.poll()
+    }
+    owned.addAll(keep)
+    ()
   }
 
   /** Unpersist and forget every entry (any session) keyed under `dir` —
@@ -111,5 +140,7 @@ object Memo {
     import scala.jdk.CollectionConverters._
     cache.keySet.asScala.filter(_._2.sparkContext.isStopped)
       .foreach(cache.remove)
+    owned.removeIf(e => e._1.sparkContext.isStopped)
+    ()
   }
 }

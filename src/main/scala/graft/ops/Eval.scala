@@ -60,7 +60,7 @@ object Eval {
     * makes the correction degenerate) so both engines agree explicitly.
     */
   def cohensKappa(df: DataFrame, actual: Column, predicted: Column): DataFrame = {
-    val cm = confusionMatrix(df, actual, predicted).persist()
+    val cm = graft.core.Memo.ownedPersist(confusionMatrix(df, actual, predicted))
     val tot = cm.agg(sum(col("n")).as("n_total"),
       sum(when(col("actual") === col("predicted"), col("n")).otherwise(0L)).as("n_agree"))
     val act = cm.groupBy(col("actual").as("cls")).agg(sum(col("n")).as("na"))
@@ -253,9 +253,8 @@ object Eval {
     // Three consumers read the scored rows (calibration histogram, the
     // split counts, the test-coverage sum) — persist the narrow 2-column
     // projection so the source is scanned once, not three times.
-    val scored = rows.join(broadcast(mu), "g")
-      .select(col("cal"), abs(col("v") - col("mu")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = graft.core.Memo.ownedPersist(rows.join(broadcast(mu), "g")
+      .select(col("cal"), abs(col("v") - col("mu")).as("s")))
     val calScores = scored.filter(col("cal"))
       .groupBy(col("s")).agg(count(lit(1)).as("cnt"))
     val n = scored.agg(
@@ -290,8 +289,8 @@ object Eval {
       .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("c"))
     val ids = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
-    val g = grams.join(ids, Seq("id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = graft.core.Memo.ownedPersist(
+      grams.join(ids, Seq("id"), "left_semi"))
     val tot = g.groupBy(col("id")).agg(sum(col("c")).as("tot"))
     val matched = pairs.select(col("id_a"), col("id_b"))
       .join(g.select(col("id").as("id_a"), col("gram"), col("c").as("ca")), Seq("id_a"))
@@ -333,8 +332,8 @@ object Eval {
       .union(pairs.select(col("id_b").as("id"))).distinct()
     def d(c: Column) = c.cast("double")
     def side(n: Int, tag: String) = {
-      val g = gramCounts(n).join(ids, Seq("id"), "left_semi")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val g = graft.core.Memo.ownedPersist(
+        gramCounts(n).join(ids, Seq("id"), "left_semi"))
       val tot = g.groupBy(col("id")).agg(sum(col("c")).as("tot"))
       val matched = pairs.select(col("id_a"), col("id_b"))
         .join(g.select(col("id").as("id_a"), col("gram"), col("c").as("ca")),

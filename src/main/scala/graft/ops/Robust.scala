@@ -176,9 +176,9 @@ object Robust {
     // is persisted for its four consumers: at worst (all-distinct
     // values) it is one (group, value, long) row per distinct pair —
     // MEMORY_AND_DISK spills rather than recomputes.
-    val collapsed = df.groupBy(col(groupCol), col(valueCol))
-      .agg(count(lit(1)).as("__n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val collapsed = graft.core.Memo.ownedPersist(
+      df.groupBy(col(groupCol), col(valueCol))
+        .agg(count(lit(1)).as("__n")))
     val med = collapsed.groupBy(col(groupCol))
       .agg(percentile(col(valueCol), lit(0.5), col("__n")).as("__med"))
     val withDev = collapsed.join(broadcast(med), Seq(groupCol))

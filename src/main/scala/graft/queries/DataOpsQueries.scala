@@ -25,19 +25,23 @@ object DataOpsQueries {
     * like the graph family's edge caches: the prefix-filtered pair
     * pipeline is ~10 stages, so each extra consumer otherwise replays
     * the whole derivation. */
+  /** Embedding covariance sufficient statistics — shared upstream of
+    * embed_covariance and embed_top_eigvec: the identical corpus-scale
+    * quantized outer-product aggregate would otherwise run twice per
+    * bench (r12 verdict item 4). The result is only the 2080
+    * upper-triangle cells, so the cache is tiny; the saving is the
+    * corpus pass. */
+  private def covStats(s: SparkSession, dir: String): DataFrame =
+    graft.core.Memo.cached("dataops.covStats", s, dir) {
+      Ann.covarianceStats(table(s, dir, "embeddings"), "embedding")
+    }
+
   private def ngramPairs(s: SparkSession, dir: String): DataFrame =
     graft.core.Memo.cached("dataops.ngramPairs", s, dir) {
       Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.8)
     }
 
-  /** Shared curation stages 1-3 (features → filters → exact dedup) and
-    * 4a (near-dup pairs) for the TWO composed curation gates — greedy
-    * (curate_corpus) and transitive (curate_corpus_cc) differ only in
-    * the final removal rule, so the feature scan, the fingerprint
-    * groupBy and the ~10-stage pair derivation are paid once per bench.
-    * The pairs memo resolves its afterExact dependency BEFORE entering
-    * its own build (the [[graft.core.Memo]] re-entrancy contract). */
   /** Connected components over [[ngramPairs]] — FOUR consumers
     * (components, cluster_sizes, survivors, sample_cluster_split) each
     * re-ran the iterative min-label propagation before this memo; the
@@ -50,6 +54,13 @@ object DataOpsQueries {
     }
   }
 
+  /** Shared curation stages 1-3 (features → filters → exact dedup) and
+    * 4a (near-dup pairs) for the TWO composed curation gates — greedy
+    * (curate_corpus) and transitive (curate_corpus_cc) differ only in
+    * the final removal rule, so the feature scan, the fingerprint
+    * groupBy and the ~10-stage pair derivation are paid once per bench.
+    * The pairs memo resolves its afterExact dependency BEFORE entering
+    * its own build (the [[graft.core.Memo]] re-entrancy contract). */
   private def curationAfterExact(s: SparkSession, dir: String): DataFrame =
     graft.core.Memo.cached("dataops.curationAfterExact", s, dir) {
       graft.ops.Curation.afterExactStage(
@@ -76,7 +87,7 @@ object DataOpsQueries {
     "streaming_dedup" -> ((s, dir) => {
       import graft.streaming.StreamDedup
       val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
-      val feedDir = new java.io.File(sys.props("java.io.tmpdir"),
+      val feedDir = new java.io.File(graft.streaming.StreamScratch.base,
         "graft-stream-dedup-" + new java.io.File(dir).getName).getAbsolutePath
       docs.write.mode("overwrite").parquet(feedDir)
       import s.implicits._
@@ -86,6 +97,8 @@ object DataOpsQueries {
         graft.streaming.StreamTuning.GateStatePartitions) {
         val q = StreamDedup.keepFirst(s, stream)
           .writeStream.outputMode("append").format("memory")
+          .option("checkpointLocation",
+            graft.streaming.StreamScratch.freshCheckpoint("gate_stream_dedup"))
           .queryName("gate_stream_dedup").start()
         try q.processAllAvailable() finally q.stop()
       }
@@ -586,8 +599,10 @@ object DataOpsQueries {
     // Covariance sufficient statistics of the embedding corpus: exact
     // integer sums over 2^20-quantized values, one narrow outer-product
     // expression + one hash aggregate to the 2080 upper-triangle cells.
-    "embed_covariance" -> ((s, dir) =>
-      Ann.covarianceStats(table(s, dir, "embeddings"), "embedding")),
+    // Memoized ([[covStats]]): embed_top_eigvec consumes the SAME
+    // corpus-scale aggregate, so the one-pass build is paid once per
+    // bench with cache_cold attribution, not twice.
+    "embed_covariance" -> ((s, dir) => covStats(s, dir)),
 
     // Dominant principal direction + explained-variance share via 15
     // fixed power iterations on the exact-integer covariance stats —
@@ -597,9 +612,7 @@ object DataOpsQueries {
     // decimal of 12dp-rounded terms, so the oracle UNROLLS the identical
     // recurrence as a 15-block CTE chain and lands on the same bits.
     "embed_top_eigvec" -> ((s, dir) =>
-      Ann.topPrincipalDirection(
-        Ann.covarianceStats(table(s, dir, "embeddings"), "embedding"),
-        iters = EigIters)),
+      Ann.topPrincipalDirection(covStats(s, dir), iters = EigIters)),
 
     // Greedy k-center coreset (Gonzalez) over the embedding corpus: 8
     // maximally-spread vectors, each round one distributed argmax of the

@@ -43,16 +43,16 @@ object RelationalQueries {
       // independent NARROW (custkey, key) projections of the cached
       // rollup instead keeps each range exchange 2 columns wide, and the
       // score join-back is 1:1 on custkey.
-      val cust = ords.groupBy(col("o_custkey").as("custkey"))
-        .agg(max(col("o_orderdate")).as("last_date"),
-          count(lit(1)).as("frequency"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("mon"))
-        .crossJoin(broadcast(maxD))
-        .select(col("custkey"),
-          datediff(col("dmax").cast("date"), col("last_date").cast("date"))
-            .cast("long").as("recency_days"),
-          col("frequency"), col("mon"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cust = graft.core.Memo.ownedPersist(
+        ords.groupBy(col("o_custkey").as("custkey"))
+          .agg(max(col("o_orderdate")).as("last_date"),
+            count(lit(1)).as("frequency"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("mon"))
+          .crossJoin(broadcast(maxD))
+          .select(col("custkey"),
+            datediff(col("dmax").cast("date"), col("last_date").cast("date"))
+              .cast("long").as("recency_days"),
+            col("frequency"), col("mon")))
       def score(key: String, order: Column, as: String) =
         Ranking.quantileBins(cust.select(col("custkey"), col(key)),
             Seq(order, col("custkey").asc), 5)

@@ -73,7 +73,7 @@ object SessionQueries {
         .select(col("user_id"),
           lit(new java.sql.Timestamp(maxTs.getTime + (GapMinutes + 1) * 60000L)).as("ts"),
           lit("flush").as("event_type"), lit(0.0).as("value"))
-      val feedDir = new java.io.File(sys.props("java.io.tmpdir"),
+      val feedDir = new java.io.File(graft.streaming.StreamScratch.base,
         "graft-stream-sess-" + new java.io.File(dir).getName).getAbsolutePath
       ev.unionByName(flush).write.mode("overwrite").parquet(feedDir)
       import s.implicits._
@@ -83,6 +83,8 @@ object SessionQueries {
         graft.streaming.StreamTuning.GateStatePartitions) {
         val q = Sessionize.sessionize(s, stream, gapMs = GapMinutes * 60000L)
           .writeStream.outputMode("append").format("memory")
+          .option("checkpointLocation",
+            graft.streaming.StreamScratch.freshCheckpoint("gate_stream_sess"))
           .queryName("gate_stream_sess").start()
         try q.processAllAvailable() finally q.stop()
       }
@@ -111,7 +113,7 @@ object SessionQueries {
       val cutoff = new java.sql.Timestamp(maxTs.getTime - 2L * 86400000L)
       val fresh = ev.filter(col("ts") > cutoff)
       val late = ev.filter(col("ts") <= cutoff)
-      val feedDir = new java.io.File(sys.props("java.io.tmpdir"),
+      val feedDir = new java.io.File(graft.streaming.StreamScratch.base,
         "graft-stream-wm-" + new java.io.File(dir).getName).getAbsolutePath
       val fd = new java.io.File(feedDir)
       if (fd.exists()) { // fresh feed per run: append mode must not see
@@ -127,6 +129,8 @@ object SessionQueries {
         val q = graft.streaming.WindowStats
           .tumblingStats(stream, "1 hour", "30 minutes")
           .writeStream.outputMode("append").format("memory")
+          .option("checkpointLocation",
+            graft.streaming.StreamScratch.freshCheckpoint("gate_stream_wm"))
           .queryName("gate_stream_wm").start()
         try {
           q.processAllAvailable()       // batch 1: fresh rows, wm advances
@@ -150,7 +154,7 @@ object SessionQueries {
     "streaming_interval_join" -> ((s, dir) => {
       val ev = table(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      val feedBase = new java.io.File(sys.props("java.io.tmpdir"),
+      val feedBase = new java.io.File(graft.streaming.StreamScratch.base,
         "graft-stream-ij-" + new java.io.File(dir).getName).getAbsolutePath
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id"), col("ts"))
@@ -168,6 +172,8 @@ object SessionQueries {
         val q = graft.streaming.StreamJoin.attribution(cs, ps,
           windowMinutes = 60, watermark = "10 minutes")
           .writeStream.outputMode("append").format("memory")
+          .option("checkpointLocation",
+            graft.streaming.StreamScratch.freshCheckpoint("gate_stream_ij"))
           .queryName("gate_stream_ij").start()
         try q.processAllAvailable() finally q.stop()
       }
@@ -194,7 +200,7 @@ object SessionQueries {
       val sentinel = s.range(1).select(
         lit(new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)).as("ts"),
         lit("__flush").as("event_type"), lit(0.0).as("value"))
-      val feedDir = new java.io.File(sys.props("java.io.tmpdir"),
+      val feedDir = new java.io.File(graft.streaming.StreamScratch.base,
         "graft-stream-hourly-" + new java.io.File(dir).getName).getAbsolutePath
       ev.unionByName(sentinel).write.mode("overwrite").parquet(feedDir)
       val stream = s.readStream.schema(ev.schema).parquet(feedDir)
@@ -202,6 +208,8 @@ object SessionQueries {
         graft.streaming.StreamTuning.GateStatePartitions) {
         val q = graft.streaming.WindowStats.tumblingStats(stream)
           .writeStream.outputMode("append").format("memory")
+          .option("checkpointLocation",
+            graft.streaming.StreamScratch.freshCheckpoint("gate_stream_hourly"))
           .queryName("gate_stream_hourly").start()
         try q.processAllAvailable() finally q.stop()
       }
