@@ -976,12 +976,23 @@ object Graph {
     * min id u can reach), settle every node with fmin = bmin = m into SCC
     * m (mutual reachability with m is proven by the two labels; minimality
     * because any smaller mutual partner would lower fmin), peel the
-    * settled nodes and repeat on the residual subgraph. Each round settles
-    * at least the component of the smallest remaining id; every step is a
-    * node-keyed join + min aggregate (integer labels — bit-exact on any
-    * partitioning), no windows. `maxRounds` is a loud-failure guard: a
-    * pathological SCC chain peels one component per round, so a graph
-    * needing more rounds should fail, not silently truncate.
+    * settled nodes, CUT every edge whose endpoints disagree on the
+    * (fmin, bmin) class (the OBF/coloring refinement: nodes of one SCC
+    * reach each other, so they share ancestor and descendant sets and
+    * hence the class — every SCC lies inside a single class, every
+    * cycle's edges are intra-class, and cutting cross-class edges
+    * preserves all remaining SCCs), and repeat on the residual subgraph.
+    * The cut is what bounds the round count: plain peeling settles ONE
+    * node per round on a monotone chain of singleton SCCs (the SCC gate
+    * fixture's broken rings blew the 24-round budget the first time the
+    * distributed regime ran, at the 100× canary), whereas the chain's
+    * classes are pairwise distinct, so one cut round isolates every node
+    * and the next settles them all. Each round still settles at least
+    * each class's own minimum once the class is edge-closed; every step
+    * is a node-keyed join + min aggregate (integer labels — bit-exact on
+    * any partitioning), no windows. `maxRounds` stays as a loud-failure
+    * guard: a graph needing more rounds should fail, not silently
+    * truncate.
     *
     * Small graphs (≤ localEdgeThreshold edges) take a driver-local
     * iterative Tarjan relabeled to min ids — identical output by
@@ -1107,32 +1118,79 @@ object Graph {
       (spark.createDataFrame(rdd, df.schema), rdd)
     }
 
-    def fixpoint(adj: DataFrame, nodes: DataFrame): DataFrame = {
-      var (labels, lRdd) = rerootEager(
-        nodes.select(col("node"), col("node").as("l")))
+    // Forward and backward fixpoints FUSED into one loop (one reroot
+    // materialization + one convergence count per iteration instead of
+    // two), accelerated by WITNESS DOUBLING — the list-ranking device,
+    // not label jumping. Plain l(l(v)) jumping only shortcuts when
+    // labels form pointer CHAINS, and on a monotone-id ring the
+    // backward direction never builds one: every successor's label is
+    // LARGER, so the only information is the wrap-point min crawling
+    // back one node per iteration — measured at the 100× canary as a
+    // ~50-iteration linear tail (changed = one node per block per
+    // iteration) behind a 7-iteration log phase. The witness pointer
+    // p(v) is instead an EXPLICIT sampled ancestor that doubles every
+    // iteration regardless of label values: init p(v) = min 1-hop
+    // in-neighbor, update p'(v) = p(p(v)), candidate label l(p(v)).
+    // Soundness is the reachability invariant (p(v) reaches v ⇒ p(p(v))
+    // reaches v; l(p(v)) is the id of a node reaching p(v), hence
+    // reaching v); completeness and termination come from the 1-hop
+    // relaxation alone (Bellman–Ford: while any label is above its true
+    // min, some edge is tense, so an iteration with zero label changes
+    // IS the fixpoint — p-pointer movement need not be tracked). On the
+    // gate digraph this converges in 7 iterations where label jumping
+    // took 50 (simulated AND measured; same 4 joins per iteration).
+    def fixpoints(adjF: DataFrame, adjB: DataFrame,
+        nodes: DataFrame): DataFrame = {
+      val pf0 = adjF.groupBy(col("to").as("node"))
+        .agg(min(col("from")).as("pf0"))
+      val pb0 = adjB.groupBy(col("to").as("node"))
+        .agg(min(col("from")).as("pb0"))
+      var (labels, lRdd) = rerootEager(nodes
+        .join(pf0, Seq("node"), "left")
+        .join(pb0, Seq("node"), "left")
+        .select(col("node"), col("node").as("lf"), col("node").as("lb"),
+          coalesce(col("pf0"), col("node")).as("pf"),
+          coalesce(col("pb0"), col("node")).as("pb")))
       var changed = 1L
       while (changed > 0) {
-        val incoming = adj
-          .join(labels.select(col("node").as("from"), col("l").as("lf")), "from")
-          .groupBy(col("to").as("node")).agg(min(col("lf")).as("lin"))
-        val jumped = labels.join(
-          labels.select(col("node").as("l"), col("l").as("ll")),
-          Seq("l"), "left")
+        val incF = adjF
+          .join(labels.select(col("node").as("from"), col("lf").as("x")),
+            "from")
+          .groupBy(col("to").as("node")).agg(min(col("x")).as("linF"))
+        val incB = adjB
+          .join(labels.select(col("node").as("from"), col("lb").as("x")),
+            "from")
+          .groupBy(col("to").as("node")).agg(min(col("x")).as("linB"))
+        val wf = labels.select(col("node").as("pf"), col("lf").as("lpf"),
+          col("pf").as("ppf"))
+        val wb = labels.select(col("node").as("pb"), col("lb").as("lpb"),
+          col("pb").as("ppb"))
         val (next, nRdd) = rerootEager(
-          jumped.join(incoming, Seq("node"), "left")
+          labels.join(wf, Seq("pf"), "left").join(wb, Seq("pb"), "left")
+            .join(incF, Seq("node"), "left")
+            .join(incB, Seq("node"), "left")
             .select(col("node"),
-              least(col("l"), coalesce(col("lin"), col("l")),
-                coalesce(col("ll"), col("l"))).as("l2"),
-              col("l").as("lp"))
-            .select(col("node"), col("l2").as("l"),
-              (col("l2") =!= col("lp")).cast("long").as("ch")),
+              least(col("lf"), coalesce(col("linF"), col("lf")),
+                coalesce(col("lpf"), col("lf"))).as("lf2"),
+              least(col("lb"), coalesce(col("linB"), col("lb")),
+                coalesce(col("lpb"), col("lb"))).as("lb2"),
+              coalesce(col("ppf"), col("pf")).as("pf2"),
+              coalesce(col("ppb"), col("pb")).as("pb2"),
+              col("lf").as("lfp"), col("lb").as("lbp"))
+            .select(col("node"), col("lf2").as("lf"), col("lb2").as("lb"),
+              col("pf2").as("pf"), col("pb2").as("pb"),
+              ((col("lf2") =!= col("lfp")) || (col("lb2") =!= col("lbp")))
+                .cast("long").as("ch")),
           Some(lRdd))
         changed = next.agg(coalesce(sum(col("ch")), lit(0L)).as("c"))
           .head.getLong(0)
-        labels = next.select(col("node"), col("l"))
+        labels = next.select(col("node"), col("lf"), col("lb"),
+          col("pf"), col("pb"))
         lRdd = nRdd
+        if (sys.env.contains("SPARK_GRAFT_SCC_DEBUG"))
+          System.err.println(s"[scc] fixpoint iter changed=$changed")
       }
-      labels
+      labels.select(col("node"), col("lf"), col("lb"))
     }
 
     var (remainingE, reRdd) = rerootEager(e)
@@ -1145,24 +1203,43 @@ object Graph {
     var nNodes = nodes.count()
     while (nNodes > 0) {
       rounds += 1
+      if (sys.env.contains("SPARK_GRAFT_SCC_DEBUG"))
+        System.err.println(s"[scc] peel round $rounds nodes=$nNodes")
       require(rounds <= maxRounds,
         s"SCC peeling did not converge in $maxRounds rounds " +
           "(pathological component chain); raise maxRounds")
-      val fwd = fixpoint(
-        remainingE.select(col("s").as("from"), col("d").as("to")), nodes)
-      val bwd = fixpoint(
+      val both = fixpoints(
+        remainingE.select(col("s").as("from"), col("d").as("to")),
         remainingE.select(col("d").as("from"), col("s").as("to")), nodes)
-      val both = fwd.join(bwd.select(col("node"), col("l").as("lb")), "node")
-      val done = rerootEager(both.filter(col("l") === col("lb"))
-        .select(col("node"), col("l").as("scc")))._1
+      val done = rerootEager(both.filter(col("lf") === col("lb"))
+        .select(col("node"), col("lf").as("scc")))._1
       settled = settled.union(done)
-      nodes = rerootEager(
-        both.filter(col("l") =!= col("lb")).select(col("node")))._1
-      nNodes = nodes.count()
+      // Unsettled nodes keep their (minAncestor, minDescendant) CLASS —
+      // the OBF/coloring refinement. Two nodes of one SCC reach each
+      // other, so they share ancestor AND descendant sets, hence the
+      // class: every SCC lies inside a single class, every cycle's edges
+      // are intra-class, and a cross-class edge can never be intra-SCC.
+      // Cutting cross-class edges below therefore preserves every
+      // remaining SCC while DISCONNECTING the condensation chains that
+      // make plain peeling linear-round: a monotone path of k singleton
+      // SCCs settles one node per round under plain peeling (the 100×
+      // gate fixture's broken rings are exactly this — it blew the
+      // maxRounds budget the first time the distributed regime ran at
+      // scale), but its classes (head, v) are all distinct, so one cut
+      // round isolates every node and the next round settles them all.
+      // Termination stays guaranteed: each class's own min settles in
+      // the round after the class becomes edge-closed.
+      val rest = rerootEager(both.filter(col("lf") =!= col("lb"))
+        .select(col("node"), col("lf"), col("lb")))._1
+      nodes = rest.select(col("node"))
+      nNodes = rest.count()
       if (nNodes > 0) {
         val (re2, rr2) = rerootEager(remainingE
-          .join(nodes.select(col("node").as("s")), Seq("s"))
-          .join(nodes.select(col("node").as("d")), Seq("d"))
+          .join(rest.select(col("node").as("s"), col("lf").as("lfs"),
+            col("lb").as("lbs")), Seq("s"))
+          .join(rest.select(col("node").as("d"), col("lf").as("lfd"),
+            col("lb").as("lbd")), Seq("d"))
+          .filter(col("lfs") === col("lfd") && col("lbs") === col("lbd"))
           .select(col("s"), col("d")), Some(reRdd))
         remainingE = re2
         reRdd = rr2

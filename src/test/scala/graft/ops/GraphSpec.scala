@@ -511,6 +511,35 @@ class GraphSpec extends SparkSpec {
       localEdgeThreshold = -1L)) == want)
   }
 
+  test("stronglyConnectedComponents: monotone singleton chains converge " +
+      "within the round budget (class-cut refinement)") {
+    import spark.implicits._
+    // A directed path of 60 singleton SCCs with ids increasing along the
+    // path: plain FW-BW min-label peeling settles exactly ONE node per
+    // round here (fmin is the head for everyone, bmin is each node
+    // itself), so pre-class-cut this needed 60 rounds and blew the
+    // default 24-round guard — the 100× canary failure mode of the SCC
+    // gate's broken rings. With cross-class edge cutting the classes
+    // (head, v) are pairwise distinct, every edge is cut in round one,
+    // and round two settles all nodes. maxRounds = 5 pins the bound.
+    val path = (1L until 60L).map(i => (i, i + 1L)).toDF("s", "d")
+    val out = Graph.stronglyConnectedComponents(path, "s", "d",
+      maxRounds = 5, localEdgeThreshold = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == (1L to 60L).map(i => i -> i).toMap)
+    // A wrapped chain (ring broken mid-block, ids NOT monotone along the
+    // path — the gate fixture's exact shape) plus a 3-ring fed by the
+    // chain: classes split the chain at the wrap, rings survive the cut.
+    val wrapped = ((18L until 49L).map(i => (i, i + 1L)) ++
+      Seq((49L, 0L)) ++ (0L until 17L).map(i => (i, i + 1L)) ++
+      Seq((17L, 100L), (100L, 101L), (101L, 102L), (102L, 100L))).toDF("s", "d")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(Graph.stronglyConnectedComponents(wrapped, "s", "d",
+      maxRounds = 8, localEdgeThreshold = -1L)) ==
+      m(Graph.stronglyConnectedComponents(wrapped, "s", "d")))
+  }
+
   test("hitsScaled: star graph separates hubs from authorities") {
     // 3 leaves point at the hub: leaves are pure hubs (auth 0), the
     // centre is the pure authority (hub 0); ℓ₁ mass = Scale per side.
