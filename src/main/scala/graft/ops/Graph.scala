@@ -1077,20 +1077,6 @@ object Graph {
         StructField("node", LongType), StructField("scc", LongType))))
     }
 
-    // Min-label propagation to fixpoint along (from → to) of `adj`,
-    // accelerated by POINTER JUMPING (the PRAM path-halving device): each
-    // round relaxes one edge hop AND shortcuts through the current
-    // witness — u := l(v) reaches v by the loop invariant, w := l(u)
-    // reaches u, hence w reaches v, so l(l(v)) is a sound candidate.
-    // least() of sound witnesses keeps the invariant; the fixpoint is the
-    // same unique min-over-reachable-set closure as plain propagation
-    // (bit-identical labels), but convergence drops from O(diameter)
-    // rounds to O(log diameter) — the difference between ~200 full-graph
-    // join rounds and ~16 on a 200-hop ring chain (the 100× screen
-    // measured the plain loop at 45+ min on the first fixture that
-    // crossed the distributed-regime edge threshold). The change flag
-    // rides the label row, so convergence needs no second join — one
-    // eager checkpoint plus a tiny aggregate per round.
     // Eagerly re-root `df` as a STATS-FREE LogicalRDD leaf. This is NOT
     // `localCheckpoint(true)`: that also truncates the plan tree, but it
     // PROPAGATES the original plan's estimated statistics into the new
