@@ -40,6 +40,21 @@ class MemoSpec extends SparkSpec {
     Memo.clear(spark)
   }
 
+  test("ownedPersist registers operator-internal persists for the " +
+      "session clear, and clearDir leaves them alone") {
+    import spark.implicits._
+    val df = Memo.ownedPersist(Seq(1, 2).toDF("x"))
+    assert(df.storageLevel.useMemory || df.storageLevel.useDisk)
+    assert(df.count() == 2)
+    // clearDir must NOT touch owned frames (no dir key; fresh op calls
+    // rebuild fresh frames, so there is no staleness path through them)
+    Memo.clearDir("/anywhere")
+    assert(df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    // the session clear (Bench's warmup release) evicts them
+    Memo.clear(spark)
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("clearDir drops entries for a rewritten fixture dir: a rewrite-" +
       "then-read sees the new rows, other dirs stay cached") {
     import spark.implicits._
