@@ -540,6 +540,30 @@ class GraphSpec extends SparkSpec {
       m(Graph.stronglyConnectedComponents(wrapped, "s", "d")))
   }
 
+  test("stronglyConnectedComponents: randomized two-regime equality — " +
+      "witness-doubling peeling matches Tarjan on 20 seeded digraphs") {
+    import spark.implicits._
+    // Structure-free insurance for the witness-doubling + class-cut
+    // fixpoint: sparse random digraphs mix cycles, chains, diamonds and
+    // isolated edges in ways the designed fixtures don't enumerate. The
+    // rng is SEEDED (no Math.random in tests either) so a failure is
+    // reproducible; 40 nodes / ~60 edges keeps each distributed run to
+    // a few fixpoint iterations while still covering multi-SCC DAGs.
+    val rng = new scala.util.Random(0x5EED13L)
+    (1 to 20).foreach { trial =>
+      val n = 40
+      val edges = Seq.fill(60)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val de = edges.toDF("s", "d")
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val local = m(Graph.stronglyConnectedComponents(de, "s", "d"))
+      val dist = m(Graph.stronglyConnectedComponents(
+        de.repartition(5), "s", "d", localEdgeThreshold = -1L))
+      assert(dist == local, s"trial $trial diverged on edges: $edges")
+    }
+  }
+
   test("hitsScaled: star graph separates hubs from authorities") {
     // 3 leaves point at the hub: leaves are pure hubs (auth 0), the
     // centre is the pure authority (hub 0); ℓ₁ mass = Scale per side.
