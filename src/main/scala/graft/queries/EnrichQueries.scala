@@ -294,7 +294,12 @@ object EnrichQueries {
         .filter(col("p_partkey") > col("min1"))
         .groupBy(col("p_brand"), col("p_name"))
         .agg(min(col("p_partkey")).as("min2"))
-      val groups = g1.join(g2, Seq("p_brand", "p_name"), "left")
+      // Persisted: THREE consumers (both cross sides + the expand join)
+      // otherwise replay the g1/g2 aggregates — .explain showed five
+      // part scans where three suffice; distinct (brand, name) rows are
+      // catalog-scale, so the cache is small by construction.
+      val groups = graft.core.Memo.ownedPersist(
+        g1.join(g2, Seq("p_brand", "p_name"), "left"))
       val cross = groups.select(col("p_brand"), col("p_name").as("na"))
         .join(groups.select(col("p_brand"), col("p_name").as("nb"),
           col("min1").as("pb0")), Seq("p_brand"))
