@@ -11,13 +11,15 @@ import SequenceMatcherRatio.seqRatio
   * SequenceMatcher fallback at cutoff 0.9 (J2), top-1 per scraped row.
   *
   * Scale shape: the exact stage is a broadcast hash join (CMS ≤ 50k rows by
-  * the reference's own fetch cap). The fuzzy stage only sees exact MISSES ×
-  * broadcast CMS, pre-pruned by the sound length bound
-  * 2·min(|a|,|b|)/(|a|+|b|) ≥ cutoff before any ratio is scored, then top-1
-  * via window over (ratio desc, cms key asc). difflib's get_close_matches
-  * breaks score ties by candidate order; we use the CMS key as the
-  * deterministic stand-in (documented divergence only when two candidates
-  * tie EXACTLY at the best score).
+  * the reference's own fetch cap). The fuzzy stage generates candidates via
+  * an INVERTED-INDEX join on shared L*-grams — ratio ≥ cutoff forces a
+  * shared contiguous substring of pigeonhole length L* (proof at the stage-2
+  * comment) — then confirms with the exact ratio and takes top-1 via window
+  * over (ratio desc, cms key asc), so the quadratic |misses|×|CMS| band
+  * cross product never materializes. difflib's get_close_matches breaks
+  * score ties by candidate order; we use the CMS key as the deterministic
+  * stand-in (documented divergence only when two candidates tie EXACTLY at
+  * the best score).
   */
 object RegistryEnricher {
 
@@ -57,47 +59,160 @@ object RegistryEnricher {
       .withColumn("match_ratio", lit(1.0))
     // Misses inherit the (often single-partition) scan layout but fan out
     // into |misses|×|CMS| ratio evaluations — spread them first.
-    val miss = exact.filter(col("__cms_key").isNull)
-      .drop("__cms_key" +: cmsCols: _*)
-      .repartition(scraped.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("__srcid", monotonically_increasing_id())
+    // PERSISTED (not just shared): __srcid is monotonically_increasing_id,
+    // which is only stable within one materialization — the gram branch
+    // and the confirm join below both key on it, so an unpinned recompute
+    // could hand the two branches different ids and silently mispair.
+    val miss = graft.core.Memo.ownedPersist(
+      exact.filter(col("__cms_key").isNull)
+        .drop("__cms_key" +: cmsCols: _*)
+        .repartition(scraped.sparkSession.sparkContext.defaultParallelism)
+        .withColumn("__srcid", monotonically_increasing_id()))
 
-    // Stage 2 — fuzzy fallback on misses only: LENGTH-BANDED equi-join
-    // against the broadcast CMS keys, difflib-exact ratio, top-1.
+    // Stage 2 — fuzzy fallback on misses only: INVERTED-INDEX candidate
+    // join + exact confirm, replacing the length-banded cross product
+    // (which stayed |misses|×|CMS| within each band: ~87× wall at the 10×
+    // canary, reps² by construction).
     //
-    // ratio ≥ c bounds the length ratio (2·min/(la+lb) ≥ c), so a CMS key
-    // of length lb can only match miss keys with la ∈ [lb·c/(2-c),
-    // lb·(2-c)/c]. Exploding each CMS row into that (slightly widened)
-    // integer length band turns the pairing into a BroadcastHashJoin on
-    // exact length — the raw theta join planned as a nested loop that
-    // evaluated the bound |misses|×|CMS| times. The exact bound stays as
-    // the join's extra condition, so the widened band can't admit a pair
-    // the theta join would have rejected: identical output, hash-join cost.
-    val lenBound = (lit(2.0) * least(length(col("campus_id")), length(col("__cms_key")))
-      / (length(col("campus_id")) + length(col("__cms_key")))) >= cutoff
-    val bandLo = floor(length(col("__cms_key")) * lit(cutoff) / (lit(2.0) - cutoff)).cast("int") - 1
-    val bandHi = ceil(length(col("__cms_key")) * (lit(2.0) - cutoff) / lit(cutoff)).cast("int") + 1
-    val cmsBanded = cmsSel.withColumn("__len", explode(sequence(bandLo, bandHi)))
-    val missLen = miss.withColumn("__len", length(col("campus_id")))
-    // Cheap character-bag bound first (difflib quick_ratio idea): pairs the
-    // bound already places below the cutoff score -1 without running the
-    // quadratic exact ratio. Ordering among sub-cutoff pairs is irrelevant
-    // (they can never be the fuzzy match).
-    val scored = missLen.join(broadcast(cmsBanded),
-        missLen("__len") === cmsBanded("__len") && lenBound, "left")
-      .drop("__len")
+    // The pigeonhole theorem behind the index: difflib's ratio is
+    // 2M/(la+lb) where M — the total size of its matching blocks — is the
+    // size of SOME common subsequence, hence M ≤ LCS(a,b). ratio ≥ c
+    // therefore forces LCS ≥ mc := ⌈c·(la+lb)/2⌉, leaving at most
+    // u := la+lb−2·mc unmatched characters; the u unmatched characters
+    // split the common subsequence into at most u+1 contiguous blocks, so
+    // some SHARED CONTIGUOUS SUBSTRING has length ≥ L* := ⌈mc/(u+1)⌉.
+    // Joining on L*-grams is thus a sound prefilter (no ≥cutoff pair is
+    // lost); the exact seqRatioAtLeast confirm decides. At high cutoffs
+    // L* is large and the index is sharp (the gate's 12-char keys at
+    // c = 0.9 give L* = 6 → random collisions ~16⁻⁶); at low cutoffs L*
+    // degrades toward 1-grams — still correct, weaker pruning.
+    //
+    // Float care: mc is computed as ceil(product − 1e-9) so binary
+    // rounding can never push the ceiling ABOVE the exact value
+    // (overstating mc would prune true pairs — unsound); understating by
+    // 1 in razor-edge cases only weakens pruning. L* from mc is pure
+    // integer arithmetic. A pair with mc > min(la,lb) cannot reach the
+    // cutoff at all — u < 0 encodes it as an unreachable gram length.
+    def mcOf(la: Column, lb: Column): Column =
+      ceil((la + lb).cast("double") * lit(cutoff) / 2.0 - lit(1e-9))
+        .cast("long")
+    def lstarOf(la: Column, lb: Column): Column = {
+      val mc = mcOf(la, lb)
+      val u = (la + lb).cast("long") - mc * 2L
+      when(u >= 0L, greatest(
+          floor((mc + u).cast("double") / (u + 1L).cast("double")).cast("int"),
+          lit(1)))
+        .otherwise(lit(Int.MaxValue))
+    }
+    def gramsOf(key: Column, gramLen: Column): Column =
+      when(key.isNotNull && length(key) >= gramLen,
+        array_distinct(transform(
+          sequence(lit(1), length(key) - gramLen + lit(1)),
+          i => key.substr(i, gramLen))))
+        .otherwise(array().cast("array<string>"))
+    // Deletion-variant signatures for the SHARP classes (the SymSpell /
+    // FastSS device): when a class allows at most ONE unmatched char per
+    // side (Da ≤ 1 and Db ≤ 1), deleting each side's unmatched chars
+    // leaves the matched subsequence ITSELF on both sides — an equal
+    // string of length M. Joining delete-{0,1} variants is therefore a
+    // complete candidate generator for those classes, with a signature
+    // as long as the key (collision-free on hashed ids) where the gram
+    // fallback's L* would collapse to 4 chars and pay linear bucket
+    // density — the residual quadratic decoded at the 100× canary.
+    def delVariantsOf(key: Column, maxDel: Column): Column =
+      when(key.isNull, array().cast("array<string>"))
+        .when(maxDel === 0, array(key))
+        .otherwise(array_distinct(concat(array(key),
+          transform(sequence(lit(1), length(key)),
+            i => concat(key.substr(lit(1), i - 1),
+              key.substr(i + 1, length(key)))))))
+    // Per-class signature set for one side: the class is (la, lb); the
+    // side's own deletion budget is Da = la − mc for the miss side,
+    // Db = lb − mc for the CMS side. Tags keep the two mechanisms'
+    // keyspaces disjoint; a class with a negative budget cannot reach
+    // the cutoff at all (mc exceeds one key's length) and emits nothing.
+    def sigsOf(key: Column, la: Column, lb: Column,
+        ownIsMissSide: Boolean): Column = {
+      val mc = mcOf(la, lb)
+      val da = la.cast("long") - mc
+      val db = lb.cast("long") - mc
+      val own = if (ownIsMissSide) da else db
+      when(da < 0L || db < 0L, array().cast("array<string>"))
+        .when(da <= 1L && db <= 1L,
+          transform(delVariantsOf(key, own), s => concat(lit("D:"), s)))
+        .otherwise(
+          transform(gramsOf(key, lstarOf(la, lb)), s => concat(lit("G:"), s)))
+    }
+    // Both sides explode into per-(la, lb) CLASS signature rows — the
+    // class lengths ride the join key, so each class decides its own
+    // mechanism consistently on both sides. Bands (±1 widened) come from
+    // the ratio's own length bound: 2·min(la,lb)/(la+lb) ≥ c restricts
+    // the partner length to [len·c/(2−c), len·(2−c)/c].
+    def bandOf(len: Column): Column = sequence(
+      greatest(floor(len * lit(cutoff) / (lit(2.0) - cutoff)).cast("int")
+        - 1, lit(1)),
+      ceil(len * (lit(2.0) - cutoff) / lit(cutoff)).cast("int") + 1)
+    val cmsSigs = cmsSel.select(col("__cms_key"))
+      .withColumn("__lb", length(col("__cms_key")))
+      .withColumn("__la", explode(bandOf(col("__lb"))))
+      .select(col("__cms_key"), col("__la"), col("__lb"),
+        explode(sigsOf(col("__cms_key"), col("__la"), col("__lb"),
+          ownIsMissSide = false)).as("__sig"))
+    // The miss side only emits classes whose lb actually EXISTS on the
+    // CMS side: the distinct CMS key lengths are a bounded driver-side
+    // read (|CMS| ≤ 50k by the reference's fetch cap, so at most a few
+    // dozen distinct lengths) and pruning dead classes here cuts the
+    // signature explode volume by the dead-band factor — at the 100×
+    // canary the CMS histogram is a single length, so this drops ~4/5
+    // of the exploded rows before the shuffle.
+    val cmsLens = cmsSel
+      .select(length(col("__cms_key")).as("l")).na.drop().distinct()
+      .collect().map(_.getInt(0)).sorted
+    val missSigs = miss.select(col("__srcid"), col("campus_id"))
+      .withColumn("__la", length(col("campus_id")))
+      .withColumn("__lb", explode(array_intersect(bandOf(col("__la")),
+        typedlit(cmsLens.toSeq))))
+      .select(col("__srcid"), col("__la"), col("__lb"),
+        explode(sigsOf(col("campus_id"), col("__la"), col("__lb"),
+          ownIsMissSide = true)).as("__sig"))
+    // The candidate join is keyed (la, lb, signature) — the
+    // inverted-index shape (Dedup's shingle joins): no broadcast forced,
+    // so at the 50k production cap the exploded index shuffles instead
+    // of blowing the driver. AQE broadcasts it when it is actually small.
+    val candidates = missSigs.join(cmsSigs, Seq("__la", "__lb", "__sig"))
+      .select(col("__srcid"), col("__cms_key")).distinct()
+    // Exact confirm + attribute re-attach; LEFT join back onto the miss
+    // rows so zero-candidate misses still emit their 'none' row. Pairs
+    // the index pruned are all sub-cutoff: they could never outrank an
+    // __ok row in the window, and a miss whose candidates are ALL
+    // sub-cutoff emits the identical nulled 'none' row either way —
+    // output is bit-identical to the banded cross product's.
+    val scored = miss.join(
+        candidates.join(broadcast(cmsSel), Seq("__cms_key")),
+        Seq("__srcid"), "left")
       .withColumn("__ratio",
         when(col("__cms_key").isNotNull,
           SequenceMatcherRatio.seqRatioAtLeast(
             col("campus_id"), col("__cms_key"), cutoff)))
       .withColumn("__ok", col("__ratio") >= cutoff)
-    // Partition by a unique per-source-row id (not the key): duplicate
-    // scraped keys must each keep their own match row.
-    val w = Window.partitionBy(col("__srcid"))
-      .orderBy(col("__ok").desc, col("__ratio").desc, col("__cms_key").asc)
+    // Top-1 per SOURCE ROW (__srcid, not the key: duplicate scraped keys
+    // each keep their own match row) as one min(struct) hash aggregate —
+    // the same ordering the ranking window expressed ((__ok desc,
+    // __ratio desc, __cms_key asc) ≡ lexicographic min of (!__ok,
+    // −__ratio, __cms_key)), but map-side combinable and with no
+    // per-partition sort. Zero-candidate rows are their own group, so
+    // the null key fields never compare against anything.
+    val payload = struct(
+      (scraped.columns.map(col) ++ cmsCols.map(col) :+
+        col("__ratio") :+ col("__ok")): _*)
     val fuzzy = scored
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .groupBy(col("__srcid"))
+      .agg(min(struct(
+        when(col("__ok"), 0).otherwise(1).as("k1"),
+        (-coalesce(col("__ratio"), lit(-1.0))).as("k2"),
+        col("__cms_key").as("k3"),
+        payload.as("p"))).as("m"))
+      .selectExpr("m.p.*")
       .withColumn("match_kind", when(col("__ok"), lit("fuzzy")).otherwise(lit("none")))
       .withColumn("match_ratio", when(col("__ok"), col("__ratio")))
     val nulled = cmsCols.foldLeft(fuzzy)((d, c) =>

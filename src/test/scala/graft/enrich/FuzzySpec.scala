@@ -57,6 +57,52 @@ class FuzzySpec extends SparkSpec {
     assert(ratios.forall(_ == 0.96))
   }
 
+  test("enricher fuzzy stage matches brute force on a randomized corpus " +
+      "(inverted-index candidates lose no >=cutoff pair)") {
+    // Structure-free insurance for the signature prefilter (deletion
+    // variants + L*-grams + CMS length-class pruning): every scraped
+    // row's winner and ratio must equal the all-pairs argmax computed
+    // driver-side with the same difflib-clone ratio. Seeded mutations
+    // cover deletes, substitutions, inserts, swaps at varying lengths.
+    val rnd = new scala.util.Random(1313)
+    def randKey(n: Int) = Seq.fill(n)("abcdefgh0123".charAt(rnd.nextInt(12))).mkString
+    val cmsKeys = (1 to 60).map(i => s"${randKey(6 + rnd.nextInt(10))}_$i")
+    def mutate(s: String): String = rnd.nextInt(4) match {
+      case 0 => val i = rnd.nextInt(s.length); s.take(i) + s.drop(i + 1)
+      case 1 => val i = rnd.nextInt(s.length); s.updated(i, 'z')
+      case 2 => val i = rnd.nextInt(s.length); s.take(i) + "q" + s.drop(i)
+      case _ => val i = rnd.nextInt(s.length - 1)
+        s.take(i) + s(i + 1) + s(i) + s.drop(i + 2)
+    }
+    val scrapedKeys = cmsKeys.map(k => if (rnd.nextBoolean()) mutate(k) else k) ++
+      (1 to 40).map(i => s"${randKey(6 + rnd.nextInt(10))}x$i")
+    val scraped = scrapedKeys.zipWithIndex
+      .map { case (k, i) => (k, s"row$i") }.toDF("campus_id", "display_name")
+    val cms = cmsKeys.map(k => (k, "5", "Acute", "Cty", "404", "30303"))
+      .toDF("campus_id", "cms_rating", "hospital_type", "county",
+        "telephone_num", "cms_zip")
+    val got = RegistryEnricher.enrich(scraped, cms)
+      .select(col("campus_id"), col("display_name"), col("match_kind"),
+        col("match_ratio"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+    val cmsSet = cmsKeys.toSet
+    scrapedKeys.zipWithIndex.foreach { case (k, i) =>
+      val want: (String, Option[Double]) =
+        if (cmsSet.contains(k)) ("exact", Some(1.0))
+        else {
+          val best = cmsKeys.map(c => (SequenceMatcher.ratio(k, c), c))
+            .filter(_._1 >= RegistryEnricher.DefaultCutoff)
+          if (best.isEmpty) ("none", None)
+          else ("fuzzy", Some(best.max._1))
+        }
+      assert(got((k, s"row$i")) == want,
+        s"key $k: got ${got((k, s"row$i"))}, want $want")
+    }
+  }
+
   test("length-bound prune is sound: bound >= true ratio") {
     val rnd = new scala.util.Random(7)
     (1 to 200).foreach { _ =>
