@@ -1,10 +1,7 @@
 package graft.enrich
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-
-import SequenceMatcherRatio.seqRatio
 
 /** Registry build: scraped hospitals enriched against the CMS provider table
   * (hospital_enricher.py:117-186) — exact campus_id lookup (J1) with a fuzzy
@@ -12,11 +9,12 @@ import SequenceMatcherRatio.seqRatio
   *
   * Scale shape: the exact stage is a broadcast hash join (CMS ≤ 50k rows by
   * the reference's own fetch cap). The fuzzy stage generates candidates via
-  * an INVERTED-INDEX join on shared L*-grams — ratio ≥ cutoff forces a
-  * shared contiguous substring of pigeonhole length L* (proof at the stage-2
-  * comment) — then confirms with the exact ratio and takes top-1 via window
-  * over (ratio desc, cms key asc), so the quadratic |misses|×|CMS| band
-  * cross product never materializes. difflib's get_close_matches breaks
+  * an INVERTED-INDEX join on per-length-class signatures (deletion variants
+  * for the sharp classes, pigeonhole L*-grams otherwise — proofs at the
+  * stage-2 comments), then confirms with the exact ratio and takes top-1 per
+  * source row as a min(struct) aggregate over (ok desc, ratio desc, cms key
+  * asc), so the quadratic |misses|×|CMS| band cross product never
+  * materializes. difflib's get_close_matches breaks
   * score ties by candidate order; we use the CMS key as the deterministic
   * stand-in (documented divergence only when two candidates tie EXACTLY at
   * the best score).
