@@ -103,6 +103,28 @@ class FuzzySpec extends SparkSpec {
     }
   }
 
+  test("enricher degenerate edges: empty CMS, null scraped keys") {
+    val scraped = Seq(("abc", "A"), (null.asInstanceOf[String], "B"))
+      .toDF("campus_id", "display_name")
+    val cmsEmpty = Seq.empty[(String, String, String, String, String, String)]
+      .toDF("campus_id", "cms_rating", "hospital_type", "county",
+        "telephone_num", "cms_zip")
+    // Empty CMS: the signature index and the length histogram are empty,
+    // but every scraped row must still emit its 'none' row.
+    val out = RegistryEnricher.enrich(scraped, cmsEmpty).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[String]("match_kind") == "none"))
+    // Null scraped key: drops out of candidate generation (null grams /
+    // variants), survives through the left join as 'none'.
+    val cms = Seq(("abc", "5", "Acute", "Cty", "404", "1"))
+      .toDF("campus_id", "cms_rating", "hospital_type", "county",
+        "telephone_num", "cms_zip")
+    val out2 = RegistryEnricher.enrich(scraped, cms)
+      .collect().map(r => r.getAs[String]("display_name") ->
+        r.getAs[String]("match_kind")).toMap
+    assert(out2 == Map("A" -> "exact", "B" -> "none"))
+  }
+
   test("length-bound prune is sound: bound >= true ratio") {
     val rnd = new scala.util.Random(7)
     (1 to 200).foreach { _ =>
