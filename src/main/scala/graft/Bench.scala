@@ -45,6 +45,17 @@ object Bench {
       s.trim.split("\\s+").take(3).toSeq.map(_.toDouble)
     } catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
     val loadStart = loadAvg()
+    // Competing JVMs at start: the r12 driver bench ran next to an
+    // orphaned 164%-CPU measurement JVM from a prior session and the
+    // contamination was only provable by after-the-fact A/Bs — count
+    // the OTHER java processes so the artifact carries the evidence.
+    val otherJvms = try {
+      val self = java.lang.ProcessHandle.current()
+      java.lang.ProcessHandle.allProcesses()
+        .filter(p => p.pid != self.pid &&
+          p.info().command().map[Boolean](_.contains("java")).orElse(false))
+        .count()
+    } catch { case _: Throwable => -1L }
     // Warm the JVM + file-system metadata once so per-query numbers measure
     // the queries, not first-touch class loading / footer reads.
     graft.core.Tables.All.foreach { t =>
@@ -98,7 +109,8 @@ object Bench {
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val loadJson = s"""{"la_start":[${loadStart.map(f2).mkString(",")}],""" +
       s""""la_end":[${loadEnd.map(f2).mkString(",")}],""" +
-      s""""bench_wall_sec":${f2(benchWall)},"jvm_uptime_sec":${f2(jvmUptime)}}"""
+      s""""bench_wall_sec":${f2(benchWall)},"jvm_uptime_sec":${f2(jvmUptime)},""" +
+      s""""other_jvms":$otherJvms}"""
     // Two lines: a full-precision per-query dump first (diagnostic; no
     // "metric" key so a tail-grep for the contract line can't match it),
     // then the contract JSON line LAST and kept under ~1 KB — the driver
