@@ -49,11 +49,18 @@ object Bench {
     // orphaned 164%-CPU measurement JVM from a prior session and the
     // contamination was only provable by after-the-fact A/Bs — count
     // the OTHER java processes so the artifact carries the evidence.
+    // Diagnostic, not proof: command() is empty for other users'
+    // processes on a hardened /proc, so this can undercount; the
+    // exact-basename match avoids overcounting javac/paths that merely
+    // contain "java".
     val otherJvms = try {
       val self = java.lang.ProcessHandle.current()
       java.lang.ProcessHandle.allProcesses()
         .filter(p => p.pid != self.pid &&
-          p.info().command().map[Boolean](_.contains("java")).orElse(false))
+          p.info().command().map[Boolean] { c =>
+            val base = c.substring(c.lastIndexOf('/') + 1)
+            base == "java" || base == "java.exe"
+          }.orElse(false))
         .count()
     } catch { case _: Throwable => -1L }
     // Warm the JVM + file-system metadata once so per-query numbers measure
@@ -97,6 +104,12 @@ object Bench {
       // family's persisted derivations inside its own timing).
       val built = graft.core.Memo.drainBuilt()
       if (built.nonEmpty) coldCaches(name) = built
+      // Release operator-internal scratch persists after the action:
+      // they are per-invocation (never reused across gates) and left in
+      // place would crowd the named family caches out of storage memory
+      // over the 321-gate loop. Outside this query's timing by design —
+      // the gate paid to BUILD them; teardown is harness bookkeeping.
+      graft.core.Memo.releaseOwned(spark)
       // Failed queries report -1 so a regression can't masquerade as a
       // fast run in BENCH_r{N}.json.
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

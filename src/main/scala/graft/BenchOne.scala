@@ -70,6 +70,9 @@ object BenchOne {
         SparkEntry.queries(name)(spark, sfDir).count()
         println(f"$name RUN$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         stats.foreach(_.reportAndReset(s"$name RUN$i"))
+        // Per-invocation operator scratch: release after the action so
+        // reps measure the op, not an ever-growing storage pool.
+        graft.core.Memo.releaseOwned(spark)
       }
     }
     spark.stop()

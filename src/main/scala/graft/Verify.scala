@@ -47,6 +47,10 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Per-invocation operator scratch (Memo.ownedPersist): released
+      // after each dump so a 321-gate sweep does not accumulate dead
+      // persisted frames for the whole run.
+      graft.core.Memo.releaseOwned(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

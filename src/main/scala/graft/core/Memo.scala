@@ -95,6 +95,25 @@ object Memo {
     p
   }
 
+  /** Unpersist and forget the session's OWNED frames only — named
+    * [[cached]] entries stay. Operator-internal persists are
+    * per-invocation scratch (a fresh op call always builds fresh
+    * frames), so harness loops should release them after each query's
+    * action completes; without this, a 321-gate bench accumulates every
+    * gate's dead scratch blocks in storage memory for the whole run,
+    * evicting the live named caches later queries rely on. */
+  def releaseOwned(s: SparkSession): Unit = {
+    val keep = new java.util.ArrayList[(SparkSession, DataFrame)]()
+    var e = owned.poll()
+    while (e != null) {
+      if (e._1 eq s) { try e._2.unpersist() catch { case _: Throwable => () } }
+      else keep.add(e)
+      e = owned.poll()
+    }
+    owned.addAll(keep)
+    ()
+  }
+
   /** Cache names (`name:dir`) created since the previous drain — the
     * bench's per-query cold-cache attribution. */
   def drainBuilt(): Seq[String] = {
@@ -112,15 +131,7 @@ object Memo {
       Option(cache.remove(k)).foreach(df =>
         try df.unpersist() catch { case _: Throwable => () })
     }
-    val keep = new java.util.ArrayList[(SparkSession, DataFrame)]()
-    var e = owned.poll()
-    while (e != null) {
-      if (e._1 eq s) { try e._2.unpersist() catch { case _: Throwable => () } }
-      else keep.add(e)
-      e = owned.poll()
-    }
-    owned.addAll(keep)
-    ()
+    releaseOwned(s)
   }
 
   /** Unpersist and forget every entry (any session) keyed under `dir` —

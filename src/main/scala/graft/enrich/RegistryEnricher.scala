@@ -157,19 +157,22 @@ object RegistryEnricher {
         explode(sigsOf(col("__cms_key"), col("__la"), col("__lb"),
           ownIsMissSide = false)).as("__sig"))
     // The miss side only emits classes whose lb actually EXISTS on the
-    // CMS side: the distinct CMS key lengths are a bounded driver-side
-    // read (|CMS| ≤ 50k by the reference's fetch cap, so at most a few
-    // dozen distinct lengths) and pruning dead classes here cuts the
+    // CMS side: the distinct CMS key lengths collapse to ONE array row
+    // (at most a few dozen values under the reference's 50k fetch cap)
+    // broadcast onto the misses, and pruning dead classes cuts the
     // signature explode volume by the dead-band factor — at the 100×
     // canary the CMS histogram is a single length, so this drops ~4/5
-    // of the exploded rows before the shuffle.
-    val cmsLens = cmsSel
-      .select(length(col("__cms_key")).as("l")).na.drop().distinct()
-      .collect().map(_.getInt(0)).sorted
+    // of the exploded rows before the shuffle. A 1-row broadcast rather
+    // than a driver collect: enrich() stays build-lazy like every other
+    // query builder (no Spark job until the first action).
+    val cmsLenArr = cmsSel
+      .select(length(col("__cms_key")).as("l")).na.drop()
+      .agg(sort_array(collect_set(col("l"))).as("__cms_lens"))
     val missSigs = miss.select(col("__srcid"), col("campus_id"))
+      .crossJoin(broadcast(cmsLenArr))
       .withColumn("__la", length(col("campus_id")))
       .withColumn("__lb", explode(array_intersect(bandOf(col("__la")),
-        typedlit(cmsLens.toSeq))))
+        col("__cms_lens"))))
       .select(col("__srcid"), col("__la"), col("__lb"),
         explode(sigsOf(col("campus_id"), col("__la"), col("__lb"),
           ownIsMissSide = true)).as("__sig"))

@@ -87,8 +87,8 @@ object DataOpsQueries {
     "streaming_dedup" -> ((s, dir) => {
       import graft.streaming.StreamDedup
       val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
-      val feedDir = new java.io.File(graft.streaming.StreamScratch.base,
-        "graft-stream-dedup-" + new java.io.File(dir).getName).getAbsolutePath
+      val feedDir = graft.streaming.StreamScratch.feedDir(
+        "graft-stream-dedup-" + new java.io.File(dir).getName)
       docs.write.mode("overwrite").parquet(feedDir)
       import s.implicits._
       val stream = s.readStream.schema(docs.schema).parquet(feedDir)

@@ -73,8 +73,8 @@ object SessionQueries {
         .select(col("user_id"),
           lit(new java.sql.Timestamp(maxTs.getTime + (GapMinutes + 1) * 60000L)).as("ts"),
           lit("flush").as("event_type"), lit(0.0).as("value"))
-      val feedDir = new java.io.File(graft.streaming.StreamScratch.base,
-        "graft-stream-sess-" + new java.io.File(dir).getName).getAbsolutePath
+      val feedDir = graft.streaming.StreamScratch.feedDir(
+        "graft-stream-sess-" + new java.io.File(dir).getName)
       ev.unionByName(flush).write.mode("overwrite").parquet(feedDir)
       import s.implicits._
       val stream = s.readStream.schema(ev.schema).parquet(feedDir)
@@ -113,8 +113,8 @@ object SessionQueries {
       val cutoff = new java.sql.Timestamp(maxTs.getTime - 2L * 86400000L)
       val fresh = ev.filter(col("ts") > cutoff)
       val late = ev.filter(col("ts") <= cutoff)
-      val feedDir = new java.io.File(graft.streaming.StreamScratch.base,
-        "graft-stream-wm-" + new java.io.File(dir).getName).getAbsolutePath
+      val feedDir = graft.streaming.StreamScratch.feedDir(
+        "graft-stream-wm-" + new java.io.File(dir).getName)
       val fd = new java.io.File(feedDir)
       if (fd.exists()) { // fresh feed per run: append mode must not see
         def rm(f: java.io.File): Unit = { // leftovers from a prior dump
@@ -154,8 +154,8 @@ object SessionQueries {
     "streaming_interval_join" -> ((s, dir) => {
       val ev = table(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      val feedBase = new java.io.File(graft.streaming.StreamScratch.base,
-        "graft-stream-ij-" + new java.io.File(dir).getName).getAbsolutePath
+      val feedBase = graft.streaming.StreamScratch.feedDir(
+        "graft-stream-ij-" + new java.io.File(dir).getName)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id"), col("ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -200,8 +200,8 @@ object SessionQueries {
       val sentinel = s.range(1).select(
         lit(new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)).as("ts"),
         lit("__flush").as("event_type"), lit(0.0).as("value"))
-      val feedDir = new java.io.File(graft.streaming.StreamScratch.base,
-        "graft-stream-hourly-" + new java.io.File(dir).getName).getAbsolutePath
+      val feedDir = graft.streaming.StreamScratch.feedDir(
+        "graft-stream-hourly-" + new java.io.File(dir).getName)
       ev.unionByName(sentinel).write.mode("overwrite").parquet(feedDir)
       val stream = s.readStream.schema(ev.schema).parquet(feedDir)
       graft.streaming.StreamTuning.withShufflePartitions(s,

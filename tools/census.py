@@ -32,7 +32,15 @@ def main() -> int:
     if args.bench:
         with open(args.bench) as f:
             d = json.load(f)
-        qs = d.get("bench_full", d)  # CORRECTNESS files are the map itself
+        if "bench_full" in d:
+            qs = d["bench_full"]
+        elif d and all(isinstance(v, dict) and "rows_match" in v for v in d.values()):
+            qs = d  # CORRECTNESS_r*.json: gate -> {rows_match, ...}
+        else:
+            # Refuse shapes like the contract line ({"metric":..,"queries":{top-25}})
+            # rather than silently printing a bogus gate count.
+            sys.exit(f"--bench {args.bench}: neither a bench_full dump nor a "
+                     "CORRECTNESS map; refusing to count its top-level keys")
         out["gates"] = len(qs)
         vals = [v for v in qs.values() if isinstance(v, (int, float))]
         if vals:
