@@ -104,15 +104,17 @@ object Bench {
       // family's persisted derivations inside its own timing).
       val built = graft.core.Memo.drainBuilt()
       if (built.nonEmpty) coldCaches(name) = built
+      // Failed queries report -1 so a regression can't masquerade as a
+      // fast run in BENCH_r{N}.json. Elapsed is captured HERE, before
+      // releaseOwned, so unpersist bookkeeping stays outside the timing.
+      val elapsed = (System.nanoTime() - t0) / 1e9
       // Release operator-internal scratch persists after the action:
       // they are per-invocation (never reused across gates) and left in
       // place would crowd the named family caches out of storage memory
       // over the 321-gate loop. Outside this query's timing by design —
       // the gate paid to BUILD them; teardown is harness bookkeeping.
       graft.core.Memo.releaseOwned(spark)
-      // Failed queries report -1 so a regression can't masquerade as a
-      // fast run in BENCH_r{N}.json.
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) elapsed else -1.0)
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val benchWall = (System.nanoTime() - benchWall0) / 1e9

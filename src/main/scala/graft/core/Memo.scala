@@ -90,6 +90,11 @@ object Memo {
     * touch these: a fresh op call rebuilds fresh frames, so a rewritten
     * fixture cannot be served stale rows through this path. */
   def ownedPersist(df: DataFrame): DataFrame = {
+    // Reclaim stopped sessions' entries on THIS registration path too
+    // (mirrors cached()): library callers that use ops with internal
+    // persists but never touch the harness or the named-cache path
+    // would otherwise grow the queue without bound across sessions.
+    evictStopped()
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     owned.add((df.sparkSession, p))
     p

@@ -33,6 +33,22 @@ object StreamScratch {
       if (shm.isDirectory && shm.canWrite) shm.getAbsolutePath
       else sys.props("java.io.tmpdir")
     })
+    // The shutdown hook below does not run on SIGKILL/crash, and on a
+    // RAM-backed tmpfs an orphaned root costs memory until reboot. Sweep
+    // sibling graft-stream-<pid> roots whose pid is no longer alive
+    // before creating ours — best-effort, so repeated crashed runs can't
+    // accumulate.
+    Option(new java.io.File(root).listFiles()).foreach(_.foreach { f =>
+      val n = f.getName
+      if (f.isDirectory && n.startsWith("graft-stream-")) {
+        val pid = n.stripPrefix("graft-stream-")
+        val dead = try {
+          pid.forall(_.isDigit) && pid.nonEmpty &&
+            !java.lang.ProcessHandle.of(pid.toLong).isPresent
+        } catch { case _: Throwable => false }
+        if (dead) try delete(f) catch { case _: Throwable => () }
+      }
+    })
     val d = new java.io.File(root,
       "graft-stream-" + java.lang.ProcessHandle.current().pid())
     d.mkdirs()

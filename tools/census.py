@@ -44,7 +44,9 @@ def main() -> int:
         out["gates"] = len(qs)
         vals = [v for v in qs.values() if isinstance(v, (int, float))]
         if vals:
-            out["bench_total_sec"] = round(sum(vals), 1)
+            # Failure sentinels (-1.0) are counted separately; summing them
+            # would understate the total by 1s per failed gate.
+            out["bench_total_sec"] = round(sum(v for v in vals if v >= 0), 1)
             out["bench_failed"] = sum(1 for v in vals if v < 0)
         if "load" in d:
             out["load"] = d["load"]
