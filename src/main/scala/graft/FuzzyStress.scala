@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Registry-scale fuzzy-join stress canary
-  * (`FuzzyStress <sfDir> [scrapedN=100000] [cmsN=50000]`):
+  * (`FuzzyStress <sfDir> [scrapedN=100000] [cmsN=50000] [cutoff=0.9]`):
   * enrich_fuzzy_registry gates the enricher on the small charges fixture;
   * this drives [[graft.enrich.RegistryEnricher.enrich]] at the
   * reference's real envelope (CMS fetch cap ~50k providers, a 100k-row
@@ -28,7 +28,12 @@ object FuzzyStress {
     val dir = args(0)
     val scrapedN = if (args.length > 1) args(1).toLong else 100000L
     val cmsN = if (args.length > 2) args(2).toLong else 50000L
-    val cutoff = graft.enrich.RegistryEnricher.DefaultCutoff
+    // Optional cutoff override — the low-cutoff cost-shape canary
+    // (VERDICT r13 item 5): at low cutoffs the pigeonhole L* degrades
+    // toward 1-grams and the length band widens, so the index admits
+    // more candidates; this measures that cost on the same corpus.
+    val cutoff = if (args.length > 3) args(3).toDouble
+      else graft.enrich.RegistryEnricher.DefaultCutoff
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -77,12 +82,12 @@ object FuzzyStress {
     val naivePairs = nMiss * cmsN
 
     val t0 = System.nanoTime()
-    val census = graft.enrich.RegistryEnricher.enrich(scraped, cms)
+    val census = graft.enrich.RegistryEnricher.enrich(scraped, cms, cutoff)
       .groupBy(col("match_kind")).agg(count(lit(1)).as("n"))
       .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
       .sorted.mkString(" ")
     val wall = (System.nanoTime() - t0) / 1e9
-    println(f"""{"scraped":$scrapedN,"cms":$cmsN,"misses":$nMiss,""" +
+    println(f"""{"scraped":$scrapedN,"cms":$cmsN,"cutoff":$cutoff,"misses":$nMiss,""" +
       f""""cand_pairs":$candPairs,"naive_pairs":$naivePairs,""" +
       f""""reduction":${naivePairs.toDouble / math.max(candPairs, 1)}%.1f,""" +
       f""""wall_sec":$wall%.2f,"census":"$census"}""")

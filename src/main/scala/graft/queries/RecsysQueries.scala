@@ -50,27 +50,66 @@ object RecsysQueries {
 
   /** The neighbor derivation over ANY (okey, part) basket table — used
     * by the holdout evaluation's TRAIN split (the corpus path feeds the
-    * shared pair-count memo instead, see [[itemNeighbors]]). */
+    * shared pair-count memo instead, see [[itemNeighbors]]).
+    *
+    * DEGREES RIDE THE PAIR ROWS (round-14 plan-shape fix). The r13 plan
+    * aggregated bare (part, part_j) pairs and then joined the item-degree
+    * table back TWICE — two more exchanges (plus sort-merge sorts) over
+    * the pair table, the widest relation in the whole gate (≈2× the
+    * basket row count at any scale; 100× profile: the two deg joins were
+    * re-shuffling ~1.9× the pair volume after the count). Instead:
+    * attach deg to each basket row once (item-keyed hash join against the
+    * ~|parts| degree table), collect each order's (part, deg) items, and
+    * double-explode the per-order lists so every generated pair CARRIES
+    * deg_i/deg_j into the count aggregate — `max` folds the
+    * group-constant degree through, and the post-aggregation joins
+    * disappear. Exchange budget: deg (baskets on part) + deg-attach probe
+    * + lists (baskets on okey) + pairs — vs the old pairs + deg + 2×
+    * (aggregated pairs). The per-order list is bounded by basket size
+    * (same argument as the self-join it replaces), so explode fan-out is
+    * a constant, not a skew surface. */
   private def neighborsFrom(b: DataFrame): DataFrame = {
-    val cooc = b.join(b.select(col("okey"), col("part").as("part_j")), "okey")
-      .filter(col("part") =!= col("part_j"))
-      .groupBy(col("part"), col("part_j"))
-      .agg(count(lit(1)).as("cooc"))
-    neighborsOf(b, cooc)
+    val deg = b.groupBy(col("part")).agg(count(lit(1)).as("deg"))
+    // shuffle_hash: build the bounded degree table, stream the basket
+    // rows sort-free (sort-merge would sort the full basket stream).
+    val bd = b.join(deg.hint("shuffle_hash"), "part")
+    val lists = bd.groupBy(col("okey"))
+      .agg(collect_list(struct(col("part"), col("deg"))).as("items"))
+    val pairs = lists
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a.part").as("part"), col("a.deg").as("deg_i"),
+        explode(col("items")).as("bb"))
+      .filter(col("part") =!= col("bb.part"))
+      .select(col("part"), col("deg_i"),
+        col("bb.part").as("part_j"), col("bb.deg").as("deg_j"))
+    val coocDeg = pairs.groupBy(col("part"), col("part_j"))
+      .agg(count(lit(1)).as("cooc"),
+        max(col("deg_i")).as("deg_i"), max(col("deg_j")).as("deg_j"))
+    rankNeighbors(coocDeg)
   }
 
   /** Score + rank a (part, part_j, cooc) co-occurrence matrix against
     * the basket table's item degrees: cosine = cooc/√(deg_i·deg_j),
-    * bounded top-K per part. */
+    * bounded top-K per part. The corpus path keeps the post-aggregation
+    * degree joins: its co-occurrence matrix is the CACHED cross-family
+    * pair-count memo (built once per session, consumed by four families),
+    * so re-deriving it with degrees attached would fork the shared cache
+    * for one consumer. */
   private def neighborsOf(b: DataFrame, cooc: DataFrame): DataFrame = {
     val deg = b.groupBy(col("part")).agg(count(lit(1)).as("deg"))
-    def d(c: Column) = c.cast("double")
-    val scored = cooc
+    val coocDeg = cooc
       .join(deg.select(col("part"), col("deg").as("deg_i")), "part")
       .join(deg.select(col("part").as("part_j"), col("deg").as("deg_j")),
         "part_j")
-      .withColumn("score",
-        round(d(col("cooc")) / sqrt(d(col("deg_i")) * d(col("deg_j"))), 6))
+    rankNeighbors(coocDeg)
+  }
+
+  /** Shared ranking tail over (part, part_j, cooc, deg_i, deg_j):
+    * cosine score, bounded top-K per part. */
+  private def rankNeighbors(coocDeg: DataFrame): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val scored = coocDeg.withColumn("score",
+      round(d(col("cooc")) / sqrt(d(col("deg_i")) * d(col("deg_j"))), 6))
     // Bounded payload-carrying top-k instead of a per-part ranking
     // window (the same rewrite that fixed recsys_user_recs in round 11):
     // the window sorts every part's FULL candidate list through one
@@ -110,10 +149,14 @@ object RecsysQueries {
     val testOrders = keyed.filter(col("day") >= col("bnd"))
       .select(col("okey"), col("cust"))
     val b = baskets(s, dir)
-    val trainB = b.join(trainOrders.select(col("okey")), "okey")
-    val nb = neighborsFrom(trainB)
-    val hist = trainOrders.join(b, "okey")
-      .select(col("cust"), col("part")).distinct()
+    // ONE train join feeds both consumers: neighborsFrom and hist used
+    // to build `baskets ⋈ trainOrders` separately (one projecting okey
+    // pre-join, one keeping cust), so the exchange trees differed and
+    // ReuseExchange couldn't dedup them — the orders scan + split +
+    // basket shuffle ran twice per action. Identical subtree → reused.
+    val trainB = b.join(trainOrders, "okey")
+    val nb = neighborsFrom(trainB.select(col("okey"), col("part")))
+    val hist = trainB.select(col("cust"), col("part")).distinct()
     (nb, hist, testOrders, b)
   }
 

@@ -57,13 +57,24 @@ class FuzzySpec extends SparkSpec {
     assert(ratios.forall(_ == 0.96))
   }
 
-  test("enricher fuzzy stage matches brute force on a randomized corpus " +
-      "(inverted-index candidates lose no >=cutoff pair)") {
-    // Structure-free insurance for the signature prefilter (deletion
-    // variants + L*-grams + CMS length-class pruning): every scraped
-    // row's winner and ratio must equal the all-pairs argmax computed
-    // driver-side with the same difflib-clone ratio. Seeded mutations
-    // cover deletes, substitutions, inserts, swaps at varying lengths.
+  // Structure-free insurance for the signature prefilter (deletion
+  // variants + L*-grams + CMS length-class pruning): every scraped
+  // row's winner and ratio must equal the all-pairs argmax computed
+  // driver-side with the same difflib-clone ratio. Seeded mutations
+  // cover deletes, substitutions, inserts, swaps at varying lengths.
+  // PARAMETERIZED over cutoffs (VERDICT r13 item 5): the index's regime
+  // boundaries move with the cutoff — the delete-variant class condition
+  // (Da ≤ 1 ∧ Db ≤ 1) admits different (la, lb) classes, the pigeonhole
+  // L* degrades toward 1-grams as c falls, and the ±-widened length band
+  // opens up — so the public `enrich(..., cutoff)` surface is exercised
+  // well off the gate's c = 0.9 happy path.
+  for (cutoff <- Seq(0.5, 0.7, 0.9, 0.95))
+    test(s"enricher fuzzy stage matches brute force on a randomized corpus " +
+        s"at cutoff $cutoff (index loses no >=cutoff pair)") {
+      randomizedParity(cutoff)
+    }
+
+  private def randomizedParity(cutoff: Double): Unit = {
     val rnd = new scala.util.Random(1313)
     def randKey(n: Int) = Seq.fill(n)("abcdefgh0123".charAt(rnd.nextInt(12))).mkString
     val cmsKeys = (1 to 60).map(i => s"${randKey(6 + rnd.nextInt(10))}_$i")
@@ -81,7 +92,7 @@ class FuzzySpec extends SparkSpec {
     val cms = cmsKeys.map(k => (k, "5", "Acute", "Cty", "404", "30303"))
       .toDF("campus_id", "cms_rating", "hospital_type", "county",
         "telephone_num", "cms_zip")
-    val got = RegistryEnricher.enrich(scraped, cms)
+    val got = RegistryEnricher.enrich(scraped, cms, cutoff)
       .select(col("campus_id"), col("display_name"), col("match_kind"),
         col("match_ratio"))
       .collect()
@@ -94,12 +105,12 @@ class FuzzySpec extends SparkSpec {
         if (cmsSet.contains(k)) ("exact", Some(1.0))
         else {
           val best = cmsKeys.map(c => (SequenceMatcher.ratio(k, c), c))
-            .filter(_._1 >= RegistryEnricher.DefaultCutoff)
+            .filter(_._1 >= cutoff)
           if (best.isEmpty) ("none", None)
           else ("fuzzy", Some(best.max._1))
         }
       assert(got((k, s"row$i")) == want,
-        s"key $k: got ${got((k, s"row$i"))}, want $want")
+        s"cutoff $cutoff key $k: got ${got((k, s"row$i"))}, want $want")
     }
   }
 
