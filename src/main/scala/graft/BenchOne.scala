@@ -16,22 +16,27 @@ import scala.collection.mutable
 object BenchOne {
 
   private final class TaskStats extends org.apache.spark.scheduler.SparkListener {
+    // (duration, jvmGcTime) per task — GC share per stage separates
+    // allocation-pressure decodes (e.g. wide-decimal aggregate buffers)
+    // from genuine compute in the skew report.
     val byStage = new java.util.concurrent.ConcurrentHashMap[
-      Int, mutable.ArrayBuffer[Long]]()
+      Int, mutable.ArrayBuffer[(Long, Long)]]()
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val buf = byStage.computeIfAbsent(t.stageId,
-        _ => mutable.ArrayBuffer[Long]())
-      buf.synchronized { buf += t.taskInfo.duration }
+        _ => mutable.ArrayBuffer[(Long, Long)]())
+      val gc = Option(t.taskMetrics).map(_.jvmGCTime).getOrElse(0L)
+      buf.synchronized { buf += ((t.taskInfo.duration, gc)) }
     }
     def reportAndReset(label: String): Unit = {
       import scala.jdk.CollectionConverters._
-      val rows = byStage.asScala.toSeq.map { case (sid, durs) =>
-        val d = durs.sorted
-        (sid, d.length, d(d.length / 2), d.last)
+      val rows = byStage.asScala.toSeq.map { case (sid, recs) =>
+        val d = recs.map(_._1).sorted
+        val gcPct = 100.0 * recs.map(_._2).sum / math.max(d.sum, 1L)
+        (sid, d.length, d(d.length / 2), d.last, gcPct)
       }.sortBy(-_._4).take(5)
-      rows.foreach { case (sid, n, p50, max) =>
-        println(f"$label stage=$sid tasks=$n p50=${p50}ms max=${max}ms skew=${max.toDouble / math.max(p50, 1)}%.1fx")
+      rows.foreach { case (sid, n, p50, max, gcPct) =>
+        println(f"$label stage=$sid tasks=$n p50=${p50}ms max=${max}ms skew=${max.toDouble / math.max(p50, 1)}%.1fx gc=$gcPct%.0f%%")
       }
       byStage.clear()
     }

@@ -81,12 +81,20 @@ object SessionQueries {
         .as[Sessionize.Event]
       graft.streaming.StreamTuning.withShufflePartitions(s,
         graft.streaming.StreamTuning.GateStatePartitions) {
+        // AvailableNow (not the default 0-interval trigger +
+        // processAllAvailable): the query plans the full feed up front,
+        // runs its batches plus any watermark-driven no-data batch
+        // (MicroBatchExecution.shouldRunAnotherBatch), and SELF-terminates
+        // — awaitTermination replaces the 10ms-poll handshake whose
+        // scheduling quantization dominated the family's census spread on
+        // 1-4 s gates (decoded r13; de-quantization is r13 item 8).
         val q = Sessionize.sessionize(s, stream, gapMs = GapMinutes * 60000L)
           .writeStream.outputMode("append").format("memory")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation",
             graft.streaming.StreamScratch.freshCheckpoint("gate_stream_sess"))
           .queryName("gate_stream_sess").start()
-        try q.processAllAvailable() finally q.stop()
+        try q.awaitTermination() finally q.stop()
       }
       s.table("gate_stream_sess").select(col("user_id"),
         date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
@@ -133,6 +141,12 @@ object SessionQueries {
             graft.streaming.StreamScratch.freshCheckpoint("gate_stream_wm"))
           .queryName("gate_stream_wm").start()
         try {
+          // This gate STAYS on the default trigger (not AvailableNow,
+          // r13 item 8): its two-phase feed needs one LIVE query across
+          // both drains — AvailableNow snapshots end offsets at start
+          // (batch 2's late files would need a second query run) and a
+          // memory-sink restart under the same queryName recreates the
+          // table, losing batch 1's appended emissions.
           q.processAllAvailable()       // batch 1: fresh rows, wm advances
           late.write.mode("append").parquet(feedDir)
           q.processAllAvailable()       // batch 2: all rows late → dropped
@@ -169,13 +183,15 @@ object SessionQueries {
       // volume instead of inheriting the batch default (StreamTuning).
       graft.streaming.StreamTuning.withShufflePartitions(s,
         graft.streaming.StreamTuning.GateStatePartitions) {
+        // AvailableNow + awaitTermination — see streaming_sessionize.
         val q = graft.streaming.StreamJoin.attribution(cs, ps,
           windowMinutes = 60, watermark = "10 minutes")
           .writeStream.outputMode("append").format("memory")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation",
             graft.streaming.StreamScratch.freshCheckpoint("gate_stream_ij"))
           .queryName("gate_stream_ij").start()
-        try q.processAllAvailable() finally q.stop()
+        try q.awaitTermination() finally q.stop()
       }
       s.table("gate_stream_ij").select(col("user_id"), col("click_id"),
         col("purchase_id"),
@@ -206,12 +222,17 @@ object SessionQueries {
       val stream = s.readStream.schema(ev.schema).parquet(feedDir)
       graft.streaming.StreamTuning.withShufflePartitions(s,
         graft.streaming.StreamTuning.GateStatePartitions) {
+        // AvailableNow + awaitTermination — see streaming_sessionize.
+        // The sentinel 2h past max(ts) advances the watermark in the data
+        // batch; the trailing no-data batch (shouldRunAnotherBatch) emits
+        // every closed window before self-termination.
         val q = graft.streaming.WindowStats.tumblingStats(stream)
           .writeStream.outputMode("append").format("memory")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation",
             graft.streaming.StreamScratch.freshCheckpoint("gate_stream_hourly"))
           .queryName("gate_stream_hourly").start()
-        try q.processAllAvailable() finally q.stop()
+        try q.awaitTermination() finally q.stop()
       }
       s.table("gate_stream_hourly")
         .filter(col("event_type") =!= "__flush")
