@@ -383,38 +383,63 @@ object Dedup {
         StructField("id", LongType, nullable = false),
         StructField("component", LongType, nullable = false))))
     }
-    var labels = edges.select(col("s").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
-      .persist(MEMORY_AND_DISK)
-    // Convergence via the monotone invariant Σlbl: labels only ever
-    // DECREASE, so an unchanged sum ⟺ a fixed point — one aggregate action
-    // per round (which also materializes the persist), no join against the
-    // previous labeling. Decimal sum: exact and overflow-free at any node
-    // count × id range.
+    // Distributed regime: min-label relaxation ACCELERATED BY WITNESS
+    // DOUBLING — the same list-ranking device as the SCC fixpoint loop
+    // (Graph.stronglyConnectedComponents), carried over after the
+    // round-14 full-engine 100× screen caught the failure mode the plain
+    // loop hides at small scale. The 1-hop loop converges in DIAMETER
+    // rounds, which is fine for near-dup pair graphs (dense clusters,
+    // tiny diameter) but not for graphs like graph_robustness' designed
+    // hub CHAIN, whose diameter grows linearly with the fixture (at 100×:
+    // ~20k hops vs maxIters = 25 — the gate could never converge, and the
+    // per-round self-join lineage OOM'd the shared bench JVM first).
+    // Each node carries a witness pointer p(v) — an explicit sampled
+    // SAME-COMPONENT node, init min(N(v) ∪ {v}) — that doubles every
+    // round (p'(v) = p(p(v))) regardless of label values, pulling
+    // l(p(v)) in as a candidate. Soundness: connectivity is symmetric
+    // and transitive, so p(v) stays in v's component by induction, and
+    // any label is the min over a subset of its holder's component —
+    // never below the component min. Completeness/termination come from
+    // the 1-hop relaxation alone: labels are monotone non-increasing and
+    // an unchanged Σlbl ⟺ no edge is tense ⟺ labels are constant per
+    // component and equal to the component min (the min-id node keeps
+    // its own id). Rounds: O(log diameter) — 2^25 ≫ any graph.
+    // Per-round rerootEager (shared with the SCC loop) keeps the
+    // self-referential plan stats-free and the lineage truncated.
+    val spark = pairs.sparkSession
+    var (state, sRdd) = graft.ops.Graph.rerootEager(spark,
+      edges.groupBy(col("d"))
+        .agg(least(min(col("s")), min(col("d"))).as("p"))
+        .select(col("d").as("id"), col("d").as("lbl"), col("p")))
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    var prevSum = labelSum(state)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val nbrMin = edges.join(labels.withColumnRenamed("id", "s"), Seq("s"))
+      val nbrMin = edges.join(state.select(col("id").as("s"), col("lbl")), Seq("s"))
         .groupBy(col("d").as("id")).agg(min(col("lbl")).as("nbr_lbl"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .persist(MEMORY_AND_DISK)
+      val viaP = state.select(col("id"), col("p"), col("lbl")).as("v")
+        .join(state.select(col("id").as("p"), col("lbl").as("p_lbl"),
+          col("p").as("pp")).as("w"), Seq("p"))
+        .select(col("id"), col("lbl"), col("p_lbl"), col("pp"))
+      val (next, nRdd) = graft.ops.Graph.rerootEager(spark,
+        viaP.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), col("p_lbl"),
+              coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+            col("pp").as("p")),
+        Some(sRdd))
       val nextSum = labelSum(next)
-      labels.unpersist()
-      labels = next
+      state = next; sRdd = nRdd
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }
     edges.unpersist()
-    if (!converged) labels.unpersist()
     require(converged,
       s"connectedComponents did not converge within $maxIters rounds")
-    labels.select(col("id"), col("lbl").as("component"))
+    state.select(col("id"), col("lbl").as("component"))
   }
 
   /** Collapse a near-duplicate pair graph to one REPRESENTATIVE per

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
@@ -1000,6 +1000,33 @@ object Graph {
     *
     * @param edges directed (srcCol → dstCol) edges; self-loops ignored.
     * @return (node, scc) for every non-isolated node. */
+  /** Eagerly re-root `df` as a STATS-FREE LogicalRDD leaf. This is NOT
+    * `localCheckpoint(true)`: that also truncates the plan tree, but it
+    * PROPAGATES the original plan's estimated statistics into the new
+    * leaf (originStats) — and in a convergence loop whose per-round plan
+    * joins the previous round's result with itself, the propagated
+    * sizeInBytes estimate SQUARES every round. The estimate's DIGIT COUNT
+    * then doubles per round, and by round ~20 every Catalyst stats visit
+    * multiplies million-digit BigIntegers on the driver (measured: the
+    * 100× SCC gate spent 45+ min of driver CPU inside
+    * SizeInBytesOnlyStatsPlanVisitor). Re-rooting through the RDD drops
+    * the estimate to the constant default. The RDD-level localCheckpoint
+    * also truncates lineage once materialized (a plain persist does NOT —
+    * task closures still serialize the whole ancestor chain recursively,
+    * and ~200 convergence iterations overflow the task-deserializer
+    * stack). The persisted predecessor RDD (`release`) is unpersisted
+    * once the successor is materialized-and-truncated. Shared by every
+    * convergence loop in ops (SCC here, the undirected
+    * [[Dedup.connectedComponents]] doubling loop). */
+  private[ops] def rerootEager(spark: SparkSession, df: DataFrame,
+      release: Option[org.apache.spark.rdd.RDD[Row]] = None)
+      : (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
+    val rdd = df.rdd.localCheckpoint()
+    rdd.count()
+    release.foreach(_.unpersist(blocking = false))
+    (spark.createDataFrame(rdd, df.schema), rdd)
+  }
+
   def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
       dstCol: String, maxRounds: Int = 24,
       localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
@@ -1077,32 +1104,10 @@ object Graph {
         StructField("node", LongType), StructField("scc", LongType))))
     }
 
-    // Eagerly re-root `df` as a STATS-FREE LogicalRDD leaf. This is NOT
-    // `localCheckpoint(true)`: that also truncates the plan tree, but it
-    // PROPAGATES the original plan's estimated statistics into the new
-    // leaf (originStats) — and in a convergence loop whose per-round
-    // plan joins the previous round's result with itself, the propagated
-    // sizeInBytes estimate SQUARES every round. The estimate's DIGIT
-    // COUNT then doubles per round, and by round ~20 every Catalyst
-    // stats visit multiplies million-digit BigIntegers on the driver
-    // (measured: the 100× SCC gate spent 45+ min of driver CPU inside
-    // SizeInBytesOnlyStatsPlanVisitor). Re-rooting through the RDD drops
-    // the estimate to the constant default. The persisted predecessor
-    // RDD is released once the successor is materialized.
     def rerootEager(df: DataFrame,
         release: Option[org.apache.spark.rdd.RDD[Row]] = None)
-        : (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
-      // RDD-level localCheckpoint: truncates the RDD lineage once
-      // materialized (a plain persist does NOT — task closures still
-      // serialize the whole ancestor chain recursively, and ~200
-      // convergence iterations overflow the task-deserializer stack).
-      val rdd = df.rdd.localCheckpoint()
-      rdd.count()
-      // The predecessor's blocks are no longer reachable from any live
-      // plan once the successor is materialized-and-truncated.
-      release.foreach(_.unpersist(blocking = false))
-      (spark.createDataFrame(rdd, df.schema), rdd)
-    }
+        : (DataFrame, org.apache.spark.rdd.RDD[Row]) =
+      Graph.rerootEager(spark, df, release)
 
     // Forward and backward fixpoints FUSED into one loop (one reroot
     // materialization + one convergence count per iteration instead of

@@ -356,6 +356,20 @@ class OpsSpec extends SparkSpec {
       (3L, 0L, 2L, 3L), (3L, 4L, 6L, 3L)))
   }
 
+  test("distributed components converge in O(log diameter) rounds on a long chain") {
+    // A 300-node path has diameter 299: the pre-r14 1-hop min-label loop
+    // needed ~299 rounds (>> the 25-round cap), which is exactly how the
+    // graph_robustness hub CHAIN failed the first full 100× screen. The
+    // witness-doubling loop must label it within the default cap — and
+    // every label must be the path min.
+    val chain = (1L to 300L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain, "id_a", "id_b",
+      localEdgeThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc.size == 300 && cc.values.forall(_ == 1L))
+  }
+
   test("connected components fail loudly when the iteration cap is too low") {
     val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("id_a", "id_b")
