@@ -835,4 +835,21 @@ class PlanSpec extends SparkSpec {
       graft.core.Tables.table(spark, sf("sf0.001"), "embeddings"),
       "vec_id", "embedding", 4).count() == 4L)
   }
+
+  test("holdout neighbor build carries degrees through the pair rows — " +
+    "no sort-merge join, no post-aggregation degree joins") {
+    // The round-14 plan-shape fix (SCALE.md batch 14): the train-split
+    // co-occurrence aggregate must consume pairs that ALREADY carry
+    // deg_i/deg_j (per-order list double-explode), so the widest relation
+    // in the gate is exchanged once and never re-joined. The r13 shape
+    // this pins against: two post-aggregation degree joins, which plan as
+    // sort-merge joins keyed on the item (part / part_j) and re-sort the
+    // pair table twice. The one join key allowed to sort-merge here is
+    // the final (cust, part_j) hit-rate probe — small post-top-k
+    // relations, AQE-converted at runtime.
+    val p = plan("recsys_holdout_hitrate")
+    assert(p.contains("Generate"), p)            // the pair double-explode
+    assert(!p.contains("SortMergeJoin [part"), p)
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1, p)
+  }
 }
