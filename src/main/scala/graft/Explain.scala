@@ -21,7 +21,8 @@ object Explain {
       "vocab_cooc_pairs", "agg_histogram_prices", "profile_table_stats",
       "er_nearest_name", "dedup_containment_pairs", "dedup_winnow_pairs",
       "asof_join_forward", "feature_trailing_distinct", "vocab_pmi",
-      "privacy_t_closeness", "graph_modularity")
+      "privacy_t_closeness", "graph_modularity",
+      "recsys_holdout_hitrate", "graph_robustness")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
