@@ -356,6 +356,26 @@ class OpsSpec extends SparkSpec {
       (3L, 0L, 2L, 3L), (3L, 4L, 6L, 3L)))
   }
 
+  test("distributed components match local union-find on randomized graphs") {
+    // Structure-free parity for the witness-doubling loop (the 300-chain
+    // test below pins the diameter regime; this pins ARBITRARY shapes):
+    // same pairs through both regimes, labelings must be identical maps.
+    val rnd = new scala.util.Random(1414)
+    (1 to 3).foreach { trial =>
+      val n = 60 + rnd.nextInt(40)
+      val pairs = Seq.fill(120)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+        .toDF("id_a", "id_b")
+      val local = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val dist = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        localEdgeThreshold = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(dist == local, s"trial $trial: distributed != local")
+    }
+  }
+
   test("distributed components converge in O(log diameter) rounds on a long chain") {
     // A 300-node path has diameter 299: the pre-r14 1-hop min-label loop
     // needed ~299 rounds (>> the 25-round cap), which is exactly how the
