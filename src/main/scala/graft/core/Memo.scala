@@ -100,6 +100,34 @@ object Memo {
     p
   }
 
+  /** Register an ALREADY-persisted frame with the owned set without
+    * re-persisting it — for ops that must control persist timing (e.g.
+    * a frame that is materialized and partially released inside the op)
+    * but still want harness-level reclamation. */
+  def ownedTrack(df: DataFrame): DataFrame = {
+    evictStopped()
+    owned.add((df.sparkSession, df))
+    df
+  }
+
+  /** Convergence-loop scratch RDDs (the localCheckpoint leaves behind
+    * [[graft.ops.Graph]]'s rerootEager), keyed by session. Intermediate
+    * rounds are unpersisted eagerly by the loops' release chains; the
+    * FINAL round's RDD backs the returned DataFrame and can only be
+    * reclaimed after the consumer's action — which is exactly
+    * [[releaseOwned]]'s point in the harness loop. Unpersisting an
+    * already-released RDD is a no-op, so double registration is safe.
+    * NOTE: a localCheckpointed RDD cannot be recomputed once released —
+    * the owned contract (scratch dies after the gate's action) is the
+    * same one ownedPersist frames already live under. */
+  private val ownedRdds = new java.util.concurrent.ConcurrentLinkedQueue[
+    (SparkSession, org.apache.spark.rdd.RDD[_])]()
+
+  def ownedRdd(s: SparkSession, rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    evictStopped()
+    ownedRdds.add((s, rdd))
+  }
+
   /** Unpersist and forget the session's OWNED frames only — named
     * [[cached]] entries stay. Operator-internal persists are
     * per-invocation scratch (a fresh op call always builds fresh
@@ -116,6 +144,15 @@ object Memo {
       e = owned.poll()
     }
     owned.addAll(keep)
+    val keepR = new java.util.ArrayList[(SparkSession, org.apache.spark.rdd.RDD[_])]()
+    var r = ownedRdds.poll()
+    while (r != null) {
+      if (r._1 eq s) {
+        try r._2.unpersist(blocking = false) catch { case _: Throwable => () }
+      } else keepR.add(r)
+      r = ownedRdds.poll()
+    }
+    ownedRdds.addAll(keepR)
     ()
   }
 
@@ -157,6 +194,7 @@ object Memo {
     cache.keySet.asScala.filter(_._2.sparkContext.isStopped)
       .foreach(cache.remove)
     owned.removeIf(e => e._1.sparkContext.isStopped)
+    ownedRdds.removeIf(e => e._1.sparkContext.isStopped)
     ()
   }
 }

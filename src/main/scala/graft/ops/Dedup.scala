@@ -325,16 +325,15 @@ object Dedup {
     * must collapse to ONE surviving document even when (A,C) was never
     * scored. Returns (id, component) with component = min id reachable.
     *
-    * Min-label propagation: every node starts labeled with itself; each
-    * round, a node's label becomes the min of its own and its neighbors'
-    * labels; stop when a round changes nothing. Rounds needed = graph
-    * diameter — near-dup graphs are unions of small cliques/chains, so a
-    * handful of rounds; each round is one join + one aggregate, all keyed
-    * shuffles (the GraphFrames/Pregel shape without the dependency). The
-    * per-round driver action is a 1-long convergence count; frames are
-    * persisted per round and released as soon as the next is materialized,
-    * so lineage never grows unboundedly. Fails loudly past `maxIters`
-    * rather than returning an unconverged labeling. */
+    * Two regimes: small pair graphs collapse on the driver with exact
+    * union-find; large ones run alternating large-star / small-star
+    * contraction (Kiveris et al., SoCC '14) — provably O(log² n) rounds
+    * for ANY id layout, each round node-keyed joins + aggregates, all
+    * keyed shuffles (the GraphFrames/Pregel shape without the
+    * dependency). Frames are persisted per round and released as soon as
+    * the next is materialized, so lineage never grows unboundedly. Fails
+    * loudly past `maxIters` rather than returning an unconverged
+    * labeling. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 25,
       localEdgeThreshold: Long = graft.ops.Graph.LocalEdgeThreshold): DataFrame = {
@@ -383,63 +382,111 @@ object Dedup {
         StructField("id", LongType, nullable = false),
         StructField("component", LongType, nullable = false))))
     }
-    // Distributed regime: min-label relaxation ACCELERATED BY WITNESS
-    // DOUBLING — the same list-ranking device as the SCC fixpoint loop
-    // (Graph.stronglyConnectedComponents), carried over after the
-    // round-14 full-engine 100× screen caught the failure mode the plain
-    // loop hides at small scale. The 1-hop loop converges in DIAMETER
-    // rounds, which is fine for near-dup pair graphs (dense clusters,
-    // tiny diameter) but not for graphs like graph_robustness' designed
-    // hub CHAIN, whose diameter grows linearly with the fixture (at 100×:
-    // ~20k hops vs maxIters = 25 — the gate could never converge, and the
-    // per-round self-join lineage OOM'd the shared bench JVM first).
-    // Each node carries a witness pointer p(v) — an explicit sampled
-    // SAME-COMPONENT node, init min(N(v) ∪ {v}) — that doubles every
-    // round (p'(v) = p(p(v))) regardless of label values, pulling
-    // l(p(v)) in as a candidate. Soundness: connectivity is symmetric
-    // and transitive, so p(v) stays in v's component by induction, and
-    // any label is the min over a subset of its holder's component —
-    // never below the component min. Completeness/termination come from
-    // the 1-hop relaxation alone: labels are monotone non-increasing and
-    // an unchanged Σlbl ⟺ no edge is tense ⟺ labels are constant per
-    // component and equal to the component min (the min-id node keeps
-    // its own id). Rounds: O(log diameter) — 2^25 ≫ any graph.
-    // Per-round rerootEager (shared with the SCC loop) keeps the
-    // self-referential plan stats-free and the lineage truncated.
+    // Distributed regime: alternating LARGE-STAR / SMALL-STAR contraction
+    // (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
+    // Components in MapReduce and Beyond", SoCC '14), replacing the r14
+    // witness-doubling loop. That loop's round bound was logarithmic only
+    // when ids increase monotonically along paths: its witness pointer
+    // update p'(v) = p(p(v)) FREEZES at every local id minimum m (the
+    // init p(m) = min(N(m) ∪ {m}) = m is a fixpoint of doubling), after
+    // which label flow through m reverts to one hop per round — a
+    // shuffled-id chain is diameter-bound again and hard-fails maxIters
+    // (r15 advisor catch; the shuffled/sawtooth chain specs in OpsSpec
+    // reproduce it against the old loop). Star contraction carries no id
+    // assumption at all:
+    //   large-star(u): link every STRICTLY LARGER neighbor of u to
+    //     m(u) = min(N(u) ∪ {u});
+    //   small-star(u): orient edges larger→smaller, then link u and its
+    //     (all smaller) neighbors to m(u).
+    // Both operations re-attach nodes strictly within u's own component,
+    // so connectivity is preserved exactly; their alternation converges
+    // to the unique common fixpoint — a forest of stars rooted at each
+    // component's minimum id — in O(log² n) rounds for ANY id layout
+    // (Theorem 1 of the paper; single-digit rounds measured on every
+    // gate fixture). Each round is node-keyed groupBy + same-key join +
+    // distinct — no windows, no driver data. Convergence is detected
+    // EXACTLY, not by checksum: edge sets are distinct() and canonically
+    // (larger → smaller)-oriented after small-star, so equal counts plus
+    // an empty except() is set equality. Per-round rerootEager (shared
+    // with the SCC loop) truncates lineage and keeps the plan
+    // stats-free; the RDD behind every round is registered with
+    // Memo.ownedRdd, so harness loops reclaim the final round's blocks
+    // too (the pre-r15 code leaked one materialized RDD per invocation).
     val spark = pairs.sparkSession
+    // All nodes, captured BEFORE contraction (star rounds keep every
+    // node in the edge list until fixpoint, but the label join below
+    // must also cover nodes whose only pair was a self-pair).
+    val nodes = edges.select(col("s").as("id")).distinct()
+      .persist(MEMORY_AND_DISK)
+    nodes.count()
+    // large-star: symmetrize, take per-node min over N(u) ∪ {u}, and
+    // re-attach each larger neighbor to it. m ≤ u < v, so the output is
+    // canonically (larger → smaller) and self-loop-free.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("d").as("s"), col("s").as("d")))
+      val mins = sym.groupBy(col("s")).agg(min(col("d")).as("mn"))
+        .select(col("s"), least(col("s"), col("mn")).as("m"))
+      sym.join(mins, Seq("s"))
+        .filter(col("d") > col("s"))
+        .select(col("d").as("s"), col("m").as("d"))
+        .distinct()
+    }
+    // small-star: edges arrive (larger → smaller); per node u the min
+    // neighbor m = min(N(u)) < u, attach u and every other (smaller)
+    // neighbor to m. Output stays (larger → smaller).
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("s")).agg(min(col("d")).as("m"))
+      e.join(mins, Seq("s"))
+        .filter(col("d") =!= col("m"))
+        .select(col("d").as("s"), col("m").as("d"))
+        .unionAll(mins.select(col("s"), col("m").as("d")))
+        .distinct()
+    }
+    // Canonical initial edge set, read from the ALREADY-MATERIALIZED
+    // symmetric cache (deriving from `pairs` would re-run the whole
+    // upstream pair pipeline a third time).
     var (state, sRdd) = graft.ops.Graph.rerootEager(spark,
-      edges.groupBy(col("d"))
-        .agg(least(min(col("s")), min(col("d"))).as("p"))
-        .select(col("d").as("id"), col("d").as("lbl"), col("p")))
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(state)
+      edges.select(
+        greatest(col("s"), col("d")).as("s"),
+        least(col("s"), col("d")).as("d"))
+        .filter(col("s") =!= col("d")).distinct())
+    edges.unpersist()
+    var prevCount = state.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val nbrMin = edges.join(state.select(col("id").as("s"), col("lbl")), Seq("s"))
-        .groupBy(col("d").as("id")).agg(min(col("lbl")).as("nbr_lbl"))
-      val viaP = state.select(col("id"), col("p"), col("lbl")).as("v")
-        .join(state.select(col("id").as("p"), col("lbl").as("p_lbl"),
-          col("p").as("pp")).as("w"), Seq("p"))
-        .select(col("id"), col("lbl"), col("p_lbl"), col("pp"))
+      // NOTE: the predecessor is NOT handed to rerootEager for release —
+      // the convergence check below still reads it; it is unpersisted
+      // manually once the check is done.
       val (next, nRdd) = graft.ops.Graph.rerootEager(spark,
-        viaP.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("lbl"), col("p_lbl"),
-              coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
-            col("pp").as("p")),
-        Some(sRdd))
-      val nextSum = labelSum(next)
+        smallStar(largeStar(state)))
+      val nextCount = next.count()
+      // equal cardinality + empty difference ⟺ identical edge SETS
+      // (both sides are distinct()); only then is the star forest the
+      // fixpoint of both operations.
+      converged = nextCount == prevCount &&
+        state.except(next).isEmpty
+      sRdd.unpersist(blocking = false)
       state = next; sRdd = nRdd
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      prevCount = nextCount
       iter += 1
     }
-    edges.unpersist()
+    if (!converged) {
+      nodes.unpersist(); sRdd.unpersist(blocking = false)
+    }
     require(converged,
       s"connectedComponents did not converge within $maxIters rounds")
-    state.select(col("id"), col("lbl").as("component"))
+    // Fixpoint: every non-root is a direct child of its component min.
+    // `state` is backed by the final round's localCheckpoint RDD, which
+    // rerootEager registered with Memo.ownedRdd — harness loops reclaim
+    // it after the gate's action (the pre-r15 loop leaked it until
+    // ContextCleaner GC). `nodes` stays persisted only until this plan's
+    // first action; hand it to the owned registry the same way.
+    graft.core.Memo.ownedTrack(nodes)
+    nodes
+      .join(state.select(col("s").as("id"), col("d").as("root")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("component"))
   }
 
   /** Collapse a near-duplicate pair graph to one REPRESENTATIVE per

@@ -1017,13 +1017,20 @@ object Graph {
     * stack). The persisted predecessor RDD (`release`) is unpersisted
     * once the successor is materialized-and-truncated. Shared by every
     * convergence loop in ops (SCC here, the undirected
-    * [[Dedup.connectedComponents]] doubling loop). */
+    * [[Dedup.connectedComponents]] star-contraction loop). */
   private[ops] def rerootEager(spark: SparkSession, df: DataFrame,
       release: Option[org.apache.spark.rdd.RDD[Row]] = None)
       : (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
     val rdd = df.rdd.localCheckpoint()
     rdd.count()
     release.foreach(_.unpersist(blocking = false))
+    // Every reroot leaf is owned scratch: the loops' release chains free
+    // the intermediates eagerly, but the FINAL round's RDD backs the
+    // returned frame and outlives the op — register it so harness-level
+    // releaseOwned reclaims it after the gate's action (pre-r15, one
+    // materialized RDD per convergence-loop invocation leaked until
+    // ContextCleaner GC). Double-unpersist is a no-op.
+    graft.core.Memo.ownedRdd(spark, rdd)
     (spark.createDataFrame(rdd, df.schema), rdd)
   }
 

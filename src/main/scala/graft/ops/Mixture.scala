@@ -35,14 +35,18 @@ object Mixture {
       col(availCol).cast("long").as("avail"),
       col(weightCol).cast("long").as("w"))
     val tot = base.agg(sum(col("avail")).as("__A"), sum(col("w")).as("__W"))
-    val ord = Window.orderBy(col("__c").asc, col("grp").asc)
-    val run = base.crossJoin(broadcast(tot))
-      .withColumn("__B", floor(lit(budgetFrac) * col("__A").cast("double")).cast("long"))
-      .withColumn("__c", col("avail").cast("double") / col("w").cast("double"))
-      .withColumn("__prefA",
-        sum(col("avail")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__prefW",
-        sum(col("w")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // saturation-order prefix totals via the two-pass distributed scan
+    // (exact long sums), never a whole-frame window — the source table
+    // is usually tiny, but the op is public and must hold at any width
+    val run = Ranking.prefixSum(
+        base.crossJoin(broadcast(tot))
+          .withColumn("__B",
+            floor(lit(budgetFrac) * col("__A").cast("double")).cast("long"))
+          .withColumn("__c",
+            col("avail").cast("double") / col("w").cast("double")),
+        Seq(col("__c").asc, col("grp").asc), Seq("avail", "w"))
+      .withColumn("__prefA", col("cum_avail"))
+      .withColumn("__prefW", col("cum_w"))
       // level candidate with every EARLIER row saturated
       .withColumn("__t",
         (col("__B") - (col("__prefA") - col("avail"))).cast("double") /

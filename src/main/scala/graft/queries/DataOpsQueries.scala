@@ -36,6 +36,15 @@ object DataOpsQueries {
       Ann.covarianceStats(table(s, dir, "embeddings"), "embedding")
     }
 
+  /** The ANN gates' bounded query set: the vectors with `vec_id < n`.
+    * vec_id is unique, so the filter yields at most n rows — the
+    * trailing `limit(n)` never drops data; it makes the bound VISIBLE
+    * to the physical plan (and PlanLint's structural classifier), so
+    * the broadcast build side of the brute/ADC scorers is provably a
+    * program constant rather than fixture luck. */
+  private def annQuerySet(emb: DataFrame, n: Int): DataFrame =
+    emb.filter(col("vec_id") < n).limit(n)
+
   private def ngramPairs(s: SparkSession, dir: String): DataFrame =
     graft.core.Memo.cached("dataops.ngramPairs", s, dir) {
       Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
@@ -332,27 +341,27 @@ object DataOpsQueries {
 
     "sim_topk_brute" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      Ann.bruteTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
+      Ann.bruteTopK(annQuerySet(emb, 5), emb, k = 10)
     }),
 
     // Hard-negative mining: per query, top-10 nearest corpus vectors with a
     // DIFFERENT label (exact backend here; lshTopK upstream at scale).
     "mine_hard_negatives" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      Ann.mineHardNegatives(emb.filter(col("vec_id") < 5), emb, "label", k = 10)
+      Ann.mineHardNegatives(annQuerySet(emb, 5), emb, "label", k = 10)
     }),
 
     // Mutual-kNN graph over a bounded subset (exact brute backend so the
     // oracle is exact SQL; at corpus scale the same mutualEdges composes
     // over the bucketed lshTopK backend — identical downstream shape).
     "knn_graph_mutual" -> ((s, dir) => {
-      val emb = table(s, dir, "embeddings").filter(col("vec_id") < 200)
+      val emb = annQuerySet(table(s, dir, "embeddings"), 200)
       Ann.mutualEdges(Ann.bruteTopK(emb, emb, k = 5))
     }),
 
     "sim_topk_lsh" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      Ann.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 10, dim = 64, planes = 6)
+      Ann.lshTopK(annQuerySet(emb, 5), emb, k = 10, dim = 64, planes = 6)
     }),
 
     // IVF ANN, trained form. ORACLE-CHECKED since r12, TRAINING
@@ -364,7 +373,7 @@ object DataOpsQueries {
     // sample order would start to matter).
     "sim_topk_ivf" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      Ann.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 10, dim = 64)
+      Ann.ivfTopK(annQuerySet(emb, 5), emb, k = 10, dim = 64)
     }),
 
     // ANN quality evaluation AS a gate: per-query recall@10 of the
@@ -375,7 +384,7 @@ object DataOpsQueries {
     // verbatim as CTEs.
     "sim_recall_report" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 5)
+      val q = annQuerySet(emb, 5)
       val brute = Ann.bruteTopK(q, emb, k = 10)
         .select(col("query_id"), col("vec_id"))
       val lsh = Ann.lshTopK(q, emb, k = 10, dim = 64, planes = 6)
@@ -397,7 +406,7 @@ object DataOpsQueries {
     // oracle. sim_topk_ivf itself remains the trained, rows-only variant.
     "ivf_recall_report" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 5)
+      val q = annQuerySet(emb, 5)
       val cents = Ann.fixedCentroids(emb, IvfGateCentroidIds)
       val brute = Ann.bruteTopK(q, emb, k = 10)
         .select(col("query_id"), col("vec_id"))
@@ -423,7 +432,7 @@ object DataOpsQueries {
     // gate against the exact L2 brute top-10.
     "sim_topk_pq" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      Ann.pqTopK(emb.filter(col("vec_id") < 5), emb,
+      Ann.pqTopK(annQuerySet(emb, 5), emb,
         Ann.pqCodebooks(emb, dim = 64, m = 8, c = 16, iters = 3), k = 10)
     }),
 
@@ -434,7 +443,7 @@ object DataOpsQueries {
     // recall would conflate metric mismatch with quantization error).
     "pq_recall_report" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 5)
+      val q = annQuerySet(emb, 5)
       val books = Ann.pqFixedCodebooks(emb, PqGateCentroidIds, m = 8)
       val brute = Ann.bruteTopKL2(q, emb, k = 10)
         .select(col("query_id"), col("vec_id"))

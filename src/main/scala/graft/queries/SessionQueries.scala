@@ -284,25 +284,33 @@ object SessionQueries {
         sum(when(!col("cen"), 1L).otherwise(0L)).as("d"),
         sum(when(col("cen"), 1L).otherwise(0L)).as("c"))
       val nAll = users.agg(count(lit(1)).as("nn"))
-      val w = Window.orderBy(col("t").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       def dd(c: Column) = c.cast("double")
-      val withRisk = byT.withColumn("tot", col("d") + col("c"))
-        .withColumn("cumtot", sum(col("tot")).over(w))
+      // at-risk counts from the distributed prefix pass over the
+      // collapsed lifetime-day rows (exact long sums, no global window)
+      val withRisk = graft.ops.Ranking.prefixSum(
+          byT.withColumn("tot", col("d") + col("c")),
+          Seq(col("t").asc), Seq("tot"))
+        .withColumn("cumtot", col("cum_tot"))
         .crossJoin(broadcast(nAll))
         .withColumn("n_at_risk", col("nn") - col("cumtot") + col("tot"))
       val factor = lit(1.0) - dd(col("d")) / dd(col("n_at_risk"))
-      withRisk
-        .withColumn("lf", when(factor > 0.0,
-          round(log(factor), 6).cast("decimal(18,6)"))
-          .otherwise(lit(0).cast("decimal(18,6)")))
-        .withColumn("z", when(factor <= 0.0, 1).otherwise(0))
-        .withColumn("zero", max(col("z")).over(w))
-        .withColumn("ls", sum(col("lf")).over(w))
+      // 6dp ln factors carried as exact integer MICRO-units so the
+      // running log-product and the zero-pin flag share one more prefix
+      // pass (prefix max of a 0/1 flag == its prefix sum > 0); micro/1e6
+      // through double division is the same correctly-rounded value the
+      // decimal(18,6) running sum produced.
+      graft.ops.Ranking.prefixSum(
+          withRisk
+            .withColumn("lfm", when(factor > 0.0,
+              (round(log(factor), 6).cast("decimal(18,6)") * 1000000)
+                .cast("long")).otherwise(lit(0L)))
+            .withColumn("z", when(factor <= 0.0, 1L).otherwise(0L)),
+          Seq(col("t").asc), Seq("lfm", "z"))
         .select(col("t").as("t_days"), col("n_at_risk"),
           col("d").as("n_deaths"), col("c").as("n_censored"),
-          when(col("zero") === 1, 0.0)
-            .otherwise(round(exp(col("ls").cast("double")), 6)).as("survival"))
+          when(col("cum_z") > 0L, 0.0)
+            .otherwise(round(exp(col("cum_lfm").cast("double") / 1e6), 6))
+            .as("survival"))
     }),
 
     // Nelson–Aalen cumulative hazard over the same user-lifetime fabric as
@@ -324,24 +332,31 @@ object SessionQueries {
         sum(when(!col("cen"), 1L).otherwise(0L)).as("d"),
         sum(when(col("cen"), 1L).otherwise(0L)).as("c"))
       val nAll = users.agg(count(lit(1)).as("nn"))
-      val w = Window.orderBy(col("t").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       def dd(c: Column) = c.cast("double")
-      byT.withColumn("tot", col("d") + col("c"))
-        .withColumn("cumtot", sum(col("tot")).over(w))
+      // same two-pass prefix fabric as survival_kaplan_meier: at-risk
+      // counts first, then the 9dp/12dp increments as exact integer
+      // nano/pico units through a second distributed scan — the decimal
+      // running sums cast to the identical correctly-rounded doubles
+      val withRisk = graft.ops.Ranking.prefixSum(
+          byT.withColumn("tot", col("d") + col("c")),
+          Seq(col("t").asc), Seq("tot"))
+        .withColumn("cumtot", col("cum_tot"))
         .crossJoin(broadcast(nAll))
         .withColumn("n_at_risk", col("nn") - col("cumtot") + col("tot"))
-        .withColumn("hz",
-          round(dd(col("d")) / dd(col("n_at_risk")), 9)
-            .cast("decimal(18,9)"))
-        .withColumn("vz",
-          round(dd(col("d")) /
-            (dd(col("n_at_risk")) * dd(col("n_at_risk"))), 12)
-            .cast("decimal(22,12)"))
+      graft.ops.Ranking.prefixSum(
+          withRisk
+            .withColumn("hzn",
+              (round(dd(col("d")) / dd(col("n_at_risk")), 9)
+                .cast("decimal(18,9)") * 1000000000L).cast("long"))
+            .withColumn("vzp",
+              (round(dd(col("d")) /
+                (dd(col("n_at_risk")) * dd(col("n_at_risk"))), 12)
+                .cast("decimal(22,12)") * 1000000000000L).cast("long")),
+          Seq(col("t").asc), Seq("hzn", "vzp"))
         .select(col("t").as("t_days"), col("n_at_risk"),
           col("d").as("n_deaths"), col("c").as("n_censored"),
-          round(sum(col("hz")).over(w).cast("double"), 6).as("cum_hazard"),
-          round(sum(col("vz")).over(w).cast("double"), 6).as("cum_var"))
+          round(col("cum_hzn").cast("double") / 1e9, 6).as("cum_hazard"),
+          round(col("cum_vzp").cast("double") / 1e12, 6).as("cum_var"))
     }),
 
     // Two-group log-rank test (even vs odd user_id) on the lifetime fabric:
@@ -369,14 +384,14 @@ object SessionQueries {
       val nAll = users.agg(
         sum(when(col("even"), 1L).otherwise(0L)).as("n0all"),
         sum(when(!col("even"), 1L).otherwise(0L)).as("n1all"))
-      val w = Window.orderBy(col("t").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       def dd(c: Column) = c.cast("double")
-      val risk = byT
-        .withColumn("tot0", col("d0") + col("c0"))
-        .withColumn("tot1", col("d1") + col("c1"))
-        .withColumn("cum0", sum(col("tot0")).over(w))
-        .withColumn("cum1", sum(col("tot1")).over(w))
+      // per-group at-risk prefixes through the one distributed scan
+      val risk = graft.ops.Ranking.prefixSum(
+          byT.withColumn("tot0", col("d0") + col("c0"))
+            .withColumn("tot1", col("d1") + col("c1")),
+          Seq(col("t").asc), Seq("tot0", "tot1"))
+        .withColumn("cum0", col("cum_tot0"))
+        .withColumn("cum1", col("cum_tot1"))
         .crossJoin(broadcast(nAll))
         .withColumn("n0", col("n0all") - col("cum0") + col("tot0"))
         .withColumn("n1", col("n1all") - col("cum1") + col("tot1"))

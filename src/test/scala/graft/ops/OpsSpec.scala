@@ -357,8 +357,8 @@ class OpsSpec extends SparkSpec {
   }
 
   test("distributed components match local union-find on randomized graphs") {
-    // Structure-free parity for the witness-doubling loop (the 300-chain
-    // test below pins the diameter regime; this pins ARBITRARY shapes):
+    // Structure-free parity for the star-contraction loop (the chain
+    // tests below pin the diameter regime; this pins ARBITRARY shapes):
     // same pairs through both regimes, labelings must be identical maps.
     val rnd = new scala.util.Random(1414)
     (1 to 3).foreach { trial =>
@@ -376,12 +376,12 @@ class OpsSpec extends SparkSpec {
     }
   }
 
-  test("distributed components converge in O(log diameter) rounds on a long chain") {
-    // A 300-node path has diameter 299: the pre-r14 1-hop min-label loop
-    // needed ~299 rounds (>> the 25-round cap), which is exactly how the
-    // graph_robustness hub CHAIN failed the first full 100× screen. The
-    // witness-doubling loop must label it within the default cap — and
-    // every label must be the path min.
+  test("distributed components converge within the cap on a long chain") {
+    // A 300-node path has diameter 299: a 1-hop min-label loop needs
+    // ~299 rounds (>> the 25-round cap), which is exactly how the
+    // graph_robustness hub CHAIN failed the first full 100× screen. Star
+    // contraction must label it within the default cap — and every
+    // label must be the path min.
     val chain = (1L to 300L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("id_a", "id_b")
     val cc = Dedup.connectedComponents(chain, "id_a", "id_b",
@@ -390,11 +390,40 @@ class OpsSpec extends SparkSpec {
     assert(cc.size == 300 && cc.values.forall(_ == 1L))
   }
 
+  test("distributed components converge on long chains with NON-MONOTONE ids") {
+    // The r14 witness-doubling loop was logarithmic only when ids grow
+    // monotonically along paths: its pointer update p'(v) = p(p(v))
+    // froze at every local id minimum (p(m) = m), reverting to one hop
+    // per round — a shuffled-id 300-chain hard-failed maxIters = 25
+    // (r15 advisor catch). Star contraction is id-layout-free; both
+    // adversarial layouts must converge within the default cap and
+    // match local union-find exactly.
+    val rnd = new scala.util.Random(1515)
+    val shuffledIds = rnd.shuffle((1L to 300L).toVector)
+    val shuffled = shuffledIds.sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    // sawtooth: ids alternate low/high along the path, planting a local
+    // minimum at every other node — the worst case for pointer freezing
+    val sawIds = (1L to 150L).flatMap(i => Seq(i, 301L - i))
+    val sawtooth = sawIds.sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    Seq(shuffled, sawtooth).foreach { chain =>
+      val local = Dedup.connectedComponents(chain, "id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val dist = Dedup.connectedComponents(chain, "id_a", "id_b",
+        localEdgeThreshold = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(dist.size == 300 && dist.values.forall(_ == 1L))
+      assert(dist == local)
+    }
+  }
+
   test("connected components fail loudly when the iteration cap is too low") {
-    val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+    // one star round cannot fully collapse a 300-node path
+    val chain = (1L to 300L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("id_a", "id_b")
     intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(chain, "id_a", "id_b", maxIters = 3,
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIters = 1,
         localEdgeThreshold = 0L)
     }
   }
