@@ -114,7 +114,29 @@ object SkewJoin {
       .join(df.select(col(keyCol), col(valCol).as(valCol + "_b")), Seq(keyCol))
       .filter(col(valCol + "_a") < col(valCol + "_b"))
 
-  /** Two-regime self-pairing: ONE max-group-size aggregate picks the plan —
+  /** Hard ceiling on group size for [[selfPairsAuto]]: a group of m
+    * members emits m(m−1)/2 pairs, QUADRATIC in m — blocking spreads the
+    * quadratic over tasks but cannot shrink it, so a single pathological
+    * 10⁵-item basket (bot traffic, a bulk account) still means 5·10⁹
+    * output rows from one group. Past this cap the group is EXCLUDED
+    * from pairing and counted loudly (SCALE.md part 6 named this the one
+    * skew surface the zipf canary cannot cover). 16384² /2 ≈ 1.3·10⁸
+    * pairs is the largest per-group output the blocked plan absorbs
+    * without dominating a run; real baskets sit orders of magnitude
+    * below (TPC-H ≤ 7, retail ~10²). Audit the excluded keys with
+    * [[cappedGroups]] — same frame the probe already aggregates. */
+  val MaxGroupCap: Long = 16384L
+
+  /** The over-cap groups [[selfPairsAuto]] excludes: (key, m) with
+    * m > maxGroup — the overflow counter as a first-class result (the
+    * basket_cap_audit gate oracles the zero-overflow claim on real
+    * fixtures; a canary fixture with a planted whale shows up here). */
+  def cappedGroups(df: DataFrame, keyCol: String,
+      maxGroup: Long = MaxGroupCap): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("m"))
+      .filter(col("m") > maxGroup)
+
+  /** Two-regime self-pairing: ONE group-size aggregate picks the plan —
     * naive below `hotThreshold` (no replication; the 100× canary measured
     * the always-blocked shape at ~4× the naive cost on uniform data, pure
     * insurance premium), blocked above it (output skew is invisible to AQE,
@@ -122,13 +144,30 @@ object SkewJoin {
     * tiny). Same eager-probe discipline as Graph.LocalEdgeThreshold and
     * Dedup.pairIntersections; both branches are provably pair-identical
     * (ShapeSpec). The probe costs one keyed count — noise next to the pair
-    * join it steers. */
+    * join it steers.
+    *
+    * Groups larger than `maxGroup` are EXCLUDED from pairing (quadratic
+    * fan-out cap — see [[MaxGroupCap]]): the probe counts them, logs one
+    * loud line, and anti-joins their (few, broadcast-small by
+    * construction) keys out; when no group is over cap — every real
+    * fixture — the plan is byte-identical to the uncapped one. */
   def selfPairsAuto(df: DataFrame, keyCol: String, valCol: String,
-      chunks: Int = 8, hotThreshold: Long = HotGroupThreshold): DataFrame = {
-    val maxGroup = df.groupBy(col(keyCol)).agg(count(lit(1)).as("m"))
-      .agg(max(col("m"))).head()
-    val hot = !maxGroup.isNullAt(0) && maxGroup.getLong(0) > hotThreshold
-    if (hot) blockedSelfPairs(df, keyCol, valCol, chunks)
-    else naiveSelfPairs(df, keyCol, valCol)
+      chunks: Int = 8, hotThreshold: Long = HotGroupThreshold,
+      maxGroup: Long = MaxGroupCap): DataFrame = {
+    val probe = df.groupBy(col(keyCol)).agg(count(lit(1)).as("m"))
+      .agg(max(when(col("m") <= maxGroup, col("m"))).as("mx_kept"),
+        sum(when(col("m") > maxGroup, 1L).otherwise(0L)).as("n_over"))
+      .head()
+    val mxKept = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    val nOver = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+    val base = if (nOver > 0L) {
+      System.err.println(s"[selfPairsAuto] $nOver group(s) over " +
+        s"maxGroup=$maxGroup EXCLUDED from pair generation " +
+        s"(quadratic fan-out cap); list them via SkewJoin.cappedGroups")
+      df.join(broadcast(cappedGroups(df, keyCol, maxGroup)
+        .select(col(keyCol))), Seq(keyCol), "left_anti")
+    } else df
+    if (mxKept > hotThreshold) blockedSelfPairs(base, keyCol, valCol, chunks)
+    else naiveSelfPairs(base, keyCol, valCol)
   }
 }

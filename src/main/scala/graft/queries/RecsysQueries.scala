@@ -22,6 +22,18 @@ object RecsysQueries {
   private val NeighborsK = 5
   private val RecsK = 3
 
+  /** Basket-size ceiling for the co-occurrence pair build: the
+    * double-explode emits m(m−1) directed pairs per basket — quadratic —
+    * so one pathological 10⁵-item basket (bot/bulk account) would emit
+    * 10¹⁰ rows no partitioning can absorb (SCALE.md part 6 named this
+    * the one surface the zipf canary cannot cover). Baskets above the
+    * cap are EXCLUDED from the model (standard whale-pruning in CF —
+    * a degenerate basket carries no preference signal anyway) and
+    * surface in the oracle-checked basket_cap_audit gate; every real
+    * fixture sits orders of magnitude below (TPC-H ≤ 7 items). Shared
+    * with [[graft.ops.SkewJoin.MaxGroupCap]]. */
+  val BasketCap: Long = graft.ops.SkewJoin.MaxGroupCap
+
   /** Distinct (order, part) basket rows — a column rename over the
     * CROSS-FAMILY [[SharedTables.distinctBaskets]] memo (the rename is a
     * free projection on the cached relation, so recsys adds no second
@@ -68,13 +80,17 @@ object RecsysQueries {
     * (aggregated pairs). The per-order list is bounded by basket size
     * (same argument as the self-join it replaces), so explode fan-out is
     * a constant, not a skew surface. */
-  private def neighborsFrom(b: DataFrame): DataFrame = {
+  private[graft] def neighborsFrom(b: DataFrame): DataFrame = {
     val deg = b.groupBy(col("part")).agg(count(lit(1)).as("deg"))
     // shuffle_hash: build the bounded degree table, stream the basket
     // rows sort-free (sort-merge would sort the full basket stream).
     val bd = b.join(deg.hint("shuffle_hash"), "part")
+    // [[BasketCap]]: whale baskets never reach the quadratic explode
+    // (a size() filter on the collected list — one narrow predicate,
+    // no extra exchange; a no-op on every real fixture)
     val lists = bd.groupBy(col("okey"))
       .agg(collect_list(struct(col("part"), col("deg"))).as("items"))
+      .filter(size(col("items")) <= BasketCap)
     val pairs = lists
       .select(explode(col("items")).as("a"), col("items"))
       .select(col("a.part").as("part"), col("a.deg").as("deg_i"),

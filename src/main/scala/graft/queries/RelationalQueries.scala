@@ -330,6 +330,21 @@ object RelationalQueries {
         .limit(50)
     }),
 
+    // The quadratic-fan-out cap's overflow counter as a first-class,
+    // oracle-checked result: basket count, max basket size, and how many
+    // baskets exceed SkewJoin.MaxGroupCap (= the groups selfPairsAuto /
+    // recsys neighborsFrom EXCLUDE from pair generation). n_capped = 0 on
+    // every real fixture — the oracle pins that claim; the whale-basket
+    // canary fixture is where it goes positive (ShapeSpec pins the
+    // exclusion semantics).
+    "basket_cap_audit" -> ((s, dir) =>
+      SharedTables.distinctBaskets(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("m"))
+        .agg(count(lit(1)).as("n_baskets"),
+          max(col("m")).as("max_basket"),
+          sum(when(col("m") > lit(graft.ops.SkewJoin.MaxGroupCap), 1L)
+            .otherwise(0L)).as("n_capped"))),
+
     // Association rules over the co-purchase baskets: directed (a→b)
     // pair support with confidence and lift, support floor 5, top 25 by
     // lift — the classic market-basket read-out on top of the same
@@ -497,6 +512,17 @@ object RelationalQueries {
           |  ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
           |GROUP BY 1, 2
           |ORDER BY n_orders DESC, part_a ASC, part_b ASC LIMIT 50""".stripMargin,
+
+      "basket_cap_audit" ->
+        """WITH s AS (
+          |  SELECT l_orderkey, count(*) AS m
+          |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+          |  GROUP BY 1)
+          |SELECT CAST(count(*) AS BIGINT) AS n_baskets,
+          |  CAST(max(m) AS BIGINT) AS max_basket,
+          |  CAST(sum(CASE WHEN m > 16384 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_capped
+          |FROM s""".stripMargin,
 
       "basket_association_rules" ->
         s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -586,9 +586,16 @@ class PlanSpec extends SparkSpec {
       // shape (plans as a broadcast nested-loop Cross of one row); what
       // must never appear is a real cartesian of fact rows.
       assert(!p.contains("CartesianProduct"), s"$name: $p")
-      // the windowed/step-up side must sit above an aggregate, and the
-      // plan must never range-shuffle the raw fact rows
-      assert(p.contains("HashAggregate"), s"$name: $p")
+      // the step-up/prefix side must sit above an aggregate — either a
+      // HashAggregate still visible in the final plan, or the re-rooted
+      // ExistingRDD leaf of Ranking.prefixSum's eager two-pass scan
+      // (r15: these gates' cumulative series moved off global windows
+      // onto the distributed prefix device, which materializes its
+      // range pass up front and leaves only the RDD leaf visible)
+      assert(p.contains("HashAggregate") || p.contains("Scan ExistingRDD"),
+        s"$name: $p")
+      // the FINAL plan must never range-shuffle fact rows (prefixSum's
+      // internal range exchange runs over the collapsed aggregate only)
       assert(!p.contains("Exchange rangepartitioning"), s"$name: $p")
     }
   }

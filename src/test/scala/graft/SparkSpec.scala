@@ -12,7 +12,11 @@ trait SparkSpec extends AnyFunSuite {
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: allow ONE task retry, so RetryIdempotenceSpec can
+      // inject fail-once tasks and assert recompute-stable outputs
+      // (plain local[4] aborts the stage on the first task failure).
+      // No other suite is affected — their tasks never fail.
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -329,6 +329,51 @@ class ShapeSpec extends SparkSpec {
     }
   }
 
+  test("selfPairsAuto whale cap: a 100k-member group is excluded, counted, and the rest pair normally") {
+    import spark.implicits._
+    // a planted 10^5-item whale basket (the SCALE.md part-6 shape: its
+    // uncapped pair output would be ~5*10^9 rows — the test completing
+    // in seconds IS the cap working) + normal small groups
+    val whale = (1L to 100000L).map(v => (999L, v))
+    val normal = (1L to 20L).flatMap(k => (1L to 5L).map(v => (k, k * 1000 + v)))
+    val rows = (whale ++ normal).toDF("k", "v").repartition(8)
+    val pairs = SkewJoin.selfPairsAuto(rows, "k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the whale emitted nothing; normal groups pair exactly as before
+    assert(!pairs.exists(_._1 == 999L))
+    val expected = SkewJoin.naiveSelfPairs(normal.toDF("k", "v"), "k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == expected)
+    // the overflow is reported as a first-class result
+    val capped = SkewJoin.cappedGroups(rows, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq == Seq((999L, 100000L)))
+    // and a cap ABOVE the whale keeps the old uncapped behavior intact
+    // (probe still routes to blocked; spot-check one known pair)
+    val uncapped = SkewJoin.selfPairsAuto(rows, "k", "v",
+      maxGroup = 200000L)
+    assert(uncapped.filter(col("k") === 1L).count() == 10L)
+  }
+
+  test("recsys neighborsFrom: a whale basket is pruned from the co-occurrence model") {
+    import spark.implicits._
+    val whale = (1L to 17000L).map(p => (999L, p)) // > BasketCap = 16384
+    val normal = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (2L, 12L))
+    val b = (whale ++ normal).toDF("okey", "part")
+    val nb = graft.queries.RecsysQueries.neighborsFrom(b)
+      .select(col("part"), col("part_j"), col("cooc")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val nbNoWhale = graft.queries.RecsysQueries
+      .neighborsFrom(normal.toDF("okey", "part"))
+      .select(col("part"), col("part_j"), col("cooc")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // NOTE degrees still count whale rows (deg is per-item over ALL
+    // basket rows), but no whale part participates in any pair — and
+    // none of the whale's 17k parts appear as a source or neighbor
+    assert(nb.forall(t => t._1 <= 12L && t._2 <= 12L))
+    assert(nb.map(t => (t._1, t._2)) == nbNoWhale.map(t => (t._1, t._2)))
+  }
+
   test("topFraction keeps exactly ceil(frac*n) best-scored rows, stable under partitioning") {
     import spark.implicits._
     val d = (1L to 100L).map(i => (i, (i % 37).toDouble)).toDF("id", "score")
