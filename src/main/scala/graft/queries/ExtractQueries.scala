@@ -136,7 +136,96 @@ object ExtractQueries {
         .withColumn("mrf_version", lit(meta.getOrElse("version", "")))
         .withColumn("mrf_updated", lit(meta.getOrElse("last_updated_on", "")))
         .withColumn("mrf_location", lit(meta.getOrElse("hospital_location", "")))
+    }),
+
+    // Corrupt-tolerant CSV ingest (PERMISSIVE + _corrupt_record): every
+    // structural deviation — ragged short (parsed prefix kept), ragged
+    // long (extra token dropped), unconvertible field (later fields
+    // still parsed) — is quarantined WITH its parsed fields and the raw
+    // line retained, mirroring the cleaner's quarantine contract. The
+    // oracle re-derives every class from `part`, pinning Spark 4's
+    // actual PERMISSIVE semantics bit-for-bit (they differ from the
+    // docs — see MalformedIngest).
+    "extract_csv_malformed" -> ((s, dir) => {
+      val path = writeMalformedFixture(s, dir, "csv", malformedCsvLines(s, dir))
+      graft.extract.MalformedIngest.readCsvPermissive(s, path, malformedSchema)
+        .select(col("code"), col("description"), col("qty"), col("price"),
+          col(graft.extract.MalformedIngest.CorruptCol).isNotNull
+            .as("quarantined"))
+    }),
+
+    // Corrupt-tolerant JSON-lines ingest: every 9th document truncated
+    // mid-object — undecodable rows null every schema field and carry
+    // the raw prefix into quarantine; the clean side parses exactly.
+    "extract_json_malformed" -> ((s, dir) => {
+      val path = writeMalformedFixture(s, dir, "json", malformedJsonLines(s, dir))
+      graft.extract.MalformedIngest.readJsonPermissive(s, path,
+          malformedJsonSchema)
+        .select(col("code"), col("qty"), col("price"),
+          col(graft.extract.MalformedIngest.CorruptCol).isNotNull
+            .as("quarantined"))
     }))
+
+  /** Corrupt-ingest fixture lines from `part` — the planted classes the
+    * malformed gates and their oracles share (precedence: corrupt >
+    * short > long > clean):
+    *   pk%7==0  CSV: qty token unparseable  → PERMISSIVE quarantines
+    *   pk%11==0 CSV: row truncated to 2 fields → padded nulls, KEPT
+    *   pk%13==0 CSV: one extra trailing token  → token dropped, KEPT
+    *   pk%9==0  JSON: line truncated at 60%    → quarantined, all null */
+  private def malformedCsvLines(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "part").selectExpr(
+      """CASE
+        | WHEN p_partkey % 7 = 0 THEN
+        |   concat('C', p_partkey, ',', p_name, ',bogus,', CAST(p_retailprice AS STRING))
+        | WHEN p_partkey % 11 = 0 THEN concat('C', p_partkey, ',', p_name)
+        | WHEN p_partkey % 13 = 0 THEN
+        |   concat('C', p_partkey, ',', p_name, ',', p_size, ',',
+        |     CAST(p_retailprice AS STRING), ',EXTRA')
+        | ELSE concat('C', p_partkey, ',', p_name, ',', p_size, ',',
+        |   CAST(p_retailprice AS STRING))
+        |END AS line""".stripMargin)
+
+  private def malformedJsonLines(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "part").selectExpr(
+      """CASE WHEN p_partkey % 9 = 0 THEN
+        |  substring(
+        |    concat('{"code":"C', p_partkey, '","qty":', p_size,
+        |      ',"price":', CAST(p_retailprice AS STRING), '}'),
+        |    1,
+        |    CAST(length(concat('{"code":"C', p_partkey, '","qty":', p_size,
+        |      ',"price":', CAST(p_retailprice AS STRING), '}')) * 3 / 5 AS INT))
+        |ELSE
+        |  concat('{"code":"C', p_partkey, '","qty":', p_size,
+        |    ',"price":', CAST(p_retailprice AS STRING), '}')
+        |END AS line""".stripMargin)
+
+  /** Write a line-oriented malformed fixture, deterministic dir per sf. */
+  private def writeMalformedFixture(s: SparkSession, dir: String,
+      kind: String, lines: DataFrame): String = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-malformed-$kind-" + new java.io.File(dir).getName)
+    lines.coalesce(1).write.mode("overwrite").text(root.toString)
+    root.getAbsolutePath
+  }
+
+  private val malformedSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("code",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("description",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("qty",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("price",
+      org.apache.spark.sql.types.DoubleType)))
+
+  private val malformedJsonSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("code",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("qty",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("price",
+      org.apache.spark.sql.types.DoubleType)))
 
   /** Write the tall-MRF CSV fixture file: metadata keys/values lines, then
     * the header+body CSV Spark wrote, streamed into ONE physical file (the
@@ -197,6 +286,29 @@ object ExtractQueries {
         s"""SELECT t.*, 'v3.1' AS mrf_version, '2024-03-01' AS mrf_updated,
            |  '5 Gate Way, Atlanta' AS mrf_location
            |FROM ($tallCanonicalSql) t""".stripMargin,
+
+      // class precedence mirrors the fixture: corrupt(%7) > short(%11) >
+      // long(%13) > clean; parsed-field retention per MalformedIngest
+      "extract_csv_malformed" ->
+        """SELECT concat('C', CAST(p_partkey AS VARCHAR)) AS code,
+          |  p_name AS description,
+          |  CASE WHEN p_partkey % 7 = 0 OR p_partkey % 11 = 0 THEN NULL
+          |       ELSE p_size END AS qty,
+          |  CASE WHEN p_partkey % 7 <> 0 AND p_partkey % 11 = 0 THEN NULL
+          |       ELSE p_retailprice END AS price,
+          |  (p_partkey % 7 = 0 OR p_partkey % 11 = 0 OR p_partkey % 13 = 0)
+          |    AS quarantined
+          |FROM part""".stripMargin,
+
+      "extract_json_malformed" ->
+        """SELECT
+          |  CASE WHEN p_partkey % 9 = 0 THEN NULL
+          |       ELSE concat('C', CAST(p_partkey AS VARCHAR)) END AS code,
+          |  CASE WHEN p_partkey % 9 = 0 THEN NULL ELSE p_size END AS qty,
+          |  CASE WHEN p_partkey % 9 = 0 THEN NULL
+          |       ELSE p_retailprice END AS price,
+          |  (p_partkey % 9 = 0) AS quarantined
+          |FROM part""".stripMargin,
       "extract_wide_canonical" -> {
         val base = s"SELECT $codeE AS code1, $ctE AS ct1, $grossE AS gross," +
           s" $genericNotesE AS gnotes, $aetnaDollarE AS a_dollar, $aetnaMethE AS a_meth," +

@@ -156,4 +156,45 @@ class ExtractorSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("zero rows"))
   }
+
+  test("PERMISSIVE malformed ingest: quarantine classes, counts, and parsed-field retention") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("code", StringType),
+      StructField("qty", IntegerType), StructField("price", DoubleType)))
+    // one line per class: clean / short / long / unconvertible field
+    val csv = write("mal.csv",
+      """A,1,1.5
+        |B,2
+        |C,3,3.5,EXTRA
+        |D,zz,4.5
+        |""".stripMargin)
+    val rows = MalformedIngest.readCsvPermissive(spark, csv, schema)
+      .collect().map(r => (r.getString(0),
+        Option(r.get(1)), Option(r.get(2)),
+        r.getString(3) != null)).sortBy(_._1).toSeq
+    assert(rows == Seq(
+      ("A", Some(1), Some(1.5), false),  // clean: not quarantined
+      ("B", Some(2), None, true),        // short: prefix kept, padded null
+      ("C", Some(3), Some(3.5), true),   // long: extra token dropped
+      ("D", None, Some(4.5), true)))     // bad field: later fields kept
+    val (clean, quarantine) = MalformedIngest.quarantineSplit(
+      MalformedIngest.readCsvPermissive(spark, csv, schema))
+    assert(clean.count() == 1 && quarantine.count() == 3)
+    // the quarantine retains the raw line, whole
+    assert(quarantine.select(col(MalformedIngest.CorruptCol)).collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("B,2", "C,3,3.5,EXTRA", "D,zz,4.5"))
+
+    val jl = write("mal.jsonl",
+      """{"code":"A","qty":1,"price":1.5}
+        |{"code":"B","qty":2,
+        |not json at all
+        |{"code":"D","qty":4,"price":4.5}
+        |""".stripMargin)
+    val j = MalformedIngest.readJsonPermissive(spark, jl, schema)
+    val (jc, jq) = MalformedIngest.quarantineSplit(j)
+    assert(jc.count() == 2 && jq.count() == 2)
+    // corrupt JSON rows null every schema field
+    assert(jq.filter(col("code").isNotNull || col("qty").isNotNull ||
+      col("price").isNotNull).count() == 0)
+  }
 }
