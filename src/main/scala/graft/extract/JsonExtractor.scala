@@ -59,11 +59,77 @@ object JsonExtractor {
   def readMrf(spark: SparkSession, path: String): DataFrame =
     spark.read.option("multiLine", "true").schema(mrfSchema).json(path)
 
+  /** The standard_charge_information ELEMENT schema — what one record of
+    * the split stream carries. */
+  val sciSchema: StructType = mrfSchema("standard_charge_information")
+    .dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+
+  /** File size above which [[extractFile]] abandons the whole-file
+    * multiLine read for the streamed split. A multiLine JSON document is
+    * ONE Spark row — the entire standard_charge_information array
+    * materializes as a single UnsafeRow, so a multi-GB hospital MRF
+    * needs that many bytes of contiguous task heap no matter how many
+    * executors exist. Caught by the r15 tight-heap screen: the 100×
+    * flagship trace OOMed a fresh 8g JVM in the fixture's one-row write
+    * (BufferHolder.grow) — the read side has the identical bound. Below
+    * the threshold the one-row path is cheapest and byte-compatible
+    * with the reference contract; above it, [[splitMrf]] streams the
+    * document once (O(element) memory) into JSON-lines that parse in
+    * parallel with bounded rows. */
+  val WholeFileThresholdBytes: Long = 64L * 1024 * 1024
+
+  /** One streaming pass (Jackson, O(element) memory) over a huge MRF:
+    * writes each standard_charge_information element as one JSON line
+    * under `outDir` and returns the top-level scalar fields (the devlog
+    * metadata) read in the same pass — the ijson shape the reference
+    * uses for multi-GB files (json_sampler.py), kept OFF the default
+    * path for files where whole-file parsing is cheaper. Runs where the
+    * file is readable (driver here; inside a mapPartitions over file
+    * paths on a real cluster — one hospital file per task). */
+  def splitMrf(path: String, outDir: String): Map[String, String] = {
+    import com.fasterxml.jackson.core.JsonToken
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    val mapper = new ObjectMapper()
+    val parser = mapper.getFactory.createParser(new java.io.File(path))
+    val meta = scala.collection.mutable.Map.empty[String, String]
+    val dir = new java.io.File(outDir)
+    dir.mkdirs()
+    val out = new java.io.BufferedWriter(new java.io.FileWriter(
+      new java.io.File(dir, "sci.jsonl")), 1 << 20)
+    try {
+      require(parser.nextToken() == JsonToken.START_OBJECT,
+        s"MRF root must be a JSON object: $path")
+      while (parser.nextToken() != JsonToken.END_OBJECT) {
+        val field = parser.currentName()
+        parser.nextToken()
+        if (field == "standard_charge_information") {
+          require(parser.currentToken() == JsonToken.START_ARRAY,
+            s"standard_charge_information must be an array: $path")
+          while (parser.nextToken() != JsonToken.END_ARRAY) {
+            val node: JsonNode = mapper.readTree(parser)
+            out.write(node.toString); out.newLine()
+          }
+        } else if (parser.currentToken().isScalarValue) {
+          meta(field) = parser.getText
+        } else parser.skipChildren()
+      }
+    } finally { out.close(); parser.close() }
+    meta.toMap
+  }
+
   /** Canonical extraction from a loaded MRF frame. */
-  def extract(mrf: DataFrame, hospitalName: String, zipCode: String): DataFrame = {
+  def extract(mrf: DataFrame, hospitalName: String, zipCode: String): DataFrame =
+    extractFromSci(
+      mrf.select(explode(col("standard_charge_information")).as("sci")),
+      hospitalName, zipCode)
+
+  /** Canonical extraction from already-split standard_charge_information
+    * element rows (`sci` struct column) — the shared tail of the
+    * whole-file and streamed regimes. */
+  def extractFromSci(sciRows: DataFrame, hospitalName: String,
+      zipCode: String): DataFrame = {
     val s = (c: Column) => coalesce(c.cast(StringType), lit(""))
-    val exploded = mrf
-      .select(explode(col("standard_charge_information")).as("sci"))
+    val exploded = sciRows
       .select(col("sci.description").as("__description"),
         col("sci.drug_information.unit").as("__drug_unit"),
         col("sci.drug_information.type").as("__drug_type"),
@@ -107,9 +173,36 @@ object JsonExtractor {
     exploded.select(cols: _*)
   }
 
+  /** Two-regime file entry: whole-file multiLine parse below
+    * [[WholeFileThresholdBytes]] (one row, cheapest, byte-compatible
+    * with the reference contract), streamed split above it (bounded
+    * rows, parallel parse — the only shape that survives a multi-GB
+    * hospital document on a fixed executor heap). Identical canonical
+    * output by construction — extractFromSci is the shared tail; pinned
+    * by ExtractorSpec's regime-parity test and the unchanged
+    * extract_json_canonical oracle. The split scratch is keyed by
+    * (name, length, mtime) so a rewritten fixture re-splits. */
   def extractFile(spark: SparkSession, path: String,
-      hospitalName: String, zipCode: String): DataFrame =
-    extract(readMrf(spark, path), hospitalName, zipCode)
+      hospitalName: String, zipCode: String): DataFrame = {
+    val f = new java.io.File(path)
+    if (f.length() <= WholeFileThresholdBytes)
+      extract(readMrf(spark, path), hospitalName, zipCode)
+    else {
+      val scratch = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-mrf-split-${f.getName}-${f.length()}-${f.lastModified()}")
+      val done = new java.io.File(scratch, "_done")
+      if (!done.exists()) {
+        splitMrf(path, scratch.getAbsolutePath)
+        done.createNewFile()
+      }
+      val rows = spark.read.schema(sciSchema)
+        .json(new java.io.File(scratch, "sci.jsonl").getAbsolutePath)
+      extractFromSci(rows.select(struct(
+          col("description"), col("drug_information"),
+          col("code_information"), col("standard_charges")).as("sci")),
+        hospitalName, zipCode)
+    }
+  }
 
   /** Devlog metadata from the MRF top level (json_sampler.py:23-33 keys). */
   def metadata(mrf: DataFrame): Map[String, String] = {

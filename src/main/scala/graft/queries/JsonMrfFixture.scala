@@ -55,8 +55,9 @@ object JsonMrfFixture {
 
   // ------------------------------------------------------- Spark side (build)
 
-  /** The nested single-hospital MRF frame (ONE row: metadata + the full
-    * standard_charge_information array) built from `part`. */
+  /** The standard_charge_information ELEMENT rows (`sci` struct column,
+    * one per part row) built from `part` — [[writeFixture]] renders each
+    * independently and stream-assembles the single-document file. */
   def mrfFrame(part: DataFrame): DataFrame = {
     def e(s: String): Column = expr(s)
     def nullStr(name: String): Column = lit(null).cast("string").as(name)
@@ -93,14 +94,6 @@ object JsonMrfFixture {
         struct(e(code2E).as("code"), e(ct2E).as("type"))).as("code_information"),
       scs.as("standard_charges"))
     part.select(sci.as("sci"))
-      .agg(collect_list(col("sci")).as("standard_charge_information"))
-      .select(
-        lit(HospitalName).as("hospital_name"),
-        lit("1 Gate St, Atlanta").as("hospital_location"),
-        lit("Georgia").as("hospital_address"),
-        lit("2024-01-01").as("last_updated_on"),
-        lit("v2.0").as("version"),
-        col("standard_charge_information"))
   }
 
   /** One write per (session, sf): three gates read the fixture file, and
@@ -109,17 +102,62 @@ object JsonMrfFixture {
   private val written =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
-  /** Write the fixture as a real JSON file under the system tmpdir (one
-    * deterministic dir per sf, overwritten once per session) and return
-    * the path. The write→multiLine-read round trip IS part of what the
-    * gate proves. */
+  /** Write the fixture as a real single-document JSON MRF under the
+    * system tmpdir (one deterministic dir per sf, overwritten once per
+    * session) and return the file's path. The write→read round trip IS
+    * part of what the gate proves.
+    *
+    * Assembly is STREAMED, the way a real MRF publisher writes its file:
+    * each standard_charge_information element renders independently
+    * (to_json over the sci struct — bounded row size, parallel), then
+    * the driver concatenates part files between the metadata prefix and
+    * the closing bracket with O(buffer) memory. The pre-r15 one-row
+    * `collect_list` materialized the ENTIRE document as a single
+    * UnsafeRow — ~GBs at the 100× fixture — and OOMed the 8g tight-heap
+    * screen inside BufferHolder.grow before any gate logic ran; no
+    * fixture scale fits a one-row representation forever. `to_json`
+    * omits null fields exactly like the previous DataFrame JSON writer,
+    * so the file is content-identical minus element order (which no
+    * consumer observes — the extractor explodes, the oracle compares
+    * unordered). */
   def writeFixture(spark: SparkSession, sfDir: String): String =
     written.computeIfAbsent((spark, sfDir), { case (s, d) =>
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft-json-mrf-" + new java.io.File(d).getName).getAbsolutePath
+      import java.io.{BufferedOutputStream, File, FileOutputStream}
+      import java.nio.charset.StandardCharsets.UTF_8
+      val root = new File(sys.props("java.io.tmpdir"),
+        "graft-json-mrf-" + new File(d).getName)
+      val bodyDir = new File(root, "sci")
       mrfFrame(Tables.table(s, d, "part"))
-        .coalesce(1).write.mode("overwrite").json(dir)
-      dir
+        .select(to_json(col("sci")).as("j"))
+        .write.mode("overwrite").text(bodyDir.toString)
+      val out = new File(root, "mrf.json")
+      val w = new BufferedOutputStream(new FileOutputStream(out), 1 << 20)
+      try {
+        w.write(("{\"hospital_name\":\"" + HospitalName + "\"," +
+          "\"hospital_location\":\"1 Gate St, Atlanta\"," +
+          "\"hospital_address\":\"Georgia\"," +
+          "\"last_updated_on\":\"2024-01-01\"," +
+          "\"version\":\"v2.0\"," +
+          "\"standard_charge_information\":[").getBytes(UTF_8))
+        var first = true
+        bodyDir.listFiles().filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".txt")).sortBy(_.getName).foreach { pf =>
+          val src = java.nio.file.Files.newBufferedReader(pf.toPath, UTF_8)
+          try {
+            var line = src.readLine()
+            while (line != null) {
+              if (line.nonEmpty) {
+                if (!first) w.write(','.toInt)
+                w.write(line.getBytes(UTF_8))
+                first = false
+              }
+              line = src.readLine()
+            }
+          } finally src.close()
+        }
+        w.write("]}".getBytes(UTF_8))
+      } finally w.close()
+      out.getAbsolutePath
     })
 
   // ------------------------------------------------------ oracle side (SQL)

@@ -157,6 +157,27 @@ class ExtractorSpec extends SparkSpec {
     assert(e.getMessage.contains("zero rows"))
   }
 
+  test("MRF whole-file and streamed-split regimes extract identical rows and metadata") {
+    // the two-regime extractFile (r15: the 8g/100× screen caught the
+    // one-row whole-document materialization) must be a pure plan
+    // switch: same canonical rows, same metadata, from either path
+    val p = graft.queries.JsonMrfFixture.writeFixture(spark, sf("sf0.001"))
+    val whole = JsonExtractor.extract(JsonExtractor.readMrf(spark, p), "H", "Z")
+      .collect().map(_.toString).sorted.toSeq
+    val splitDir = java.nio.file.Files.createTempDirectory("graft-split-test")
+    val meta = JsonExtractor.splitMrf(p, splitDir.toString)
+    val rows = spark.read.schema(JsonExtractor.sciSchema)
+      .json(splitDir.resolve("sci.jsonl").toString)
+    val split = JsonExtractor.extractFromSci(
+      rows.select(org.apache.spark.sql.functions.struct(
+        col("description"), col("drug_information"),
+        col("code_information"), col("standard_charges")).as("sci")),
+      "H", "Z").collect().map(_.toString).sorted.toSeq
+    assert(whole.nonEmpty && whole == split)
+    val wholeMeta = JsonExtractor.metadata(JsonExtractor.readMrf(spark, p))
+    assert(wholeMeta.forall { case (k, v) => meta.getOrElse(k, "") == v })
+  }
+
   test("PERMISSIVE malformed ingest: quarantine classes, counts, and parsed-field retention") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("code", StringType),
