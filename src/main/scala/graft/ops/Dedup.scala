@@ -421,7 +421,11 @@ object Dedup {
     nodes.count()
     // large-star: symmetrize, take per-node min over N(u) ∪ {u}, and
     // re-attach each larger neighbor to it. m ≤ u < v, so the output is
-    // canonically (larger → smaller) and self-loop-free.
+    // canonically (larger → smaller) and self-loop-free. NOT distinct'd:
+    // small-star's min-aggregate and final distinct absorb duplicate
+    // edges at set-identical output (multiset input changes neither the
+    // per-node min nor the emitted SET), and dropping the exchange here
+    // saves one full shuffle per round.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionAll(e.select(col("d").as("s"), col("s").as("d")))
       val mins = sym.groupBy(col("s")).agg(min(col("d")).as("mn"))
@@ -429,7 +433,6 @@ object Dedup {
       sym.join(mins, Seq("s"))
         .filter(col("d") > col("s"))
         .select(col("d").as("s"), col("m").as("d"))
-        .distinct()
     }
     // small-star: edges arrive (larger → smaller); per node u the min
     // neighbor m = min(N(u)) < u, attach u and every other (smaller)

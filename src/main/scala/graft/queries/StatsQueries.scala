@@ -753,11 +753,14 @@ object StatsQueries {
         .withColumn("p", round(graft.ops.Gauss.twoSidedP(col("z")), 6))
       val thresh = d(col("k")) * 0.1 / d(col("m"))
       // BH rank via the distributed index pass; the step-up frontier
-      // k* is a global MAX — a 1-row broadcast, not a whole-frame window
-      val withK = graft.core.Memo.ownedPersist(
+      // k* is a global MAX — a 1-row broadcast, not a whole-frame
+      // window. No extra persist: prefixSum's range-shuffle map output
+      // serves both consumers (the k* aggregate and the final select),
+      // and the second-pass map is a narrow re-read.
+      val withK =
         graft.ops.Ranking.prefixSum(scored.withColumn("one", lit(1L)),
           Seq(col("p").asc, col("c_nationkey").asc), Seq("one"))
-          .withColumn("k", col("cum_one").cast("int")))
+          .withColumn("k", col("cum_one").cast("int"))
       val kstarRow = withK.agg(coalesce(
         max(when(col("p") <= thresh, col("k"))), lit(0)).as("kstar"))
       withK.crossJoin(broadcast(kstarRow))
