@@ -1021,8 +1021,33 @@ object Graph {
   private[ops] def rerootEager(spark: SparkSession, df: DataFrame,
       release: Option[org.apache.spark.rdd.RDD[Row]] = None)
       : (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
-    val rdd = df.rdd.localCheckpoint()
-    rdd.count()
+    // Checkpoint mode is the FAULT-TOLERANCE dial: localCheckpoint
+    // stores the leaf in executor block managers — fastest, but an
+    // executor loss mid-loop loses blocks whose lineage was truncated
+    // and FAILS the job (Spark's documented localCheckpoint trade).
+    // When the session has a checkpoint dir configured
+    // (sc.setCheckpointDir — a cluster deployment's reliable store),
+    // the loops automatically write RELIABLE checkpoints instead:
+    // executor loss then costs a re-read, not the job. Exercised by
+    // ExecutorLossCheck (executor JVM halted mid-run under
+    // local-cluster) and the reliable-mode parity spec.
+    val rdd =
+      if (spark.sparkContext.getCheckpointDir.isDefined) {
+        val r = df.rdd
+        // persist BEFORE checkpoint: doCheckpoint() otherwise recomputes
+        // the whole round to write the reliable copy (Spark's documented
+        // double-compute trap); the cached blocks also keep serving
+        // healthy-path reads at local speed, with the reliable file as
+        // the loss fallback.
+        r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        r.checkpoint()
+        r.count()
+        r
+      } else {
+        val r = df.rdd.localCheckpoint()
+        r.count()
+        r
+      }
     release.foreach(_.unpersist(blocking = false))
     // Every reroot leaf is owned scratch: the loops' release chains free
     // the intermediates eagerly, but the FINAL round's RDD backs the
