@@ -473,6 +473,8 @@ object Dedup {
       state = next; sRdd = nRdd
       prevCount = nextCount
       iter += 1
+      if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] star round $iter edges=$nextCount converged=$converged")
     }
     if (!converged) {
       nodes.unpersist(); sRdd.unpersist(blocking = false)
