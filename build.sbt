@@ -32,4 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // multimodal_frames 12.6s -> 1.4s at 24g, same host). The driver hosts
   // have 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++
+  // Extra JVM flags for A/B experiments (e.g. JIT/code-cache sizing)
+  // without editing the build: SPARK_GRAFT_JAVA_OPTS="-XX:... -XX:...".
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS")
+    .map(_.trim.split("\\s+").toSeq).getOrElse(Seq.empty)

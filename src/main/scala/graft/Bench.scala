@@ -44,6 +44,19 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
       s.trim.split("\\s+").take(3).toSeq.map(_.toDouble)
     } catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+    // Hypervisor steal self-annotation (round-15 find): on a virtualized
+    // host the hypervisor can take double-digit CPU shares that are
+    // INVISIBLE to loadavg (measured this round: 14% steal under full
+    // load on an idle-by-loadavg sandbox, bench totals swinging 397–652 s
+    // on identical code). (steal, total) jiffies from /proc/stat, emitted
+    // as steal_pct over the bench window so a contaminated artifact is
+    // self-identifying the way la_start/other_jvms already are.
+    def cpuTicks(): (Long, Long) = try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+      (f(7), f.sum)
+    } catch { case _: Throwable => (-1L, -1L) }
+    val ticksStart = cpuTicks()
     val loadStart = loadAvg()
     // Competing JVMs at start: the r12 driver bench ran next to an
     // orphaned 164%-CPU measurement JVM from a prior session and the
@@ -119,13 +132,19 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val benchWall = (System.nanoTime() - benchWall0) / 1e9
     val loadEnd = loadAvg()
+    val ticksEnd = cpuTicks()
+    val stealPct =
+      if (ticksStart._1 < 0 || ticksEnd._1 < 0 ||
+          ticksEnd._2 <= ticksStart._2) -1.0
+      else 100.0 * (ticksEnd._1 - ticksStart._1) /
+        (ticksEnd._2 - ticksStart._2).toDouble
     val jvmUptime = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getUptime / 1e3
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val loadJson = s"""{"la_start":[${loadStart.map(f2).mkString(",")}],""" +
       s""""la_end":[${loadEnd.map(f2).mkString(",")}],""" +
       s""""bench_wall_sec":${f2(benchWall)},"jvm_uptime_sec":${f2(jvmUptime)},""" +
-      s""""other_jvms":$otherJvms}"""
+      s""""steal_pct":${f2(stealPct)},"other_jvms":$otherJvms}"""
     // Two lines: a full-precision per-query dump first (diagnostic; no
     // "metric" key so a tail-grep for the contract line can't match it),
     // then the contract JSON line LAST and kept under ~1 KB — the driver

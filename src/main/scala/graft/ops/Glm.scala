@@ -59,7 +59,19 @@ object Glm {
     * unchanged — every moment is an exact decimal sum of 12dp-rounded
     * terms, order-free, so a cached scan is bit-identical. */
   private def withCachedDesign[A](base: DataFrame)(body: DataFrame => A): A = {
-    val cached = base.persist(
+    // Scale-adaptive parallelism for the iteration cache (guide §2.6 /
+    // §1.2-1: the distributed algorithm first): a small input plans a
+    // 1-partition scan (one parquet split), which would serialize every
+    // Newton step — 6-8 full aggregate passes — onto ONE core while the
+    // rest of the cluster idles. Widen the cached design to the session's
+    // parallelism when (and only when) the scan is narrower than it; at
+    // any real scale the scan already carries >= cores partitions and
+    // this is a no-op (no extra exchange). Values are unchanged: every
+    // moment is an exact decimal sum of 12dp-rounded terms, order-free.
+    val cores = base.sparkSession.sparkContext.defaultParallelism
+    val wide =
+      if (base.rdd.getNumPartitions < cores) base.repartition(cores) else base
+    val cached = wide.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try body(cached)
     finally cached.unpersist(blocking = false)

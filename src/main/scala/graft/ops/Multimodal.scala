@@ -22,10 +22,30 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // Codec hygiene, once per JVM when this object loads (driver AND each
+  // executor — every mapPartitions closure below references the object):
+  // ImageIO's default `useCache=true` routes EVERY stream-based encode
+  // and decode through a temp FILE (FileCacheImageInput/OutputStream —
+  // create, write, read back, delete, per image), even when the caller
+  // hands it a pure in-memory ByteArray stream. For millions of small
+  // assets that is one disk round-trip per asset for nothing. `false`
+  // selects the MemoryCache streams; the codec output bytes are
+  // identical (guide §1.2 step 2: per-task work).
+  ImageIO.setUseCache(false)
+
   /** One media asset: opaque payload + typed metadata (the metadata mirrors
     * what a real manifest would declare; decode does NOT read it). */
   final case class MediaRecord(doc_id: Long, mime: String, width: Int,
       height: Int, payload: Array[Byte])
+
+  /** The backing int[] of a TYPE_INT_RGB image — pixels live as packed
+    * 0xRRGGBB ints, so bulk writes (`Arrays.fill`, direct indexing)
+    * store EXACTLY what per-pixel `setRGB` would (DirectColorModel
+    * masks to 24 bits; the fills below never set alpha bits) without a
+    * color-model call per pixel. */
+  private def rgbData(img: BufferedImage): Array[Int] =
+    img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
 
   /** Decoded features per asset: dimensions and pixel channels come from
     * the DECODED image, never from the manifest metadata. */
@@ -48,12 +68,7 @@ object Multimodal {
           val h = (nChars % 48 + 1).toInt
           val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
           val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
-          }
+          java.util.Arrays.fill(rgbData(img), rgb) // == setRGB of every px
           val out = new ByteArrayOutputStream()
           ImageIO.write(img, "png", out)
           MediaRecord(id, "image/png", w, h, out.toByteArray)
@@ -83,13 +98,14 @@ object Multimodal {
           val base = (id0 % 199).toInt
           val sx = 2 + (id0 % 7).toInt
           val sy = 3 + (id0 % 11).toInt
+          val data = rgbData(img) // direct raster writes == setRGB values
           var y = 0
           while (y < dim) {
             var x = 0
             while (x < dim) {
               var g = (base + x * sx + y * sy) % 256
               if (flipPixel && x == 3 && y == 3) g = (g + 1) % 256
-              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              data(y * dim + x) = (g << 16) | (g << 8) | g
               x += 1
             }
             y += 1
@@ -117,6 +133,9 @@ object Multimodal {
       it.map { m =>
         val img = ImageIO.read(new ByteArrayInputStream(m.payload))
         val (w, h) = (img.getWidth, img.getHeight)
+        // ONE bulk getRGB instead of w·h color-model calls — identical
+        // values (same sRGB conversion path, batched).
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         val block = new Array[Long](64)
         val cnt = new Array[Long](64)
         var y = 0
@@ -124,7 +143,7 @@ object Multimodal {
           var x = 0
           while (x < w) {
             val b = math.min(7, y * 8 / h) * 8 + math.min(7, x * 8 / w)
-            block(b) += img.getRGB(x, y) & 0xff // gray: any channel
+            block(b) += px(y * w + x) & 0xff // gray: any channel
             cnt(b) += 1
             x += 1
           }
@@ -190,15 +209,18 @@ object Multimodal {
         require(img.getWidth == 64 && img.getHeight == 64,
           s"dctHash expects the 64x64 gradient fixture, got " +
             s"${img.getWidth}x${img.getHeight}")
+        // ONE bulk getRGB instead of 4096 color-model calls — identical
+        // values (same sRGB conversion path, batched).
+        val px = img.getRGB(0, 0, 64, 64, null, 0, 64)
         val pix = Array.ofDim[Long](32, 32)
         var y = 0
         while (y < 32) {
           var x = 0
           while (x < 32) {
-            pix(x)(y) = (img.getRGB(2 * x, 2 * y) & 0xff).toLong +
-              (img.getRGB(2 * x + 1, 2 * y) & 0xff) +
-              (img.getRGB(2 * x, 2 * y + 1) & 0xff) +
-              (img.getRGB(2 * x + 1, 2 * y + 1) & 0xff)
+            pix(x)(y) = (px(2 * y * 64 + 2 * x) & 0xff).toLong +
+              (px(2 * y * 64 + 2 * x + 1) & 0xff) +
+              (px((2 * y + 1) * 64 + 2 * x) & 0xff) +
+              (px((2 * y + 1) * 64 + 2 * x + 1) & 0xff)
             x += 1
           }
           y += 1
@@ -299,12 +321,7 @@ object Multimodal {
           val rgb = ((((id + 11 * k) % 256) << 16) |
             (((id * 7 + 11 * k) % 256) << 8) | ((id * 13 + 11 * k) % 256)).toInt
           val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
-          }
+          java.util.Arrays.fill(rgbData(img), rgb) // == setRGB of every px
           val out = new ByteArrayOutputStream()
           ImageIO.write(img, "png", out)
           out.toByteArray

@@ -154,9 +154,20 @@ object Vocab {
   def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
     require(merges >= 1 && merges <= 64, s"merges out of range: $merges")
     val spark = docs.sparkSession
-    val words0 = wordCounts(docs, textCol)
+    // Scale-adaptive parallelism for the round cache (guide §2.6): a
+    // small corpus scan (one split) leaves AQE's coalesced word table on
+    // 1-2 partitions, serializing every round's pair explode + aggregate
+    // onto as few cores. Proxy the decision on the SCAN's partition
+    // count (no exchanges → .rdd plans without running jobs): when the
+    // corpus is narrower than the session parallelism, widen the
+    // persisted word table once; at real corpus sizes this is a no-op.
+    val narrowScan =
+      docs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism
+    val wc0 = wordCounts(docs, textCol)
       .select(wrapped(col("w")).as("sym"), col("wcnt"))
-      .persist()
+    val words0 =
+      (if (narrowScan) wc0.repartition(spark.sparkContext.defaultParallelism)
+       else wc0).persist()
     val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var words = words0
     var exhausted = false
@@ -202,8 +213,17 @@ object Vocab {
       merges: Seq[(String, String)]): DataFrame = {
     require(idCol != "w" && idCol != "n_pieces",
       "bpeEncode uses internal w/n_pieces columns; rename the id column")
-    val words = docs
+    // Same scale-adaptive widening as bpeTrain: the merge-chain replace
+    // + split is the expensive per-word expression, and on a one-split
+    // corpus AQE leaves the distinct-word table on 1-2 partitions — the
+    // whole encode map would run on as few cores. No-op at real scale.
+    val sc = docs.sparkSession.sparkContext
+    val words0 = docs
       .select(explode(TextOps.tokens(col(textCol))).as("w")).distinct()
+    val words =
+      if (docs.rdd.getNumPartitions < sc.defaultParallelism)
+        words0.repartition(sc.defaultParallelism)
+      else words0
     val sym = merges.foldLeft(wrapped(col("w"))) { case (s, (l, r)) =>
       replace(s, lit(s" $l  $r "), lit(s" ${l + r} "))
     }
